@@ -1,0 +1,93 @@
+"""Lightweight path-based catalog: ``layer.table`` -> storage location.
+
+The reference uses Unity Catalog three-level namespaces
+(``${catalog}.bronze/silver/gold``, reference
+src/setup/unity_catalog_setup.py:22-60). OSS-Spark equivalent here is a
+registry mapping logical names to (path, format); readers/writers go
+through it so pipelines never hard-code storage paths.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver's testdata provides (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass
+class TableRef:
+    name: str
+    path: str
+    format: str = "parquet"
+
+
+@dataclass
+class Catalog:
+    """name -> TableRef registry with bronze/silver/gold layer conventions."""
+
+    root: str
+    tables: dict[str, TableRef] = field(default_factory=dict)
+
+    def register(self, name: str, path: str, format: str = "parquet") -> TableRef:
+        ref = TableRef(name=name, path=path, format=format)
+        self.tables[name] = ref
+        return ref
+
+    def path_for(self, name: str, layer: str | None = None) -> str:
+        key = f"{layer}.{name}" if layer else name
+        if key in self.tables:
+            return self.tables[key].path
+        parts = [self.root] + ([layer] if layer else []) + [name]
+        return os.path.join(*parts)
+
+    def read(self, spark: SparkSession, name: str, layer: str | None = None) -> DataFrame:
+        key = f"{layer}.{name}" if layer else name
+        ref = self.tables.get(key)
+        if ref is not None:
+            return spark.read.format(ref.format).load(ref.path)
+        return spark.read.parquet(self.path_for(name, layer))
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        layer: str | None = None,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> str:
+        path = self.path_for(name, layer)
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        key = f"{layer}.{name}" if layer else name
+        self.tables[key] = TableRef(name=key, path=path)
+        return path
+
+
+def testdata_catalog(sf_dir: str) -> Catalog:
+    """Catalog over one driver testdata scale-factor directory."""
+    cat = Catalog(root=sf_dir)
+    for t in TESTDATA_TABLES:
+        cat.register(t, os.path.join(sf_dir, f"{t}.parquet"))
+    return cat
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Shorthand: read one driver testdata table as a DataFrame."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -1,0 +1,31 @@
+"""Query registry: the driver contract's queries() / oracle_sql() source.
+
+Submodules contribute (name -> callable) and (name -> DuckDB SQL) dicts;
+this module merges them. Queries without an oracle entry are checked
+rows-only by the driver (non-SQL-expressible operators).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from olist_lakehouse_2_0_spark.queries.relational import (
+    RELATIONAL_ORACLES,
+    RELATIONAL_QUERIES,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    queries: dict[str, QueryFn] = {}
+    queries.update(RELATIONAL_QUERIES)
+    return queries
+
+
+def all_oracles() -> dict[str, str]:
+    oracles: dict[str, str] = {}
+    oracles.update(RELATIONAL_ORACLES)
+    return oracles

@@ -1,0 +1,622 @@
+"""Relational query library: the reference's silver/gold query shapes
+re-expressed over the driver's TPC-H-ish testdata.
+
+Each function maps one or more operators from SURVEY.md §2 (reference
+citations inline) onto the testdata tables (TESTDATA.md). Each has a
+DuckDB oracle twin in :data:`RELATIONAL_ORACLES` with identical column
+names and value semantics, so the driver can hash-compare results.
+
+Scale notes (100 TB design):
+- Aggregations are declared with ``groupBy().agg()`` — Spark performs
+  partial (map-side) aggregation before the shuffle automatically.
+- Dimension tables (region/nation/supplier/part/customer) are joined
+  with ``F.broadcast`` where they are orders-of-magnitude smaller than
+  the fact side; the fact tables (orders/lineitem) never broadcast.
+- Money aggregates cast to DECIMAL before summing: exact, overflow-safe
+  and order-independent — double sums drift at 1000-way parallelism.
+- No ``collect()``/driver loops anywhere; every query is one lazy plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from olist_lakehouse_2_0_spark.catalog import load
+
+MONEY = "decimal(12,2)"  # input cast for exact money arithmetic
+MONEY_SUM = "decimal(18,2)"  # output type for money sums
+RATE = "decimal(10,2)"  # percentages
+AVG6 = "decimal(18,6)"  # quantized averages (stable across engines)
+
+
+def _money_sum(col, alias: str):
+    """Exact decimal sum of a money column (SURVEY §7.4: decimal drift)."""
+    return F.sum(F.col(col).cast(MONEY)).cast(MONEY_SUM).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# gold/daily_orders.sql shape — A1 count, A2 conditional count, A3 distinct,
+# A5 sum, A6 avg, A10 ratio+NULLIF, P4 filter. (reference
+# src/pipelines/gold/daily_orders.sql:20-66)
+# ---------------------------------------------------------------------------
+def daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    finished = F.count(F.when(F.col("o_orderstatus") == "F", 1))
+    return (
+        orders.filter(F.col("o_orderdate").isNotNull())
+        .withColumn("order_date", F.col("o_orderdate").cast("date"))
+        .groupBy("order_date")
+        .agg(
+            F.count(F.lit(1)).alias("total_orders"),
+            finished.alias("finished_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("open_orders"),
+            F.count(
+                F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            ).alias("urgent_orders"),
+            F.countDistinct("o_custkey").alias("unique_customers"),
+            _money_sum("o_totalprice", "total_revenue"),
+            F.avg("o_totalprice").cast(AVG6).alias("avg_order_value"),
+            F.round(
+                finished * 100.0 / F.nullif(F.count(F.lit(1)), F.lit(0)), 2
+            )
+            .cast(RATE)
+            .alias("finished_rate_pct"),
+        )
+    )
+
+
+DAILY_ORDERS_SQL = """
+SELECT CAST(o_orderdate AS DATE) AS order_date,
+       COUNT(*) AS total_orders,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished_orders,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_orders,
+       COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS urgent_orders,
+       COUNT(DISTINCT o_custkey) AS unique_customers,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_revenue,
+       CAST(AVG(o_totalprice) AS DECIMAL(18,6)) AS avg_order_value,
+       CAST(ROUND(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) * 100.0
+                  / NULLIF(COUNT(*), 0), 2) AS DECIMAL(10,2)) AS finished_rate_pct
+FROM orders
+WHERE o_orderdate IS NOT NULL
+GROUP BY CAST(o_orderdate AS DATE)
+"""
+
+
+# ---------------------------------------------------------------------------
+# gold/monthly_orders.sql shape — W1 LAG over global month order on top of
+# grouped rows. (reference src/pipelines/gold/monthly_orders.sql:20-56)
+# ---------------------------------------------------------------------------
+def monthly_orders_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    monthly = (
+        orders.withColumn(
+            "order_month", F.date_trunc("month", F.col("o_orderdate")).cast("date")
+        )
+        .groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("total_orders"),
+            _money_sum("o_totalprice", "total_revenue"),
+        )
+    )
+    # The global (unpartitioned) LAG runs on ~tens-of-rows post-aggregate
+    # output: a single-partition window here is fine at any input scale
+    # because the groupBy has already collapsed the data.
+    w = W.orderBy("order_month")
+    prev_rev = F.lag("total_revenue").over(w)
+    return monthly.select(
+        "order_month",
+        "total_orders",
+        "total_revenue",
+        prev_rev.alias("prev_month_revenue"),
+        F.lag("total_orders").over(w).alias("prev_month_orders"),
+        F.round(
+            (F.col("total_revenue") - prev_rev) * 100.0 / F.nullif(prev_rev, F.lit(0)),
+            2,
+        )
+        .cast(RATE)
+        .alias("revenue_growth_pct"),
+    )
+
+
+MONTHLY_ORDERS_LAG_SQL = """
+WITH monthly AS (
+  SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month,
+         COUNT(*) AS total_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_revenue
+  FROM orders
+  GROUP BY 1
+)
+SELECT order_month, total_orders, total_revenue,
+       LAG(total_revenue) OVER (ORDER BY order_month) AS prev_month_revenue,
+       LAG(total_orders) OVER (ORDER BY order_month) AS prev_month_orders,
+       CAST(ROUND((total_revenue - LAG(total_revenue) OVER (ORDER BY order_month)) * 100.0
+                  / NULLIF(LAG(total_revenue) OVER (ORDER BY order_month), 0), 2)
+            AS DECIMAL(10,2)) AS revenue_growth_pct
+FROM monthly
+"""
+
+
+# ---------------------------------------------------------------------------
+# gold/orders_by_state.sql shape — J2 inner join to customers, J3 left join
+# to per-order totals CTE, partial region CASE map with 'Other' fallback.
+# (reference src/pipelines/gold/orders_by_state.sql:20-85)
+# ---------------------------------------------------------------------------
+def orders_by_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    lineitem = load(spark, sf_dir, "lineitem")
+
+    # J3: per-order item totals, pre-aggregated at order grain before the
+    # join (reference gold/orders_by_state.sql:20-26). Shuffles lineitem
+    # once on l_orderkey; at scale this is the dominant shuffle and is
+    # unavoidable — everything downstream is small.
+    order_totals = lineitem.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice").cast(MONEY)).alias("order_item_total"),
+        F.count(F.lit(1)).alias("item_count"),
+    )
+
+    # Partial region map with 'Other' fallback — mirrors the gold-layer
+    # CASE that deliberately omits some regions (SURVEY §7.4).
+    region_group = (
+        F.when(F.col("r_name").isin("AMERICA", "EUROPE"), F.lit("Atlantic"))
+        .when(F.col("r_name") == "ASIA", F.lit("Asia"))
+        .otherwise(F.lit("Other"))
+    )
+
+    # Dimensions (customer/nation/region) broadcast: at 100 TB the fact
+    # side is orders, dims stay MB-scale.
+    dims = customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")).join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    joined = (
+        orders.join(dims, F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .join(order_totals, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .withColumn("region_group", region_group)
+    )
+    return joined.groupBy(F.col("n_name").alias("nation"), F.col("region_group")).agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        F.countDistinct("o_custkey").alias("unique_customers"),
+        F.sum("order_item_total").cast(MONEY_SUM).alias("total_item_revenue"),
+        F.avg(F.col("order_item_total").cast("double"))
+        .cast(AVG6)
+        .alias("avg_order_item_value"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("finished_orders"),
+        F.sum("item_count").alias("total_items"),
+    )
+
+
+ORDERS_BY_STATE_SQL = """
+WITH order_totals AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS order_item_total,
+         COUNT(*) AS item_count
+  FROM lineitem
+  GROUP BY l_orderkey
+)
+SELECT n_name AS nation,
+       CASE WHEN r_name IN ('AMERICA', 'EUROPE') THEN 'Atlantic'
+            WHEN r_name = 'ASIA' THEN 'Asia'
+            ELSE 'Other' END AS region_group,
+       COUNT(*) AS total_orders,
+       COUNT(DISTINCT o_custkey) AS unique_customers,
+       CAST(SUM(order_item_total) AS DECIMAL(18,2)) AS total_item_revenue,
+       CAST(AVG(CAST(order_item_total AS DOUBLE)) AS DECIMAL(18,6)) AS avg_order_item_value,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished_orders,
+       SUM(item_count) AS total_items
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+LEFT JOIN order_totals ON o_orderkey = l_orderkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# silver/orders_enriched.sql shape — J1: fact LEFT JOINed to three
+# pre-aggregated subqueries at order grain; A8 COLLECT_SET (sorted for
+# determinism); A11 pre-aggregation CTEs; derived boolean flags.
+# (reference src/pipelines/silver/orders_enriched.sql:15-102)
+# ---------------------------------------------------------------------------
+def orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+
+    items = lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("item_count"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.sum(F.col("l_extendedprice").cast(MONEY)).cast(MONEY_SUM).alias("items_total"),
+    )
+    shipping = lineitem.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship_date"),
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship_date"),
+    )
+    flags = lineitem.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_returnflag")).alias("return_flags"),
+        F.max("l_linestatus").alias("max_linestatus"),
+    )
+
+    # Three LEFT JOINs on the same key: Spark shuffles orders once on
+    # o_orderkey and the three aggregated sides arrive already partitioned
+    # by the groupBy on the same key — AQE reuses the exchange.
+    enriched = (
+        orders.join(items, F.col("o_orderkey") == items["l_orderkey"], "left")
+        .drop(items["l_orderkey"])
+        .join(shipping, F.col("o_orderkey") == shipping["l_orderkey"], "left")
+        .drop(shipping["l_orderkey"])
+        .join(flags, F.col("o_orderkey") == flags["l_orderkey"], "left")
+        .drop(flags["l_orderkey"])
+    )
+    return enriched.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderstatus").alias("order_status"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.coalesce(F.col("item_count"), F.lit(0)).alias("item_count"),
+        F.coalesce(F.col("distinct_parts"), F.lit(0)).alias("distinct_parts"),
+        F.coalesce(F.col("items_total"), F.lit(0).cast(MONEY_SUM)).alias("items_total"),
+        "first_ship_date",
+        "last_ship_date",
+        "return_flags",
+        "max_linestatus",
+        (F.col("o_orderstatus") == "F").alias("is_finished"),
+        F.coalesce(F.array_contains("return_flags", "R"), F.lit(False)).alias(
+            "has_returns"
+        ),
+    )
+
+
+ORDERS_ENRICHED_SQL = """
+WITH items AS (
+  SELECT l_orderkey,
+         COUNT(*) AS item_count,
+         COUNT(DISTINCT l_partkey) AS distinct_parts,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS items_total
+  FROM lineitem GROUP BY l_orderkey
+), shipping AS (
+  SELECT l_orderkey,
+         MIN(CAST(l_shipdate AS DATE)) AS first_ship_date,
+         MAX(CAST(l_shipdate AS DATE)) AS last_ship_date
+  FROM lineitem GROUP BY l_orderkey
+), flags AS (
+  SELECT l_orderkey,
+         LIST_SORT(LIST_DISTINCT(LIST(l_returnflag))) AS return_flags,
+         MAX(l_linestatus) AS max_linestatus
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderkey AS order_id,
+       o_custkey AS customer_id,
+       o_orderstatus AS order_status,
+       CAST(o_orderdate AS DATE) AS order_date,
+       COALESCE(items.item_count, 0) AS item_count,
+       COALESCE(items.distinct_parts, 0) AS distinct_parts,
+       COALESCE(items.items_total, CAST(0 AS DECIMAL(18,2))) AS items_total,
+       shipping.first_ship_date,
+       shipping.last_ship_date,
+       flags.return_flags,
+       flags.max_linestatus,
+       o_orderstatus = 'F' AS is_finished,
+       COALESCE(LIST_CONTAINS(flags.return_flags, 'R'), FALSE) AS has_returns
+FROM orders
+LEFT JOIN items ON o_orderkey = items.l_orderkey
+LEFT JOIN shipping ON o_orderkey = shipping.l_orderkey
+LEFT JOIN flags ON o_orderkey = flags.l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# gold/seller_performance.sql shape — J5: fact ⋈ orders ⋈ supplier with a
+# broadcast dimension; ratio-of-aggregates metrics.
+# (reference src/pipelines/gold/seller_performance.sql:20-58)
+# ---------------------------------------------------------------------------
+def seller_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supplier = load(spark, sf_dir, "supplier")
+
+    joined = lineitem.join(
+        orders.select("o_orderkey", "o_custkey", "o_orderstatus"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "inner",
+    ).join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"), "inner")
+
+    total_rev = F.sum(F.col("l_extendedprice").cast(MONEY))
+    n_orders = F.countDistinct("l_orderkey")
+    return joined.groupBy(F.col("s_name").alias("seller_name")).agg(
+        n_orders.alias("total_orders"),
+        F.count(F.lit(1)).alias("total_items_sold"),
+        F.countDistinct("l_partkey").alias("distinct_products"),
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+        total_rev.cast(MONEY_SUM).alias("total_revenue"),
+        (total_rev.cast("double") / F.nullif(n_orders, F.lit(0)))
+        .cast(AVG6)
+        .alias("avg_order_revenue"),
+        F.avg("l_extendedprice").cast(AVG6).alias("avg_item_price"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("finished_items"),
+    )
+
+
+SELLER_PERFORMANCE_SQL = """
+SELECT s_name AS seller_name,
+       COUNT(DISTINCT l_orderkey) AS total_orders,
+       COUNT(*) AS total_items_sold,
+       COUNT(DISTINCT l_partkey) AS distinct_products,
+       COUNT(DISTINCT o_custkey) AS distinct_customers,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_revenue,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+            / NULLIF(COUNT(DISTINCT l_orderkey), 0) AS DECIMAL(18,6)) AS avg_order_revenue,
+       CAST(AVG(l_extendedprice) AS DECIMAL(18,6)) AS avg_item_price,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# gold/category_performance.sql shape — J6: fact ⋈ orders ⟕ part (category
+# dim), COALESCE'd category, W2 LAG partitioned by category.
+# (reference src/pipelines/gold/category_performance.sql:20-61)
+# ---------------------------------------------------------------------------
+def category_performance_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part")
+
+    monthly = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "inner",
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left",
+        )
+        .select(
+            F.coalesce(F.col("p_type"), F.lit("unknown")).alias("category"),
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month"),
+            "l_orderkey",
+            "l_extendedprice",
+        )
+        .groupBy("category", "order_month")
+        .agg(
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.count(F.lit(1)).alias("items"),
+            _money_sum("l_extendedprice", "gmv"),
+        )
+    )
+    w = W.partitionBy("category").orderBy("order_month")
+    prev = F.lag("gmv").over(w)
+    return monthly.select(
+        "category",
+        "order_month",
+        "orders",
+        "items",
+        "gmv",
+        prev.alias("prev_month_gmv"),
+        F.round((F.col("gmv") - prev) * 100.0 / F.nullif(prev, F.lit(0)), 2)
+        .cast(RATE)
+        .alias("gmv_growth_pct"),
+    )
+
+
+CATEGORY_PERFORMANCE_LAG_SQL = """
+WITH monthly AS (
+  SELECT COALESCE(p_type, 'unknown') AS category,
+         CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month,
+         COUNT(DISTINCT l_orderkey) AS orders,
+         COUNT(*) AS items,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS gmv
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  LEFT JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+)
+SELECT category, order_month, orders, items, gmv,
+       LAG(gmv) OVER (PARTITION BY category ORDER BY order_month) AS prev_month_gmv,
+       CAST(ROUND((gmv - LAG(gmv) OVER (PARTITION BY category ORDER BY order_month)) * 100.0
+                  / NULLIF(LAG(gmv) OVER (PARTITION BY category ORDER BY order_month), 0), 2)
+            AS DECIMAL(10,2)) AS gmv_growth_pct
+FROM monthly
+"""
+
+
+# ---------------------------------------------------------------------------
+# silver/geolocation.sql shape — A9: group-by dedup + averaging with key
+# normalization. (reference src/pipelines/silver/geolocation.sql:15-32)
+# ---------------------------------------------------------------------------
+def geo_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    return (
+        customer.filter(
+            F.col("c_nationkey").isNotNull() & F.col("c_mktsegment").isNotNull()
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nation_key"),
+            F.upper(F.col("c_mktsegment")).alias("segment"),
+        )
+        .agg(
+            F.round(F.avg("c_acctbal"), 6).cast(AVG6).alias("avg_acctbal"),
+            F.min(F.col("c_acctbal").cast(MONEY)).alias("min_acctbal"),
+            F.max(F.col("c_acctbal").cast(MONEY)).alias("max_acctbal"),
+            F.count(F.lit(1)).alias("sample_count"),
+        )
+    )
+
+
+GEO_DEDUP_SQL = """
+SELECT c_nationkey AS nation_key,
+       UPPER(c_mktsegment) AS segment,
+       CAST(ROUND(AVG(c_acctbal), 6) AS DECIMAL(18,6)) AS avg_acctbal,
+       MIN(CAST(c_acctbal AS DECIMAL(12,2))) AS min_acctbal,
+       MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS max_acctbal,
+       COUNT(*) AS sample_count
+FROM customer
+WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# silver cleanse projection — P2 rename/trim, §2.8 scalar function library:
+# TRIM/UPPER/LOWER/LENGTH/SUBSTRING/CONCAT(||)/SPLIT_PART/CASE/CAST/
+# COALESCE/NULLIF/ROUND/DATEDIFF. (reference src/pipelines/silver/
+# customers.sql:29-39, orders.sql:31-55, products.sql:49-73)
+# ---------------------------------------------------------------------------
+def silver_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    return customer.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.trim(F.col("c_name")).alias("customer_name"),
+        F.upper(F.col("c_mktsegment")).alias("segment_upper"),
+        F.lower(F.col("c_mktsegment")).alias("segment_lower"),
+        F.length(F.col("c_name")).alias("name_length"),
+        F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
+        F.concat(F.substring(F.col("c_name"), 1, 1), F.lit("***")).alias("masked_name"),
+        F.substring_index(F.col("c_name"), "#", -1).alias("customer_number"),
+        F.col("c_acctbal").cast(MONEY).alias("account_balance"),
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("balance_band"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment_filled"),
+        F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("segment_nullified"),
+        F.round(F.col("c_acctbal") / 1000.0, 2).cast(RATE).alias("balance_k"),
+        (F.col("c_nationkey").cast("int") % 5).alias("nation_mod"),
+    )
+
+
+SILVER_CLEANSE_SQL = """
+SELECT c_custkey AS customer_id,
+       TRIM(c_name) AS customer_name,
+       UPPER(c_mktsegment) AS segment_upper,
+       LOWER(c_mktsegment) AS segment_lower,
+       LENGTH(c_name) AS name_length,
+       SUBSTRING(c_name, 1, 8) AS name_prefix,
+       SUBSTRING(c_name, 1, 1) || '***' AS masked_name,
+       SPLIT_PART(c_name, '#', 2) AS customer_number,
+       CAST(c_acctbal AS DECIMAL(12,2)) AS account_balance,
+       CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END AS balance_band,
+       COALESCE(c_mktsegment, 'UNKNOWN') AS segment_filled,
+       NULLIF(c_mktsegment, 'MACHINERY') AS segment_nullified,
+       CAST(ROUND(c_acctbal / 1000.0, 2) AS DECIMAL(10,2)) AS balance_k,
+       CAST(c_nationkey AS INT) % 5 AS nation_mod
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-K per group — beyond the reference's O1/O2 sorts: ranked retrieval
+# via row_number window, the pattern AUTO CDC dedup builds on (§2.5 note).
+# ---------------------------------------------------------------------------
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    part_rev = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "inner",
+        )
+        .groupBy("p_brand", "l_partkey")
+        .agg(_money_sum("l_extendedprice", "revenue"))
+    )
+    w = W.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("l_partkey"))
+    return (
+        part_rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", F.col("l_partkey").alias("part_id"), "revenue", "rnk")
+    )
+
+
+TOP_PARTS_PER_BRAND_SQL = """
+WITH part_rev AS (
+  SELECT p_brand, l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+)
+SELECT p_brand, l_partkey AS part_id, revenue, rnk
+FROM (
+  SELECT p_brand, l_partkey, revenue,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY revenue DESC, l_partkey) AS rnk
+  FROM part_rev
+)
+WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Validity filter — P4/P6/P8 predicate forms: IS NOT NULL, IN, BETWEEN,
+# LENGTH(TRIM()), comparison composites. This is the DROP-ROW expectation
+# predicate set from silver/orders.sql:10-22 expressed as a standalone
+# relational query (the expectations framework itself is in
+# operators/expectations.py).
+# ---------------------------------------------------------------------------
+def valid_orders_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.filter(
+        F.col("o_orderkey").isNotNull()
+        & F.col("o_custkey").isNotNull()
+        & F.col("o_orderstatus").isin("O", "F", "P")
+        & F.col("o_totalprice").between(0, 1000000)
+        & (F.length(F.trim(F.col("o_orderpriority"))) > 0)
+        & F.col("o_orderdate").isNotNull()
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast(MONEY).alias("total_price"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+
+
+VALID_ORDERS_FILTER_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DECIMAL(12,2)) AS total_price,
+       CAST(o_orderdate AS DATE) AS order_date
+FROM orders
+WHERE o_orderkey IS NOT NULL
+  AND o_custkey IS NOT NULL
+  AND o_orderstatus IN ('O', 'F', 'P')
+  AND o_totalprice BETWEEN 0 AND 1000000
+  AND LENGTH(TRIM(o_orderpriority)) > 0
+  AND o_orderdate IS NOT NULL
+"""
+
+
+RELATIONAL_QUERIES = {
+    "daily_orders": daily_orders,
+    "monthly_orders_lag": monthly_orders_lag,
+    "orders_by_state": orders_by_state,
+    "orders_enriched": orders_enriched,
+    "seller_performance": seller_performance,
+    "category_performance_lag": category_performance_lag,
+    "geo_dedup": geo_dedup,
+    "silver_cleanse": silver_cleanse,
+    "top_parts_per_brand": top_parts_per_brand,
+    "valid_orders_filter": valid_orders_filter,
+}
+
+RELATIONAL_ORACLES = {
+    "daily_orders": DAILY_ORDERS_SQL,
+    "monthly_orders_lag": MONTHLY_ORDERS_LAG_SQL,
+    "orders_by_state": ORDERS_BY_STATE_SQL,
+    "orders_enriched": ORDERS_ENRICHED_SQL,
+    "seller_performance": SELLER_PERFORMANCE_SQL,
+    "category_performance_lag": CATEGORY_PERFORMANCE_LAG_SQL,
+    "geo_dedup": GEO_DEDUP_SQL,
+    "silver_cleanse": SILVER_CLEANSE_SQL,
+    "top_parts_per_brand": TOP_PARTS_PER_BRAND_SQL,
+    "valid_orders_filter": VALID_ORDERS_FILTER_SQL,
+}

@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults target the driver's harness (single JVM ``local[N]``), but every
+knob is chosen so the same code runs unchanged on a multi-executor
+cluster: AQE handles runtime re-planning (broadcast conversion, skew
+splitting, partition coalescing), the session timezone is pinned to UTC
+so timestamp semantics match the DuckDB oracle, and Arrow is enabled for
+the (rare) pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "olist-lakehouse-2.0-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    At 100 TB scale these settings carry over: AQE coalesces the
+    statically-chosen shuffle partition count to the real data size,
+    skew-join splitting protects large joins, and advisory partition
+    sizes keep post-shuffle partitions in the 64–128 MB sweet spot.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # --- determinism for oracle comparison ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- adaptive execution: the scale-out workhorse ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- vectorized python boundary (pandas UDF paths only) ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- local-mode hygiene ---
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
