@@ -1,0 +1,152 @@
+"""Declarative data-quality expectations: WARN / DROP ROW / FAIL UPDATE.
+
+Re-implements the reference's constraint system (``CONSTRAINT name
+EXPECT (pred) ON VIOLATION DROP ROW | FAIL UPDATE`` and bare ``EXPECT``;
+reference src/pipelines/silver/orders.sql:10-22,
+src/pipelines/gold/daily_orders.sql:10-13, docs/ARCHITECTURE.md:127-141)
+as a DataFrame decorator:
+
+- WARN: rows pass through; violation counts surface via ``Observation``
+  metrics piggybacked on the existing action — zero extra scans.
+- DROP: violating rows are filtered out; dropped counts observed the
+  same way (observe-before-filter).
+- FAIL: any violation aborts the update before the write commits.
+
+Scale note: observation metrics are accumulator-style (computed during
+the already-running job), so WARN/DROP cost nothing extra at 100 TB.
+FAIL defaults to the same observe path when used through
+``Pipeline``/``write_with_expectations`` (validate on the temp write,
+promote only if clean); the standalone ``enforce`` path uses an
+up-front ``isEmpty`` probe which scans only until the first violation.
+"""
+
+from __future__ import annotations
+
+import enum
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+class Action(enum.Enum):
+    WARN = "warn"
+    DROP = "drop"
+    FAIL = "fail"
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """A named predicate with a violation policy (reference
+    docs/ARCHITECTURE.md:127-141)."""
+
+    name: str
+    predicate: Column | str
+    action: Action = Action.WARN
+
+    def pred(self) -> Column:
+        return F.expr(self.predicate) if isinstance(self.predicate, str) else self.predicate
+
+
+def expect(name: str, predicate: Column | str) -> Expectation:
+    return Expectation(name, predicate, Action.WARN)
+
+
+def expect_or_drop(name: str, predicate: Column | str) -> Expectation:
+    return Expectation(name, predicate, Action.DROP)
+
+
+def expect_or_fail(name: str, predicate: Column | str) -> Expectation:
+    return Expectation(name, predicate, Action.FAIL)
+
+
+class ExpectationFailed(RuntimeError):
+    """Raised when a FAIL expectation has >=1 violating row."""
+
+
+@dataclass
+class ExpectationResult:
+    """Handle returned by :func:`enforce`.
+
+    ``df`` is the (possibly filtered) DataFrame to continue the plan
+    with. ``metrics()`` returns violation counts per expectation — only
+    populated after an action has run on ``df`` (observation semantics).
+    """
+
+    df: DataFrame
+    observation: Observation | None
+    expectation_names: list[str] = field(default_factory=list)
+
+    def metrics(self) -> dict[str, int]:
+        if self.observation is None:
+            return {}
+        got = self.observation.get
+        return {name: int(got[f"violations_{name}"]) for name in self.expectation_names}
+
+
+def enforce(
+    df: DataFrame,
+    expectations: list[Expectation],
+    fail_strategy: str = "precheck",
+) -> ExpectationResult:
+    """Apply a set of expectations to ``df``.
+
+    fail_strategy:
+      - "precheck": run an ``isEmpty`` probe on FAIL violations now
+        (short-circuits at the first bad row; simplest semantics).
+      - "defer": skip the probe; the caller must call
+        :func:`check_fail_metrics` after its own action (used by the
+        pipeline writer for single-pass validate-then-promote).
+    """
+    if not expectations:
+        return ExpectationResult(df=df, observation=None)
+
+    # FAIL gate (reference gold/daily_orders.sql:10-13: FAIL UPDATE).
+    fails = [e for e in expectations if e.action is Action.FAIL]
+    if fails and fail_strategy == "precheck":
+        combined = None
+        for e in fails:
+            viol = ~F.coalesce(e.pred(), F.lit(False))
+            combined = viol if combined is None else (combined | viol)
+        bad = df.filter(combined)
+        if not bad.isEmpty():
+            raise ExpectationFailed(
+                f"FAIL expectation violated: {[e.name for e in fails]}"
+            )
+
+    # Observe violation counts for every expectation in one pass.
+    observation = Observation(f"dq_{uuid.uuid4().hex[:8]}")
+    counters = [
+        F.sum(
+            F.when(~F.coalesce(e.pred(), F.lit(False)), 1).otherwise(0)
+        ).alias(f"violations_{e.name}")
+        for e in expectations
+    ]
+    observed = df.observe(observation, *counters)
+
+    # DROP filter (reference silver/orders.sql:10-22: ON VIOLATION DROP
+    # ROW). NULL predicate result counts as a violation, matching the
+    # reference's drop semantics.
+    drops = [e for e in expectations if e.action is Action.DROP]
+    out = observed
+    for e in drops:
+        out = out.filter(F.coalesce(e.pred(), F.lit(False)))
+
+    return ExpectationResult(
+        df=out,
+        observation=observation,
+        expectation_names=[e.name for e in expectations],
+    )
+
+
+def check_fail_metrics(result: ExpectationResult, expectations: list[Expectation]) -> None:
+    """Post-action FAIL check for the deferred strategy."""
+    metrics = result.metrics()
+    failed = [
+        e.name
+        for e in expectations
+        if e.action is Action.FAIL and metrics.get(e.name, 0) > 0
+    ]
+    if failed:
+        raise ExpectationFailed(f"FAIL expectation violated: {failed}")

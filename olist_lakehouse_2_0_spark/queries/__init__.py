@@ -11,6 +11,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from olist_lakehouse_2_0_spark.queries.governance_queries import (
+    GOVERNANCE_ORACLES,
+    GOVERNANCE_QUERIES,
+)
 from olist_lakehouse_2_0_spark.queries.relational import (
     RELATIONAL_ORACLES,
     RELATIONAL_QUERIES,
@@ -22,10 +26,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def all_queries() -> dict[str, QueryFn]:
     queries: dict[str, QueryFn] = {}
     queries.update(RELATIONAL_QUERIES)
+    queries.update(GOVERNANCE_QUERIES)
     return queries
 
 
 def all_oracles() -> dict[str, str]:
     oracles: dict[str, str] = {}
     oracles.update(RELATIONAL_ORACLES)
+    oracles.update(GOVERNANCE_ORACLES)
     return oracles

@@ -1,0 +1,60 @@
+"""Governance query shapes for the driver contract: PII masks applied at
+read time (G1-G4, reference src/setup/pii_masking.sql:22-92).
+
+The testdata has no email/phone columns, so the query synthesizes them
+deterministically from c_name, then applies the reference's three mask
+functions — identical expressions on the DuckDB side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olist_lakehouse_2_0_spark.catalog import load
+from olist_lakehouse_2_0_spark.functions.masking import (
+    mask_email,
+    mask_name,
+    mask_phone,
+)
+
+
+def pii_masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    email = F.concat(F.lower(F.col("c_name")), F.lit("@example.com"))
+    phone = F.concat(F.lit("+55 (11) 9"), F.lpad(F.col("c_custkey") % 10000, 4, "0"),
+                     F.lit("-"), F.lpad(F.col("c_custkey") % 10000, 4, "0"))
+    return customer.select(
+        F.col("c_custkey").alias("customer_id"),
+        mask_name(F.col("c_name")).alias("masked_name"),
+        mask_email(email).alias("masked_email"),
+        mask_phone(phone).alias("masked_phone"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+PII_MASKED_CUSTOMERS_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+         LOWER(c_name) || '@example.com' AS email,
+         '+55 (11) 9' || LPAD(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+           || '-' || LPAD(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS phone
+  FROM customer
+)
+SELECT c_custkey AS customer_id,
+       CASE WHEN c_name IS NULL THEN NULL
+            ELSE SUBSTRING(c_name, 1, 1) || '*** ' || STRING_SPLIT(c_name, ' ')[-1]
+       END AS masked_name,
+       CASE WHEN email IS NULL THEN NULL
+            ELSE SUBSTRING(email, 1, 2) || '****@' || STRING_SPLIT(email, '@')[-1]
+       END AS masked_email,
+       CASE WHEN phone IS NULL THEN NULL
+            ELSE SUBSTRING(phone, 1, 10) || '****-****'
+       END AS masked_phone,
+       c_mktsegment AS segment
+FROM base
+"""
+
+
+GOVERNANCE_QUERIES = {"pii_masked_customers": pii_masked_customers}
+GOVERNANCE_ORACLES = {"pii_masked_customers": PII_MASKED_CUSTOMERS_SQL}

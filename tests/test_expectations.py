@@ -1,0 +1,92 @@
+"""Expectations framework: WARN keeps+counts, DROP filters+counts,
+FAIL aborts — exercised with the reference's bad-data injection classes
+(FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_lakehouse_2_0_spark.operators.expectations import (
+    ExpectationFailed,
+    check_fail_metrics,
+    enforce,
+    expect,
+    expect_or_drop,
+    expect_or_fail,
+)
+
+
+@pytest.fixture(scope="module")
+def orders_fixture(spark):
+    """Olist-shaped orders with ~2% injected violations (FIXTURES.md §3)."""
+    rows = [
+        # (order_id, status, price)
+        ("a" * 32, "delivered", 100.0),
+        ("b" * 32, "shipped", 50.0),
+        ("c" * 32, "created", 10.0),
+        (None, "delivered", 20.0),             # null id
+        ("SHORT", "delivered", 30.0),          # short id
+        ("d" * 32, "INVALID_STATUS_XYZ", 40.0),  # invalid status
+        ("e" * 32, "delivered", -5.0),         # negative price
+    ]
+    return spark.createDataFrame(rows, "order_id string, order_status string, price double")
+
+
+VALID_STATUSES = (
+    "created approved invoiced processing shipped delivered unavailable canceled".split()
+)
+
+
+def test_drop_filters_and_counts(spark, orders_fixture):
+    exps = [
+        expect_or_drop("valid_id", F.length(F.col("order_id")) == 32),
+        expect_or_drop("valid_status", F.col("order_status").isin(VALID_STATUSES)),
+    ]
+    result = enforce(orders_fixture, exps)
+    kept = result.df.collect()
+    assert {r.order_id for r in kept} == {"a" * 32, "b" * 32, "c" * 32, "e" * 32}
+    metrics = result.metrics()
+    assert metrics["valid_id"] == 2  # null + short
+    assert metrics["valid_status"] == 1
+
+
+def test_warn_keeps_rows_and_counts(spark, orders_fixture):
+    exps = [expect("non_negative_price", F.col("price") >= 0)]
+    result = enforce(orders_fixture, exps)
+    assert result.df.count() == 7  # nothing dropped
+    assert result.metrics()["non_negative_price"] == 1
+
+
+def test_fail_aborts_on_violation(spark, orders_fixture):
+    exps = [expect_or_fail("no_negative", F.col("price") >= 0)]
+    with pytest.raises(ExpectationFailed):
+        enforce(orders_fixture, exps)
+
+
+def test_fail_passes_when_clean(spark, orders_fixture):
+    clean = orders_fixture.filter(F.col("price") >= 0)
+    exps = [expect_or_fail("no_negative", F.col("price") >= 0)]
+    result = enforce(clean, exps)
+    assert result.df.count() == 6
+
+
+def test_fail_deferred_strategy(spark, orders_fixture):
+    exps = [expect_or_fail("no_negative", F.col("price") >= 0)]
+    result = enforce(orders_fixture, exps, fail_strategy="defer")
+    result.df.count()  # the caller's action
+    with pytest.raises(ExpectationFailed):
+        check_fail_metrics(result, exps)
+
+
+def test_null_predicate_counts_as_violation(spark):
+    df = spark.createDataFrame([(None,), (5,)], "score int")
+    exps = [expect_or_drop("score_range", F.col("score").between(1, 5))]
+    result = enforce(df, exps)
+    assert result.df.count() == 1
+    assert result.metrics()["score_range"] == 1
+
+
+def test_string_predicate_form(spark, orders_fixture):
+    result = enforce(orders_fixture, [expect_or_drop("pos", "price >= 0")])
+    assert result.df.count() == 6
