@@ -89,5 +89,37 @@ def testdata_catalog(sf_dir: str) -> Catalog:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Shorthand: read one driver testdata table as a DataFrame."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Shorthand: read one driver testdata table as a DataFrame.
+
+    ``events.parquet`` is written with TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; it is read via the nanosAsLong legacy
+    flag and converted back to a (microsecond) timestamp — lossless for
+    this data, whose sub-microsecond component is always zero.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_nanos_ts(spark, path, "ts")
+    return spark.read.parquet(path)
+
+
+def _load_nanos_ts(spark: SparkSession, path: str, ts_col: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        df = spark.read.parquet(path)
+        # Materialize the schema while the flag is set; the plan keeps
+        # the long-typed read, so restoring the conf afterwards is safe.
+        # `div` = integer division: epoch-nanos exceed double's 53-bit
+        # mantissa, so `/ 1000` + cast would be off by ±1 microsecond.
+        df = df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return df

@@ -1,0 +1,295 @@
+"""AUTO CDC / APPLY CHANGES: SCD Type 1 & Type 2 over change-event feeds.
+
+Re-implements the reference's ``CREATE FLOW ... AS AUTO CDC INTO target
+KEYS (...) [APPLY AS DELETE WHEN ...] SEQUENCE BY seq COLUMNS * EXCEPT
+(...) STORED AS SCD TYPE 1|2`` (reference
+src/pipelines/cdc/cdc_customers_silver.sql:54-85; clause grammar
+docs/CDC_GUIDE.md:139-165) with pure DataFrame operators:
+
+- **SCD1** keeps the latest state per key (latest by sequence; a DELETE
+  as the latest event removes the key). Out-of-order events resolve by
+  ``SEQUENCE BY`` order, not arrival order (docs/CDC_GUIDE.md:229-244).
+- **SCD2** keeps full history with ``__start_at`` / ``__end_at`` /
+  ``__is_current`` system columns (docs/CDC_GUIDE.md:184-208); a DELETE
+  closes the open version without emitting a new one
+  (docs/CDC_GUIDE.md:250-258); delete-then-reinsert opens a fresh one.
+- **TRACK HISTORY ON** subset (docs/CDC_GUIDE.md:167-180): events whose
+  tracked columns are unchanged vs the previous version do not open a
+  new version.
+
+Scale design: everything is a window over ``partitionBy(keys)`` — one
+shuffle on the key columns, no driver-side state. Incremental applies
+never retain raw history: an existing SCD2 target is *reconstructed*
+into its equivalent event stream (each version row is an upsert at
+``__start_at``; a key whose last version is closed contributes a
+synthetic delete at its final ``__end_at``), unioned with the new batch
+and re-versioned — i.e. the merge cost is O(|target| + |batch|) with a
+single shuffle, the same asymptotics as a Delta MERGE, without
+requiring the Delta runtime.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+START_COL = "__start_at"
+END_COL = "__end_at"
+CURRENT_COL = "__is_current"
+SEQ_COL = "__seq"
+
+
+@dataclass(frozen=True)
+class ChangeSpec:
+    """The IR of one AUTO CDC flow (SURVEY §3.2: target, keys, sequence,
+    delete predicate, column exclusions, scd type)."""
+
+    keys: tuple[str, ...]
+    sequence_by: tuple[str, ...]
+    operation_col: str = "operation"
+    delete_ops: tuple[str, ...] = ("DELETE",)
+    except_columns: tuple[str, ...] = ()
+    track_history_except: tuple[str, ...] = ()
+
+    def seq_expr(self) -> Column:
+        if len(self.sequence_by) == 1:
+            return F.col(self.sequence_by[0])
+        # SEQUENCE BY STRUCT(a, b) — struct ordering (CDC_GUIDE.md:222-228)
+        return F.struct(*[F.col(c) for c in self.sequence_by])
+
+    def is_delete(self) -> Column:
+        return F.col(self.operation_col).isin(*self.delete_ops)
+
+    def payload_columns(self, df: DataFrame) -> list[str]:
+        """COLUMNS * EXCEPT (...) projection (reference
+        cdc_customers_silver.sql:60)."""
+        drop = set(self.except_columns) | {self.operation_col} | set(self.sequence_by)
+        return [c for c in df.columns if c not in drop and c not in self.keys]
+
+
+def validate_changes(events: DataFrame, spec: ChangeSpec) -> DataFrame:
+    """Surface CDC contract violations instead of guessing (SURVEY §7.4):
+    NULL keys, NULL sequence, duplicate (key, sequence). Returns a
+    DataFrame of violating rows with a ``__violation`` reason column."""
+    key_null = None
+    for k in spec.keys:
+        cond = F.col(k).isNull()
+        key_null = cond if key_null is None else (key_null | cond)
+    seq_null = None
+    for s in spec.sequence_by:
+        cond = F.col(s).isNull()
+        seq_null = cond if seq_null is None else (seq_null | cond)
+
+    w = W.partitionBy(*spec.keys, *spec.sequence_by)
+    dup = (F.count(F.lit(1)).over(w) > 1) & ~key_null & ~seq_null
+    return (
+        events.withColumn(
+            "__violation",
+            F.when(key_null, "null_key")
+            .when(seq_null, "null_sequence")
+            .when(dup, "duplicate_sequence")
+            .otherwise(F.lit(None)),
+        )
+        .filter(F.col("__violation").isNotNull())
+    )
+
+
+def _latest_per_key(events: DataFrame, spec: ChangeSpec) -> DataFrame:
+    w = W.partitionBy(*spec.keys).orderBy(
+        F.desc_nulls_last(spec.seq_expr()), F.desc(spec.operation_col)
+    )
+    return events.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def scd1_snapshot(events: DataFrame, spec: ChangeSpec) -> DataFrame:
+    """Batch SCD1: latest state per key from a full event history
+    (reference cdc_customers_silver.sql:54-61 semantics)."""
+    latest = _latest_per_key(events, spec)
+    out_cols = [*spec.keys, *spec.payload_columns(events)]
+    return (
+        latest.filter(~spec.is_delete())
+        .withColumn(SEQ_COL, spec.seq_expr())
+        .select(*out_cols, SEQ_COL)
+    )
+
+
+def scd1_apply(target: DataFrame | None, events: DataFrame, spec: ChangeSpec) -> DataFrame:
+    """Incremental SCD1 merge: existing snapshot + new batch -> new
+    snapshot, guarded by ``new.seq > target.seq`` (out-of-order arrival
+    across batches, docs/CDC_GUIDE.md:237-244).
+
+    Implemented as a key-partitioned anti-union rather than a MERGE:
+    the batch is deduped to its latest event per key, then the target's
+    rows are treated as pseudo-events (op=UPSERT at their stored
+    ``__seq``) and the winner per key is recomputed. One shuffle on the
+    keys; identical result to Delta MERGE with the sequence guard.
+    """
+    if target is None:
+        return scd1_snapshot(events, spec)
+
+    batch_latest = _latest_per_key(events, spec).select(
+        *spec.keys,
+        *spec.payload_columns(events),
+        spec.seq_expr().alias(SEQ_COL),
+        spec.is_delete().alias("__is_delete"),
+    )
+    existing = target.withColumn("__is_delete", F.lit(False))
+    merged = existing.unionByName(batch_latest)
+    w = W.partitionBy(*spec.keys).orderBy(F.desc_nulls_last(SEQ_COL), F.desc("__is_delete"))
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & ~F.col("__is_delete"))
+        .drop("__rn", "__is_delete")
+    )
+
+
+def _drop_untracked_nochange(events: DataFrame, spec: ChangeSpec) -> DataFrame:
+    """TRACK HISTORY ON subset: drop non-delete events whose tracked
+    columns equal the previous event's (docs/CDC_GUIDE.md:167-180)."""
+    tracked = [
+        c
+        for c in spec.payload_columns(events)
+        if c not in spec.track_history_except
+    ]
+    if not spec.track_history_except or not tracked:
+        return events
+    w = W.partitionBy(*spec.keys).orderBy(spec.seq_expr())
+    cur = F.struct(*[F.col(c) for c in tracked])
+    prev = F.lag(cur).over(w)
+    prev_del = F.lag(spec.is_delete()).over(w)
+    no_change = (
+        prev.isNotNull()
+        & ~F.coalesce(prev_del, F.lit(False))
+        & (cur.eqNullSafe(prev))
+        & ~spec.is_delete()
+    )
+    return events.withColumn("__nochange", no_change).filter(~F.col("__nochange")).drop("__nochange")
+
+
+def scd2_history(events: DataFrame, spec: ChangeSpec) -> DataFrame:
+    """Batch SCD2: version rows with __start_at/__end_at/__is_current
+    from a full event history (reference cdc_customers_silver.sql:78-85;
+    system columns docs/CDC_GUIDE.md:184-191).
+
+    Per key ordered by sequence: every event's version is closed by the
+    next event's sequence (a DELETE closes the prior version and emits
+    nothing — docs/CDC_GUIDE.md:250-258). Consecutive same-key events in
+    one batch therefore produce intermediate closed versions, matching
+    the reference's multi-change-per-batch behavior.
+    """
+    deduped = _drop_untracked_nochange(events, spec)
+    seq = spec.seq_expr()
+    w = W.partitionBy(*spec.keys).orderBy(seq)
+    out_cols = [*spec.keys, *spec.payload_columns(events)]
+    return (
+        deduped.withColumn(END_COL, F.lead(seq).over(w))
+        .filter(~spec.is_delete())
+        .withColumn(START_COL, seq)
+        .withColumn(CURRENT_COL, F.col(END_COL).isNull())
+        .select(*out_cols, START_COL, END_COL, CURRENT_COL)
+    )
+
+
+def events_from_history(target: DataFrame, spec: ChangeSpec) -> DataFrame:
+    """Reconstruct the minimal equivalent event stream from an SCD2
+    target: each version row is an upsert at __start_at; every version
+    closed at a sequence where no successor version starts marks a
+    DELETE at that __end_at (covers interior delete-then-reinsert runs,
+    not just a trailing delete)."""
+    payload = [c for c in target.columns if c not in (START_COL, END_COL, CURRENT_COL)]
+    upserts = target.select(
+        *payload,
+        F.col(START_COL).alias("__evt_seq"),
+        F.lit("UPSERT").alias("__evt_op"),
+    )
+    starts = target.select(*spec.keys, F.col(START_COL).alias("__succ_start"))
+    closed = target.filter(F.col(END_COL).isNotNull())
+    join_cond = [F.col(f"c.{k}") == F.col(f"s.{k}") for k in spec.keys] + [
+        F.col(f"c.{END_COL}") == F.col("s.__succ_start")
+    ]
+    deletes = (
+        closed.alias("c")
+        .join(starts.alias("s"), join_cond, "left_anti")
+        .select(
+            *[F.col(f"c.{p}") for p in payload],
+            F.col(f"c.{END_COL}").alias("__evt_seq"),
+            F.lit("DELETE").alias("__evt_op"),
+        )
+    )
+    return upserts.unionByName(deletes)
+
+
+def scd2_apply(target: DataFrame | None, events: DataFrame, spec: ChangeSpec) -> DataFrame:
+    """Incremental SCD2 merge: reconstruct the target's event stream,
+    union the new batch, re-version. Late (out-of-order) events splice
+    into history exactly as if they had arrived in order — the property
+    the reference guarantees (docs/CDC_GUIDE.md:237-244)."""
+    if target is None:
+        return scd2_history(events, spec)
+
+    new_events = events.select(
+        *spec.keys,
+        *spec.payload_columns(events),
+        spec.seq_expr().alias("__evt_seq"),
+        F.when(spec.is_delete(), "DELETE").otherwise("UPSERT").alias("__evt_op"),
+    )
+    combined = events_from_history(target, spec).unionByName(new_events)
+    replay_spec = ChangeSpec(
+        keys=spec.keys,
+        sequence_by=("__evt_seq",),
+        operation_col="__evt_op",
+        delete_ops=("DELETE",),
+        track_history_except=spec.track_history_except,
+    )
+    return scd2_history(combined, replay_spec)
+
+
+@dataclass
+class CdcSink:
+    """foreachBatch-compatible incremental apply into a parquet path.
+
+    Structured Streaming usage::
+
+        sink = CdcSink(path, spec, scd_type=1)
+        stream.writeStream.foreachBatch(sink).option(
+            "checkpointLocation", ckpt).trigger(availableNow=True).start()
+
+    Exactly-once: the checkpoint tracks consumed source files; the
+    swap of the snapshot/history output is idempotent per batch.
+    (With Delta on the classpath this would be a MERGE; write-to-temp +
+    filesystem rename keeps the engine dependency-free — same
+    semantics, full rewrite instead of file-level update. The rewrite
+    is distributed: no rows ever pass through the driver.)
+    """
+
+    path: str
+    spec: ChangeSpec
+    scd_type: int = 1
+    _spark_fmt: str = field(default="parquet", repr=False)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            target = spark.read.parquet(self.path)
+        except Exception:
+            target = None
+        if self.scd_type == 1:
+            out = scd1_apply(target, batch_df, self.spec)
+        else:
+            out = scd2_apply(target, batch_df, self.spec)
+        if target is None:
+            out.write.mode("overwrite").parquet(self.path)
+            return
+        # The output plan reads self.path, so write to a temp dir and
+        # swap via the Hadoop FileSystem API (works on HDFS/S3A too).
+        tmp = f"{self.path}__tmp_batch{batch_id}"
+        out.write.mode("overwrite").parquet(tmp)
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        fs = HPath(self.path).getFileSystem(conf)
+        fs.delete(HPath(self.path), True)
+        fs.rename(HPath(tmp), HPath(self.path))

@@ -11,6 +11,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from olist_lakehouse_2_0_spark.queries.cdc_queries import (
+    CDC_ORACLES,
+    CDC_QUERIES,
+)
 from olist_lakehouse_2_0_spark.queries.governance_queries import (
     GOVERNANCE_ORACLES,
     GOVERNANCE_QUERIES,
@@ -27,6 +31,7 @@ def all_queries() -> dict[str, QueryFn]:
     queries: dict[str, QueryFn] = {}
     queries.update(RELATIONAL_QUERIES)
     queries.update(GOVERNANCE_QUERIES)
+    queries.update(CDC_QUERIES)
     return queries
 
 
@@ -34,4 +39,5 @@ def all_oracles() -> dict[str, str]:
     oracles: dict[str, str] = {}
     oracles.update(RELATIONAL_ORACLES)
     oracles.update(GOVERNANCE_ORACLES)
+    oracles.update(CDC_ORACLES)
     return oracles

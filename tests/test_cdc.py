@@ -1,0 +1,222 @@
+"""CDC / SCD engine invariants (reference docs/CDC_GUIDE.md:279-308):
+SCD1 one-row-per-live-key latest-by-sequence; SCD2 one current row per
+live key, no validity gaps; incremental apply == batch rebuild."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_lakehouse_2_0_spark.operators.cdc import (
+    ChangeSpec,
+    events_from_history,
+    scd1_apply,
+    scd1_snapshot,
+    scd2_apply,
+    scd2_history,
+    validate_changes,
+)
+
+SPEC = ChangeSpec(
+    keys=("customer_id",),
+    sequence_by=("sequence_number",),
+    operation_col="operation",
+    except_columns=("change_timestamp",),
+)
+
+SCHEMA = (
+    "sequence_number bigint, operation string, change_timestamp string, "
+    "customer_id string, city string, state string"
+)
+
+
+@pytest.fixture(scope="module")
+def batches(spark):
+    """3 sequential CDC batches with out-of-order arrival inside a batch,
+    multiple events per key in one batch, and DELETE then re-INSERT
+    (FIXTURES.md §2 fixture requirements)."""
+    b1 = spark.createDataFrame(
+        [
+            (10002, "UPDATE", "t2", "c1", "rio", "RJ"),       # out-of-order arrival
+            (10001, "INSERT", "t1", "c1", "sao paulo", "SP"),
+            (10003, "INSERT", "t3", "c2", "curitiba", "PR"),
+        ],
+        SCHEMA,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (20001, "UPDATE", "t4", "c2", "porto alegre", "RS"),
+            (20002, "DELETE", "t5", "c1", None, None),
+            (20003, "INSERT", "t6", "c3", "salvador", "BA"),
+            (20004, "UPDATE", "t7", "c3", "recife", "PE"),     # 2 events same key same batch
+        ],
+        SCHEMA,
+    )
+    b3 = spark.createDataFrame(
+        [
+            (30001, "INSERT", "t8", "c1", "belo horizonte", "MG"),  # re-insert after delete
+            (30002, "DELETE", "t9", "c2", None, None),
+        ],
+        SCHEMA,
+    )
+    return b1, b2, b3
+
+
+def test_scd1_snapshot_latest_wins(spark, batches):
+    b1, _, _ = batches
+    snap = {r.customer_id: r for r in scd1_snapshot(b1, SPEC).collect()}
+    assert snap["c1"].city == "rio"  # seq 10002 wins despite arrival order
+    assert snap["c2"].city == "curitiba"
+    # envelope excluded (COLUMNS * EXCEPT), __seq system col present
+    assert "operation" not in scd1_snapshot(b1, SPEC).columns
+    assert "change_timestamp" not in scd1_snapshot(b1, SPEC).columns
+
+
+def test_scd1_delete_and_reinsert(spark, batches):
+    b1, b2, b3 = batches
+    all_events = b1.unionByName(b2).unionByName(b3)
+    snap = {r.customer_id: r for r in scd1_snapshot(all_events, SPEC).collect()}
+    assert set(snap) == {"c1", "c3"}  # c2 deleted in b3; c1 re-inserted
+    assert snap["c1"].city == "belo horizonte"
+    assert snap["c3"].city == "recife"
+
+
+def test_scd1_incremental_equals_batch(spark, batches):
+    b1, b2, b3 = batches
+    target = None
+    for b in batches:
+        target = scd1_apply(target, b, SPEC)
+    full = scd1_snapshot(b1.unionByName(b2).unionByName(b3), SPEC)
+    inc = {tuple(r) for r in target.collect()}
+    bat = {tuple(r) for r in full.collect()}
+    assert inc == bat
+
+
+def test_scd1_out_of_order_across_batches(spark, batches):
+    """A late event with a lower sequence must NOT overwrite newer state
+    (docs/CDC_GUIDE.md:237-244)."""
+    b1, _, _ = batches
+    target = scd1_apply(None, b1, SPEC)
+    late = spark.createDataFrame(
+        [(9000, "UPDATE", "t0", "c1", "stale city", "XX")], SCHEMA
+    )
+    merged = {r.customer_id: r for r in scd1_apply(target, late, SPEC).collect()}
+    assert merged["c1"].city == "rio"
+
+
+def test_scd2_versions_and_current(spark, batches):
+    b1, b2, b3 = batches
+    hist = scd2_history(b1.unionByName(b2).unionByName(b3), SPEC)
+    rows = hist.collect()
+    c1 = sorted([r for r in rows if r.customer_id == "c1"], key=lambda r: r["__start_at"])
+    # c1: insert(10001) -> update(10002) -> delete(20002) -> reinsert(30001)
+    assert [r.city for r in c1] == ["sao paulo", "rio", "belo horizonte"]
+    assert [r["__end_at"] for r in c1] == [10002, 20002, None]  # delete closes v2
+    assert [r["__is_current"] for r in c1] == [False, False, True]
+    # c2 fully deleted: no current row
+    c2 = [r for r in rows if r.customer_id == "c2"]
+    assert all(not r["__is_current"] for r in c2)
+
+
+def test_scd2_invariants(spark, batches):
+    """One current row per live key; no validity gaps
+    (docs/CDC_GUIDE.md:279-308 verification queries)."""
+    b1, b2, b3 = batches
+    hist = scd2_history(b1.unionByName(b2).unionByName(b3), SPEC)
+    cur_counts = (
+        hist.filter("__is_current").groupBy("customer_id").count().collect()
+    )
+    assert all(r["count"] == 1 for r in cur_counts)
+    # gap check: self-join successive versions (reference CDC_GUIDE.md:303-308)
+    h1 = hist.alias("a")
+    h2 = hist.alias("b")
+    successive = h1.join(
+        h2,
+        (F.col("a.customer_id") == F.col("b.customer_id"))
+        & (F.col("a.__end_at") == F.col("b.__start_at")),
+        "inner",
+    ).count()
+    closed_with_successor = hist.filter(F.col("__end_at").isNotNull()).count()
+    # every closed version either has a successor or was closed by DELETE
+    deletes = 2  # c1@20002 (reopened later), c2@30002
+    assert successive == closed_with_successor - deletes
+
+
+def test_scd2_incremental_equals_batch(spark, batches):
+    b1, b2, b3 = batches
+    target = None
+    for b in batches:
+        target = scd2_apply(target, b, SPEC)
+    full = scd2_history(b1.unionByName(b2).unionByName(b3), SPEC)
+    inc = {tuple(r) for r in target.collect()}
+    bat = {tuple(r) for r in full.collect()}
+    assert inc == bat
+
+
+def test_scd2_late_event_splices_into_history(spark, batches):
+    b1, _, _ = batches
+    target = scd2_apply(None, b1, SPEC)
+    late = spark.createDataFrame(
+        [(10001 + 1, "UPDATE", "tx", "c2", "florianopolis", "SC")], SCHEMA
+    )  # seq 10002 < existing c2 insert at 10003? no: 10002 BEFORE 10003
+    merged = scd2_apply(target, late, SPEC)
+    c2 = sorted(
+        [r for r in merged.collect() if r.customer_id == "c2"],
+        key=lambda r: r["__start_at"],
+    )
+    # late event becomes the first version, closed by the original insert
+    assert [r.city for r in c2] == ["florianopolis", "curitiba"]
+    assert c2[0]["__end_at"] == 10003
+    assert c2[1]["__is_current"]
+
+
+def test_events_from_history_roundtrip(spark, batches):
+    b1, b2, b3 = batches
+    hist = scd2_history(b1.unionByName(b2).unionByName(b3), SPEC)
+    replay_spec = ChangeSpec(
+        keys=("customer_id",), sequence_by=("__evt_seq",), operation_col="__evt_op"
+    )
+    rebuilt = scd2_history(events_from_history(hist, SPEC), replay_spec)
+    orig = {tuple(r) for r in hist.collect()}
+    new = {
+        tuple(r)
+        for r in rebuilt.select(*[c for c in hist.columns]).collect()
+    }
+    assert orig == new
+
+
+def test_track_history_except_suppresses_versions(spark):
+    spec = ChangeSpec(
+        keys=("k",),
+        sequence_by=("seq",),
+        track_history_except=("noise",),
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "INSERT", "a", "x", 1.0),
+            (2, "UPDATE", "a", "x", 2.0),  # only 'noise' changed: no new version
+            (3, "UPDATE", "a", "y", 3.0),  # tracked 'v' changed: new version
+        ],
+        "seq bigint, operation string, k string, v string, noise double",
+    )
+    hist = scd2_history(df, spec)
+    versions = sorted(hist.collect(), key=lambda r: r["__start_at"])
+    assert [r.v for r in versions] == ["x", "y"]
+    assert versions[0]["__end_at"] == 3
+
+
+def test_validate_changes(spark):
+    spec = ChangeSpec(keys=("k",), sequence_by=("seq",))
+    df = spark.createDataFrame(
+        [
+            (1, "INSERT", "a"),
+            (None, "UPDATE", "a"),   # null sequence
+            (2, "UPDATE", None),     # null key
+            (3, "UPDATE", "b"),
+            (3, "DELETE", "b"),      # duplicate (key, seq)
+        ],
+        "seq bigint, operation string, k string",
+    )
+    viols = validate_changes(df, spec).collect()
+    reasons = sorted(r["__violation"] for r in viols)
+    assert reasons == ["duplicate_sequence", "duplicate_sequence", "null_key", "null_sequence"]
