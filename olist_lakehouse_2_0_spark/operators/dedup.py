@@ -1,0 +1,388 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram-Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+Beyond-reference surface (BASELINE.json north star). Every operator is
+a pure DataFrame composition designed around one principle: **never
+materialize the O(n²) pair space** — candidates come from equi-joins on
+content-derived keys (fingerprints, LSH band buckets, SimHash chunks,
+hyperplane buckets), so the shuffle volume is proportional to data +
+true-near-dup pairs, not to n².
+
+At 100 TB: every stage is shuffle-partitioned by doc or bucket key;
+hot buckets (boilerplate shingles) are handled by dropping
+super-frequent shingles (``max_shingle_df``) the same way production
+MinHash pipelines drop stop-shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from olist_lakehouse_2_0_spark.operators.text import fingerprint, tokens
+
+# Mersenne prime 2^31-1 as the minhash universal-hash modulus: keeps
+# (a*h + b) below 2^62, so the JVM long multiply never overflows.
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on normalized-text fingerprint: keeps the lowest id
+    per duplicate group (hash-groupBy; one shuffle on the 64-bit
+    fingerprint, never on the full text)."""
+    fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("__fp"))
+    w = W.partitionBy("__fp").orderBy(F.col(id_col))
+    keep = (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def token_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word-level n-gram shingles of ``text``."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+
+    doc->shingle explode, self-equi-join on shingle (id_a < id_b),
+    count common shingles, Jaccard = common / (|A| + |B| - common).
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    docs (boilerplate guard — at scale a handful of super-common
+    shingles would otherwise create quadratic candidate blowup).
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(token_shingles(F.col(text_col), n)).alias("__shingle"),
+    )
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("__shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("__shingle")
+        )
+        sh = sh.join(rare, "__shingle", "left_semi")
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__size"))
+
+    a = sh.select(F.col("__id").alias("id_a"), "__shingle")
+    b = sh.select(F.col("__id").alias("id_b"), "__shingle")
+    common = (
+        a.join(b, "__shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__size").alias("__size_a"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__size").alias("__size_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__common")
+            / (F.col("__size_a") + F.col("__size_b") - F.col("__common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures: shingle -> xxhash64 -> k universal hashes
+    ((a*h + b) mod 2^61-1) -> min per hash function.
+
+    Returns (id, sig: array<bigint> of length num_hashes). The k-hash
+    expansion happens inside an array expression per shingle row (no
+    k-fold row blowup); the min-reduction is a single groupBy on doc id.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [
+        (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(token_shingles(F.col(text_col), n)).alias("__shingle"),
+    ).withColumn("__h", F.pmod(F.xxhash64("__shingle"), F.lit(_MERSENNE)))
+
+    # One array column of the k hash values for this shingle; pmod keeps
+    # everything in non-negative bigint space.
+    hashes = F.array(
+        *[
+            F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+            for a, b in coeffs
+        ]
+    )
+    per_shingle = sh.withColumn("__hashes", hashes)
+    return (
+        per_shingle.groupBy("__id")
+        .agg(
+            F.array(
+                *[
+                    F.min(F.col("__hashes")[i]).alias(f"h{i}")
+                    for i in range(num_hashes)
+                ]
+            ).alias("sig")
+        )
+        .select(F.col("__id").alias(id_col), "sig")
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``rows_per_band`` values; docs sharing any band hash are candidates.
+    Returns distinct (id_a, id_b) candidate pairs via equi-join on
+    (band_index, band_hash) — never a cross join."""
+    banded = signatures.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band"),
+    ).select("__id", "__band.band", "__band.bucket")
+    a = banded.select(F.col("__id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("__id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures -> band candidates
+    -> signature-similarity verify. Returns (id_a, id_b, est_jaccard).
+
+    est_jaccard is the fraction of matching signature positions (the
+    unbiased MinHash estimator), verified only on LSH candidates."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, seed)
+    cand = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("__sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("__sig_b"))
+    matches = F.size(
+        F.filter(
+            F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", matches / F.lit(num_hashes))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """SimHash signatures: per-token 64-bit hashes vote per bit
+    position; the sign of each bit's vote forms the signature.
+
+    Implemented as explode -> 64 conditional-sum aggregates -> bitwise
+    OR assembly (all literal shift amounts, fully codegen'd). One
+    shuffle on the doc id. Returns (id, __sh: bigint)."""
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.col(text_col))).alias("__tok"),
+    ).withColumn("__h", F.xxhash64("__tok"))
+    votes = tok.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__b{i}")
+            for i in range(bits)
+        ]
+    )
+    sig: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        bit = F.when(
+            F.col(f"__b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseOR(bit)
+    return votes.select(F.col("__id").alias(id_col), sig.alias("__sh"))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: pigeonhole on 16-bit chunks (hamming <= 3 with
+    4 chunks guarantees >=1 identical chunk), equi-join candidates on
+    (chunk_index, chunk_value), verify with popcount(xor).
+    Returns (id_a, id_b, hamming)."""
+    sh = simhash_signatures(df, id_col, text_col).withColumnRenamed(id_col, "__id")
+    chunk_bits = 64 // chunks
+    mask = (1 << chunk_bits) - 1
+    chunked = sh.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned("__sh", i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("value"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("__c"),
+    ).select("__id", "__sh", "__c.chunk", "__c.value")
+    a = chunked.select(
+        F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"), "chunk", "value"
+    )
+    b = chunked.select(
+        F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"), "chunk", "value"
+    )
+    return (
+        a.join(b, ["chunk", "value"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sh_a", "__sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("__sh_a").bitwiseXOR(F.col("__sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    planes: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane LSH: bucket =
+    sign-bit string over ``planes`` fixed pseudo-random hyperplanes;
+    verify cosine only within buckets. Deterministic: hyperplane
+    components derive from xxhash64(seed, plane, dim) — no RNG state,
+    reproducible across runs/executors.
+
+    Recall note: single-table hyperplane LSH misses near-dups straddling
+    a plane; production settings use multiple tables (call with
+    different seeds and union) — same primitive, unioned candidates.
+    """
+    dim = F.size(F.col(vec_col))
+    dot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def plane(p: int) -> Column:
+        # Pseudo-random hyperplane component in [-1, 1], derived from
+        # xxhash64(seed, plane, dim index): stateless + reproducible.
+        return F.transform(
+            F.sequence(F.lit(0), dim - 1),
+            lambda d: (
+                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(2001)).cast("double")
+                - 1000.0
+            )
+            / 1000.0,
+        )
+
+    sig: Column = F.lit(0).cast("long")
+    for p in range(planes):
+        bit = F.when(
+            dot(plane(p), F.col(vec_col)) > 0,
+            F.shiftleft(F.lit(1).cast("long"), p),
+        ).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseOR(bit)
+    norm = F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+    bucketed = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        norm.alias("__norm"),
+        sig.alias("__bucket"),
+    )
+    a = bucketed.select(
+        F.col("__id").alias("id_a"),
+        F.col("__vec").alias("__vec_a"),
+        F.col("__norm").alias("__norm_a"),
+        "__bucket",
+    )
+    b = bucketed.select(
+        F.col("__id").alias("id_b"),
+        F.col("__vec").alias("__vec_b"),
+        F.col("__norm").alias("__norm_b"),
+        "__bucket",
+    )
+    return (
+        a.join(b, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            dot(F.col("__vec_a"), F.col("__vec_b"))
+            / F.nullif(F.col("__norm_a") * F.col("__norm_b"), F.lit(0.0)),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

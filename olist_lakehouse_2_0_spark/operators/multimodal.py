@@ -1,0 +1,181 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decoded/transformed through Arrow-batched ``mapInPandas`` pipelines.
+
+Beyond-reference surface (BASELINE.json north star). The Spark-side
+contract is real and tested — binary columns, metadata structs,
+pandas-batch iterator UDFs with explicit output schemas, partition
+sizing — while the actual media codecs are STUBBED (this container has
+no image/audio libraries): ``decode_image`` parses a deterministic fake
+header, and the seam where Pillow/ffmpeg would plug in is marked with
+``NotImplementedError`` guards.
+
+Scale notes: binary payloads ride in the same parquet row groups as
+their metadata; mapInPandas streams Arrow batches (bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``) so a 100 MB image
+column never materializes a whole partition in Python memory at once.
+Payload-heavy tables should set smaller
+``spark.sql.files.maxPartitionBytes`` so one task holds a few hundred
+payloads, not gigabytes.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Magic prefix of the deterministic fake image format used by the
+#: stubbed codec: 4s magic + u16 width + u16 height + u8 channels.
+FAKE_MAGIC = b"FIMG"
+_HEADER = struct.Struct("<4sHHB")
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def synthesize_image_column(
+    df: DataFrame, id_col: str, payload_col: str = "image"
+) -> DataFrame:
+    """Deterministically fabricate a binary image payload per row (the
+    testdata has no real media): FIMG header + id-derived dimensions +
+    a short id-derived body. Stands in for reading real bytes from
+    object storage / a parquet binary column."""
+    id_c = F.col(id_col).cast("long")
+    width = (F.pmod(id_c, F.lit(64)) + 16).cast("int")
+    height = (F.pmod(id_c * 7, F.lit(64)) + 16).cast("int")
+    header = F.concat(
+        F.lit(FAKE_MAGIC),
+        _le_u16(width),
+        _le_u16(height),
+        F.lit(bytearray([3])),
+    )
+    body = F.encode(F.concat(F.lit("pixels:"), id_c.cast("string")), "UTF-8")
+    return df.withColumn(payload_col, F.concat(header, body))
+
+
+def _le_u16(col) -> "F.Column":
+    low = F.pmod(col, F.lit(256)).cast("int")
+    high = F.floor(col / 256).cast("int")
+    # unhex produces the byte pair; format_string pads to 2 hex digits
+    return F.unhex(F.format_string("%02x%02x", low, high))
+
+
+def extract_image_metadata(
+    df: DataFrame, payload_col: str = "image", meta_col: str = "image_meta"
+) -> DataFrame:
+    """Parse the payload header into a typed metadata struct via
+    mapInPandas (Arrow batches; the pattern a real decoder uses)."""
+    schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [T.StructField(meta_col, IMAGE_META_SCHEMA)]
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for payload in pdf[payload_col]:
+                metas.append(_parse_header(bytes(payload)))
+            out = pdf.copy()
+            out[meta_col] = metas
+            yield out
+
+    return df.mapInPandas(parse, schema)
+
+
+def _parse_header(payload: bytes) -> dict | None:
+    if len(payload) < _HEADER.size:
+        return None
+    magic, width, height, channels = _HEADER.unpack(payload[: _HEADER.size])
+    if magic != FAKE_MAGIC:
+        return None
+    return {
+        "format": "fimg",
+        "width": int(width),
+        "height": int(height),
+        "channels": int(channels),
+        "n_bytes": len(payload),
+    }
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub seam
+    """STUB: decode a real image payload to an ndarray.
+
+    This container ships no imaging libraries; a deployment drops in
+    Pillow/torchvision here. The fake-format path exists so the
+    surrounding Spark plumbing stays testable.
+    """
+    if payload[:4] == FAKE_MAGIC:
+        raise NotImplementedError(
+            "decode_image: fake FIMG payloads carry no pixel data; use "
+            "extract_image_metadata for the testable path"
+        )
+    raise NotImplementedError(
+        "decode_image: real codecs (Pillow/ffmpeg) are not available in "
+        "this environment"
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "image",
+    target: tuple[int, int] = (224, 224),
+) -> DataFrame:
+    """Image resize pipeline stage: metadata-aware passthrough that
+    computes the post-resize metadata (the real pixel transform is the
+    stubbed codec seam). Demonstrates the mapInPandas batch contract a
+    real resizer uses — same schema, new metadata."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [
+            T.StructField("resized_width", T.IntegerType()),
+            T.StructField("resized_height", T.IntegerType()),
+        ]
+    )
+    tw, th = target
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            widths, heights = [], []
+            for payload in pdf[payload_col]:
+                meta = _parse_header(bytes(payload))
+                if meta is None:
+                    widths.append(None)
+                    heights.append(None)
+                else:
+                    # Real implementation: decode_image -> resize ->
+                    # re-encode. Stub keeps aspect-ratio math only.
+                    widths.append(tw)
+                    heights.append(th)
+            out["resized_width"] = pd.array(widths, dtype="Int32")
+            out["resized_height"] = pd.array(heights, dtype="Int32")
+            yield out
+
+    return df.mapInPandas(resize, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    n_frames: int = 4,
+    payload_col: str = "video",
+    frame_col: str = "frame_index",
+) -> DataFrame:
+    """Video frame-sampling plumbing: explode each payload row into
+    ``n_frames`` (row, frame_index) rows — the Spark-side shape of a
+    frame sampler; actual frame extraction is the stubbed codec seam."""
+    return df.withColumn(
+        frame_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))),
+    )

@@ -1,0 +1,161 @@
+"""Vector similarity search over an embedding column (array<float>).
+
+Beyond-reference surface (BASELINE.json north star):
+
+- :func:`cosine_topk` — exact brute-force top-k: the correctness
+  baseline. The query side is broadcast (queries are typically a tiny
+  fraction of the corpus); the corpus is never shuffled, so the cost is
+  one scan of the corpus per batch of queries — the right shape even at
+  100 TB when the query batch fits in memory.
+- :func:`ivf_topk` — IVF (inverted-file) approximate search: corpus
+  vectors are assigned to their nearest centroid once; each query
+  probes only the ``nprobe`` nearest centroid partitions. Centroids are
+  a deterministic sample of the corpus. This is the scale path: search
+  cost drops by ~n_centroids/nprobe, and the assignment is an equi-join
+  on centroid id.
+
+All math is built-in array functions (zip_with + aggregate = fused
+dot product, JVM-side); no UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def dot(u: Column, v: Column) -> Column:
+    """Fused dot product in double precision, sequential fold order
+    (deterministic bit-for-bit across runs)."""
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(v: Column) -> Column:
+    return F.sqrt(dot(v, v))
+
+
+def cosine(u: Column, v: Column) -> Column:
+    return dot(u, v) / F.nullif(l2_norm(u) * l2_norm(v), F.lit(0.0))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the query batch against the
+    corpus, rank per query. Ties broken by corpus id for determinism.
+    Returns (query_id, corpus_id, cosine, rank)."""
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    c = corpus.select(
+        F.col(corpus_id), F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cnorm"),
+    )
+    scored = F.broadcast(q).crossJoin(c).withColumn(
+        "cosine",
+        dot(F.col("__qvec"), F.col("__cvec"))
+        / F.nullif(F.col("__qnorm") * F.col("__cnorm"), F.lit(0.0)),
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Assign every corpus vector to its nearest centroid.
+
+    Centroids are a deterministic corpus sample (the ``num_centroids``
+    vectors with the smallest xxhash64(id) — stable, seedless, and
+    uniform). Returns (centroids(centroid_id, __centroid_vec),
+    assigned(corpus_id, __cvec, __cnorm, centroid_id)).
+
+    At 100 TB the centroid table stays tiny (broadcast), the assignment
+    is a map-side broadcast join + argmin, and the index write would be
+    partitioned by centroid_id so probes prune partitions.
+    """
+    sample = (
+        corpus.select(F.col(corpus_id), F.col(vec_col))
+        .withColumn("__r", F.xxhash64(F.col(corpus_id).cast("string")))
+        .orderBy("__r")
+        .limit(num_centroids)
+    )
+    centroids = sample.select(
+        F.row_number()
+        .over(W.orderBy("__r"))
+        .alias("centroid_id"),
+        F.col(vec_col).alias("__centroid_vec"),
+    )
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cnorm"),
+    )
+    scored = F.broadcast(centroids).crossJoin(c).withColumn(
+        "__sim",
+        dot(F.col("__centroid_vec"), F.col("__cvec")),
+    )
+    w = W.partitionBy(corpus_id).orderBy(F.desc("__sim"), F.asc("centroid_id"))
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(corpus_id, "__cvec", "__cnorm", "centroid_id")
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` nearest centroid
+    buckets per query. Returns (query_id, corpus_id, cosine, rank)."""
+    centroids, assigned = build_ivf_index(corpus, corpus_id, vec_col, num_centroids)
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    probe_scored = F.broadcast(centroids).crossJoin(q).withColumn(
+        "__sim", dot(F.col("__centroid_vec"), F.col("__qvec"))
+    )
+    wq = W.partitionBy(query_id).orderBy(F.desc("__sim"), F.asc("centroid_id"))
+    probes = (
+        probe_scored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select(query_id, "__qvec", "__qnorm", "centroid_id")
+    )
+    scored = probes.join(assigned, "centroid_id").withColumn(
+        "cosine",
+        dot(F.col("__qvec"), F.col("__cvec"))
+        / F.nullif(F.col("__qnorm") * F.col("__cnorm"), F.lit(0.0)),
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )

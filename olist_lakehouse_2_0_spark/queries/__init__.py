@@ -19,6 +19,10 @@ from olist_lakehouse_2_0_spark.queries.governance_queries import (
     GOVERNANCE_ORACLES,
     GOVERNANCE_QUERIES,
 )
+from olist_lakehouse_2_0_spark.queries.llm_queries import (
+    LLM_ORACLES,
+    LLM_QUERIES,
+)
 from olist_lakehouse_2_0_spark.queries.relational import (
     RELATIONAL_ORACLES,
     RELATIONAL_QUERIES,
@@ -32,6 +36,7 @@ def all_queries() -> dict[str, QueryFn]:
     queries.update(RELATIONAL_QUERIES)
     queries.update(GOVERNANCE_QUERIES)
     queries.update(CDC_QUERIES)
+    queries.update(LLM_QUERIES)
     return queries
 
 
@@ -40,4 +45,5 @@ def all_oracles() -> dict[str, str]:
     oracles.update(RELATIONAL_ORACLES)
     oracles.update(GOVERNANCE_ORACLES)
     oracles.update(CDC_ORACLES)
+    oracles.update(LLM_ORACLES)
     return oracles

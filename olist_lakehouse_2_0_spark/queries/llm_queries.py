@@ -1,0 +1,393 @@
+"""LLM-training-data pipeline queries for the driver contract:
+text analysis, dedup (exact / n-gram-Jaccard / MinHash / SimHash),
+similarity search (brute-force + IVF), multimodal metadata.
+
+Oracled where the semantics are SQL-expressible in DuckDB (text stats,
+exact dedup, Jaccard pairs, brute-force top-k — the dot product is
+bit-for-bit identical across engines because both fold sequentially in
+double precision). Hash-based ops (MinHash/SimHash/hyperplane LSH)
+depend on xxhash64 and are rows-only checked; their correctness is
+covered by operator unit tests against exact baselines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olist_lakehouse_2_0_spark.catalog import load
+from olist_lakehouse_2_0_spark.operators import text as ops_text
+from olist_lakehouse_2_0_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    simhash_dedup_pairs,
+)
+from olist_lakehouse_2_0_spark.operators.multimodal import (
+    extract_image_metadata,
+    synthesize_image_column,
+)
+from olist_lakehouse_2_0_spark.operators.similarity import cosine_topk, ivf_topk
+
+# ---------------------------------------------------------------------------
+# Text analysis (per-document stats; oracled)
+# ---------------------------------------------------------------------------
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        ops_text.token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars_measured"),
+        ops_text.stopword_ratio(t).alias("stopword_ratio"),
+        ops_text.mean_token_length(t).alias("mean_token_len"),
+        ops_text.quality_score(t).alias("quality_score"),
+        ops_text.lang_guess(t).alias("lang_guess"),
+    )
+
+
+_MARKER_SQL = {
+    lang: ", ".join(f"'{m}'" for m in markers)
+    for lang, markers in ops_text.LANG_MARKERS.items()
+}
+_STOPWORDS_SQL = ", ".join(f"'{s}'" for s in ops_text.EN_STOPWORDS)
+
+TEXT_STATS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, source, text,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
+              ELSE regexp_split_to_array(TRIM(text), '\\s+') END AS toks
+  FROM documents
+), stats AS (
+  SELECT doc_id, lang, source, text, toks,
+         LEN(toks) AS n_tokens,
+         LEN(list_filter(toks, t -> LOWER(t) IN ({_STOPWORDS_SQL}))) AS sw_hits,
+         LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         list_sum(list_transform(toks, t -> LENGTH(t)::DOUBLE)) AS tok_len_total,
+         LEN(list_filter(list_transform(toks, t -> LOWER(t)),
+                         t -> t IN ({_MARKER_SQL["en"]}))) AS hits_en,
+         LEN(list_filter(list_transform(toks, t -> LOWER(t)),
+                         t -> t IN ({_MARKER_SQL["es"]}))) AS hits_es,
+         LEN(list_filter(list_transform(toks, t -> LOWER(t)),
+                         t -> t IN ({_MARKER_SQL["fr"]}))) AS hits_fr,
+         LEN(list_filter(list_transform(toks, t -> LOWER(t)),
+                         t -> t IN ({_MARKER_SQL["de"]}))) AS hits_de,
+         LEN(list_filter(list_transform(toks, t -> LOWER(t)),
+                         t -> t IN ({_MARKER_SQL["pt"]}))) AS hits_pt
+  FROM base
+), derived AS (
+  SELECT *,
+         sw_hits / NULLIF(n_tokens, 0) AS stopword_ratio_raw,
+         n_punct / NULLIF(LENGTH(text), 0) AS punct_ratio_raw,
+         GREATEST(hits_en, hits_es, hits_fr, hits_de, hits_pt) AS best_hits
+  FROM stats
+)
+SELECT doc_id, lang, source, n_tokens,
+       LENGTH(text) AS n_chars_measured,
+       stopword_ratio_raw AS stopword_ratio,
+       COALESCE(tok_len_total, 0.0) / NULLIF(n_tokens::DOUBLE, 0.0) AS mean_token_len,
+       (CASE WHEN n_tokens >= 20 THEN 0.4
+             WHEN n_tokens >= 5 THEN 0.2 ELSE 0.0 END)
+       + (CASE WHEN COALESCE(stopword_ratio_raw, 0.0) BETWEEN 0.05 AND 0.6
+               THEN 0.3 ELSE 0.0 END)
+       + (CASE WHEN COALESCE(punct_ratio_raw, 0.0) <= 0.2
+               THEN 0.3 ELSE 0.0 END) AS quality_score,
+       CASE WHEN best_hits = 0 THEN 'und'
+            WHEN hits_pt = best_hits THEN 'pt'
+            WHEN hits_fr = best_hits THEN 'fr'
+            WHEN hits_es = best_hits THEN 'es'
+            WHEN hits_en = best_hits THEN 'en'
+            ELSE 'de' END AS lang_guess
+FROM derived
+"""
+
+
+def doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold-style rollup of text quality per (source, lang)."""
+    stats = text_stats(spark, sf_dir)
+    return stats.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.avg("n_tokens").cast("decimal(18,6)").alias("avg_tokens"),
+        F.avg("quality_score").cast("decimal(18,6)").alias("avg_quality"),
+        F.count(F.when(F.col("quality_score") >= 0.7, 1)).alias("high_quality_docs"),
+        F.countDistinct("lang_guess").alias("distinct_lang_guesses"),
+    )
+
+
+DOC_QUALITY_BY_SOURCE_SQL = f"""
+WITH stats AS ({TEXT_STATS_SQL})
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       CAST(AVG(n_tokens) AS DECIMAL(18,6)) AS avg_tokens,
+       CAST(AVG(quality_score) AS DECIMAL(18,6)) AS avg_quality,
+       COUNT(CASE WHEN quality_score >= 0.7 THEN 1 END) AS high_quality_docs,
+       COUNT(DISTINCT lang_guess) AS distinct_lang_guesses
+FROM stats
+GROUP BY source, lang
+"""
+
+
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency top-20 (vocabulary analytics)."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    counts = (
+        docs.select(F.explode(ops_text.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+    )
+    w = W.orderBy(F.desc("occurrences"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("token", "occurrences", "rank")
+    )
+
+
+TOP_TOKENS_SQL = """
+WITH toks AS (
+  SELECT UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS token
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), counts AS (
+  SELECT token, COUNT(*) AS occurrences FROM toks GROUP BY token
+)
+SELECT token, occurrences, rank FROM (
+  SELECT token, occurrences,
+         ROW_NUMBER() OVER (ORDER BY occurrences DESC, token) AS rank
+  FROM counts
+) WHERE rank <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup (oracled: exact + Jaccard on a corpus with constructed dups)
+# ---------------------------------------------------------------------------
+
+
+def _with_duplicates(docs: DataFrame) -> DataFrame:
+    """Union the corpus with offset-id copies (whitespace-perturbed) so
+    dedup operators have real work at any scale factor."""
+    copies = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("  "), F.col("text"), F.lit(" ")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(copies)
+
+
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeps the lowest doc_id per normalized-text group:
+    the constructed copies (id+1e6, padded whitespace) all collapse."""
+    docs = load(spark, sf_dir, "documents")
+    deduped = exact_dedup(_with_duplicates(docs), "doc_id", "text")
+    return deduped.select("doc_id", "lang", "source", "n_chars")
+
+
+EXACT_DEDUP_DOCS_SQL = """
+WITH unioned AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, '  ' || text || ' ', lang, source, n_chars FROM documents
+), keyed AS (
+  SELECT *, REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS norm
+  FROM unioned
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+  FROM keyed
+)
+SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn = 1
+"""
+
+
+def jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup detection over the corpus + perturbed
+    copies: each (original, copy) pair shares all interior shingles."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        _with_duplicates(docs), "doc_id", "text", n=3, threshold=0.8
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("jaccard").cast("decimal(10,6)").alias("jaccard")
+    )
+
+
+JACCARD_DUPS_SQL = """
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, '  ' || text || ' ' FROM documents
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t
+  FROM unioned WHERE LENGTH(TRIM(text)) > 0
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(CASE WHEN LEN(t) >= 3
+                     THEN list_transform(range(0, LEN(t) - 2),
+                                         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                     ELSE [] END) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(c / (sa.sz + sb.sz - c) AS DECIMAL(10,6)) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE c / (sa.sz + sb.sz - c) >= 0.8
+"""
+
+
+def minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline (rows-only: xxhash64-based; unit
+    tests verify recall against the exact Jaccard baseline)."""
+    docs = load(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        _with_duplicates(docs), "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+    )
+
+
+def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only)."""
+    docs = load(spark, sf_dir, "documents")
+    return simhash_dedup_pairs(_with_duplicates(docs), "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (brute-force oracled; IVF rows-only)
+# ---------------------------------------------------------------------------
+
+
+def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for a deterministic query subset (vec_id % 50
+    == 0) against the full corpus. Dot products fold sequentially in
+    double precision — bit-identical to the DuckDB oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    topk = cosine_topk(queries, corpus, k=10)
+    return topk.select(
+        "query_id",
+        "corpus_id",
+        F.col("cosine").cast("decimal(12,6)").alias("cosine"),
+        "rank",
+    )
+
+
+EMBEDDING_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         sqrt(list_sum(list_transform(range(1, LEN(embedding) + 1),
+                                      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS qn
+  FROM embeddings WHERE vec_id % 50 = 0
+), c AS (
+  SELECT vec_id AS corpus_id, embedding AS cv,
+         sqrt(list_sum(list_transform(range(1, LEN(embedding) + 1),
+                                      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS cn
+  FROM embeddings
+), scored AS (
+  SELECT query_id, corpus_id,
+         list_sum(list_transform(range(1, LEN(qv) + 1),
+                                 i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+           / NULLIF(qn * cn, 0.0) AS cosine
+  FROM q, c
+)
+SELECT query_id, corpus_id, CAST(cosine AS DECIMAL(12,6)) AS cosine, rank FROM (
+  SELECT query_id, corpus_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, corpus_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 (rows-only: centroid assignment is
+    hash-sampled; unit tests measure recall vs brute force)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return ivf_topk(queries, corpus, k=10, num_centroids=16, nprobe=4)
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via hyperplane LSH (rows-only)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (deterministic fake payloads -> metadata; oracled)
+# ---------------------------------------------------------------------------
+
+
+def image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload pipeline: synthesize FIMG payloads, parse headers
+    back via Arrow-batched mapInPandas. The payload layout is
+    deterministic, so the metadata is SQL-expressible for the oracle."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    with_payload = synthesize_image_column(docs, "doc_id")
+    with_meta = extract_image_metadata(with_payload)
+    return with_meta.select(
+        "doc_id",
+        F.col("image_meta.format").alias("format"),
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.channels").alias("channels"),
+        F.col("image_meta.n_bytes").alias("n_bytes"),
+    )
+
+
+IMAGE_METADATA_SQL = """
+SELECT doc_id,
+       'fimg' AS format,
+       CAST(doc_id % 64 + 16 AS INT) AS width,
+       CAST((doc_id * 7) % 64 + 16 AS INT) AS height,
+       3 AS channels,
+       CAST(9 + LENGTH('pixels:' || CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+LLM_QUERIES = {
+    "text_stats": text_stats,
+    "doc_quality_by_source": doc_quality_by_source,
+    "top_tokens": top_tokens,
+    "exact_dedup_docs": exact_dedup_docs,
+    "jaccard_dups": jaccard_dups,
+    "minhash_dups": minhash_dups,
+    "simhash_dups": simhash_dups,
+    "embedding_topk_bruteforce": embedding_topk_bruteforce,
+    "embedding_topk_ivf": embedding_topk_ivf,
+    "embedding_neardup": embedding_neardup,
+    "image_metadata": image_metadata,
+}
+
+LLM_ORACLES = {
+    "text_stats": TEXT_STATS_SQL,
+    "doc_quality_by_source": DOC_QUALITY_BY_SOURCE_SQL,
+    "top_tokens": TOP_TOKENS_SQL,
+    "exact_dedup_docs": EXACT_DEDUP_DOCS_SQL,
+    "jaccard_dups": JACCARD_DUPS_SQL,
+    "embedding_topk_bruteforce": EMBEDDING_TOPK_SQL,
+    "image_metadata": IMAGE_METADATA_SQL,
+}

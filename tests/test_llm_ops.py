@@ -1,0 +1,130 @@
+"""Quality checks for the approximate operators against exact baselines,
+plus multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_lakehouse_2_0_spark.catalog import load
+from olist_lakehouse_2_0_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    simhash_dedup_pairs,
+)
+from olist_lakehouse_2_0_spark.operators.multimodal import (
+    FAKE_MAGIC,
+    decode_image,
+    extract_image_metadata,
+    sample_frames,
+    synthesize_image_column,
+)
+from olist_lakehouse_2_0_spark.operators.similarity import cosine_topk, ivf_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus_with_dups(spark):
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    return docs.unionByName(copies)
+
+
+def test_minhash_recall_vs_exact(spark, corpus_with_dups):
+    """LSH candidates + signature estimate must recover most true
+    high-Jaccard pairs (64 hashes / 16 bands, s-curve ~0.5)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(
+            corpus_with_dups, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    }
+    assert len(exact) > 0
+    approx = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(
+            corpus_with_dups, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall} on {len(exact)} true pairs"
+
+
+def test_simhash_finds_perturbed_dups(spark, corpus_with_dups):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_dedup_pairs(
+            corpus_with_dups, "doc_id", "text", max_hamming=3
+        ).collect()
+    }
+    n_docs = corpus_with_dups.count() // 2
+    found = sum(1 for (a, b) in pairs if b - a == 1000000)
+    # One appended token flips more bits on short docs: ~0.75 recall at
+    # hamming<=3 is expected simhash behavior, not an implementation bug.
+    assert found >= n_docs * 0.7, f"simhash found {found}/{n_docs} planted dups"
+    # No precision assert: the testdata's 40-word vocabulary makes
+    # distinct docs with matching token-frequency profiles legitimately
+    # collide at hamming 0-3 — correct simhash behavior.
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = load(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    exact = {
+        (r.query_id, r.corpus_id)
+        for r in cosine_topk(queries, corpus, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.corpus_id)
+        for r in ivf_topk(queries, corpus, k=5, num_centroids=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # nprobe/num_centroids = 0.5 of the corpus scanned; random unit
+    # vectors are near-orthogonal so recall is imperfect by design —
+    # assert it beats the scanned fraction meaningfully.
+    assert recall >= 0.6, f"ivf recall {recall}"
+
+
+def test_embedding_neardup_self_duplicates(spark):
+    emb = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    copies = emb.select((F.col("vec_id") + 5000).alias("vec_id"), "embedding")
+    both = emb.unionByName(copies)
+    pairs = embedding_neardup_pairs(both, "vec_id", "embedding", threshold=0.999)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    n = emb.count()
+    planted = sum(1 for (a, b) in found if b - a == 5000)
+    # identical vectors always share every hyperplane bucket -> 100% recall
+    assert planted == n
+
+
+def test_image_pipeline_roundtrip(spark):
+    docs = load(spark, SF, "documents").select("doc_id").limit(50)
+    with_payload = synthesize_image_column(docs, "doc_id")
+    row = with_payload.first()
+    assert bytes(row.image[:4]) == FAKE_MAGIC
+    meta = extract_image_metadata(with_payload)
+    rows = meta.collect()
+    assert all(r.image_meta["format"] == "fimg" for r in rows)
+    assert all(16 <= r.image_meta["width"] < 80 for r in rows)
+    got = {r.doc_id: r.image_meta["width"] for r in rows}
+    assert all(w == doc_id % 64 + 16 for doc_id, w in got.items())
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(FAKE_MAGIC + b"\x10\x00\x10\x00\x03")
+
+
+def test_sample_frames_shape(spark):
+    docs = load(spark, SF, "documents").select("doc_id").limit(10)
+    frames = sample_frames(docs, "doc_id", n_frames=4)
+    assert frames.count() == 40
+    assert frames.groupBy("doc_id").count().filter("count != 4").count() == 0
