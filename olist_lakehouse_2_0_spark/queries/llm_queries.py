@@ -211,10 +211,16 @@ SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn = 1
 
 def jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup detection over the corpus + perturbed
-    copies: each (original, copy) pair shares all interior shingles."""
+    copies: each (original, copy) pair shares all interior shingles.
+
+    ``max_shingle_df=8`` drops boilerplate shingles (the testdata's
+    40-word vocabulary makes many 3-grams corpus-wide common; production
+    dedup pipelines apply the same stop-shingle cut). The oracle applies
+    the identical document-frequency filter."""
     docs = load(spark, sf_dir, "documents")
     pairs = jaccard_pairs(
-        _with_duplicates(docs), "doc_id", "text", n=3, threshold=0.8
+        _with_duplicates(docs), "doc_id", "text", n=3, threshold=0.8,
+        max_shingle_df=8,
     )
     return pairs.select(
         "id_a", "id_b", F.col("jaccard").cast("decimal(10,6)").alias("jaccard")
@@ -236,11 +242,15 @@ WITH unioned AS (
                                          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
                      ELSE [] END) AS shingle
   FROM toks
+), rare AS (
+  SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= 8
+), kept AS (
+  SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)
 ), sizes AS (
-  SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id
+  SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
 ), common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-  FROM shingles a JOIN shingles b USING (shingle)
+  FROM kept a JOIN kept b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
@@ -330,9 +340,16 @@ def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup via hyperplane LSH (rows-only)."""
-    emb = load(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.9)
+    """Embedding-cosine near-dup via hyperplane LSH (rows-only).
+
+    The raw corpus is random near-orthogonal unit vectors with no true
+    near-dups, so offset-id exact copies are planted — every planted
+    pair shares all hyperplane buckets and must be recovered."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    return embedding_neardup_pairs(
+        emb.unionByName(copies), "vec_id", "embedding", threshold=0.999
+    )
 
 
 # ---------------------------------------------------------------------------
