@@ -116,14 +116,21 @@ def enforce(
             )
 
     # Observe violation counts for every expectation in one pass.
-    observation = Observation(f"dq_{uuid.uuid4().hex[:8]}")
     counters = [
         F.sum(
             F.when(~F.coalesce(e.pred(), F.lit(False)), 1).otherwise(0)
         ).alias(f"violations_{e.name}")
         for e in expectations
     ]
-    observed = df.observe(observation, *counters)
+    if df.isStreaming:
+        # Observation handles don't support streaming plans; a
+        # string-named observe surfaces per-micro-batch violation
+        # counts through StreamingQueryProgress.observedMetrics.
+        observation = None
+        observed = df.observe(f"dq_{uuid.uuid4().hex[:8]}", *counters)
+    else:
+        observation = Observation(f"dq_{uuid.uuid4().hex[:8]}")
+        observed = df.observe(observation, *counters)
 
     # DROP filter (reference silver/orders.sql:10-22: ON VIOLATION DROP
     # ROW). NULL predicate result counts as a violation, matching the

@@ -1,0 +1,201 @@
+"""Declarative pipeline DAG: table definitions -> dependency graph ->
+topological execution with expectations and refresh modes.
+
+The engine-side mirror of Lakeflow Declarative Pipelines (SURVEY §3.1):
+the reference's 22 SQL files form a dataflow DAG of ``CREATE OR REFRESH
+STREAMING TABLE / MATERIALIZED VIEW`` statements with edges inferred
+from ``FROM [STREAM] (table)`` references; expectations attach to
+nodes; a run executes bronze -> silver -> gold in dependency order.
+
+Here a node is a :class:`TableDef`: a name, declared ``inputs`` (edge
+list), a ``build`` function from input DataFrames to the node's
+DataFrame, attached expectations, and a materialization mode:
+
+- ``MATERIALIZED_VIEW``: full recompute, overwrite (S6).
+- ``STREAMING_TABLE``: incremental via Structured Streaming (C1); the
+  build function receives streaming DataFrames and the node write goes
+  through a checkpointed ``availableNow`` drain.
+- ``VIEW``: not persisted, inlined into downstream plans (Catalyst
+  sees through it — no materialization barrier).
+
+Shared intermediate results (e.g. orders_enriched feeding two gold
+MVs) are computed once and reused by handing the same DataFrame object
+to all consumers; Spark reuses the written files, not a recompute, for
+MATERIALIZED nodes because downstream reads go through the catalog
+path (§4 "materialization of expensive joins").
+"""
+
+from __future__ import annotations
+
+import enum
+import graphlib
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from olist_lakehouse_2_0_spark.catalog import Catalog
+from olist_lakehouse_2_0_spark.operators.expectations import (
+    Expectation,
+    check_fail_metrics,
+    enforce,
+)
+
+
+class Materialization(enum.Enum):
+    MATERIALIZED_VIEW = "materialized_view"
+    STREAMING_TABLE = "streaming_table"
+    VIEW = "view"
+
+
+@dataclass
+class TableDef:
+    """One pipeline node (SURVEY §1.1 streaming table / MV / view)."""
+
+    name: str
+    inputs: tuple[str, ...]
+    build: Callable[[dict[str, DataFrame]], DataFrame]
+    expectations: list[Expectation] = field(default_factory=list)
+    materialization: Materialization = Materialization.MATERIALIZED_VIEW
+    layer: str | None = None
+    partition_by: tuple[str, ...] = ()
+    comment: str = ""
+
+
+@dataclass
+class RunResult:
+    written: dict[str, str] = field(default_factory=dict)
+    metrics: dict[str, dict[str, int]] = field(default_factory=dict)
+
+
+class Pipeline:
+    """A named DAG of TableDefs over a Catalog."""
+
+    def __init__(self, name: str, catalog: Catalog, tables: list[TableDef]):
+        self.name = name
+        self.catalog = catalog
+        self.tables = {t.name: t for t in tables}
+        if len(self.tables) != len(tables):
+            raise ValueError("duplicate table names in pipeline")
+
+    def topo_order(self) -> list[str]:
+        graph = {
+            name: {i for i in t.inputs if i in self.tables}
+            for name, t in self.tables.items()
+        }
+        try:
+            return list(graphlib.TopologicalSorter(graph).static_order())
+        except graphlib.CycleError as e:
+            raise ValueError(f"pipeline cycle: {e}") from e
+
+    def run(
+        self,
+        spark: SparkSession,
+        full_refresh: bool = False,
+        external_inputs: dict[str, DataFrame] | None = None,
+    ) -> RunResult:
+        """Execute the DAG in dependency order.
+
+        ``external_inputs`` provides source DataFrames for input names
+        not defined as pipeline nodes (e.g. raw file scans built by the
+        caller). Streaming nodes are executed with an availableNow
+        drain; ``full_refresh`` clears their targets + checkpoints
+        first (reference weekly full-refresh job)."""
+        external_inputs = external_inputs or {}
+        result = RunResult()
+        views: dict[str, DataFrame] = {}
+
+        for name in self.topo_order():
+            node = self.tables[name]
+            streaming_consumer = node.materialization is Materialization.STREAMING_TABLE
+            ins: dict[str, DataFrame] = {}
+            for dep in node.inputs:
+                if dep in views:
+                    ins[dep] = views[dep]
+                elif dep in self.tables:
+                    dep_layer = self.tables[dep].layer
+                    if streaming_consumer:
+                        # S3: streaming table-to-table scan (reference
+                        # silver/orders.sql:62 FROM STREAM(bronze_x)) —
+                        # incremental read of the upstream table with
+                        # this node's own checkpoint tracking progress.
+                        path = self.catalog.path_for(dep, dep_layer)
+                        schema = spark.read.parquet(path).schema
+                        ins[dep] = spark.readStream.schema(schema).parquet(path)
+                    else:
+                        ins[dep] = self.catalog.read(spark, dep, dep_layer)
+                elif dep in external_inputs:
+                    ins[dep] = external_inputs[dep]
+                else:
+                    raise KeyError(f"{name}: unresolved input '{dep}'")
+
+            df = node.build(ins)
+
+            if node.materialization is Materialization.VIEW:
+                enforced = enforce(df, node.expectations)
+                views[name] = enforced.df
+                continue
+
+            if node.materialization is Materialization.STREAMING_TABLE:
+                self._run_streaming_node(spark, node, df, full_refresh, result)
+                continue
+
+            # MATERIALIZED_VIEW: full recompute + overwrite (S6). FAIL
+            # expectations deferred: metrics observed during the write
+            # itself, then checked before the table is promoted.
+            enforced = enforce(df, node.expectations, fail_strategy="defer")
+            target = self.catalog.path_for(name, node.layer)
+            tmp = target + "__staging"
+            enforced.df.write.mode("overwrite").parquet(tmp)
+            check_fail_metrics(enforced, node.expectations)  # may raise
+            result.metrics[name] = enforced.metrics()
+            _swap_dirs(spark, tmp, target)
+            self.catalog.register(
+                f"{node.layer}.{name}" if node.layer else name, target
+            )
+            result.written[name] = target
+        return result
+
+    def _run_streaming_node(
+        self,
+        spark: SparkSession,
+        node: TableDef,
+        df: DataFrame,
+        full_refresh: bool,
+        result: RunResult,
+    ) -> None:
+        from olist_lakehouse_2_0_spark.streaming.ingest import (
+            full_refresh_reset,
+            run_to_parquet,
+        )
+
+        target = self.catalog.path_for(node.name, node.layer)
+        checkpoint = target + "__checkpoint"
+        if full_refresh:
+            full_refresh_reset(target, checkpoint)
+        # DROP expectations compose into the streaming plan; WARN
+        # metrics are per-batch observations (not aggregated here).
+        enforced = enforce(df, node.expectations)
+        run_to_parquet(enforced.df, target, checkpoint)
+        self.catalog.register(
+            f"{node.layer}.{node.name}" if node.layer else node.name, target
+        )
+        result.written[node.name] = target
+
+
+def _swap_dirs(spark: SparkSession, src: str, dst: str) -> None:
+    """Promote a staging directory over the target atomically-enough via
+    the Hadoop FileSystem API (portable to HDFS/S3A committers)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(dst).getFileSystem(conf)
+    if fs.exists(HPath(dst)):
+        fs.delete(HPath(dst), True)
+    fs.rename(HPath(src), HPath(dst))
+
+
+def ensure_dirs(*paths: str) -> None:
+    for p in paths:
+        os.makedirs(p, exist_ok=True)

@@ -1,0 +1,66 @@
+"""Batch file sources with schema enforcement, rescued-data capture and
+file-metadata audit columns.
+
+Re-implements the reference's bronze-layer read surface
+(``read_files(dir, format => 'csv', header => true, ...,
+rescuedDataColumn => '_rescued_data')`` + ``_metadata`` projections,
+reference src/pipelines/bronze/orders.sql:16-27) on OSS Spark:
+
+- Explicit ``StructType`` per source (preferred at scale — schema
+  inference reads the data twice and can silently widen types).
+- PERMISSIVE mode with ``columnNameOfCorruptRecord`` standing in for
+  AutoLoader's ``_rescued_data``: malformed rows land with the raw line
+  captured instead of failing the batch.
+- ``_metadata.file_path`` / ``_metadata.file_modification_time`` map to
+  the same hidden ``_metadata`` struct OSS Spark exposes on file
+  sources; audit columns are appended exactly as the reference does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+RESCUE_COL = "_rescued_data"
+
+
+def with_audit_columns(df: DataFrame) -> DataFrame:
+    """Bronze audit columns (reference bronze/orders.sql:18-20):
+    _source_file, _file_modified_at, _ingested_at."""
+    return df.select(
+        "*",
+        F.col("_metadata.file_path").alias("_source_file"),
+        F.col("_metadata.file_modification_time").alias("_file_modified_at"),
+        F.current_timestamp().alias("_ingested_at"),
+    )
+
+
+def _schema_with_rescue(schema: T.StructType) -> T.StructType:
+    if RESCUE_COL in schema.fieldNames():
+        return schema
+    return T.StructType(list(schema.fields) + [T.StructField(RESCUE_COL, T.StringType())])
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    audit: bool = True,
+) -> DataFrame:
+    """Batch CSV read with rescue column + audit columns — the batch
+    fallback for the bronze streaming scan (S1)."""
+    df = (
+        spark.read.schema(_schema_with_rescue(schema))
+        .option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", RESCUE_COL)
+        .csv(path)
+    )
+    return with_audit_columns(df) if audit else df
+
+
+def read_parquet(spark: SparkSession, path: str, audit: bool = False) -> DataFrame:
+    df = spark.read.parquet(path)
+    return with_audit_columns(df) if audit else df
