@@ -15,6 +15,10 @@ from olist_lakehouse_2_0_spark.queries.cdc_queries import (
     CDC_ORACLES,
     CDC_QUERIES,
 )
+from olist_lakehouse_2_0_spark.queries.event_queries import (
+    EVENT_ORACLES,
+    EVENT_QUERIES,
+)
 from olist_lakehouse_2_0_spark.queries.governance_queries import (
     GOVERNANCE_ORACLES,
     GOVERNANCE_QUERIES,
@@ -37,6 +41,7 @@ def all_queries() -> dict[str, QueryFn]:
     queries.update(GOVERNANCE_QUERIES)
     queries.update(CDC_QUERIES)
     queries.update(LLM_QUERIES)
+    queries.update(EVENT_QUERIES)
     return queries
 
 
@@ -46,4 +51,5 @@ def all_oracles() -> dict[str, str]:
     oracles.update(GOVERNANCE_ORACLES)
     oracles.update(CDC_ORACLES)
     oracles.update(LLM_ORACLES)
+    oracles.update(EVENT_ORACLES)
     return oracles

@@ -1,0 +1,147 @@
+"""Event-stream analytics queries over the driver's ``events`` table
+(event_id, ts, user_id, event_type, value, props-JSON).
+
+Beyond-reference surface: the reference's streaming layer is
+ingestion-only (SURVEY.md §2.9), but an engine replacing it needs the
+event-time window toolkit. Each query here runs the SAME operator
+(streaming/windows.py) that the streaming tests drive through
+``readStream`` — batch/stream unification — and has a DuckDB oracle
+twin for hash-checked correctness.
+
+Scale notes: all four shapes are single-shuffle groupBys with map-side
+partial aggregation; session windows keep state per user_id partition
+only. None of them collect to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olist_lakehouse_2_0_spark.catalog import load
+from olist_lakehouse_2_0_spark.streaming.windows import (
+    AVG6,
+    extract_json_props,
+    sessionize,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type (count / distinct users /
+    exact-decimal value sum)."""
+    return tumbling_window_agg(load(spark, sf_dir, "events"), duration="1 hour")
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(18,2)) AS sum_value
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def events_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows hopping every 30 minutes: each event
+    contributes to exactly 2 windows."""
+    return sliding_window_agg(
+        load(spark, sf_dir, "events"), duration="1 hour", slide="30 minutes"
+    )
+
+
+# Every event belongs to exactly two hopping windows: the one starting
+# at its own 30-min bucket and the one starting 30 min earlier (window
+# alignment is epoch-anchored in both engines, so half-hour boundaries
+# coincide).
+EVENTS_SLIDING_SQL = """
+SELECT ws AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(18,2)) AS sum_value
+FROM (
+    SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                   time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws,
+           event_type,
+           value
+    FROM events
+    WHERE ts IS NOT NULL
+)
+GROUP BY ws, event_type
+"""
+
+
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap-based sessions (30-min inactivity gap) via Spark's
+    native ``session_window`` stateful operator."""
+    return sessionize(load(spark, sf_dir, "events"), gap="30 minutes")
+
+
+# Oracle re-derives the same sessions with the lag + running-sum window
+# idiom: a new session starts when the gap to the previous event is
+# >= 30 min (session_window merges only events strictly inside the gap).
+EVENTS_SESSIONS_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                     OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WHERE ts IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+    SELECT user_id, ts, value,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(18,2)) AS sum_value
+FROM numbered
+GROUP BY user_id, sess_id
+"""
+
+
+def events_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (JVM ``get_json_object``, no UDF) +
+    per-type aggregate over the extracted integer field."""
+    events = extract_json_props(load(spark, sf_dir, "events"), field="k")
+    return events.groupBy("event_type").agg(
+        F.count("props_k").alias("n_with_k"),
+        F.min("props_k").alias("min_k"),
+        F.max("props_k").alias("max_k"),
+        F.avg("props_k").cast(AVG6).alias("avg_k"),
+    )
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type,
+       COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+       CAST(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DECIMAL(18,6)) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+EVENT_QUERIES = {
+    "events_hourly_by_type": events_hourly_by_type,
+    "events_sliding_halfhour": events_sliding_halfhour,
+    "events_sessionized": events_sessionized,
+    "events_props_by_type": events_props_by_type,
+}
+
+EVENT_ORACLES = {
+    "events_hourly_by_type": EVENTS_HOURLY_SQL,
+    "events_sliding_halfhour": EVENTS_SLIDING_SQL,
+    "events_sessionized": EVENTS_SESSIONS_SQL,
+    "events_props_by_type": EVENTS_PROPS_SQL,
+}

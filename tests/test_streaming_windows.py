@@ -1,0 +1,89 @@
+"""Streaming window operators: the SAME functions that back the batch
+event queries, driven through readStream + watermark + availableNow.
+
+Verifies batch/stream unification: a watermarked streaming run over a
+static parquet directory must produce exactly the batch answer once the
+stream drains (availableNow processes everything, then the final
+watermark closes all windows).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from olist_lakehouse_2_0_spark.catalog import load
+from olist_lakehouse_2_0_spark.streaming.windows import (
+    sessionize,
+    tumbling_window_agg,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events re-staged as micros-timestamp parquet (a streamable source
+    directory; the raw testdata is TIMESTAMP(NANOS) which needs the
+    batch-only legacy read flag)."""
+    path = str(tmp_path_factory.mktemp("events_stream") / "events")
+    load(spark, SF, "events").write.parquet(path)
+    return path
+
+
+def _drain(stream_df, spark, tmp_path, name):
+    """Run a streaming aggregation to completion into a memory sink."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir, tmp_path):
+    batch = load(spark, SF, "events")
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+
+    expected = tumbling_window_agg(batch, distinct_users=False)
+    got = _drain(
+        tumbling_window_agg(
+            stream.withWatermark("ts", "0 seconds"), distinct_users=False
+        ),
+        spark,
+        tmp_path,
+        "tumbling_stream",
+    )
+    # availableNow emits closed windows; the last (still-open) window is
+    # withheld by the watermark, so compare on the batch side restricted
+    # to windows the stream closed.
+    got_rows = _rows(got)
+    assert got_rows, "stream produced no closed windows"
+    max_ws = max(r[0] for r in got_rows)
+    exp_rows = [r for r in _rows(expected) if r[0] <= max_ws]
+    assert got_rows == exp_rows
+
+
+def test_session_stream_matches_batch(spark, events_dir, tmp_path):
+    batch = load(spark, SF, "events")
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+
+    expected = sessionize(batch, gap="30 minutes")
+    got = _drain(
+        sessionize(stream.withWatermark("ts", "0 seconds"), gap="30 minutes"),
+        spark,
+        tmp_path,
+        "session_stream",
+    )
+    got_rows = _rows(got)
+    assert got_rows, "stream produced no closed sessions"
+    max_end = max(r[2] for r in got_rows)  # session_end
+    exp_rows = [r for r in _rows(expected) if r[2] <= max_end]
+    assert got_rows == exp_rows
