@@ -113,6 +113,150 @@ def fingerprint(text: Column | str) -> Column:
     return F.xxhash64(normalized)
 
 
+def winnow_fingerprints(
+    text: Column | str, k: int = 8, window: int = 4, normalized: bool = False
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    rolling xxhash64 over char k-grams, keep the min hash of each
+    w-hash window, dedup. Robust partial-overlap detection — two
+    documents sharing a long substring share fingerprints regardless of
+    position.
+
+    Pure array expressions (sequence/transform/slice/array_min), fully
+    JVM-side: no UDF, no shuffle — linear scan per document.
+
+    NOTE: as a single Column the hash array is captured by the
+    window-min lambda and re-evaluated per element (higher-order
+    functions don't CSE captured expression trees), making this
+    O(len^2) per document. Fine for tests/small columns; the scale path
+    is :func:`winnow_fingerprint_stages`, which materializes each stage
+    as its own projection attribute.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    if normalized:
+        norm = c
+    else:
+        norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(0))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.xxhash64(F.substring(norm, i, k)),
+    )
+    n_windows = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(0))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(hashes, j, window)),
+    )
+    return F.when(n_grams == 0, F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(mins)
+    )
+
+
+def winnow_prints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    out_col: str = "fp",
+) -> DataFrame:
+    """Winnowing fingerprints, relational scale path: one (doc, fp) row
+    per selected fingerprint.
+
+    Explodes gram start positions, hashes each k-gram with a ROW-LEVEL
+    ``xxhash64(substring(...))`` (whole-stage codegen — no higher-order
+    functions), takes per-window minima with a frame-bounded window
+    function, and dedups on the doc's partitioning. Exactly one shuffle
+    (by doc for the window sort).
+
+    Why not array HOFs: a lambda that captures an expression re-evaluates
+    it per element (no CSE inside ``transform``), and CollapseProject can
+    re-inline staged projections — under ``persist()`` this degraded to
+    O(len^2) per document and hung. Rows + window functions are immune.
+    """
+    from pyspark.sql import Window as W
+
+    n_grams = F.greatest(F.length("_norm") - F.lit(k - 1), F.lit(0))
+    grams = df.select(
+        F.col(id_col).alias("doc"),
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias(
+            "_norm"
+        ),
+    ).select(
+        "doc",
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("i"),
+        F.col("_norm"),
+    )
+    hashed = grams.select(
+        "doc", "i", F.xxhash64(F.substring(F.col("_norm"), F.col("i"), F.lit(k))).alias("h")
+    )
+    frame = W.partitionBy("doc").orderBy("i").rowsBetween(0, window - 1)
+    whole = W.partitionBy("doc")
+    mins = (
+        hashed.withColumn("win_min", F.min("h").over(frame))
+        .withColumn("n", F.count(F.lit(1)).over(whole))
+        .filter(F.col("i") <= F.col("n") - F.lit(window - 1))
+        .select("doc", F.col("win_min").alias(out_col))
+    )
+    # distinct reuses the window's hash(doc) partitioning - no 2nd shuffle
+    return mins.dropDuplicates(["doc", out_col])
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_overlap: float = 0.5,
+    max_fp_df: int | None = 8,
+) -> DataFrame:
+    """All-pairs fingerprint-overlap detection via an inverted index:
+    explode fingerprints, self-join on the fingerprint value, count
+    shared prints per pair, keep pairs with containment-overlap >=
+    ``min_overlap`` (shared / smaller KEPT fingerprint set).
+
+    Scale path: the join key is the 64-bit fingerprint — candidate
+    generation is a hash-partitioned equi-join (same shape as LSH
+    banding), never an O(n^2) cross join. ``max_fp_df`` stop-lists
+    fingerprints appearing in more than that many documents (boilerplate
+    n-grams) — without it, a corpus-wide common fingerprint makes the
+    self-join quadratic in its document frequency.
+    """
+    # Three downstream consumers (df-cut, sizes, self-join) would each
+    # recompute the fingerprint scan; persist the compact (doc, fp)
+    # index instead — 16 bytes/row regardless of document size.
+    prints = winnow_prints(df, id_col, text_col, k, window).persist()
+    if max_fp_df is not None:
+        rare = (
+            prints.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_fp_df)
+            .select("fp")
+        )
+        prints = prints.join(rare, "fp")
+    sizes = prints.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = prints.alias("a")
+    b = prints.alias("b")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_fp").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "overlap", F.col("shared") / F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .filter(F.col("overlap") >= min_overlap)
+        .select("id_a", "id_b", "shared", "overlap")
+    )
+
+
 def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full per-document text-analysis column set."""
     t = F.col(text_col)

@@ -26,6 +26,8 @@ from olist_lakehouse_2_0_spark.operators.dedup import (
 )
 from olist_lakehouse_2_0_spark.operators.multimodal import (
     extract_image_metadata,
+    resize_images,
+    sample_frames,
     synthesize_image_column,
 )
 from olist_lakehouse_2_0_spark.operators.similarity import cosine_topk, ivf_topk
@@ -278,6 +280,49 @@ def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup_pairs(_with_duplicates(docs), "doc_id", "text", max_hamming=3)
 
 
+def fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document fingerprint dedup: group by the 64-bit xxhash64
+    fingerprint of normalized text, report groups with >1 member. The
+    oracle groups by the normalized text itself — identical groups
+    unless xxhash64 collides (2^-64 per pair).
+
+    Scale note: the groupBy key is 8 bytes regardless of document size,
+    so the shuffle moves fingerprints, not documents."""
+    docs = _with_duplicates(load(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy(ops_text.fingerprint("text").alias("fp"))
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select("rep_doc_id", "n_docs")
+    )
+
+
+FINGERPRINT_DUPS_SQL = """
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, '  ' || text || ' ' FROM documents
+)
+SELECT MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_docs
+FROM unioned
+GROUP BY REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')
+HAVING COUNT(*) > 1
+"""
+
+
+def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprint overlap (rows-only: xxhash64
+    fingerprints are not DuckDB-reproducible; unit tests verify planted
+    partial-overlap recovery)."""
+    docs = load(spark, sf_dir, "documents")
+    return ops_text.winnow_overlap_pairs(
+        _with_duplicates(docs), "doc_id", "text", k=8, window=4, min_overlap=0.8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (brute-force oracled; IVF rows-only)
 # ---------------------------------------------------------------------------
@@ -385,6 +430,36 @@ FROM documents
 """
 
 
+def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline stage over the synthesized binary column: the
+    mapInPandas batch contract of a real resizer (stubbed codec seam),
+    with deterministic post-resize metadata for the oracle."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    resized = resize_images(synthesize_image_column(docs, "doc_id"), target=(224, 224))
+    return resized.select("doc_id", "resized_width", "resized_height")
+
+
+IMAGE_RESIZE_SQL = """
+SELECT doc_id, 224 AS resized_width, 224 AS resized_height
+FROM documents
+"""
+
+
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: each (stub) video payload row explodes
+    into n_frames (row, frame_index) rows."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    with_video = synthesize_image_column(docs, "doc_id", payload_col="video")
+    frames = sample_frames(with_video, "doc_id", n_frames=4)
+    return frames.select("doc_id", "frame_index")
+
+
+VIDEO_FRAME_SAMPLE_SQL = """
+SELECT doc_id, CAST(f AS INT) AS frame_index
+FROM documents, UNNEST([0, 1, 2, 3]) AS t(f)
+"""
+
+
 LLM_QUERIES = {
     "text_stats": text_stats,
     "doc_quality_by_source": doc_quality_by_source,
@@ -397,6 +472,10 @@ LLM_QUERIES = {
     "embedding_topk_ivf": embedding_topk_ivf,
     "embedding_neardup": embedding_neardup,
     "image_metadata": image_metadata,
+    "fingerprint_dups": fingerprint_dups,
+    "winnow_overlap": winnow_overlap,
+    "image_resize": image_resize,
+    "video_frame_sample": video_frame_sample,
 }
 
 LLM_ORACLES = {
@@ -407,4 +486,7 @@ LLM_ORACLES = {
     "jaccard_dups": JACCARD_DUPS_SQL,
     "embedding_topk_bruteforce": EMBEDDING_TOPK_SQL,
     "image_metadata": IMAGE_METADATA_SQL,
+    "fingerprint_dups": FINGERPRINT_DUPS_SQL,
+    "image_resize": IMAGE_RESIZE_SQL,
+    "video_frame_sample": VIDEO_FRAME_SAMPLE_SQL,
 }

@@ -128,3 +128,29 @@ def test_sample_frames_shape(spark):
     frames = sample_frames(docs, "doc_id", n_frames=4)
     assert frames.count() == 40
     assert frames.groupBy("doc_id").count().filter("count != 4").count() == 0
+
+
+def test_winnow_partial_overlap(spark):
+    """Winnowing must recover a planted partial-overlap pair (copy
+    shares a long prefix substring but diverges after) while unrelated
+    documents with disjoint text share no fingerprints."""
+    from olist_lakehouse_2_0_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    rows = [
+        (1, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+        (2, "alpha bravo charlie delta echo foxtrot golf ZZZ QQQ WWW XYZZY"),
+        (3, "one completely different sentence about nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = winnow_overlap_pairs(df, "doc_id", "text", k=8, window=4, min_overlap=0.3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+    # identical docs -> identical fingerprint sets
+    fp = df.select("doc_id", winnow_fingerprints("text").alias("fp")).collect()
+    by_id = {r.doc_id: tuple(r.fp) for r in fp}
+    assert by_id[1] and by_id[1] != by_id[3]
