@@ -42,15 +42,21 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def token_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word-level n-gram shingles of ``text``."""
+    """Distinct word-level n-gram shingles of ``text``.
+
+    Built by zipping n shifted slices of the token array —
+    ``arrays_zip`` evaluates each argument exactly once per row, and
+    the transform lambda touches only its own struct element. (A lambda
+    that captured the token array would re-evaluate the tokenizer per
+    element: higher-order functions don't CSE captured expressions,
+    which measured ~5x slower here.)"""
     toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, F.lit(i + 1), m) for i in range(n)])
     grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
     )
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
-    )
+    return F.array_distinct(grams)
 
 
 def jaccard_pairs(
@@ -70,7 +76,9 @@ def jaccard_pairs(
     shingles would otherwise create quadratic candidate blowup).
     Returns (id_a, id_b, jaccard) with jaccard >= threshold.
     """
-    sh = df.select(
+    # Repartition by id first: a few large input files would pin the
+    # tokenizer/explode stage to a few cores.
+    sh = df.repartition(F.col(id_col)).select(
         F.col(id_col).alias("__id"),
         F.explode(token_shingles(F.col(text_col), n)).alias("__shingle"),
     )
@@ -82,6 +90,9 @@ def jaccard_pairs(
             .select("__shingle")
         )
         sh = sh.join(rare, "__shingle", "left_semi")
+    # sh feeds sizes + both join sides; persist the compact (id, shingle)
+    # index so the tokenizer scan runs once.
+    sh = sh.persist()
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__size"))
 
     a = sh.select(F.col("__id").alias("id_a"), "__shingle")
@@ -129,31 +140,29 @@ def minhash_signatures(
         (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
         for _ in range(num_hashes)
     ]
-    sh = df.select(
+    sh = df.repartition(F.col(id_col)).select(
         F.col(id_col).alias("__id"),
         F.explode(token_shingles(F.col(text_col), n)).alias("__shingle"),
     ).withColumn("__h", F.pmod(F.xxhash64("__shingle"), F.lit(_MERSENNE)))
 
-    # One array column of the k hash values for this shingle; pmod keeps
-    # everything in non-negative bigint space.
-    hashes = F.array(
-        *[
-            F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
-            for a, b in coeffs
-        ]
-    )
-    per_shingle = sh.withColumn("__hashes", hashes)
-    return (
-        per_shingle.groupBy("__id")
-        .agg(
-            F.array(
-                *[
-                    F.min(F.col("__hashes")[i]).alias(f"h{i}")
-                    for i in range(num_hashes)
-                ]
-            ).alias("sig")
+    # Each universal hash is its own aggregate over the scalar __h —
+    # k muls per shingle row, map-side combined, whole-stage codegen.
+    # (Building a k-wide array column first and aggregating min(arr[i])
+    # lets CollapseProject inline the array into every aggregate,
+    # re-building it k times per row: k^2 work.)
+    mins = [
+        F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(
+            f"__m{i}"
         )
-        .select(F.col("__id").alias(id_col), "sig")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return (
+        sh.groupBy("__id")
+        .agg(*mins)
+        .select(
+            F.col("__id").alias(id_col),
+            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),
+        )
     )
 
 
@@ -215,7 +224,8 @@ def minhash_dedup_pairs(
     est_jaccard is the fraction of matching signature positions (the
     unbiased MinHash estimator), verified only on LSH candidates."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, seed)
+    # sigs feed banding + both verify sides; persist (id, 64 longs).
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, seed).persist()
     cand = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("__sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("__sig_b"))

@@ -177,7 +177,10 @@ def winnow_prints(
     from pyspark.sql import Window as W
 
     n_grams = F.greatest(F.length("_norm") - F.lit(k - 1), F.lit(0))
-    grams = df.select(
+    # Repartition by doc BEFORE the gram explosion: a handful of parquet
+    # files would otherwise pin the whole per-char scan to a few cores,
+    # and the window below reuses this hash(doc) partitioning for free.
+    grams = df.repartition(F.col(id_col)).select(
         F.col(id_col).alias("doc"),
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias(
             "_norm"
