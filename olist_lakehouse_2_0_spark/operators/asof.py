@@ -1,0 +1,73 @@
+"""As-of (time-travel) join: match each left row to the most recent
+right row at or before its timestamp, per key.
+
+Beyond-reference surface: Spark has no built-in ASOF JOIN (DuckDB/kdb/
+Pandas do). The scalable implementation is the union-merge idiom — tag
+both sides, union, and carry the latest right-side values forward with
+a window function — giving ONE shuffle on the join key and linear work,
+instead of a range join's quadratic candidate space.
+
+At 100 TB: partitions by key (salt heavy keys upstream if a single key
+dominates); the window sort is (ts, side) within each key partition —
+Spark's external sort spills cleanly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_prefix: str = "matched_",
+    strict: bool = False,
+) -> DataFrame:
+    """Left as-of-backward join.
+
+    For every ``left`` row, attach the columns of the latest ``right``
+    row with ``right.ts <= left.ts`` (``< left.ts`` when ``strict``) and
+    the same ``key``. Unmatched left rows keep NULL right columns.
+    Right columns appear as ``{right_prefix}{col}``.
+    """
+    rcols = [c for c in right.columns if c != key]
+    r_tagged = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__r"),
+    )
+    l_struct_t = (
+        left.select(F.struct(*left.columns).alias("__l")).schema["__l"].dataType
+    )
+    r_struct_t = r_tagged.schema["__r"].dataType
+    l_tagged = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*left.columns).alias("__l"),
+        F.lit(None).cast(r_struct_t).alias("__r"),
+    )
+    unioned = l_tagged.unionByName(
+        r_tagged.withColumn("__l", F.lit(None).cast(l_struct_t))
+    )
+    # At equal timestamps the right row sorts first (side 0 < 1) so a
+    # non-strict as-of sees it; strict mode orders left first instead.
+    side_order = F.col("__side").desc() if strict else F.col("__side").asc()
+    w = (
+        W.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), side_order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__r_carried", F.last("__r", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *[F.col("__l")[c].alias(c) for c in left.columns],
+        *[F.col("__r_carried")[c].alias(f"{right_prefix}{c}") for c in rcols],
+    )

@@ -132,11 +132,70 @@ GROUP BY event_type
 """
 
 
+def events_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent view
+    at-or-before the purchase time (operators/asof.py union-merge
+    implementation, one shuffle on user_id)."""
+    from olist_lakehouse_2_0_spark.operators.asof import asof_join
+
+    events = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_event_id")
+    )
+    return asof_join(
+        purchases, views, key="user_id", left_ts="ts", right_ts="view_ts",
+        right_prefix="matched_",
+    )
+
+
+EVENTS_ASOF_SQL = """
+SELECT l.event_id, l.user_id, l.ts,
+       r.view_ts AS matched_view_ts,
+       r.view_event_id AS matched_view_event_id
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL) l
+ASOF LEFT JOIN (SELECT user_id, ts AS view_ts, event_id AS view_event_id
+                FROM events WHERE event_type = 'view' AND ts IS NOT NULL) r
+ON l.user_id = r.user_id AND l.ts >= r.view_ts
+"""
+
+
+def events_user_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (§2.7 extension — the reference uses none, Spark
+    provides them): purchasing users who also hit errors, minus users
+    who ever signed up."""
+    events = load(spark, sf_dir, "events")
+
+    def users_of(t: str) -> DataFrame:
+        return events.filter(F.col("event_type") == t).select("user_id").distinct()
+
+    result = (
+        users_of("purchase")
+        .intersect(users_of("error"))
+        .exceptAll(users_of("signup"))
+    )
+    return result.select("user_id")
+
+
+EVENTS_SETOPS_SQL = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'signup'
+"""
+
+
 EVENT_QUERIES = {
     "events_hourly_by_type": events_hourly_by_type,
     "events_sliding_halfhour": events_sliding_halfhour,
     "events_sessionized": events_sessionized,
     "events_props_by_type": events_props_by_type,
+    "events_asof_purchase_view": events_asof_purchase_view,
+    "events_user_setops": events_user_setops,
 }
 
 EVENT_ORACLES = {
@@ -144,4 +203,6 @@ EVENT_ORACLES = {
     "events_sliding_halfhour": EVENTS_SLIDING_SQL,
     "events_sessionized": EVENTS_SESSIONS_SQL,
     "events_props_by_type": EVENTS_PROPS_SQL,
+    "events_asof_purchase_view": EVENTS_ASOF_SQL,
+    "events_user_setops": EVENTS_SETOPS_SQL,
 }

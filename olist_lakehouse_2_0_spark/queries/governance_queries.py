@@ -56,5 +56,67 @@ FROM base
 """
 
 
-GOVERNANCE_QUERIES = {"pii_masked_customers": pii_masked_customers}
-GOVERNANCE_ORACLES = {"pii_masked_customers": PII_MASKED_CUSTOMERS_SQL}
+def region_filtered_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row filter + column mask applied together through the
+    ProtectedTable reader (G1+G2, reference apply_masks.sql:24-41):
+    a session holding only ``region-americas`` sees AMERICA-nation rows
+    with names masked. The filter predicate is a plain Column, so it
+    pushes down to the scan."""
+    from olist_lakehouse_2_0_spark.governance import (
+        ColumnMask,
+        ProtectedTable,
+        RegionRowFilter,
+    )
+
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = customer.join(
+        F.broadcast(nation), customer["c_nationkey"] == F.col("n_nationkey")
+    )
+    protected = ProtectedTable(
+        masks=[ColumnMask("c_name", mask_name)],
+        row_filter=RegionRowFilter(
+            state_column="n_name",
+            group_states={
+                "region-americas": ("BRAZIL", "ARGENTINA", "PERU", "CANADA", "UNITED STATES")
+            },
+        ),
+    )
+    key = "engine.user.groups"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "region-americas")
+    try:
+        out = protected.read(spark, joined).select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("masked_name"),
+            F.col("n_name").alias("nation"),
+            F.col("c_acctbal").cast("decimal(12,2)").alias("acctbal"),
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return out
+
+
+REGION_FILTERED_CUSTOMERS_SQL = """
+SELECT c_custkey AS customer_id,
+       CASE WHEN c_name IS NULL THEN NULL
+            ELSE SUBSTRING(c_name, 1, 1) || '*** ' || STRING_SPLIT(c_name, ' ')[-1]
+       END AS masked_name,
+       n_name AS nation,
+       CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE n_name IN ('BRAZIL', 'ARGENTINA', 'PERU', 'CANADA', 'UNITED STATES')
+"""
+
+
+GOVERNANCE_QUERIES = {
+    "pii_masked_customers": pii_masked_customers,
+    "region_filtered_customers": region_filtered_customers,
+}
+GOVERNANCE_ORACLES = {
+    "pii_masked_customers": PII_MASKED_CUSTOMERS_SQL,
+    "region_filtered_customers": REGION_FILTERED_CUSTOMERS_SQL,
+}
