@@ -71,3 +71,41 @@ def asof_join(
         *[F.col("__l")[c].alias(c) for c in left.columns],
         *[F.col("__r_carried")[c].alias(f"{right_prefix}{c}") for c in rcols],
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    upper_seconds: int,
+    right_prefix: str = "matched_",
+) -> DataFrame:
+    """Range join: all (left, right) pairs with the same ``key`` and
+    ``left.ts <= right.ts <= left.ts + upper_seconds``.
+
+    Scale path: a naive theta-join is a per-key cross product. Instead
+    both sides get a time-bucket of width ``upper_seconds``; a right row
+    can only match left rows in its own or the previous bucket, so the
+    left side explodes into (bucket, bucket+1) and the join is a plain
+    equi-join on (key, bucket) followed by the exact range filter —
+    shuffle volume stays linear in the data (2x left), never quadratic.
+    """
+    bucket = lambda c: F.floor(F.unix_timestamp(F.col(c)) / upper_seconds)  # noqa: E731
+    l_b = left.withColumn(
+        "__bucket", F.explode(F.array(bucket(left_ts), bucket(left_ts) + 1))
+    )
+    r_b = right.withColumnsRenamed(
+        {c: f"{right_prefix}{c}" for c in right.columns if c != key}
+    ).withColumn("__bucket", bucket(f"{right_prefix}{right_ts}"))
+    rts = F.col(f"{right_prefix}{right_ts}")
+    lts = F.col(left_ts)
+    return (
+        l_b.join(r_b, [key, "__bucket"])
+        .filter(
+            (rts >= lts)
+            & (rts <= lts + F.make_interval(secs=F.lit(upper_seconds)))
+        )
+        .drop("__bucket")
+    )

@@ -163,6 +163,38 @@ ON l.user_id = r.user_id AND l.ts >= r.view_ts
 """
 
 
+def events_error_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (bucketed, operators/asof.py interval_join): every
+    (click, error) pair for the same user with the error inside the 5
+    minutes after the click. Equi-join on (user, time-bucket) + exact
+    filter — linear shuffle, never a per-key cross product."""
+    from olist_lakehouse_2_0_spark.operators.asof import interval_join
+
+    events = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_event_id"), F.col("ts").alias("error_ts")
+    )
+    return interval_join(
+        clicks, errors, key="user_id", left_ts="ts", right_ts="error_ts",
+        upper_seconds=300,
+    ).select("event_id", "user_id", "ts", "matched_error_event_id", "matched_error_ts")
+
+
+EVENTS_ERROR_AFTER_CLICK_SQL = """
+SELECT c.event_id, c.user_id, c.ts,
+       e.event_id AS matched_error_event_id,
+       e.ts AS matched_error_ts
+FROM events c JOIN events e
+  ON c.user_id = e.user_id
+ AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL '300 seconds'
+WHERE c.event_type = 'click' AND e.event_type = 'error'
+  AND c.ts IS NOT NULL AND e.ts IS NOT NULL
+"""
+
+
 def events_user_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (§2.7 extension — the reference uses none, Spark
     provides them): purchasing users who also hit errors, minus users
@@ -189,13 +221,30 @@ SELECT user_id FROM events WHERE event_type = 'signup'
 """
 
 
+def events_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches (rows-only: HLL++/KLL internals differ from
+    DuckDB's sketches, so no hash oracle; tests/test_streaming_windows.py
+    bounds the error vs exact): per-type approx distinct users and value
+    quantiles. At 100 TB these replace exact COUNT(DISTINCT)/percentile
+    where a 2% error is acceptable — sketches merge map-side, so the
+    shuffle carries kilobytes per group instead of all distinct values."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_p50_p95"),
+    )
+
+
 EVENT_QUERIES = {
     "events_hourly_by_type": events_hourly_by_type,
     "events_sliding_halfhour": events_sliding_halfhour,
     "events_sessionized": events_sessionized,
     "events_props_by_type": events_props_by_type,
     "events_asof_purchase_view": events_asof_purchase_view,
+    "events_error_after_click": events_error_after_click,
     "events_user_setops": events_user_setops,
+    "events_sketch_profile": events_sketch_profile,
 }
 
 EVENT_ORACLES = {
@@ -204,5 +253,6 @@ EVENT_ORACLES = {
     "events_sessionized": EVENTS_SESSIONS_SQL,
     "events_props_by_type": EVENTS_PROPS_SQL,
     "events_asof_purchase_view": EVENTS_ASOF_SQL,
+    "events_error_after_click": EVENTS_ERROR_AFTER_CLICK_SQL,
     "events_user_setops": EVENTS_SETOPS_SQL,
 }

@@ -595,6 +595,68 @@ WHERE o_orderkey IS NOT NULL
 """
 
 
+# ---------------------------------------------------------------------------
+# DQ violation profiling — the WARN-expectation metric surface (P5) as a
+# queryable summary: every rule evaluated in ONE scan (conditional-sum
+# aggregates, map-side combined), then unpivoted to one row per rule.
+# The Pipeline runtime gets the same numbers for free via observe();
+# this is the batch profiling twin.
+# ---------------------------------------------------------------------------
+def dq_violation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    rules = {
+        "orderkey_not_null": F.col("l_orderkey").isNotNull(),
+        "quantity_range": F.col("l_quantity").between(1, 50),
+        "price_positive": F.col("l_extendedprice") > 0,
+        "discount_range": F.col("l_discount").between(0.0, 0.1),
+        "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+    }
+    aggs = [
+        F.sum(F.when(~pred | pred.isNull(), 1).otherwise(0)).alias(name)
+        for name, pred in rules.items()
+    ] + [F.count(F.lit(1)).alias("__total")]
+    wide = li.agg(*aggs)
+    long = wide.unpivot(
+        ids=["__total"], values=list(rules), variableColumnName="rule",
+        valueColumnName="n_violations",
+    )
+    return long.select(
+        "rule",
+        "n_violations",
+        F.col("__total").alias("n_rows"),
+        F.round(F.col("n_violations") * 100.0 / F.col("__total"), 4)
+        .cast(RATE)
+        .alias("violation_pct"),
+    )
+
+
+DQ_VIOLATION_SUMMARY_SQL = """
+WITH agg AS (
+  SELECT
+    SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS orderkey_not_null,
+    SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+              OR l_quantity IS NULL THEN 1 ELSE 0 END) AS quantity_range,
+    SUM(CASE WHEN NOT (l_extendedprice > 0)
+              OR l_extendedprice IS NULL THEN 1 ELSE 0 END) AS price_positive,
+    SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1)
+              OR l_discount IS NULL THEN 1 ELSE 0 END) AS discount_range,
+    SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+              OR l_returnflag IS NULL THEN 1 ELSE 0 END) AS returnflag_domain,
+    COUNT(*) AS n_rows
+  FROM lineitem
+)
+SELECT rule, n_violations, n_rows,
+       CAST(ROUND(n_violations * 100.0 / n_rows, 4) AS DECIMAL(10,2)) AS violation_pct
+FROM (
+  SELECT 'orderkey_not_null' AS rule, orderkey_not_null AS n_violations, n_rows FROM agg
+  UNION ALL SELECT 'quantity_range', quantity_range, n_rows FROM agg
+  UNION ALL SELECT 'price_positive', price_positive, n_rows FROM agg
+  UNION ALL SELECT 'discount_range', discount_range, n_rows FROM agg
+  UNION ALL SELECT 'returnflag_domain', returnflag_domain, n_rows FROM agg
+)
+"""
+
+
 RELATIONAL_QUERIES = {
     "daily_orders": daily_orders,
     "monthly_orders_lag": monthly_orders_lag,
@@ -606,6 +668,7 @@ RELATIONAL_QUERIES = {
     "silver_cleanse": silver_cleanse,
     "top_parts_per_brand": top_parts_per_brand,
     "valid_orders_filter": valid_orders_filter,
+    "dq_violation_summary": dq_violation_summary,
 }
 
 RELATIONAL_ORACLES = {
@@ -619,4 +682,5 @@ RELATIONAL_ORACLES = {
     "silver_cleanse": SILVER_CLEANSE_SQL,
     "top_parts_per_brand": TOP_PARTS_PER_BRAND_SQL,
     "valid_orders_filter": VALID_ORDERS_FILTER_SQL,
+    "dq_violation_summary": DQ_VIOLATION_SUMMARY_SQL,
 }

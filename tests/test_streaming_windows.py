@@ -10,6 +10,7 @@ watermark closes all windows).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from olist_lakehouse_2_0_spark.catalog import load
 from olist_lakehouse_2_0_spark.streaming.windows import (
@@ -87,3 +88,25 @@ def test_session_stream_matches_batch(spark, events_dir, tmp_path):
     max_end = max(r[2] for r in got_rows)  # session_end
     exp_rows = [r for r in _rows(expected) if r[2] <= max_end]
     assert got_rows == exp_rows
+
+
+def test_sketch_profile_accuracy(spark):
+    """Approx sketches must land within tolerance of exact answers."""
+    from olist_lakehouse_2_0_spark.queries.event_queries import (
+        events_sketch_profile,
+    )
+
+    got = {r.event_type: r for r in events_sketch_profile(spark, SF).collect()}
+    exact = {
+        r.event_type: r
+        for r in load(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for t, e in exact.items():
+        assert abs(got[t].approx_users - e.users) <= max(2, 0.05 * e.users)
+        assert abs(got[t].value_p50_p95[0] - e.p50) <= 0.05 * max(1.0, e.p50)
