@@ -14,6 +14,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -27,8 +29,19 @@ def main() -> None:
     queries = all_queries()
     timings: dict[str, float] = {}
     # Warm the JVM + parquet footer caches with one tiny action so the
-    # first measured query doesn't pay session startup.
+    # first measured query doesn't pay session startup, and spin up the
+    # Python/Arrow worker pool so the first pandas-UDF query doesn't
+    # absorb one-time worker launches.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(0, 1000, 1, 32).select(_warm(col("id"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     for name, fn in sorted(queries.items()):
         start = time.perf_counter()
@@ -39,6 +52,9 @@ def main() -> None:
         # aggregate over all columns instead).
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
+        # Drop any blocks a query persisted so later queries are timed
+        # in isolation (the persist cost itself is inside the timing).
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

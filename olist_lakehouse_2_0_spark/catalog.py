@@ -88,18 +88,43 @@ def testdata_catalog(sf_dir: str) -> Catalog:
     return cat
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Shorthand: read one driver testdata table as a DataFrame.
 
     ``events.parquet`` is written with TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects; it is read via the nanosAsLong legacy
     flag and converted back to a (microsecond) timestamp — lossless for
     this data, whose sub-microsecond component is always zero.
+
+    ``spread=True`` requests :func:`spread_scan` — use it when the
+    consumer does heavy per-row compute directly on the scan output.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        return _load_nanos_ts(spark, path, "ts")
-    return spark.read.parquet(path)
+        df = _load_nanos_ts(spark, path, "ts")
+    else:
+        df = spark.read.parquet(path)
+    return spread_scan(spark, df) if spread else df
+
+
+def spread_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out across all cores before per-row-heavy work.
+
+    Parquet split granularity is the row group: a table stored as few
+    files with one row group each scans as that many partitions no
+    matter what ``maxPartitionBytes`` says, pinning any expensive
+    per-row compute (HOF text stats, LSH signatures, Pandas-UDF codecs)
+    to a handful of cores. When the file count is below the cluster's
+    default parallelism, round-robin repartition; at real scale (many
+    files / row groups) this is a driver-side check and a no-op, so no
+    shuffle is added on large inputs.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) < target:
+        return df.repartition(target)
+    return df
 
 
 def _load_nanos_ts(spark: SparkSession, path: str, ts_col: str) -> DataFrame:

@@ -16,6 +16,8 @@ MinHash pipelines drop stop-shingles.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -332,67 +334,65 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup via random-hyperplane LSH: bucket =
     sign-bit string over ``planes`` fixed pseudo-random hyperplanes;
-    verify cosine only within buckets. Deterministic: hyperplane
-    components derive from xxhash64(seed, plane, dim) — no RNG state,
-    reproducible across runs/executors.
+    verify cosine only within buckets.
+
+    The hyperplane matrix is generated on the driver from
+    ``random.Random(seed)`` (deterministic, reproducible across
+    runs/executors) and closed over by an Arrow-batched pandas UDF:
+    bucketing is one numpy matmul per batch ((rows × dim) @ (dim ×
+    planes) → sign bits), ~100× faster than per-element higher-order
+    functions, and embarrassingly parallel across partitions. The
+    bucket equi-join + cosine verify never materialize the O(n²) pair
+    space.
 
     Recall note: single-table hyperplane LSH misses near-dups straddling
     a plane; production settings use multiple tables (call with
     different seeds and union) — same primitive, unioned candidates.
     """
-    dim = F.size(F.col(vec_col))
-    dot = lambda u, v: F.aggregate(  # noqa: E731
-        F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    import random
+
+    from pyspark.sql.functions import pandas_udf
+
+    rnd = random.Random(seed)
+    dim = len(df.select(vec_col).first()[0])
+    plane_mat = np.array(
+        [[rnd.uniform(-1.0, 1.0) for _ in range(planes)] for _ in range(dim)]
     )
+    weights = np.array([1 << p for p in range(planes)], dtype=np.int64)
 
-    def plane(p: int) -> Column:
-        # Pseudo-random hyperplane component in [-1, 1], derived from
-        # xxhash64(seed, plane, dim index): stateless + reproducible.
-        return F.transform(
-            F.sequence(F.lit(0), dim - 1),
-            lambda d: (
-                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(2001)).cast("double")
-                - 1000.0
-            )
-            / 1000.0,
-        )
+    @pandas_udf("bigint")
+    def bucket_of(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # rows × dim
+        bits = (m @ plane_mat) > 0.0  # rows × planes
+        return pd.Series(bits @ weights)
 
-    sig: Column = F.lit(0).cast("long")
-    for p in range(planes):
-        bit = F.when(
-            dot(plane(p), F.col(vec_col)) > 0,
-            F.shiftleft(F.lit(1).cast("long"), p),
-        ).otherwise(F.lit(0).cast("long"))
-        sig = sig.bitwiseOR(bit)
-    norm = F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+    @pandas_udf("double")
+    def cosine_of(u: pd.Series, v: pd.Series) -> pd.Series:
+        a = np.stack(u.to_numpy()).astype(np.float64)
+        b = np.stack(v.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(den == 0.0, np.nan, num / den)
+        return pd.Series(out)
+
+    # Both self-join sides read the bucketed table; persist so the
+    # pandas-UDF bucketing pass runs once, not once per side.
     bucketed = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
-        norm.alias("__norm"),
-        sig.alias("__bucket"),
-    )
+        bucket_of(F.col(vec_col)).alias("__bucket"),
+    ).persist()
     a = bucketed.select(
-        F.col("__id").alias("id_a"),
-        F.col("__vec").alias("__vec_a"),
-        F.col("__norm").alias("__norm_a"),
-        "__bucket",
+        F.col("__id").alias("id_a"), F.col("__vec").alias("__vec_a"), "__bucket"
     )
     b = bucketed.select(
-        F.col("__id").alias("id_b"),
-        F.col("__vec").alias("__vec_b"),
-        F.col("__norm").alias("__norm_b"),
-        "__bucket",
+        F.col("__id").alias("id_b"), F.col("__vec").alias("__vec_b"), "__bucket"
     )
     return (
         a.join(b, "__bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            dot(F.col("__vec_a"), F.col("__vec_b"))
-            / F.nullif(F.col("__norm_a") * F.col("__norm_b"), F.lit(0.0)),
-        )
+        .withColumn("cosine", cosine_of(F.col("__vec_a"), F.col("__vec_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -30,7 +30,7 @@ EVENT_SPEC = ChangeSpec(
 
 
 def _as_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load(spark, sf_dir, "events")
+    events = load(spark, sf_dir, "events", spread=True)
     op = (
         F.when(F.col("event_type") == "signup", "INSERT")
         .when(F.col("event_type") == "error", "DELETE")

@@ -31,7 +31,7 @@ from olist_lakehouse_2_0_spark.streaming.windows import (
 def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows per event_type (count / distinct users /
     exact-decimal value sum)."""
-    return tumbling_window_agg(load(spark, sf_dir, "events"), duration="1 hour")
+    return tumbling_window_agg(load(spark, sf_dir, "events", spread=True), duration="1 hour")
 
 
 EVENTS_HOURLY_SQL = """
@@ -50,7 +50,7 @@ def events_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1-hour windows hopping every 30 minutes: each event
     contributes to exactly 2 windows."""
     return sliding_window_agg(
-        load(spark, sf_dir, "events"), duration="1 hour", slide="30 minutes"
+        load(spark, sf_dir, "events", spread=True), duration="1 hour", slide="30 minutes"
     )
 
 
@@ -78,7 +78,7 @@ GROUP BY ws, event_type
 def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user gap-based sessions (30-min inactivity gap) via Spark's
     native ``session_window`` stateful operator."""
-    return sessionize(load(spark, sf_dir, "events"), gap="30 minutes")
+    return sessionize(load(spark, sf_dir, "events", spread=True), gap="30 minutes")
 
 
 # Oracle re-derives the same sessions with the lag + running-sum window
@@ -112,7 +112,7 @@ GROUP BY user_id, sess_id
 def events_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction (JVM ``get_json_object``, no UDF) +
     per-type aggregate over the extracted integer field."""
-    events = extract_json_props(load(spark, sf_dir, "events"), field="k")
+    events = extract_json_props(load(spark, sf_dir, "events", spread=True), field="k")
     return events.groupBy("event_type").agg(
         F.count("props_k").alias("n_with_k"),
         F.min("props_k").alias("min_k"),
@@ -138,7 +138,7 @@ def events_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation, one shuffle on user_id)."""
     from olist_lakehouse_2_0_spark.operators.asof import asof_join
 
-    events = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    events = load(spark, sf_dir, "events", spread=True).filter(F.col("ts").isNotNull())
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
@@ -170,7 +170,7 @@ def events_error_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter — linear shuffle, never a per-key cross product."""
     from olist_lakehouse_2_0_spark.operators.asof import interval_join
 
-    events = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    events = load(spark, sf_dir, "events", spread=True).filter(F.col("ts").isNotNull())
     clicks = events.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
@@ -199,7 +199,7 @@ def events_user_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (§2.7 extension — the reference uses none, Spark
     provides them): purchasing users who also hit errors, minus users
     who ever signed up."""
-    events = load(spark, sf_dir, "events")
+    events = load(spark, sf_dir, "events", spread=True)
 
     def users_of(t: str) -> DataFrame:
         return events.filter(F.col("event_type") == t).select("user_id").distinct()
@@ -228,7 +228,7 @@ def events_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantiles. At 100 TB these replace exact COUNT(DISTINCT)/percentile
     where a 2% error is acceptable — sketches merge map-side, so the
     shuffle carries kilobytes per group instead of all distinct values."""
-    events = load(spark, sf_dir, "events")
+    events = load(spark, sf_dir, "events", spread=True)
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),

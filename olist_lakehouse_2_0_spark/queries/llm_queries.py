@@ -38,7 +38,7 @@ from olist_lakehouse_2_0_spark.operators.similarity import cosine_topk, ivf_topk
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -138,7 +138,7 @@ GROUP BY source, lang
 
 def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level token frequency top-20 (vocabulary analytics)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     from pyspark.sql import Window as W
 
     counts = (
@@ -190,7 +190,7 @@ def _with_duplicates(docs: DataFrame) -> DataFrame:
 def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keeps the lowest doc_id per normalized-text group:
     the constructed copies (id+1e6, padded whitespace) all collapse."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     deduped = exact_dedup(_with_duplicates(docs), "doc_id", "text")
     return deduped.select("doc_id", "lang", "source", "n_chars")
 
@@ -288,7 +288,7 @@ def fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: the groupBy key is 8 bytes regardless of document size,
     so the shuffle moves fingerprints, not documents."""
-    docs = _with_duplicates(load(spark, sf_dir, "documents"))
+    docs = _with_duplicates(load(spark, sf_dir, "documents", spread=True))
     return (
         docs.groupBy(ops_text.fingerprint("text").alias("fp"))
         .agg(
@@ -332,7 +332,7 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for a deterministic query subset (vec_id % 50
     == 0) against the full corpus. Dot products fold sequentially in
     double precision — bit-identical to the DuckDB oracle."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -376,7 +376,7 @@ SELECT query_id, corpus_id, CAST(cosine AS DECIMAL(12,6)) AS cosine, rank FROM (
 def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 (rows-only: centroid assignment is
     hash-sampled; unit tests measure recall vs brute force)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -390,7 +390,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The raw corpus is random near-orthogonal unit vectors with no true
     near-dups, so offset-id exact copies are planted — every planted
     pair shares all hyperplane buckets and must be recovered."""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
     copies = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
     return embedding_neardup_pairs(
         emb.unionByName(copies), "vec_id", "embedding", threshold=0.999
@@ -406,7 +406,7 @@ def image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload pipeline: synthesize FIMG payloads, parse headers
     back via Arrow-batched mapInPandas. The payload layout is
     deterministic, so the metadata is SQL-expressible for the oracle."""
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id")
     with_payload = synthesize_image_column(docs, "doc_id")
     with_meta = extract_image_metadata(with_payload)
     return with_meta.select(
@@ -434,7 +434,7 @@ def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize pipeline stage over the synthesized binary column: the
     mapInPandas batch contract of a real resizer (stubbed codec seam),
     with deterministic post-resize metadata for the oracle."""
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id")
     resized = resize_images(synthesize_image_column(docs, "doc_id"), target=(224, 224))
     return resized.select("doc_id", "resized_width", "resized_height")
 
@@ -448,7 +448,7 @@ FROM documents
 def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: each (stub) video payload row explodes
     into n_frames (row, frame_index) rows."""
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id")
     with_video = synthesize_image_column(docs, "doc_id", payload_col="video")
     frames = sample_frames(with_video, "doc_id", n_frames=4)
     return frames.select("doc_id", "frame_index")

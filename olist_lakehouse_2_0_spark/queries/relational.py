@@ -42,7 +42,7 @@ def _money_sum(col, alias: str):
 # src/pipelines/gold/daily_orders.sql:20-66)
 # ---------------------------------------------------------------------------
 def daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders", spread=True)
     finished = F.count(F.when(F.col("o_orderstatus") == "F", 1))
     return (
         orders.filter(F.col("o_orderdate").isNotNull())
@@ -89,7 +89,7 @@ GROUP BY CAST(o_orderdate AS DATE)
 # grouped rows. (reference src/pipelines/gold/monthly_orders.sql:20-56)
 # ---------------------------------------------------------------------------
 def monthly_orders_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders", spread=True)
     monthly = (
         orders.withColumn(
             "order_month", F.date_trunc("month", F.col("o_orderdate")).cast("date")
@@ -144,11 +144,11 @@ FROM monthly
 # (reference src/pipelines/gold/orders_by_state.sql:20-85)
 # ---------------------------------------------------------------------------
 def orders_by_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders", spread=True)
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
-    lineitem = load(spark, sf_dir, "lineitem")
+    lineitem = load(spark, sf_dir, "lineitem", spread=True)
 
     # J3: per-order item totals, pre-aggregated at order grain before the
     # join (reference gold/orders_by_state.sql:20-26). Shuffles lineitem
@@ -223,8 +223,8 @@ GROUP BY 1, 2
 # (reference src/pipelines/silver/orders_enriched.sql:15-102)
 # ---------------------------------------------------------------------------
 def orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
-    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders", spread=True)
+    lineitem = load(spark, sf_dir, "lineitem", spread=True)
 
     items = lineitem.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("item_count"),
@@ -314,8 +314,8 @@ LEFT JOIN flags ON o_orderkey = flags.l_orderkey
 # (reference src/pipelines/gold/seller_performance.sql:20-58)
 # ---------------------------------------------------------------------------
 def seller_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = load(spark, sf_dir, "lineitem")
-    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem", spread=True)
+    orders = load(spark, sf_dir, "orders", spread=True)
     supplier = load(spark, sf_dir, "supplier")
 
     joined = lineitem.join(
@@ -364,8 +364,8 @@ GROUP BY s_name
 # (reference src/pipelines/gold/category_performance.sql:20-61)
 # ---------------------------------------------------------------------------
 def category_performance_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = load(spark, sf_dir, "lineitem")
-    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem", spread=True)
+    orders = load(spark, sf_dir, "orders", spread=True)
     part = load(spark, sf_dir, "part")
 
     monthly = (
@@ -519,7 +519,7 @@ FROM customer
 # via row_number window, the pattern AUTO CDC dedup builds on (§2.5 note).
 # ---------------------------------------------------------------------------
 def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = load(spark, sf_dir, "lineitem")
+    lineitem = load(spark, sf_dir, "lineitem", spread=True)
     part = load(spark, sf_dir, "part")
     part_rev = (
         lineitem.join(
@@ -564,7 +564,7 @@ WHERE rnk <= 3
 # operators/expectations.py).
 # ---------------------------------------------------------------------------
 def valid_orders_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders", spread=True)
     return orders.filter(
         F.col("o_orderkey").isNotNull()
         & F.col("o_custkey").isNotNull()
@@ -603,7 +603,7 @@ WHERE o_orderkey IS NOT NULL
 # this is the batch profiling twin.
 # ---------------------------------------------------------------------------
 def dq_violation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", spread=True)
     rules = {
         "orderkey_not_null": F.col("l_orderkey").isNotNull(),
         "quantity_range": F.col("l_quantity").between(1, 50),
