@@ -236,6 +236,38 @@ def events_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_user_profile_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): the
+    events table replayed through an availableNow streaming query that
+    maintains a per-user running profile — event count, value total,
+    session count by 30-minute inactivity gap, last-seen timestamp —
+    in partitioned executor state. The oracle recomputes the same
+    profile relationally (LAG-gap session counting), so this checks the
+    stateful path end-to-end against batch SQL semantics."""
+    from olist_lakehouse_2_0_spark.streaming.stateful import (
+        run_profile_availablenow,
+    )
+
+    return run_profile_availablenow(spark, sf_dir, gap_minutes=30)
+
+
+EVENTS_USER_PROFILE_STATEFUL_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       SUM(value) AS total_value,
+       COUNT(CASE WHEN prev_ts IS NULL
+                    OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 END) AS n_sessions,
+       MAX(ts) AS last_ts
+FROM ordered
+GROUP BY user_id
+"""
+
+
 EVENT_QUERIES = {
     "events_hourly_by_type": events_hourly_by_type,
     "events_sliding_halfhour": events_sliding_halfhour,
@@ -245,9 +277,11 @@ EVENT_QUERIES = {
     "events_error_after_click": events_error_after_click,
     "events_user_setops": events_user_setops,
     "events_sketch_profile": events_sketch_profile,
+    "events_user_profile_stateful": events_user_profile_stateful,
 }
 
 EVENT_ORACLES = {
+    "events_user_profile_stateful": EVENTS_USER_PROFILE_STATEFUL_SQL,
     "events_hourly_by_type": EVENTS_HOURLY_SQL,
     "events_sliding_halfhour": EVENTS_SLIDING_SQL,
     "events_sessionized": EVENTS_SESSIONS_SQL,

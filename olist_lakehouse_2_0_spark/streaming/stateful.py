@@ -1,0 +1,164 @@
+"""Custom stateful streaming operator built on
+``applyInPandasWithState``: a per-user running profile (event count,
+value total, session count by inactivity gap, last-seen timestamp) that
+no built-in aggregation expresses — session counting needs ordered
+per-key iteration with state carried across micro-batches.
+
+Beyond-reference surface: the reference's only stream notion is
+incremental file ingestion (SURVEY.md §2.9, reference
+docs/ARCHITECTURE.md:227-232); this is the "custom stateful operator"
+slot of a complete engine's streaming toolkit.
+
+Scale notes (100 TB design):
+- State is partitioned by user_id across executors by the streaming
+  state store — per-key state is 4 scalars (32 bytes), so 1e9 users is
+  ~32 GB cluster-wide, well inside RocksDB state-store territory.
+- Each micro-batch shuffles only that batch's events on user_id; the
+  pandas function sees one key group at a time (Arrow-batched).
+- In production the operator would pair with a watermark-driven
+  ``GroupStateTimeout.EventTimeTimeout`` to retire idle users; the
+  profile itself never grows.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import TYPE_CHECKING, Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:  # pragma: no cover
+    pass
+
+#: Output schema of the running profile rows emitted each micro-batch.
+PROFILE_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, "
+    "n_sessions bigint, last_ts timestamp"
+)
+#: Persistent per-key state: (n_events, total_value, n_sessions,
+#: last_seen_epoch_us).
+STATE_SCHEMA = "n_events bigint, total_value double, n_sessions bigint, last_us bigint"
+
+_US_PER_MIN = 60_000_000
+
+
+def _make_update(gap_minutes: int):
+    gap_us = gap_minutes * _US_PER_MIN
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            n_events, total_value, n_sessions, last_us = state.get
+        else:
+            n_events, total_value, n_sessions, last_us = 0, 0.0, 0, None
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+            n_events += len(pdf)
+            total_value += float(pdf["value"].sum())
+            for t in ts_us:
+                if last_us is None or t - last_us > gap_us:
+                    n_sessions += 1
+                last_us = int(t)
+        state.update((n_events, total_value, n_sessions, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n_events],
+                "total_value": [total_value],
+                "n_sessions": [n_sessions],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    return update
+
+
+def user_running_profile(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Apply the stateful per-user profile over a streaming (or batch
+    test) events DataFrame with columns (ts, user_id, value).
+
+    Emits one updated profile row per user per micro-batch
+    (``outputMode="update"``); pair with ``foreachBatch`` or an
+    update-capable sink.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_update(gap_minutes),
+        PROFILE_SCHEMA,
+        STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the driver's single-file events table.
+
+    The file stores TIMESTAMP(NANOS); the stream reads it as long via
+    the nanosAsLong legacy flag (same handling as the batch loader,
+    ``catalog._load_nanos_ts``) and converts to microsecond timestamps.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.set(key, "true")
+    schema = spark.read.parquet(path).schema
+    # The file stream source only accepts directories; stage a symlink
+    # to the single events file inside a temp landing dir (zero-copy —
+    # this mirrors how files would land incrementally in production).
+    landing = tempfile.mkdtemp(prefix="events_stream_src_")
+    os.symlink(path, os.path.join(landing, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(landing)
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_profile_availablenow(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Run the stateful profile over the events table as an
+    ``availableNow`` streaming query (exactly-once over the current
+    files, then stop) and return the final per-user profile.
+
+    ``foreachBatch`` appends each micro-batch's updated rows with a
+    batch id; the returned DataFrame keeps only each user's latest
+    update, so the result is identical whether the source fed one batch
+    or many.
+    """
+    out_root = tempfile.mkdtemp(prefix="stateful_profile_")
+    data_dir = os.path.join(out_root, "data")
+    ckpt_dir = os.path.join(out_root, "ckpt")
+
+    profile = user_running_profile(read_events_stream(spark, sf_dir), gap_minutes)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("_batch", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(data_dir)
+
+    q = (
+        profile.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from pyspark.sql import Window as W
+
+    rows = spark.read.parquet(data_dir)
+    w = W.partitionBy("user_id").orderBy(F.desc("_batch"))
+    return (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "total_value", "n_sessions", "last_ts")
+    )
