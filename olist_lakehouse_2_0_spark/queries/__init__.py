@@ -11,6 +11,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from olist_lakehouse_2_0_spark.queries.analytics import (
+    ANALYTICS_ORACLES,
+    ANALYTICS_QUERIES,
+)
 from olist_lakehouse_2_0_spark.queries.cdc_queries import (
     CDC_ORACLES,
     CDC_QUERIES,
@@ -38,6 +42,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def all_queries() -> dict[str, QueryFn]:
     queries: dict[str, QueryFn] = {}
     queries.update(RELATIONAL_QUERIES)
+    queries.update(ANALYTICS_QUERIES)
     queries.update(GOVERNANCE_QUERIES)
     queries.update(CDC_QUERIES)
     queries.update(LLM_QUERIES)
@@ -48,6 +53,7 @@ def all_queries() -> dict[str, QueryFn]:
 def all_oracles() -> dict[str, str]:
     oracles: dict[str, str] = {}
     oracles.update(RELATIONAL_ORACLES)
+    oracles.update(ANALYTICS_ORACLES)
     oracles.update(GOVERNANCE_ORACLES)
     oracles.update(CDC_ORACLES)
     oracles.update(LLM_ORACLES)

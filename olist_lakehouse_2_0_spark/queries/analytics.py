@@ -1,0 +1,252 @@
+"""Warehouse-analytics query shapes beyond the reference's gold layer:
+deep broadcast-dimension join chains, scan-heavy filtered aggregation,
+semi/anti joins, and ROLLUP subtotals.
+
+The reference's joins are all single-key equi-joins (SURVEY.md §2.3)
+and its aggregations plain GROUP BYs (§2.4); a complete engine also
+needs the classic decision-support plan shapes below. Expressed over
+the driver's TPC-H-ish testdata with DuckDB oracle twins.
+
+Scale notes (100 TB design):
+- ``pricing_summary`` is one scan + one 4-group aggregate: the filter
+  and the 7-column projection reach the parquet reader (PushedFilters /
+  ReadSchema), partial aggregation collapses each task to <10 rows, so
+  shuffle volume is bytes, not rows.
+- ``revenue_by_nation`` joins the fact table against a cascade of
+  broadcast dimensions (region -> nation -> customer); only
+  orders⋈lineitem shuffles, on the join key both sides already share.
+- Semi/anti joins ship only the key column of the probe side and stop
+  at first match — never materializing the join fan-out.
+- ROLLUP computes all grouping sets in one shuffle (Spark expands
+  grouping sets map-side), not one pass per level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olist_lakehouse_2_0_spark.catalog import load
+from olist_lakehouse_2_0_spark.queries.relational import AVG6, MONEY, MONEY_SUM
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 shape: scan-heavy filtered aggregation with derived measures.
+# ---------------------------------------------------------------------------
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: per (returnflag, linestatus) totals over
+    all items shipped before the cutoff. Disc price / charge are
+    computed per row inside the scan projection; every aggregate is
+    map-side combinable."""
+    li = load(spark, sf_dir, "lineitem", spread=True)
+    cutoff = "1998-12-01"
+    base = li.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        base.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       SUM(l_extendedprice) AS sum_base_price,
+       SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+       AVG(l_quantity) AS avg_qty,
+       AVG(l_extendedprice) AS avg_price,
+       AVG(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: fact table against a broadcast-dimension cascade.
+# ---------------------------------------------------------------------------
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per customer nation within one region and order-date
+    year: region -> nation -> customer collapse to one small broadcast
+    dimension before touching the fact side, so the only shuffle is
+    orders⋈lineitem on the order key."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders", spread=True)
+    lineitem = load(spark, sf_dir, "lineitem", spread=True)
+
+    dims = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    year_orders = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    revenue = F.col("l_extendedprice").cast(MONEY) * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        lineitem.join(
+            year_orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(revenue).cast(MONEY_SUM).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name AS nation,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,2)) AS revenue,
+       COUNT(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi join: orders from a customer segment (EXISTS), fan-out-free.
+# ---------------------------------------------------------------------------
+def orders_building_segment_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose customer is in the BUILDING market segment, via
+    left-semi join: the probe side ships only c_custkey and the output
+    never duplicates orders regardless of the dimension's cardinality."""
+    orders = load(spark, sf_dir, "orders", spread=True)
+    customer = load(spark, sf_dir, "customer")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return orders.join(F.broadcast(building), "o_custkey", "left_semi").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast(MONEY).alias("total_price"),
+    )
+
+
+ORDERS_BUILDING_SEGMENT_SEMI_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DECIMAL(12,2)) AS total_price
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Anti join: customers with no recent orders (NOT EXISTS).
+# ---------------------------------------------------------------------------
+def customers_inactive_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders on/after 2001-01-01, via left-anti
+    join — the churn-list shape. The recent-orders side reduces to a
+    distinct key set before broadcasting."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders", spread=True)
+    recent = (
+        orders.filter(
+            F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return customer.join(recent, "c_custkey", "left_anti").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.col("c_acctbal").cast(MONEY).alias("acctbal"),
+    )
+
+
+CUSTOMERS_INACTIVE_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment,
+       CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP: multi-level subtotals in one shuffle.
+# ---------------------------------------------------------------------------
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts/revenue by (year, status) with ROLLUP subtotals:
+    per-(year, status), per-year, and grand total in a single pass —
+    Spark expands the grouping sets map-side, one shuffle total."""
+    orders = load(spark, sf_dir, "orders", spread=True)
+    base = orders.select(
+        F.year("o_orderdate").alias("order_year"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast(MONEY).alias("price"),
+    )
+    return base.rollup("order_year", "status").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").cast(MONEY_SUM).alias("revenue"),
+        F.avg("price").cast(AVG6).alias("avg_order_value"),
+    )
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT YEAR(o_orderdate) AS order_year,
+       o_orderstatus AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue,
+       CAST(AVG(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,6)) AS avg_order_value
+FROM orders
+GROUP BY ROLLUP (YEAR(o_orderdate), o_orderstatus)
+"""
+
+
+ANALYTICS_QUERIES = {
+    "pricing_summary": pricing_summary,
+    "revenue_by_nation": revenue_by_nation,
+    "orders_building_segment_semi": orders_building_segment_semi,
+    "customers_inactive_anti": customers_inactive_anti,
+    "orders_rollup": orders_rollup,
+}
+
+ANALYTICS_ORACLES = {
+    "pricing_summary": PRICING_SUMMARY_SQL,
+    "revenue_by_nation": REVENUE_BY_NATION_SQL,
+    "orders_building_segment_semi": ORDERS_BUILDING_SEGMENT_SEMI_SQL,
+    "customers_inactive_anti": CUSTOMERS_INACTIVE_ANTI_SQL,
+    "orders_rollup": ORDERS_ROLLUP_SQL,
+}
