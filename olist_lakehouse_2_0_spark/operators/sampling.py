@@ -1,0 +1,80 @@
+"""Deterministic hash-based sampling / splitting for training-data
+pipelines: train/val/test assignment, per-source mixture sampling, and
+sequence-length bucketing.
+
+Beyond-reference surface (BASELINE.json north star). Everything here is
+keyed on ``md5(key)`` prefixes — a pure, engine-portable function — so:
+- assignment is **stable**: a document keeps its split across runs,
+  re-partitions, and cluster sizes (no RNG state, no seed plumbing);
+- it is **reproducible in any engine** (the DuckDB oracles hash-match);
+- it is **shuffle-free**: a narrow per-row projection, no sampling
+  shuffle, no driver coordination — the 100 TB path is exactly the
+  local path.
+
+The hex-prefix comparison trick: ``substr(md5(k), 1, 4)`` is uniform
+over 65536 buckets; comparing against a precomputed hex threshold
+string selects any rate with 1/65536 granularity without hex→int
+conversion (portable across engines that disagree on hex parsing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Number of hash buckets a 4-hex-char prefix yields.
+HEX4_BUCKETS = 16**4
+
+
+def hex4_threshold(rate: float) -> str:
+    """4-char lowercase hex threshold selecting ~``rate`` of keys via
+    ``substr(md5(key), 1, 4) < threshold``."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(min(int(rate * HEX4_BUCKETS), HEX4_BUCKETS), "05x")[-4:] if rate < 1.0 else "g"
+
+
+def _hex4(key: Column) -> Column:
+    return F.substring(F.md5(key.cast("string")), 1, 4)
+
+
+def split_assignment(
+    key: Column, train: float = 0.8, val: float = 0.1
+) -> Column:
+    """Stable train/val/test label from the md5 prefix of ``key``.
+
+    Buckets: [0, train) -> 'train', [train, train+val) -> 'val',
+    rest -> 'test'. Test share is the remainder.
+    """
+    h = _hex4(key)
+    t_train = hex4_threshold(train)
+    t_val = hex4_threshold(train + val)
+    return (
+        F.when(h < F.lit(t_train), F.lit("train"))
+        .when(h < F.lit(t_val), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def sample_by_rate(
+    df: DataFrame, key_col: str, rate: float
+) -> DataFrame:
+    """Deterministic ~``rate`` sample: keep rows whose md5 prefix falls
+    under the rate threshold. Same rows survive on every run/engine."""
+    return df.filter(_hex4(F.col(key_col)) < F.lit(hex4_threshold(rate)))
+
+
+def mixture_sample(
+    df: DataFrame, key_col: str, group_col: str, rates: dict[str, float]
+) -> DataFrame:
+    """Per-group deterministic sampling — the data-mixture primitive:
+    each group (e.g. source/domain) keeps its own configured fraction.
+    Groups absent from ``rates`` are dropped (rate 0). The rate map
+    becomes a literal CASE expression: no join, no shuffle."""
+    h = _hex4(F.col(key_col))
+    keep = F.lit(False)
+    for group, rate in rates.items():
+        keep = keep | (
+            (F.col(group_col) == group) & (h < F.lit(hex4_threshold(rate)))
+        )
+    return df.filter(keep)

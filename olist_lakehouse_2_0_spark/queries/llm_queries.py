@@ -460,6 +460,104 @@ FROM documents, UNNEST([0, 1, 2, 3]) AS t(f)
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splitting (md5-prefix based; fully oracled)
+# ---------------------------------------------------------------------------
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 80/10/10 train/val/test assignment from md5(doc_id):
+    shuffle-free, rerun-stable, engine-portable. Returns per-split
+    document counts and token totals."""
+    from olist_lakehouse_2_0_spark.operators.sampling import split_assignment
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return (
+        docs.select(
+            split_assignment(F.col("doc_id")).alias("split"),
+            ops_text.token_count("text").alias("n_tokens"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+DATASET_SPLIT_SQL = """
+WITH assigned AS (
+  SELECT CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+              WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+              ELSE 'test' END AS split,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+FROM assigned
+GROUP BY split
+"""
+
+
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling: each source keeps its configured fraction
+    (web 50%, books 100%, code 25%), selected by md5 prefix — no join,
+    no shuffle, rerun-stable. Returns the surviving documents."""
+    from olist_lakehouse_2_0_spark.operators.sampling import mixture_sample
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    rates = {"web": 0.5, "books": 1.0, "code": 0.25}
+    kept = mixture_sample(docs, "doc_id", "source", rates)
+    return kept.select("doc_id", "source", "lang", "n_chars")
+
+
+SOURCE_MIXTURE_SAMPLE_SQL = """
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE (source = 'web'   AND SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+   OR (source = 'books' AND SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < 'g')
+   OR (source = 'code'  AND SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
+"""
+
+
+def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing (64-token buckets): the packing
+    pre-pass of a training pipeline — bucket histogram plus per-bucket
+    token mass."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    n_tokens = ops_text.token_count("text")
+    return (
+        docs.select(
+            F.floor(n_tokens / 64).cast("bigint").alias("length_bucket"),
+            n_tokens.alias("n_tokens"),
+        )
+        .groupBy("length_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+DOC_LENGTH_BUCKETS_SQL = """
+WITH toks AS (
+  SELECT CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT CAST(FLOOR(n_tokens / 64) AS BIGINT) AS length_bucket,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens
+FROM toks
+GROUP BY 1
+"""
+
+
 LLM_QUERIES = {
     "text_stats": text_stats,
     "doc_quality_by_source": doc_quality_by_source,
@@ -476,6 +574,9 @@ LLM_QUERIES = {
     "winnow_overlap": winnow_overlap,
     "image_resize": image_resize,
     "video_frame_sample": video_frame_sample,
+    "dataset_split": dataset_split,
+    "source_mixture_sample": source_mixture_sample,
+    "doc_length_buckets": doc_length_buckets,
 }
 
 LLM_ORACLES = {
@@ -489,4 +590,7 @@ LLM_ORACLES = {
     "fingerprint_dups": FINGERPRINT_DUPS_SQL,
     "image_resize": IMAGE_RESIZE_SQL,
     "video_frame_sample": VIDEO_FRAME_SAMPLE_SQL,
+    "dataset_split": DATASET_SPLIT_SQL,
+    "source_mixture_sample": SOURCE_MIXTURE_SAMPLE_SQL,
+    "doc_length_buckets": DOC_LENGTH_BUCKETS_SQL,
 }

@@ -1,0 +1,67 @@
+"""Tests for deterministic hash-based sampling/splitting operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_lakehouse_2_0_spark.operators.sampling import (
+    hex4_threshold,
+    mixture_sample,
+    sample_by_rate,
+    split_assignment,
+)
+
+
+def test_hex4_threshold_values():
+    assert hex4_threshold(0.8) == "cccc"
+    assert hex4_threshold(0.5) == "8000"
+    assert hex4_threshold(0.25) == "4000"
+    assert hex4_threshold(0.0) == "0000"
+    assert hex4_threshold(1.0) > "ffff"  # selects everything
+    with pytest.raises(ValueError):
+        hex4_threshold(1.5)
+
+
+def test_split_rates_and_stability(spark):
+    df = spark.range(0, 20000).select(F.col("id").alias("k"))
+    labeled = df.select("k", split_assignment(F.col("k")).alias("split"))
+    counts = {r["split"]: r["n"] for r in labeled.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = 20000
+    assert counts["train"] / n == pytest.approx(0.8, abs=0.02)
+    assert counts["val"] / n == pytest.approx(0.1, abs=0.01)
+    assert counts["test"] / n == pytest.approx(0.1, abs=0.01)
+    # Stability: same assignment on re-evaluation and under repartition.
+    again = (
+        df.repartition(7)
+        .select("k", split_assignment(F.col("k")).alias("split2"))
+    )
+    joined = labeled.join(again, "k")
+    assert joined.filter(F.col("split") != F.col("split2")).count() == 0
+
+
+def test_sample_by_rate_is_subset_and_sized(spark):
+    df = spark.range(0, 10000).select(F.col("id").alias("k"))
+    s50 = sample_by_rate(df, "k", 0.5)
+    s25 = sample_by_rate(df, "k", 0.25)
+    n50, n25 = s50.count(), s25.count()
+    assert n50 / 10000 == pytest.approx(0.5, abs=0.03)
+    assert n25 / 10000 == pytest.approx(0.25, abs=0.03)
+    # Nested property: the 25% sample is a subset of the 50% sample
+    # (same hash, lower threshold) — enables consistent sub-sampling.
+    assert s25.join(s50, "k", "left_anti").count() == 0
+
+
+def test_mixture_sample_rates_per_group(spark):
+    rows = [(i, "web" if i % 2 == 0 else "books") for i in range(10000)]
+    df = spark.createDataFrame(rows, "k long, source string")
+    kept = mixture_sample(df, "k", "source", {"web": 0.3, "books": 1.0})
+    by_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_src["books"] == 5000  # rate 1.0 keeps all
+    assert by_src["web"] / 5000 == pytest.approx(0.3, abs=0.04)
+    # Unlisted groups are dropped entirely.
+    df2 = df.withColumn("source", F.lit("other"))
+    assert mixture_sample(df2, "k", "source", {"web": 0.5}).count() == 0
