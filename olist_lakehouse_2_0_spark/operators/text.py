@@ -13,6 +13,7 @@ scale linearly to 100 TB of text.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -103,6 +104,82 @@ def lang_guess(text: Column | str) -> Column:
         entries.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*entries))
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+#: Output schema of :func:`fused_text_stats`.
+FUSED_STATS_SCHEMA = (
+    "struct<n_tokens:int, stopword_ratio:double, mean_token_len:double, "
+    "quality_score:double, lang_guess:string>"
+)
+
+
+def fused_text_stats(text: Column | str) -> Column:
+    """All per-document token statistics in ONE pass over the token
+    list, as an Arrow-batched pandas UDF.
+
+    Semantically identical to composing :func:`token_count`,
+    :func:`stopword_ratio`, :func:`mean_token_length`,
+    :func:`quality_score` and :func:`lang_guess` (the DuckDB oracle
+    hash-checks this), but those column expressions each re-tokenize
+    the document and evaluate interpreted HOF lambdas per token —
+    ~12 tokenizer passes per row. The fused path tokenizes once per
+    document in vectorized Python; on the heavy text-profiling queries
+    this measured several times faster. Tokenization quirks are
+    reproduced exactly: space-only TRIM, ``\\s+`` split with a leading
+    empty token when the trimmed text starts with non-space whitespace.
+    """
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    stop = set(EN_STOPWORDS)
+    markers = {lang: set(ms) for lang, ms in LANG_MARKERS.items()}
+    split_re = _re.compile(r"\s+")
+    punct_re = _re.compile(r"[^\w\s]")
+
+    @pandas_udf(FUSED_STATS_SCHEMA)
+    def stats_of(texts: pd.Series) -> pd.DataFrame:
+        out = {
+            "n_tokens": [],
+            "stopword_ratio": [],
+            "mean_token_len": [],
+            "quality_score": [],
+            "lang_guess": [],
+        }
+        for s in texts:
+            if s is None:
+                for k in out:
+                    out[k].append(None)
+                continue
+            trimmed = s.strip(" ")
+            toks = split_re.split(trimmed) if trimmed else []
+            n = len(toks)
+            lower = [t.lower() for t in toks]
+            sw_hits = sum(1 for t in lower if t in stop)
+            sw_ratio = sw_hits / n if n else None
+            mean_len = sum(len(t) for t in toks) / n if n else None
+            n_chars = len(s)
+            n_punct = len(punct_re.findall(s))
+            pr = n_punct / n_chars if n_chars else None
+            length_c = 0.4 if n >= 20 else (0.2 if n >= 5 else 0.0)
+            sw_c = 0.3 if (sw_ratio or 0.0) >= 0.05 and (sw_ratio or 0.0) <= 0.6 else 0.0
+            pr_c = 0.3 if (pr or 0.0) <= 0.2 else 0.0
+            votes = {
+                lang: sum(1 for t in lower if t in ms)
+                for lang, ms in markers.items()
+            }
+            best_hits, best_lang = max(
+                (h, lang) for lang, h in votes.items()
+            )
+            out["n_tokens"].append(n)
+            out["stopword_ratio"].append(sw_ratio)
+            out["mean_token_len"].append(mean_len)
+            out["quality_score"].append(length_c + sw_c + pr_c)
+            out["lang_guess"].append(best_lang if best_hits > 0 else "und")
+        return pd.DataFrame(out)
+
+    c = F.col(text) if isinstance(text, str) else text
+    return stats_of(c)
 
 
 def fingerprint(text: Column | str) -> Column:

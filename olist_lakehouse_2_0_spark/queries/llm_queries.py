@@ -38,18 +38,28 @@ from olist_lakehouse_2_0_spark.operators.similarity import cosine_topk, ivf_topk
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics via the fused single-pass pandas
+    UDF (semantically identical to the composable column operators in
+    operators/text.py — the oracle hash-checks both)."""
     docs = load(spark, sf_dir, "documents", spread=True)
     t = F.col("text")
+    stats = ops_text.fused_text_stats(t)
     return docs.select(
         "doc_id",
         "lang",
         "source",
-        ops_text.token_count(t).alias("n_tokens"),
+        stats.alias("__s"),
         F.length(t).alias("n_chars_measured"),
-        ops_text.stopword_ratio(t).alias("stopword_ratio"),
-        ops_text.mean_token_length(t).alias("mean_token_len"),
-        ops_text.quality_score(t).alias("quality_score"),
-        ops_text.lang_guess(t).alias("lang_guess"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("__s.n_tokens").alias("n_tokens"),
+        "n_chars_measured",
+        F.col("__s.stopword_ratio").alias("stopword_ratio"),
+        F.col("__s.mean_token_len").alias("mean_token_len"),
+        F.col("__s.quality_score").alias("quality_score"),
+        F.col("__s.lang_guess").alias("lang_guess"),
     )
 
 
