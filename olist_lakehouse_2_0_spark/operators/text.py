@@ -251,35 +251,56 @@ def winnow_prints(
     re-inline staged projections — under ``persist()`` this degraded to
     O(len^2) per document and hung. Rows + window functions are immune.
     """
-    from pyspark.sql import Window as W
+    import re as _re
 
-    n_grams = F.greatest(F.length("_norm") - F.lit(k - 1), F.lit(0))
-    # Repartition by doc BEFORE the gram explosion: a handful of parquet
-    # files would otherwise pin the whole per-char scan to a few cores,
-    # and the window below reuses this hash(doc) partitioning for free.
-    grams = df.repartition(F.col(id_col)).select(
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    ws_re = _re.compile(r"\s+")
+    # Polynomial rolling-hash base powers (mod 2^64 by natural uint64
+    # wraparound), finished with a splitmix64-style avalanche. The
+    # fingerprint VALUES differ from the xxhash64 HOF variant
+    # (winnow_fingerprints) — winnowing consumers only compare
+    # fingerprints to each other, never across schemes.
+    powers = (np.uint64(257) ** np.arange(k, dtype=np.uint64))[::-1].copy()
+
+    @pandas_udf("array<bigint>")
+    def prints_of(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts:
+            norm = ws_re.sub(" ", s.strip(" ").lower()) if s else ""
+            b = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8)
+            if len(b) < k:
+                out.append(np.array([], dtype=np.int64))
+                continue
+            grams = np.lib.stride_tricks.sliding_window_view(b, k).astype(
+                np.uint64
+            )
+            h = (grams * powers).sum(axis=1)
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+            if len(h) < window:
+                out.append(np.array([], dtype=np.int64))
+                continue
+            mins = np.lib.stride_tricks.sliding_window_view(h, window).min(
+                axis=1
+            )
+            out.append(np.unique(mins).view(np.int64))
+        return pd.Series(out)
+
+    # Repartition by doc first: a handful of parquet files would
+    # otherwise pin the per-char scan to a few cores. The whole
+    # winnowing computation (k-gram rolling hash, per-window minima,
+    # dedup) is ONE vectorized pandas-UDF pass per document — compared
+    # to the earlier explode + window-function formulation this removes
+    # a |doc|×|chars| row shuffle and its per-doc sort; compared to
+    # array HOFs it avoids interpreted per-element lambdas. The only
+    # shuffle left is the one the caller does on the fingerprint.
+    return df.repartition(F.col(id_col)).select(
         F.col(id_col).alias("doc"),
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias(
-            "_norm"
-        ),
-    ).select(
-        "doc",
-        F.explode(F.sequence(F.lit(1), n_grams)).alias("i"),
-        F.col("_norm"),
+        F.explode(prints_of(F.col(text_col))).alias(out_col),
     )
-    hashed = grams.select(
-        "doc", "i", F.xxhash64(F.substring(F.col("_norm"), F.col("i"), F.lit(k))).alias("h")
-    )
-    frame = W.partitionBy("doc").orderBy("i").rowsBetween(0, window - 1)
-    whole = W.partitionBy("doc")
-    mins = (
-        hashed.withColumn("win_min", F.min("h").over(frame))
-        .withColumn("n", F.count(F.lit(1)).over(whole))
-        .filter(F.col("i") <= F.col("n") - F.lit(window - 1))
-        .select("doc", F.col("win_min").alias(out_col))
-    )
-    # distinct reuses the window's hash(doc) partitioning - no 2nd shuffle
-    return mins.dropDuplicates(["doc", out_col])
 
 
 def winnow_overlap_pairs(
