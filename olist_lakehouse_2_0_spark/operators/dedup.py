@@ -32,14 +32,12 @@ _MERSENNE = (1 << 31) - 1
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup on normalized-text fingerprint: keeps the lowest id
     per duplicate group (hash-groupBy; one shuffle on the 64-bit
-    fingerprint, never on the full text)."""
+    fingerprint, never on the full text). ``min(id)`` is a map-side
+    combinable aggregate — each task pre-reduces its partition to one
+    row per fingerprint before the shuffle, unlike a row_number window
+    which would sort every group's full membership."""
     fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("__fp"))
-    w = W.partitionBy("__fp").orderBy(F.col(id_col))
-    keep = (
-        fp.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col)
-    )
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
     return df.join(keep, id_col, "left_semi")
 
 

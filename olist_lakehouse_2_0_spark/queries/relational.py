@@ -385,6 +385,12 @@ def category_performance_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_extendedprice",
         )
+        # Shuffle once on category alone: hash(category) co-locates
+        # every (category, order_month) group AND satisfies the LAG
+        # window's PARTITION BY category below — without this the plan
+        # shuffles twice (once for the groupBy keys, once for the
+        # window partitioning).
+        .repartition(F.col("category"))
         .groupBy("category", "order_month")
         .agg(
             F.countDistinct("l_orderkey").alias("orders"),
