@@ -80,6 +80,36 @@ class Catalog:
         return path
 
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_cols: list[str],
+        num_buckets: int = 32,
+        sort_cols: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> str:
+        """Write ``df`` as a bucketed (and optionally sorted) table.
+
+        Bucketing pre-shuffles the data by ``bucket_cols`` at write
+        time; two tables bucketed the same way join WITHOUT a shuffle
+        (no Exchange on either side — see tests/test_bucketing.py),
+        and aggregations on the bucket key skip their exchange too.
+        This is the 100 TB co-location strategy for repeatedly-joined
+        fact tables: pay the shuffle once at ingest, never per query.
+
+        Uses the session catalog (``saveAsTable`` — bucket metadata
+        only exists for tables, not raw paths). Read back with
+        ``spark.table(name)``.
+        """
+        writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(name)
+        self.tables[name] = TableRef(name=name, path=f"table:{name}")
+        return name
+
+
 def testdata_catalog(sf_dir: str) -> Catalog:
     """Catalog over one driver testdata scale-factor directory."""
     cat = Catalog(root=sf_dir)

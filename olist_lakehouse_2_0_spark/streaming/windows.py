@@ -130,3 +130,23 @@ def extract_json_props(
         f"props_{field}",
         F.get_json_object(F.col(props_col), f"$.{field}").cast("int"),
     )
+
+
+def dedupe_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once event dedup for at-least-once sources: drop repeat
+    deliveries of the same key(s) within the watermark horizon.
+
+    In streaming mode ``dropDuplicates`` keeps per-key state; the
+    watermark bounds that state — a duplicate arriving later than
+    ``watermark`` after the original is NOT deduplicated (and state for
+    keys older than the horizon is evicted). The same call on a batch
+    DataFrame degrades to a plain dropDuplicates (batch/stream
+    unification). At scale, state is hash-partitioned by key across
+    executors; per-key state is just the key + timestamp.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicates(list(keys))

@@ -17,11 +17,18 @@ SF_CORRECTNESS = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     spark = get_spark(
         app_name="olist-lakehouse-tests",
         master="local[8]",
         shuffle_partitions=8,
-        extra_conf={"spark.driver.memory": "8g"},
+        extra_conf={
+            "spark.driver.memory": "8g",
+            # saveAsTable targets (bucketing tests); static conf, so it
+            # must be set at session build time.
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="wh_"),
+        },
     )
     yield spark
 

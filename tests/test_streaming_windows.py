@@ -110,3 +110,51 @@ def test_sketch_profile_accuracy(spark):
     for t, e in exact.items():
         assert abs(got[t].approx_users - e.users) <= max(2, 0.05 * e.users)
         assert abs(got[t].value_p50_p95[0] - e.p50) <= 0.05 * max(1.0, e.p50)
+
+
+def test_dedupe_stream_drops_redelivery(spark, tmp_path):
+    """Streaming dropDuplicates + watermark: a duplicate event_id
+    re-delivered in a later micro-batch (within the watermark) is
+    dropped; distinct ids all survive."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from olist_lakehouse_2_0_spark.streaming.windows import dedupe_stream
+
+    landing = tmp_path / "landing"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    landing.mkdir()
+    schema = "event_id long, ts timestamp, value double"
+    base = dt.datetime(2024, 1, 1, 12, 0)
+
+    b1 = [(1, base, 1.0), (2, base + dt.timedelta(minutes=1), 2.0)]
+    # batch 2 re-delivers event 1 (same id) and adds event 3
+    b2 = [(1, base, 1.0), (3, base + dt.timedelta(minutes=2), 3.0)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(landing / "b1")
+    )
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        str(landing / "b2")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing) + "/*")
+    )
+    deduped = dedupe_stream(stream, keys=("event_id",), watermark="1 hour")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(str(out))
+    assert got.count() == 3  # events 1, 2, 3 — re-delivery dropped
+    assert got.select("event_id").distinct().count() == 3
