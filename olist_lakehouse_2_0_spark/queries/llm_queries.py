@@ -568,6 +568,46 @@ GROUP BY 1
 """
 
 
+def token_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per source: whitespace tokens vs BPE-ish
+    word-piece tokens (the budget a GPT-2-style pre-tokenizer would
+    report). One scan, two counters, map-side combined."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return (
+        docs.select(
+            "source",
+            ops_text.token_count("text").alias("ws"),
+            ops_text.bpe_ish_token_count("text").alias("bpe"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.avg(F.col("bpe") / F.nullif(F.col("ws"), F.lit(0)))
+            .cast("decimal(18,6)")
+            .alias("avg_bpe_per_ws_token"),
+        )
+    )
+
+
+TOKEN_BUDGETS_SQL = r"""
+WITH per_doc AS (
+  SELECT source,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS ws,
+         LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(ws) AS ws_tokens,
+       SUM(bpe) AS bpe_tokens,
+       CAST(AVG(bpe / NULLIF(ws, 0)) AS DECIMAL(18,6)) AS avg_bpe_per_ws_token
+FROM per_doc
+GROUP BY source
+"""
+
+
 LLM_QUERIES = {
     "text_stats": text_stats,
     "doc_quality_by_source": doc_quality_by_source,
@@ -587,6 +627,7 @@ LLM_QUERIES = {
     "dataset_split": dataset_split,
     "source_mixture_sample": source_mixture_sample,
     "doc_length_buckets": doc_length_buckets,
+    "token_budgets": token_budgets,
 }
 
 LLM_ORACLES = {
@@ -603,4 +644,5 @@ LLM_ORACLES = {
     "dataset_split": DATASET_SPLIT_SQL,
     "source_mixture_sample": SOURCE_MIXTURE_SAMPLE_SQL,
     "doc_length_buckets": DOC_LENGTH_BUCKETS_SQL,
+    "token_budgets": TOKEN_BUDGETS_SQL,
 }
