@@ -77,10 +77,19 @@ def jaccard_pairs(
     Returns (id_a, id_b, jaccard) with jaccard >= threshold.
     """
     # Repartition by id first: a few large input files would pin the
-    # tokenizer/explode stage to a few cores.
-    sh = df.repartition(F.col(id_col)).select(
-        F.col(id_col).alias("__id"),
-        F.explode(token_shingles(F.col(text_col), n)).alias("__shingle"),
+    # tokenizer/explode stage to a few cores. Shingles are immediately
+    # collapsed to 64-bit xxhash keys: the candidate self-join and the
+    # document-frequency cut shuffle 8 bytes per shingle instead of the
+    # shingle text (distinctness is preserved up to 2^-64 collisions —
+    # same rationale as fingerprint dedup; the DuckDB oracle joins on
+    # the shingle text and hash-matches).
+    sh = (
+        df.repartition(F.col(id_col))
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(token_shingles(F.col(text_col), n)).alias("__g"),
+        )
+        .select("__id", F.xxhash64("__g").alias("__shingle"))
     )
     if max_shingle_df is not None:
         rare = (

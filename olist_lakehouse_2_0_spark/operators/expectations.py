@@ -77,6 +77,12 @@ class ExpectationResult:
     df: DataFrame
     observation: Observation | None
     expectation_names: list[str] = field(default_factory=list)
+    #: Rows dropped by DROP expectations, tagged with the violated rule
+    #: names in ``_violated`` (populated only when ``enforce(...,
+    #: quarantine=True)``). A separate plan branch over the same source:
+    #: persist the input (or write both sinks in one job) if the source
+    #: scan is expensive.
+    quarantined: DataFrame | None = None
 
     def metrics(self) -> dict[str, int]:
         if self.observation is None:
@@ -89,6 +95,7 @@ def enforce(
     df: DataFrame,
     expectations: list[Expectation],
     fail_strategy: str = "precheck",
+    quarantine: bool = False,
 ) -> ExpectationResult:
     """Apply a set of expectations to ``df``.
 
@@ -98,6 +105,11 @@ def enforce(
       - "defer": skip the probe; the caller must call
         :func:`check_fail_metrics` after its own action (used by the
         pipeline writer for single-pass validate-then-promote).
+
+    quarantine: also expose the rows DROP expectations removed, tagged
+    with the violated rule names (``ExpectationResult.quarantined``) —
+    the audit-sink pattern: bad rows are preserved for triage instead
+    of silently discarded.
     """
     if not expectations:
         return ExpectationResult(df=df, observation=None)
@@ -140,10 +152,27 @@ def enforce(
     for e in drops:
         out = out.filter(F.coalesce(e.pred(), F.lit(False)))
 
+    quarantined = None
+    if quarantine and drops:
+        any_viol = None
+        for e in drops:
+            viol = ~F.coalesce(e.pred(), F.lit(False))
+            any_viol = viol if any_viol is None else (any_viol | viol)
+        labels = F.array_compact(
+            F.array(
+                *[
+                    F.when(~F.coalesce(e.pred(), F.lit(False)), F.lit(e.name))
+                    for e in drops
+                ]
+            )
+        )
+        quarantined = df.filter(any_viol).withColumn("_violated", labels)
+
     return ExpectationResult(
         df=out,
         observation=observation,
         expectation_names=[e.name for e in expectations],
+        quarantined=quarantined,
     )
 
 

@@ -90,3 +90,29 @@ def test_null_predicate_counts_as_violation(spark):
 def test_string_predicate_form(spark, orders_fixture):
     result = enforce(orders_fixture, [expect_or_drop("pos", "price >= 0")])
     assert result.df.count() == 6
+
+
+def test_quarantine_captures_dropped_rows_with_labels(spark):
+    from pyspark.sql import functions as F
+
+    from olist_lakehouse_2_0_spark.operators.expectations import (
+        enforce,
+        expect_or_drop,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "A"), (3, 7.0, "X"), (4, -1.0, "X")],
+        "id long, amount double, flag string",
+    )
+    exps = [
+        expect_or_drop("amount_positive", F.col("amount") > 0),
+        expect_or_drop("flag_domain", F.col("flag").isin("A", "B")),
+    ]
+    res = enforce(df, exps, quarantine=True)
+    assert [r["id"] for r in res.df.orderBy("id").collect()] == [1]
+    q = {r["id"]: sorted(r["_violated"]) for r in res.quarantined.collect()}
+    assert q == {
+        2: ["amount_positive"],
+        3: ["flag_domain"],
+        4: ["amount_positive", "flag_domain"],
+    }
