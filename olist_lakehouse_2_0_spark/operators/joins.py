@@ -1,0 +1,51 @@
+"""Skew-mitigation join utilities.
+
+AQE's skew-join splitting (enabled in :mod:`..session`) handles most
+runtime skew by splitting oversized shuffle partitions. Salting is the
+complementary *plan-level* tool for pathological producer skew — a
+handful of keys holding a double-digit percentage of a 100 TB fact
+table — where even a split partition leaves one task per hot key
+chain. Salting spreads EACH key across ``salt`` tasks.
+
+Cost model: the skewed side adds a uniform random salt (splits each
+key's rows across ``salt`` buckets); the other side is replicated
+``salt`` times via a literal-range explode. Use only when the
+replicated side is small-ish per key (dimension or pre-aggregated) and
+the skew is known; for broadcast-able sides, ``F.broadcast`` is always
+cheaper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the ``skewed`` side salted across ``salt``
+    sub-keys and ``other`` replicated to match.
+
+    Deterministic salting: the salt derives from ``xxhash64`` of the
+    whole skewed row's key + a per-row uniform component
+    (``monotonically_increasing_id``), so rows of a hot key spread
+    evenly without an RNG. Semantics are identical to
+    ``skewed.join(other, on, how)`` for ``inner``/``left`` joins
+    (each skewed row still matches exactly the same ``other`` rows —
+    one replica).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how}")
+    salt_col = F.pmod(
+        F.xxhash64(F.col(on), F.monotonically_increasing_id()), F.lit(salt)
+    ).cast("int")
+    s = skewed.withColumn("__salt", salt_col)
+    o = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return s.join(o, [on, "__salt"], how).drop("__salt")
