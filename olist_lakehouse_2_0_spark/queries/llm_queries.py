@@ -608,6 +608,62 @@ GROUP BY source
 """
 
 
+def context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential context-window packing: docs are packed per source in
+    doc_id order into 2048-token bins via a windowed running sum (bin =
+    tokens-before-this-doc div budget). Per-bin fill statistics out.
+
+    Scale note: packing windows are PARTITIONED by source — each
+    partition packs independently (one shuffle, parallel across
+    sources); a single global packing order would serialize the corpus
+    through one task. Oversized docs (> budget) overflow their own bin
+    and the next doc starts fresh — greedy semantics, deterministic."""
+    from pyspark.sql import Window as W
+
+    budget = 2048
+    docs = load(spark, sf_dir, "documents", spread=True)
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sized = docs.select(
+        "doc_id", "source", ops_text.token_count("text").alias("n_tokens")
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    binned = sized.withColumn(
+        "bin", ((F.col("cum") - F.col("n_tokens")) / budget).cast("bigint")
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_packed"),
+        (F.sum("n_tokens") / F.lit(float(budget)))
+        .cast("decimal(18,6)")
+        .alias("fill_ratio"),
+    )
+
+
+CONTEXT_PACKING_SQL = r"""
+WITH sized AS (
+  SELECT doc_id, source,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM sized
+)
+SELECT source,
+       CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS tokens_packed,
+       CAST(SUM(n_tokens) / 2048.0 AS DECIMAL(18,6)) AS fill_ratio
+FROM cum
+GROUP BY 1, 2
+"""
+
+
 LLM_QUERIES = {
     "text_stats": text_stats,
     "doc_quality_by_source": doc_quality_by_source,
@@ -628,6 +684,7 @@ LLM_QUERIES = {
     "source_mixture_sample": source_mixture_sample,
     "doc_length_buckets": doc_length_buckets,
     "token_budgets": token_budgets,
+    "context_packing": context_packing,
 }
 
 LLM_ORACLES = {
@@ -645,4 +702,5 @@ LLM_ORACLES = {
     "source_mixture_sample": SOURCE_MIXTURE_SAMPLE_SQL,
     "doc_length_buckets": DOC_LENGTH_BUCKETS_SQL,
     "token_budgets": TOKEN_BUDGETS_SQL,
+    "context_packing": CONTEXT_PACKING_SQL,
 }
