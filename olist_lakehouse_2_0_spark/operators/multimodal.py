@@ -179,3 +179,92 @@ def sample_frames(
         frame_col,
         F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio (same plumbing pattern as images: fake format, real Spark contract)
+# ---------------------------------------------------------------------------
+
+#: 4s magic + u16 sample_rate + u16 n_samples + u8 channels.
+FAKE_AUDIO_MAGIC = b"FAUD"
+_AUDIO_HEADER = struct.Struct("<4sHHB")
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def synthesize_audio_column(
+    df: DataFrame, id_col: str, payload_col: str = "audio"
+) -> DataFrame:
+    """Deterministically fabricate a binary audio payload per row:
+    FAUD header (sample rate 8/16/24 kHz and sample count derived from
+    the id) + a short id-derived body."""
+    id_c = F.col(id_col).cast("long")
+    sample_rate = ((F.pmod(id_c, F.lit(3)) + 1) * 8000).cast("int")
+    n_samples = (F.pmod(id_c, F.lit(48000)) + 8000).cast("int")
+    header = F.concat(
+        F.lit(FAKE_AUDIO_MAGIC),
+        _le_u16(sample_rate),
+        _le_u16(n_samples),
+        F.lit(bytearray([1])),
+    )
+    body = F.encode(F.concat(F.lit("samples:"), id_c.cast("string")), "UTF-8")
+    return df.withColumn(payload_col, F.concat(header, body))
+
+
+def extract_audio_metadata(
+    df: DataFrame, payload_col: str = "audio", meta_col: str = "audio_meta"
+) -> DataFrame:
+    """Parse audio payload headers into typed metadata via mapInPandas
+    (the decode seam where ffmpeg/librosa would plug in)."""
+    schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [T.StructField(meta_col, AUDIO_META_SCHEMA)]
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for payload in pdf[payload_col]:
+                metas.append(_parse_audio_header(bytes(payload)))
+            out = pdf.copy()
+            out[meta_col] = metas
+            yield out
+
+    return df.mapInPandas(parse, schema)
+
+
+def _parse_audio_header(payload: bytes) -> dict | None:
+    if len(payload) < _AUDIO_HEADER.size:
+        return None
+    magic, sample_rate, n_samples, channels = _AUDIO_HEADER.unpack(
+        payload[: _AUDIO_HEADER.size]
+    )
+    if magic != FAKE_AUDIO_MAGIC or sample_rate == 0:
+        return None
+    return {
+        "format": "faud",
+        "sample_rate": int(sample_rate),
+        "n_samples": int(n_samples),
+        "channels": int(channels),
+        "duration_ms": int(n_samples) * 1000 // int(sample_rate),
+        "n_bytes": len(payload),
+    }
+
+
+def decode_audio(payload: bytes):  # pragma: no cover - stub seam
+    """STUB: decode a real audio payload to a waveform array.
+
+    No audio libraries ship in this container; a deployment drops in
+    ffmpeg/librosa here (same seam pattern as :func:`decode_image`)."""
+    raise NotImplementedError(
+        "decode_audio: real codecs are not available in this environment"
+    )

@@ -25,7 +25,9 @@ from olist_lakehouse_2_0_spark.operators.dedup import (
     simhash_dedup_pairs,
 )
 from olist_lakehouse_2_0_spark.operators.multimodal import (
+    extract_audio_metadata,
     extract_image_metadata,
+    synthesize_audio_column,
     resize_images,
     sample_frames,
     synthesize_image_column,
@@ -664,6 +666,36 @@ GROUP BY 1, 2
 """
 
 
+def audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-payload pipeline (same plumbing as image_metadata): FAUD
+    payloads parsed back through the Arrow-batched decode seam;
+    deterministic layout makes the metadata SQL-expressible."""
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id")
+    with_payload = synthesize_audio_column(docs, "doc_id")
+    with_meta = extract_audio_metadata(with_payload)
+    return with_meta.select(
+        "doc_id",
+        F.col("audio_meta.format").alias("format"),
+        F.col("audio_meta.sample_rate").alias("sample_rate"),
+        F.col("audio_meta.n_samples").alias("n_samples"),
+        F.col("audio_meta.channels").alias("channels"),
+        F.col("audio_meta.duration_ms").alias("duration_ms"),
+        F.col("audio_meta.n_bytes").alias("n_bytes"),
+    )
+
+
+AUDIO_METADATA_SQL = """
+SELECT doc_id,
+       'faud' AS format,
+       CAST((doc_id % 3 + 1) * 8000 AS INT) AS sample_rate,
+       CAST(doc_id % 48000 + 8000 AS INT) AS n_samples,
+       1 AS channels,
+       CAST((doc_id % 48000 + 8000) * 1000 // ((doc_id % 3 + 1) * 8000) AS BIGINT) AS duration_ms,
+       CAST(9 + LENGTH('samples:' || CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 LLM_QUERIES = {
     "text_stats": text_stats,
     "doc_quality_by_source": doc_quality_by_source,
@@ -685,6 +717,7 @@ LLM_QUERIES = {
     "doc_length_buckets": doc_length_buckets,
     "token_budgets": token_budgets,
     "context_packing": context_packing,
+    "audio_metadata": audio_metadata,
 }
 
 LLM_ORACLES = {
@@ -703,4 +736,5 @@ LLM_ORACLES = {
     "doc_length_buckets": DOC_LENGTH_BUCKETS_SQL,
     "token_budgets": TOKEN_BUDGETS_SQL,
     "context_packing": CONTEXT_PACKING_SQL,
+    "audio_metadata": AUDIO_METADATA_SQL,
 }
