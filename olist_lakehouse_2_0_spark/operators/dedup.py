@@ -266,28 +266,36 @@ def simhash_signatures(
     """SimHash signatures: per-token 64-bit hashes vote per bit
     position; the sign of each bit's vote forms the signature.
 
-    Implemented as explode -> 64 conditional-sum aggregates -> bitwise
-    OR assembly (all literal shift amounts, fully codegen'd). One
-    shuffle on the doc id. Returns (id, __sh: bigint)."""
-    tok = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(tokens(F.col(text_col))).alias("__tok"),
-    ).withColumn("__h", F.xxhash64("__tok"))
-    votes = tok.groupBy("__id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"__b{i}")
-            for i in range(bits)
-        ]
-    )
-    sig: Column = F.lit(0).cast("long")
-    for i in range(bits):
-        bit = F.when(
-            F.col(f"__b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-        sig = sig.bitwiseOR(bit)
-    return votes.select(F.col("__id").alias(id_col), sig.alias("__sh"))
+    Hybrid JVM/numpy execution, same pattern as
+    :func:`minhash_signatures`: the JVM hashes each token once
+    (``transform`` + ``xxhash64``), then an Arrow-batched pandas UDF
+    unpacks the hash bits ((tokens × 64) matrix), sums the ±1 votes per
+    bit column, and packs the sign bits — no explode, no shuffle, a
+    narrow per-row map. Docs with zero tokens are dropped (the explode
+    formulation they replace emitted no rows for them either).
+    Returns (id, __sh: bigint)."""
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    @pandas_udf("bigint")
+    def sig_of(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+            bits_m = (hv[:, None] >> shifts) & np.uint64(1)  # tokens × bits
+            votes = 2 * bits_m.astype(np.int64).sum(axis=0) - len(hv)
+            sig = ((votes > 0).astype(np.uint64) << shifts).sum()
+            out.append(np.uint64(sig).astype(np.int64))
+        return pd.Series(out)
+
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias(
+            "__hs"
+        ),
+    ).filter(F.size("__hs") > 0)
+    return hashed.select(F.col(id_col).alias(id_col), sig_of("__hs").alias("__sh"))
 
 
 def simhash_dedup_pairs(
