@@ -224,7 +224,16 @@ GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 def orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders", spread=True)
-    lineitem = load(spark, sf_dir, "lineitem", spread=True)
+    # Three pre-aggregations consume lineitem (reference J1 keeps them
+    # as separate subqueries). Shuffle the fact side on the group key
+    # ONCE and persist: each groupBy below sees the cached
+    # hash(l_orderkey) partitioning and skips its own exchange — one
+    # fact shuffle instead of three identical ones.
+    lineitem = (
+        load(spark, sf_dir, "lineitem")
+        .repartition(F.col("l_orderkey"))
+        .persist()
+    )
 
     items = lineitem.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("item_count"),
