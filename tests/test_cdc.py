@@ -220,3 +220,36 @@ def test_validate_changes(spark):
     viols = validate_changes(df, spec).collect()
     reasons = sorted(r["__violation"] for r in viols)
     assert reasons == ["duplicate_sequence", "duplicate_sequence", "null_key", "null_sequence"]
+
+
+def test_cdc_sink_streaming_end_to_end(spark, batches, tmp_path):
+    """CdcSink through a real streaming query: CDC batches land as
+    files, availableNow replays them through foreachBatch SCD1 apply;
+    the resulting snapshot equals the single-batch rebuild."""
+    from olist_lakehouse_2_0_spark.operators.cdc import CdcSink
+
+    b1, b2, b3 = batches
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i, b in enumerate((b1, b2, b3)):
+        b.coalesce(1).write.parquet(str(landing / f"batch{i}"))
+
+    target = str(tmp_path / "scd1")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing) + "/*")
+    )
+    sink = CdcSink(target, SPEC, scd_type=1)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(target)
+    expected = scd1_snapshot(b1.unionByName(b2).unionByName(b3), SPEC)
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
