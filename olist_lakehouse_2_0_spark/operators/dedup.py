@@ -418,3 +418,72 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: assigns every doc the
+    minimum doc id reachable through the pair graph (its canonical
+    representative). The final step of a dedup pipeline — pairs from
+    MinHash/SimHash/Jaccard candidates become keep/drop groups.
+
+    Iterative min-label propagation, all DataFrame ops: each round every
+    node adopts the smallest label among itself and its neighbors; stops
+    when a round changes no label (driver checks a single count per
+    round — no row data ever reaches the driver). Rounds needed =
+    graph diameter, which for near-dup clusters (small, dense) is
+    typically 2-4; ``max_iterations`` bounds pathological chains.
+
+    Scale: each round is one join + one groupBy, both hash-partitioned
+    on the node id; edges are persisted once in symmetric form. This is
+    the simple variant of the large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — adequate until cluster diameters grow past tens.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(
+                neighbor_min, labels["node"] == neighbor_min["src"], "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label"))
+                .alias("changed"),
+            )
+        )
+        updated = updated.persist()
+        n_changed = updated.filter(F.col("changed")).count()
+        old = labels
+        labels = updated.select("node", "label").persist()
+        old.unpersist()
+        updated.unpersist()
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))

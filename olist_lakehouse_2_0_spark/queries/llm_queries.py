@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from olist_lakehouse_2_0_spark.catalog import load
 from olist_lakehouse_2_0_spark.operators import text as ops_text
 from olist_lakehouse_2_0_spark.operators.dedup import (
+    dedup_components,
     embedding_neardup_pairs,
     exact_dedup,
     jaccard_pairs,
@@ -696,6 +697,41 @@ FROM documents
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over duplicate pairs: fingerprint-equal
+    docs pair up, iterative min-label propagation assigns every doc its
+    canonical representative (smallest reachable doc_id). The oracle
+    recomputes components relationally — docs sharing a normalized
+    text form one component labeled by the group minimum — which
+    checks the iterative algorithm end-to-end against closed-form SQL."""
+    docs = _with_duplicates(load(spark, sf_dir, "documents", spread=True))
+    fp = docs.select("doc_id", ops_text.fingerprint("text").alias("fp"))
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return dedup_components(pairs)
+
+
+DEDUP_CLUSTERS_SQL = r"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, '  ' || text || ' ' FROM documents
+), keyed AS (
+  SELECT doc_id,
+         REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g') AS norm
+  FROM unioned
+)
+SELECT doc_id, MIN(doc_id) OVER (PARTITION BY norm) AS component
+FROM keyed
+QUALIFY COUNT(*) OVER (PARTITION BY norm) > 1
+"""
+
+
 LLM_QUERIES = {
     "text_stats": text_stats,
     "doc_quality_by_source": doc_quality_by_source,
@@ -718,6 +754,7 @@ LLM_QUERIES = {
     "token_budgets": token_budgets,
     "context_packing": context_packing,
     "audio_metadata": audio_metadata,
+    "dedup_clusters": dedup_clusters,
 }
 
 LLM_ORACLES = {
@@ -737,4 +774,5 @@ LLM_ORACLES = {
     "token_budgets": TOKEN_BUDGETS_SQL,
     "context_packing": CONTEXT_PACKING_SQL,
     "audio_metadata": AUDIO_METADATA_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
 }

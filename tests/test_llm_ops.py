@@ -154,3 +154,21 @@ def test_winnow_partial_overlap(spark):
     fp = df.select("doc_id", winnow_fingerprints("text").alias("fp")).collect()
     by_id = {r.doc_id: tuple(r.fp) for r in fp}
     assert by_id[1] and by_id[1] != by_id[3]
+
+
+def test_dedup_components_clusters_pairs(spark):
+    """Min-label propagation must produce one component per connected
+    pair group, labeled by the smallest member id, including chains
+    (1-2, 2-3 => {1,2,3}) and isolated pairs."""
+    from olist_lakehouse_2_0_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    comp = {r["doc_id"]: r["component"] for r in dedup_components(pairs).collect()}
+    assert comp == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
