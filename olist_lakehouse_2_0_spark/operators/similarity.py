@@ -159,3 +159,88 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine", "rank")
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Learned IVF centroids via Spark MLlib KMeans (distributed
+    Lloyd's iterations — the idiomatic Spark path for iterative ML).
+
+    Returns (centroid_id, __centroid_vec) with the same contract as
+    the sampled centroids from :func:`build_ivf_index`, so the two are
+    interchangeable; k-means centroids track the embedding density and
+    typically cut probe misses vs uniform sampling at the same nprobe.
+    Deterministic under a fixed seed."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    spark = corpus.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return spark.createDataFrame(
+        rows, "centroid_id int, __centroid_vec array<double>"
+    )
+
+
+def ivf_topk_kmeans(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k with k-means-learned centroids: assign the
+    corpus to its nearest learned centroid, probe the ``nprobe``
+    nearest buckets per query. Same plan shape as :func:`ivf_topk`
+    (broadcast centroids, bucket-pruned scoring)."""
+    centroids = kmeans_centroids(corpus, vec_col, num_centroids, seed)
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cnorm"),
+    )
+    scored = F.broadcast(centroids).crossJoin(c).withColumn(
+        "__sim", dot(F.col("__centroid_vec"), F.col("__cvec"))
+    )
+    w = W.partitionBy(corpus_id).orderBy(F.desc("__sim"), F.asc("centroid_id"))
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(corpus_id, "__cvec", "__cnorm", "centroid_id")
+    )
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    probe_scored = F.broadcast(centroids).crossJoin(q).withColumn(
+        "__sim", dot(F.col("__centroid_vec"), F.col("__qvec"))
+    )
+    wq = W.partitionBy(query_id).orderBy(F.desc("__sim"), F.asc("centroid_id"))
+    probes = (
+        probe_scored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select(query_id, "__qvec", "__qnorm", "centroid_id")
+    )
+    scored2 = probes.join(assigned, "centroid_id").withColumn(
+        "cosine",
+        dot(F.col("__qvec"), F.col("__cvec"))
+        / F.nullif(F.col("__qnorm") * F.col("__cnorm"), F.lit(0.0)),
+    )
+    w2 = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        scored2.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )

@@ -33,7 +33,11 @@ from olist_lakehouse_2_0_spark.operators.multimodal import (
     sample_frames,
     synthesize_image_column,
 )
-from olist_lakehouse_2_0_spark.operators.similarity import cosine_topk, ivf_topk
+from olist_lakehouse_2_0_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    ivf_topk_kmeans,
+)
 
 # ---------------------------------------------------------------------------
 # Text analysis (per-document stats; oracled)
@@ -732,6 +736,18 @@ QUALIFY COUNT(*) OVER (PARTITION BY norm) > 1
 """
 
 
+def embedding_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with MLlib-KMeans-learned centroids (rows-only:
+    centroid positions come from distributed Lloyd's iterations; the
+    recall-vs-bruteforce bound is unit-tested)."""
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return ivf_topk_kmeans(queries, corpus, k=10, num_centroids=16, nprobe=4)
+
+
 LLM_QUERIES = {
     "text_stats": text_stats,
     "doc_quality_by_source": doc_quality_by_source,
@@ -755,6 +771,7 @@ LLM_QUERIES = {
     "context_packing": context_packing,
     "audio_metadata": audio_metadata,
     "dedup_clusters": dedup_clusters,
+    "embedding_topk_ivf_kmeans": embedding_topk_ivf_kmeans,
 }
 
 LLM_ORACLES = {

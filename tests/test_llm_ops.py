@@ -172,3 +172,29 @@ def test_dedup_components_clusters_pairs(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20, 23: 20,
     }
+
+
+def test_ivf_kmeans_recall_vs_bruteforce(spark):
+    """K-means-refined IVF must reach reasonable top-10 recall against
+    the exact brute-force baseline at nprobe=4/16 centroids."""
+    from olist_lakehouse_2_0_spark.catalog import load
+    from olist_lakehouse_2_0_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_kmeans,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    exact = {
+        (r["query_id"], r["corpus_id"])
+        for r in cosine_topk(queries, corpus, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["corpus_id"])
+        for r in ivf_topk_kmeans(queries, corpus, k=10, num_centroids=16, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall:.2f}"
