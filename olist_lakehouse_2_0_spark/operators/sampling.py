@@ -78,3 +78,47 @@ def mixture_sample(
             (F.col(group_col) == group) & (h < F.lit(hex4_threshold(rate)))
         )
     return df.filter(keep)
+
+
+def epoch_oversample(
+    df: DataFrame, key_col: str, group_col: str, rates: dict[str, float]
+) -> DataFrame:
+    """Mixture sampling with rates above 1.0: a rate of 2.5 repeats
+    every row twice and keeps a deterministic half of the third epoch.
+
+    Emits an ``epoch`` column (0-based repeat index). Row (key, epoch)
+    survives iff ``epoch < floor(rate)``, or ``epoch == floor(rate)``
+    and the md5 prefix of ``key:epoch`` falls under the fractional
+    threshold — so the fractional epoch selects a different (but
+    stable) subset than epoch 0, as resampling should. Shuffle-free:
+    one explode of at most ``ceil(max rate)`` literals per row.
+    """
+    import math
+
+    if not rates:
+        return df.filter(F.lit(False)).withColumn("epoch", F.lit(0))
+    max_epochs = max(1, math.ceil(max(rates.values())))
+    epoch = F.explode(F.array(*[F.lit(i) for i in range(max_epochs)])).alias(
+        "epoch"
+    )
+    exploded = df.select("*", epoch)
+    h = F.substring(
+        F.md5(
+            F.concat(
+                F.col(key_col).cast("string"), F.lit(":"), F.col("epoch")
+            )
+        ),
+        1,
+        4,
+    )
+    keep = F.lit(False)
+    for group, rate in rates.items():
+        full = int(rate)
+        frac = rate - full
+        cond = F.col("epoch") < full
+        if frac > 0:
+            cond = cond | (
+            (F.col("epoch") == full) & (h < F.lit(hex4_threshold(frac)))
+            )
+        keep = keep | ((F.col(group_col) == group) & cond)
+    return exploded.filter(keep)

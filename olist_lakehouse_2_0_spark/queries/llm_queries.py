@@ -748,6 +748,39 @@ def embedding_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_kmeans(queries, corpus, k=10, num_centroids=16, nprobe=4)
 
 
+def mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-based mixture oversampling: per-source rates above/below
+    1.0 (web 1.5x, books 0.75x, code 2x) realized as deterministic
+    repeat epochs; reports rows and distinct docs per (source, epoch)."""
+    from olist_lakehouse_2_0_spark.operators.sampling import epoch_oversample
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    rates = {"web": 1.5, "books": 0.75, "code": 2.0}
+    out = epoch_oversample(docs, "doc_id", "source", rates)
+    return out.groupBy("source", "epoch").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+MIXTURE_EPOCHS_SQL = """
+WITH exploded AS (
+  SELECT doc_id, source, t.epoch
+  FROM documents CROSS JOIN (SELECT UNNEST(generate_series(0, 1)) AS epoch) t
+), kept AS (
+  SELECT * FROM exploded WHERE
+     (source = 'web' AND (epoch < 1 OR (epoch = 1
+        AND SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)), 1, 4) < '8000')))
+  OR (source = 'books' AND epoch = 0
+        AND SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)), 1, 4) < 'c000')
+  OR (source = 'code' AND epoch < 2)
+)
+SELECT source, epoch, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs
+FROM kept
+GROUP BY 1, 2
+"""
+
+
 LLM_QUERIES = {
     "text_stats": text_stats,
     "doc_quality_by_source": doc_quality_by_source,
@@ -772,6 +805,7 @@ LLM_QUERIES = {
     "audio_metadata": audio_metadata,
     "dedup_clusters": dedup_clusters,
     "embedding_topk_ivf_kmeans": embedding_topk_ivf_kmeans,
+    "mixture_epochs": mixture_epochs,
 }
 
 LLM_ORACLES = {
@@ -792,4 +826,5 @@ LLM_ORACLES = {
     "context_packing": CONTEXT_PACKING_SQL,
     "audio_metadata": AUDIO_METADATA_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "mixture_epochs": MIXTURE_EPOCHS_SQL,
 }

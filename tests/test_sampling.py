@@ -65,3 +65,28 @@ def test_mixture_sample_rates_per_group(spark):
     # Unlisted groups are dropped entirely.
     df2 = df.withColumn("source", F.lit("other"))
     assert mixture_sample(df2, "k", "source", {"web": 0.5}).count() == 0
+
+
+def test_epoch_oversample_rates(spark):
+    from olist_lakehouse_2_0_spark.operators.sampling import epoch_oversample
+
+    rows = [(i, "books" if i % 2 == 0 else "web") for i in range(10000)]
+    df = spark.createDataFrame(rows, "k long, source string")
+    out = epoch_oversample(df, "k", "source", {"books": 2.5, "web": 0.5})
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_src["books"] / 5000 == pytest.approx(2.5, abs=0.05)
+    assert by_src["web"] / 5000 == pytest.approx(0.5, abs=0.05)
+    # Full epochs keep every row; the fractional epoch is a strict subset.
+    books = out.filter(F.col("source") == "books")
+    per_epoch = {
+        r["epoch"]: r["n"]
+        for r in books.groupBy("epoch").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_epoch[0] == 5000 and per_epoch[1] == 5000
+    assert 0 < per_epoch[2] < 5000
+    # Determinism across evaluations.
+    again = epoch_oversample(df, "k", "source", {"books": 2.5, "web": 0.5})
+    assert out.exceptAll(again).count() == 0
