@@ -59,6 +59,11 @@ class Catalog:
         key = f"{layer}.{name}" if layer else name
         ref = self.tables.get(key)
         if ref is not None:
+            if ref.format == "table":
+                # Session-catalog table (bucketed writes): must go
+                # through spark.table so bucket metadata survives —
+                # reading the files directly would silently drop it.
+                return spark.table(ref.path)
             return spark.read.format(ref.format).load(ref.path)
         return spark.read.parquet(self.path_for(name, layer))
 
@@ -106,7 +111,7 @@ class Catalog:
         if sort_cols:
             writer = writer.sortBy(*sort_cols)
         writer.saveAsTable(name)
-        self.tables[name] = TableRef(name=name, path=f"table:{name}")
+        self.tables[name] = TableRef(name=name, path=name, format="table")
         return name
 
 

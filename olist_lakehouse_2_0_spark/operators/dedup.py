@@ -376,7 +376,19 @@ def embedding_neardup_pairs(
     from pyspark.sql.functions import pandas_udf
 
     rnd = random.Random(seed)
-    dim = len(df.select(vec_col).first()[0])
+    # The hyperplane matrix needs the embedding dimensionality up
+    # front — one single-row probe job. Empty input (or a null first
+    # vector) short-circuits to an empty result with the right schema.
+    first = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+    if first is None:
+        return (
+            df.sparkSession.createDataFrame(
+                [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
+                    f"id_b {df.schema[id_col].dataType.simpleString()}, "
+                    "cosine double",
+            )
+        )
+    dim = len(first[0])
     plane_mat = np.array(
         [[rnd.uniform(-1.0, 1.0) for _ in range(planes)] for _ in range(dim)]
     )
@@ -398,13 +410,22 @@ def embedding_neardup_pairs(
             out = np.where(den == 0.0, np.nan, num / den)
         return pd.Series(out)
 
+    # Null embeddings can't be bucketed (np.stack would throw in the
+    # executor) — drop them, matching an equi-join's null semantics.
     # Both self-join sides read the bucketed table; persist so the
-    # pandas-UDF bucketing pass runs once, not once per side.
-    bucketed = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__vec"),
-        bucket_of(F.col(vec_col)).alias("__bucket"),
-    ).persist()
+    # pandas-UDF bucketing pass runs once, not once per side. (Library
+    # note: the cache lives until the session clears it — callers
+    # running many dedup passes should spark.catalog.clearCache()
+    # between them, as bench.py does.)
+    bucketed = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
+            bucket_of(F.col(vec_col)).alias("__bucket"),
+        )
+        .persist()
+    )
     a = bucketed.select(
         F.col("__id").alias("id_a"), F.col("__vec").alias("__vec_a"), "__bucket"
     )
@@ -415,7 +436,9 @@ def embedding_neardup_pairs(
         a.join(b, "__bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cosine_of(F.col("__vec_a"), F.col("__vec_b")))
-        .filter(F.col("cosine") >= threshold)
+        # NaN (zero-norm vectors) must not pass: Spark orders NaN above
+        # every number, so `cosine >= t` alone would emit those pairs.
+        .filter(~F.isnan("cosine") & (F.col("cosine") >= threshold))
         .select("id_a", "id_b", "cosine")
     )
 
@@ -481,6 +504,11 @@ def dedup_components(
         n_changed = updated.filter(F.col("changed")).count()
         old = labels
         labels = updated.select("node", "label").persist()
+        # Materialize the new labels from the cached `updated` BEFORE
+        # dropping the old caches — unpersisting first would force the
+        # next round to recompute the whole lineage from `edges`,
+        # making a D-round run cost O(D^2) joins instead of O(D).
+        labels.count()
         old.unpersist()
         updated.unpersist()
         if n_changed == 0:

@@ -31,10 +31,11 @@ def salted_join(
     """Equi-join with the ``skewed`` side salted across ``salt``
     sub-keys and ``other`` replicated to match.
 
-    Deterministic salting: the salt derives from ``xxhash64`` of the
-    whole skewed row's key + a per-row uniform component
-    (``monotonically_increasing_id``), so rows of a hot key spread
-    evenly without an RNG. Semantics are identical to
+    Uniform salting without an RNG: the salt derives from ``xxhash64``
+    of the join key + ``monotonically_increasing_id``, so rows of a hot
+    key spread evenly. (Not stable across runs — the id depends on
+    partition layout; join RESULTS are identical regardless, since
+    every salt replica exists on the other side.) Semantics match
     ``skewed.join(other, on, how)`` for ``inner``/``left`` joins
     (each skewed row still matches exactly the same ``other`` rows —
     one replica).

@@ -71,26 +71,40 @@ def _le_u16(col) -> "F.Column":
     return F.unhex(F.format_string("%02x%02x", low, high))
 
 
-def extract_image_metadata(
-    df: DataFrame, payload_col: str = "image", meta_col: str = "image_meta"
+def _extract_metadata(
+    df: DataFrame,
+    payload_col: str,
+    meta_col: str,
+    parser,
+    meta_schema: T.StructType,
 ) -> DataFrame:
-    """Parse the payload header into a typed metadata struct via
-    mapInPandas (Arrow batches; the pattern a real decoder uses)."""
+    """Shared mapInPandas scaffold: parse each binary payload with
+    ``parser`` into a typed struct column (Arrow batches; the pattern a
+    real decoder uses). Null payloads parse to a null struct."""
     schema = T.StructType(
-        [f for f in df.schema.fields]
-        + [T.StructField(meta_col, IMAGE_META_SCHEMA)]
+        [f for f in df.schema.fields] + [T.StructField(meta_col, meta_schema)]
     )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = []
-            for payload in pdf[payload_col]:
-                metas.append(_parse_header(bytes(payload)))
+            metas = [
+                parser(bytes(p)) if p is not None else None
+                for p in pdf[payload_col]
+            ]
             out = pdf.copy()
             out[meta_col] = metas
             yield out
 
     return df.mapInPandas(parse, schema)
+
+
+def extract_image_metadata(
+    df: DataFrame, payload_col: str = "image", meta_col: str = "image_meta"
+) -> DataFrame:
+    """Parse image payload headers into typed metadata (decode seam)."""
+    return _extract_metadata(
+        df, payload_col, meta_col, _parse_header, IMAGE_META_SCHEMA
+    )
 
 
 def _parse_header(payload: bytes) -> dict | None:
@@ -223,23 +237,11 @@ def synthesize_audio_column(
 def extract_audio_metadata(
     df: DataFrame, payload_col: str = "audio", meta_col: str = "audio_meta"
 ) -> DataFrame:
-    """Parse audio payload headers into typed metadata via mapInPandas
-    (the decode seam where ffmpeg/librosa would plug in)."""
-    schema = T.StructType(
-        [f for f in df.schema.fields]
-        + [T.StructField(meta_col, AUDIO_META_SCHEMA)]
+    """Parse audio payload headers into typed metadata via the shared
+    scaffold (the decode seam where ffmpeg/librosa would plug in)."""
+    return _extract_metadata(
+        df, payload_col, meta_col, _parse_audio_header, AUDIO_META_SCHEMA
     )
-
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            metas = []
-            for payload in pdf[payload_col]:
-                metas.append(_parse_audio_header(bytes(payload)))
-            out = pdf.copy()
-            out[meta_col] = metas
-            yield out
-
-    return df.mapInPandas(parse, schema)
 
 
 def _parse_audio_header(payload: bytes) -> dict | None:

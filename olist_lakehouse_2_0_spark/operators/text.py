@@ -126,7 +126,13 @@ def fused_text_stats(text: Column | str) -> Column:
     document in vectorized Python; on the heavy text-profiling queries
     this measured several times faster. Tokenization quirks are
     reproduced exactly: space-only TRIM, ``\\s+`` split with a leading
-    empty token when the trimmed text starts with non-space whitespace.
+    empty token when the trimmed text starts with non-space whitespace,
+    and NULL-text outputs matching the composable operators.
+
+    Scope caveat: Python's ``\\w``/``\\s`` are Unicode classes while the
+    JVM originals are ASCII — identical on ASCII corpora (the testdata
+    is verified ASCII); for Unicode text the punctuation ratio can
+    differ between the two paths.
     """
     import re as _re
 
@@ -148,8 +154,14 @@ def fused_text_stats(text: Column | str) -> Column:
         }
         for s in texts:
             if s is None:
-                for k in out:
-                    out[k].append(None)
+                # Match the composable operators on NULL text exactly:
+                # token stats are NULL, quality_score is 0.3 (only the
+                # punct component passes via its coalesce), lang 'und'.
+                out["n_tokens"].append(None)
+                out["stopword_ratio"].append(None)
+                out["mean_token_len"].append(None)
+                out["quality_score"].append(0.3)
+                out["lang_guess"].append("und")
                 continue
             trimmed = s.strip(" ")
             toks = split_re.split(trimmed) if trimmed else []

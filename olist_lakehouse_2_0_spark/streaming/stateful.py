@@ -59,11 +59,16 @@ def _make_update(gap_minutes: int):
             n_events, total_value, n_sessions, last_us = state.get
         else:
             n_events, total_value, n_sessions, last_us = 0, 0.0, 0, None
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
-            n_events += len(pdf)
-            total_value += float(pdf["value"].sum())
+        # The iterator yields the key group in Arrow-sized CHUNKS
+        # (maxRecordsPerBatch); sorting chunks independently would
+        # interleave out-of-order timestamps across chunk boundaries
+        # and corrupt the gap detection — concatenate first, sort once.
+        chunks = list(pdfs)
+        if chunks:
+            whole = pd.concat(chunks, ignore_index=True).sort_values("ts")
+            ts_us = (whole["ts"].astype("int64") // 1000).to_numpy()
+            n_events += len(whole)
+            total_value += float(whole["value"].sum())
             for t in ts_us:
                 if last_us is None or t - last_us > gap_us:
                     n_sessions += 1
@@ -109,6 +114,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``catalog._load_nanos_ts``) and converts to microsecond timestamps.
     """
     path = os.path.join(sf_dir, "events.parquet")
+    # NOTE: the nanosAsLong flag must stay set while the STREAM runs —
+    # the file source re-resolves the parquet footer per micro-batch —
+    # so it cannot be restored here; run_profile_availablenow restores
+    # it after the query terminates.
     key = "spark.sql.legacy.parquet.nanosAsLong"
     spark.conf.set(key, "true")
     schema = spark.read.parquet(path).schema
@@ -137,21 +146,34 @@ def run_profile_availablenow(
     data_dir = os.path.join(out_root, "data")
     ckpt_dir = os.path.join(out_root, "ckpt")
 
-    profile = user_running_profile(read_events_stream(spark, sf_dir), gap_minutes)
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(conf_key, None)
+    try:
+        profile = user_running_profile(
+            read_events_stream(spark, sf_dir), gap_minutes
+        )
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("_batch", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(data_dir)
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.withColumn("_batch", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(data_dir)
 
-    q = (
-        profile.writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q = (
+            profile.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # The stream has fully terminated; restore the legacy flag so
+        # later batch reads of TIMESTAMP(NANOS) files in this session
+        # aren't silently changed to bigint.
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
 
     from pyspark.sql import Window as W
 

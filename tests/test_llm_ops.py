@@ -198,3 +198,28 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"recall {recall:.2f}"
+
+
+def test_embedding_neardup_zero_vectors_excluded(spark):
+    """Zero-norm vectors produce NaN cosine; NaN must not pass the
+    threshold (Spark orders NaN above every number). Null embeddings
+    and empty inputs must not crash plan construction."""
+    from olist_lakehouse_2_0_spark.operators.dedup import embedding_neardup_pairs
+
+    rows = [
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.0, 0.0]),
+        (4, [1.0, 0.0, 0.0, 0.0]),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(df, "vec_id", "embedding").collect()
+    }
+    assert (3, 4) in got
+    assert all(1 not in p and 2 not in p and 5 not in p for p in got)
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_neardup_pairs(empty, "vec_id", "embedding").count() == 0

@@ -147,3 +147,44 @@ def test_profile_matches_relational_gap_count(spark, tmp_path):
     got = sorted(final.collect(), key=lambda r: r["user_id"])
     exp = sorted(expected.collect(), key=lambda r: r["user_id"])
     assert [r.asDict() for r in got] == [r.asDict() for r in exp]
+
+
+def test_profile_correct_when_group_spans_arrow_chunks(spark, tmp_path):
+    """A user whose micro-batch rows span multiple Arrow chunks must
+    still get globally-sorted session detection (chunk-local sorting
+    would interleave out-of-order timestamps)."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        # 10 events for one user, written in REVERSE time order so every
+        # 3-row chunk is far from globally sorted; all within the gap.
+        rows = [(1, _ts(9 - i), 1.0) for i in range(10)]
+        landing = tmp_path / "landing"
+        out = tmp_path / "out"
+        ckpt = tmp_path / "ckpt"
+        landing.mkdir()
+        schema = "user_id long, ts timestamp, value double"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(landing / "b1")
+        )
+        stream = spark.readStream.schema(schema).parquet(str(landing) + "/*")
+        profile = user_running_profile(stream, gap_minutes=30)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(str(out))
+
+        q = (
+            profile.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(str(out)).collect()
+        assert len(got) == 1
+        assert got[0]["n_events"] == 10
+        assert got[0]["n_sessions"] == 1  # one contiguous session
+        assert got[0]["last_ts"] == _ts(9)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
