@@ -61,6 +61,20 @@ def read_csv(
     return with_audit_columns(df) if audit else df
 
 
-def read_parquet(spark: SparkSession, path: str, audit: bool = False) -> DataFrame:
-    df = spark.read.parquet(path)
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    audit: bool = False,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Batch parquet read (S4). ``merge_schema=True`` reconciles files
+    written under evolving schemas (added nullable columns backfill as
+    NULL) — the schema-evolution path a long-lived bronze table needs.
+    Off by default: merging scans every file footer, which on a
+    100 TB table is a driver-side listing storm; enable it only on
+    tables that actually evolve, or pin an explicit schema."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(path)
     return with_audit_columns(df) if audit else df

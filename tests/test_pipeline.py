@@ -221,3 +221,46 @@ def test_cycle_detection(spark, tmp_path):
     b = TableDef(name="b", inputs=("a",), build=lambda i: i["a"])
     with pytest.raises(ValueError, match="cycle"):
         Pipeline("cyclic", catalog, [a, b]).topo_order()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Files written under an evolved schema (added column) read back
+    as one table with NULL backfill when merge_schema is on."""
+    from olist_lakehouse_2_0_spark.sources.batch import read_parquet
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        p + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(p + "/batch=2")
+
+    df = read_parquet(spark, p, merge_schema=True)
+    assert set(df.columns) >= {"id", "name", "score", "batch"}
+    rows = {r["id"]: r["score"] for r in df.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Catalog.write(partition_by=...) must produce a layout where a
+    partition-key filter prunes at planning time (PartitionFilters in
+    the scan, only matching files read)."""
+    import contextlib
+    import io
+
+    from olist_lakehouse_2_0_spark.catalog import Catalog
+
+    cat = Catalog(root=str(tmp_path))
+    df = spark.range(0, 1000).selectExpr(
+        "id", "CAST(id % 4 AS INT) AS shard"
+    )
+    cat.write(df, "sharded", partition_by=["shard"])
+
+    scan = cat.read(spark, "sharded").filter("shard = 2")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scan.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "shard" in plan
+    assert scan.count() == 250
