@@ -236,7 +236,7 @@ def jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     40-word vocabulary makes many 3-grams corpus-wide common; production
     dedup pipelines apply the same stop-shingle cut). The oracle applies
     the identical document-frequency filter."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     pairs = jaccard_pairs(
         _with_duplicates(docs), "doc_id", "text", n=3, threshold=0.8,
         max_shingle_df=8,
@@ -285,7 +285,7 @@ WHERE c / (sa.sz + sb.sz - c) >= 0.8
 def minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline (rows-only: xxhash64-based; unit
     tests verify recall against the exact Jaccard baseline)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return minhash_dedup_pairs(
         _with_duplicates(docs), "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
     )
@@ -293,7 +293,7 @@ def minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return simhash_dedup_pairs(_with_duplicates(docs), "doc_id", "text", max_hamming=3)
 
 
