@@ -467,11 +467,23 @@ def dedup_components(
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14) — adequate until cluster diameters grow past tens.
     """
+    # Symmetrize with a single explode pass rather than a union of two
+    # selects: a union would evaluate the (possibly expensive) `pairs`
+    # lineage once per branch.
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("__e")
         )
+        .select("__e.src", "__e.dst")
         .distinct()
         .persist()
     )
@@ -481,6 +493,14 @@ def dedup_components(
         .withColumn("label", F.col("node"))
         .persist()
     )
+    # One action per round: counting the changed rows materializes the
+    # round's full cache (caching is whole-partition), and the next
+    # round's `labels` reads lazily from that same cache — no second
+    # count, no second persist layer. The previous round's cache is
+    # dropped only AFTER the new one is materialized, so lineage never
+    # re-runs from `edges` (that would make a D-round run cost O(D^2)
+    # joins instead of O(D)).
+    prev = labels
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -499,18 +519,12 @@ def dedup_components(
                 (F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label"))
                 .alias("changed"),
             )
+            .persist()
         )
-        updated = updated.persist()
         n_changed = updated.filter(F.col("changed")).count()
-        old = labels
-        labels = updated.select("node", "label").persist()
-        # Materialize the new labels from the cached `updated` BEFORE
-        # dropping the old caches — unpersisting first would force the
-        # next round to recompute the whole lineage from `edges`,
-        # making a D-round run cost O(D^2) joins instead of O(D).
-        labels.count()
-        old.unpersist()
-        updated.unpersist()
+        labels = updated.select("node", "label")
+        prev.unpersist()
+        prev = updated
         if n_changed == 0:
             break
     edges.unpersist()
