@@ -194,6 +194,99 @@ def fused_text_stats(text: Column | str) -> Column:
     return stats_of(c)
 
 
+#: PII classes: (name, Java/RE2-compatible regex, replacement token).
+#: Applied in order — email first so its digit runs can't be re-matched
+#: by the ip/phone patterns. All three patterns parse identically under
+#: Java regex (Spark) and RE2 (DuckDB oracle): no backrefs, no lookarounds.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+)
+
+
+def pii_counts(text: Column | str) -> Column:
+    """Per-class PII occurrence counts BEFORE redaction, as a struct
+    ``(n_email, n_ip, n_phone)``. JVM-side ``regexp_count`` — one pass
+    per class, no Python boundary."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.struct(
+        *[
+            F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS
+        ]
+    )
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with its class token (``[EMAIL]`` etc.).
+
+    The scrub step of a training-data pipeline: deterministic, pure
+    column expressions, order-stable under any partitioning. Patterns
+    are applied in :data:`PII_PATTERNS` order."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def word_ngrams(text: Column | str, n: int = 2) -> Column:
+    """All word-level n-grams of ``text`` in order (NOT deduplicated —
+    use :func:`~..dedup.token_shingles` for the distinct-set variant).
+    Same shifted-slice construction: each argument of ``arrays_zip``
+    evaluates once per row, the lambda touches only its struct element."""
+    toks = tokens(text)
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, F.lit(i + 1), m) for i in range(n)])
+    return F.transform(z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
+
+
+def dup_ngram_frac(text: Column | str, n: int = 2) -> Column:
+    """Fraction of repeated word n-grams: 1 - distinct/total (0.0 for
+    docs shorter than n words). The Gopher-style repetition signal —
+    high values mark boilerplate/spam documents."""
+    grams = word_ngrams(text, n)
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / total.cast("double")
+    )
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing at least one word
+    n-gram with any benchmark document, with the number of distinct
+    shared n-grams. Returns ``(id_col, n_hits)``.
+
+    Scale design: the benchmark side (an eval set — thousands of docs
+    even when the corpus is 100 TB) collapses to a distinct set of
+    64-bit gram hashes and is broadcast, so the corpus side is a single
+    map-side semi-join pass — no shuffle of corpus grams. The per-doc
+    ``n_hits`` aggregation shuffles only (id, gram_hash) pairs that
+    actually hit, which contamination makes rare by construction."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("__g")
+        )
+        .select(F.xxhash64("__g").alias("__gh"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("__g"),
+    ).select(id_col, F.xxhash64("__g").alias("__gh"))
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "__gh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__gh").alias("n_hits"))
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """64-bit document fingerprint: xxhash64 of whitespace-normalized,
     lowercased text — the exact-dedup key."""

@@ -235,12 +235,75 @@ GROUP BY ROLLUP (YEAR(o_orderdate), o_orderstatus)
 """
 
 
+def returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab) aggregation: quantity sums per return flag with
+    line statuses spread into columns. The pivot values are declared
+    explicitly (['F', 'O']) — at scale that skips the extra distinct
+    job Spark otherwise runs to discover them, and keeps the output
+    schema static for downstream consumers."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    pivoted = (
+        lineitem.select("l_returnflag", "l_linestatus", qty.alias("qty"))
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("qty"))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.col("F").cast("decimal(18,2)").alias("qty_f"),
+        F.col("O").cast("decimal(18,2)").alias("qty_o"),
+    )
+
+
+RETURNFLAG_PIVOT_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS qty_f,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS qty_o
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) of extended price
+    per return flag — Spark's ``percentile`` aggregate, which matches
+    ANSI ``percentile_cont`` / DuckDB ``quantile_cont`` interpolation.
+
+    Scale note: exact percentiles sort each group's values; for
+    100 TB-scale profiling swap in ``approx_percentile`` (KLL-style
+    mergeable sketch, same call shape) — the exact form is kept here
+    because the oracle gate hash-compares values."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50_price"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+        F.avg("l_extendedprice").alias("mean_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+PRICE_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50_price,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price,
+       AVG(l_extendedprice) AS mean_price,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 ANALYTICS_QUERIES = {
     "pricing_summary": pricing_summary,
     "revenue_by_nation": revenue_by_nation,
     "orders_building_segment_semi": orders_building_segment_semi,
     "customers_inactive_anti": customers_inactive_anti,
     "orders_rollup": orders_rollup,
+    "returnflag_pivot": returnflag_pivot,
+    "price_percentiles": price_percentiles,
 }
 
 ANALYTICS_ORACLES = {
@@ -249,4 +312,6 @@ ANALYTICS_ORACLES = {
     "orders_building_segment_semi": ORDERS_BUILDING_SEGMENT_SEMI_SQL,
     "customers_inactive_anti": CUSTOMERS_INACTIVE_ANTI_SQL,
     "orders_rollup": ORDERS_ROLLUP_SQL,
+    "returnflag_pivot": RETURNFLAG_PIVOT_SQL,
+    "price_percentiles": PRICE_PERCENTILES_SQL,
 }

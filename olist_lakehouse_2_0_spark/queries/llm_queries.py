@@ -781,6 +781,178 @@ GROUP BY 1, 2
 """
 
 
+def _with_pii(docs: DataFrame) -> DataFrame:
+    """Append deterministic synthetic PII (email / phone / IPv4 by
+    ``doc_id % 4``; one class untouched) so the redaction operator has
+    real matches at any scale factor — the raw corpus is a clean
+    synthetic vocabulary with no PII shapes in it."""
+    did = F.col("doc_id")
+    email = F.concat(
+        F.lit(" reach user"), did.cast("string"),
+        F.lit("@mail"), (did % 7).cast("string"), F.lit(".net"),
+    )
+    phone = F.concat(
+        F.lit(" call 415-555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit(" host 10."), (did % 256).cast("string"),
+        F.lit(".0."), ((did * 7) % 256).cast("string"),
+    )
+    return docs.withColumn(
+        "text",
+        F.when(did % 4 == 0, F.concat(F.col("text"), email))
+        .when(did % 4 == 1, F.concat(F.col("text"), phone))
+        .when(did % 4 == 2, F.concat(F.col("text"), ip))
+        .otherwise(F.col("text")),
+    )
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: per-class occurrence counts plus the redacted
+    text. Pure JVM regexp expressions (no UDF): one codegen'd pass per
+    document, embarrassingly parallel at any corpus size."""
+    docs = _with_pii(load(spark, sf_dir, "documents", spread=True))
+    counts = ops_text.pii_counts("text")
+    return docs.select(
+        "doc_id",
+        counts["n_email"].alias("n_email"),
+        counts["n_ip"].alias("n_ip"),
+        counts["n_phone"].alias("n_phone"),
+        ops_text.redact_pii("text").alias("redacted"),
+    )
+
+
+PII_REDACTION_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN text || ' reach user' || doc_id || '@mail' || (doc_id % 7) || '.net'
+      WHEN 1 THEN text || ' call 415-555-' || LPAD((doc_id % 10000)::VARCHAR, 4, '0')
+      WHEN 2 THEN text || ' host 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
+      ELSE text
+    END AS text
+  FROM documents
+)
+SELECT doc_id,
+  LEN(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+  LEN(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+  LEN(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS redacted
+FROM aug
+"""
+
+
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic document filter: word-count band, mean
+    word length band, stopword presence, and n-gram repetition, rolled
+    up per source with per-rule fail counts. Thresholds are tuned so
+    every rule splits this corpus (none is a degenerate all-pass).
+
+    All four signals are single-pass JVM column expressions over the
+    token array — at 100 TB this is a map-only stage followed by one
+    tiny per-source aggregate."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    n = ops_text.token_count("text")
+    ml = ops_text.mean_token_length("text")
+    sw = F.coalesce(ops_text.stopword_ratio("text"), F.lit(0.0))
+    rep = ops_text.dup_ngram_frac("text", 2)
+    flags = docs.select(
+        "source",
+        n.between(25, 90).alias("ok_words"),
+        ml.between(3.85, 5.15).alias("ok_word_len"),
+        (sw >= 0.03).alias("ok_stopwords"),
+        (rep <= 0.08).alias("ok_repetition"),
+    )
+    keep = (
+        F.col("ok_words")
+        & F.col("ok_word_len")
+        & F.col("ok_stopwords")
+        & F.col("ok_repetition")
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(keep, 1)).alias("n_keep"),
+        F.count(F.when(~F.col("ok_words"), 1)).alias("fail_words"),
+        F.count(F.when(~F.col("ok_word_len"), 1)).alias("fail_word_len"),
+        F.count(F.when(~F.col("ok_stopwords"), 1)).alias("fail_stopwords"),
+        F.count(F.when(~F.col("ok_repetition"), 1)).alias("fail_repetition"),
+    )
+
+
+GOPHER_QUALITY_FILTER_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source, regexp_split_to_array(TRIM(text), '\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, source, LEN(toks) AS n,
+    (SELECT AVG(LENGTH(x)::DOUBLE) FROM UNNEST(toks) u(x)) AS ml,
+    (SELECT COUNT(*) FILTER (LOWER(x) IN
+        ('the','a','an','of','and','or','is','are','to','in'))::DOUBLE
+        / LEN(toks)
+     FROM UNNEST(toks) u(x)) AS swr,
+    CASE WHEN LEN(toks) < 2 THEN 0.0 ELSE
+      1.0 - (SELECT COUNT(DISTINCT toks[i+1] || ' ' || toks[i+2])
+             FROM UNNEST(range(0, LEN(toks) - 1)) r(i))::DOUBLE
+            / (LEN(toks) - 1)
+    END AS rep
+  FROM t
+), flags AS (
+  SELECT source,
+    (n BETWEEN 25 AND 90) AS ok_words,
+    (ml BETWEEN 3.85 AND 5.15) AS ok_word_len,
+    (swr >= 0.03) AS ok_stopwords,
+    (rep <= 0.08) AS ok_repetition
+  FROM m
+)
+SELECT source, COUNT(*) AS n_docs,
+  COUNT(*) FILTER (ok_words AND ok_word_len AND ok_stopwords AND ok_repetition) AS n_keep,
+  COUNT(*) FILTER (NOT ok_words) AS fail_words,
+  COUNT(*) FILTER (NOT ok_word_len) AS fail_word_len,
+  COUNT(*) FILTER (NOT ok_stopwords) AS fail_stopwords,
+  COUNT(*) FILTER (NOT ok_repetition) AS fail_repetition
+FROM flags
+GROUP BY source
+"""
+
+
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word 3-gram with the held-out benchmark slice (``doc_id % 97 = 0``
+    stands in for an eval set). Returns (doc_id, n_hits) for
+    contaminated docs — the rows a training pipeline would drop."""
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return ops_text.contaminated_docs(corpus, bench, "doc_id", "text", n=3)
+
+
+DECONTAMINATION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+    UNNEST(CASE WHEN LEN(t) >= 3
+                THEN list_transform(range(0, LEN(t) - 2),
+                                    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                ELSE [] END) AS g
+  FROM toks
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+)
+SELECT doc_id, COUNT(DISTINCT g) AS n_hits
+FROM grams JOIN bench USING (g)
+WHERE doc_id % 97 <> 0
+GROUP BY doc_id
+"""
+
+
 LLM_QUERIES = {
     "text_stats": text_stats,
     "doc_quality_by_source": doc_quality_by_source,
@@ -806,6 +978,9 @@ LLM_QUERIES = {
     "dedup_clusters": dedup_clusters,
     "embedding_topk_ivf_kmeans": embedding_topk_ivf_kmeans,
     "mixture_epochs": mixture_epochs,
+    "pii_redaction": pii_redaction,
+    "gopher_quality_filter": gopher_quality_filter,
+    "decontamination": decontamination,
 }
 
 LLM_ORACLES = {
@@ -827,4 +1002,7 @@ LLM_ORACLES = {
     "audio_metadata": AUDIO_METADATA_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "mixture_epochs": MIXTURE_EPOCHS_SQL,
+    "pii_redaction": PII_REDACTION_SQL,
+    "gopher_quality_filter": GOPHER_QUALITY_FILTER_SQL,
+    "decontamination": DECONTAMINATION_SQL,
 }

@@ -223,3 +223,82 @@ def test_embedding_neardup_zero_vectors_excluded(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert embedding_neardup_pairs(empty, "vec_id", "embedding").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / quality heuristics / decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_all_classes(spark):
+    from olist_lakehouse_2_0_spark.operators.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.example.org today"),
+            (2, "call 415-555-0042 or 415-555-0043"),
+            (3, "server at 10.1.2.3 responded"),
+            (4, "clean text, no pii"),
+            (5, ""),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            pii_counts("text").alias("c"),
+            redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert out[1].c.n_email == 1 and "[EMAIL]" in out[1].red
+    assert "@" not in out[1].red
+    assert out[2].c.n_phone == 2 and out[2].red.count("[PHONE]") == 2
+    assert out[3].c.n_ip == 1 and "[IP]" in out[3].red
+    assert out[4].red == "clean text, no pii"
+    assert out[5].red == ""
+
+
+def test_dup_ngram_frac_bounds(spark):
+    from olist_lakehouse_2_0_spark.operators.text import dup_ngram_frac
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # bigrams: ab ba ab ba ab -> 2 distinct / 5
+            (2, "a b c d e"),        # all distinct -> 0.0
+            (3, "x"),                # shorter than n -> 0.0
+            (4, ""),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r.id: r.f
+        for r in df.select("id", dup_ngram_frac("text", 2).alias("f")).collect()
+    }
+    assert abs(got[1] - (1 - 2 / 5)) < 1e-12
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+    assert got[4] == 0.0
+
+
+def test_contaminated_docs_semantics(spark):
+    from olist_lakehouse_2_0_spark.operators.text import contaminated_docs
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox yesterday"),  # shares 2 grams
+            (2, "totally different words here now"),       # clean
+            (3, "quick brown fox quick brown fox"),        # shares 1 distinct gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_hits
+        for r in contaminated_docs(corpus, bench, "doc_id", "text", n=3).collect()
+    }
+    # doc 1: "the quick brown", "quick brown fox" both in bench;
+    # doc 3 repeats "quick brown fox" but distinct hits count once
+    assert got == {1: 2, 3: 1}
