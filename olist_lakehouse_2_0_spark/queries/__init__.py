@@ -35,6 +35,10 @@ from olist_lakehouse_2_0_spark.queries.relational import (
     RELATIONAL_ORACLES,
     RELATIONAL_QUERIES,
 )
+from olist_lakehouse_2_0_spark.queries.window_analytics import (
+    WINDOW_ANALYTICS_ORACLES,
+    WINDOW_ANALYTICS_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -43,6 +47,7 @@ def all_queries() -> dict[str, QueryFn]:
     queries: dict[str, QueryFn] = {}
     queries.update(RELATIONAL_QUERIES)
     queries.update(ANALYTICS_QUERIES)
+    queries.update(WINDOW_ANALYTICS_QUERIES)
     queries.update(GOVERNANCE_QUERIES)
     queries.update(CDC_QUERIES)
     queries.update(LLM_QUERIES)
@@ -54,6 +59,7 @@ def all_oracles() -> dict[str, str]:
     oracles: dict[str, str] = {}
     oracles.update(RELATIONAL_ORACLES)
     oracles.update(ANALYTICS_ORACLES)
+    oracles.update(WINDOW_ANALYTICS_ORACLES)
     oracles.update(GOVERNANCE_ORACLES)
     oracles.update(CDC_ORACLES)
     oracles.update(LLM_ORACLES)
