@@ -487,10 +487,19 @@ def dedup_components(
         .distinct()
         .persist()
     )
+    # Round 0 without a join: with every label initialized to its own
+    # node id, the first propagation's neighbor-min is just
+    # MIN(dst) per src — one groupBy over the symmetric edge set. For
+    # clique-shaped pair graphs (everything equality-keyed dedup
+    # produces) this already converges, so the loop below runs exactly
+    # one verification round instead of two full join rounds.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("__nbr0"))
+        .select(
+            "node",
+            F.least(F.col("node"), F.col("__nbr0")).alias("label"),
+        )
         .persist()
     )
     # One action per round: counting the changed rows materializes the
