@@ -23,6 +23,10 @@ from olist_lakehouse_2_0_spark.queries.event_queries import (
     EVENT_ORACLES,
     EVENT_QUERIES,
 )
+from olist_lakehouse_2_0_spark.queries.join_grouping import (
+    JOIN_GROUPING_ORACLES,
+    JOIN_GROUPING_QUERIES,
+)
 from olist_lakehouse_2_0_spark.queries.governance_queries import (
     GOVERNANCE_ORACLES,
     GOVERNANCE_QUERIES,
@@ -48,6 +52,7 @@ def all_queries() -> dict[str, QueryFn]:
     queries.update(RELATIONAL_QUERIES)
     queries.update(ANALYTICS_QUERIES)
     queries.update(WINDOW_ANALYTICS_QUERIES)
+    queries.update(JOIN_GROUPING_QUERIES)
     queries.update(GOVERNANCE_QUERIES)
     queries.update(CDC_QUERIES)
     queries.update(LLM_QUERIES)
@@ -60,6 +65,7 @@ def all_oracles() -> dict[str, str]:
     oracles.update(RELATIONAL_ORACLES)
     oracles.update(ANALYTICS_ORACLES)
     oracles.update(WINDOW_ANALYTICS_ORACLES)
+    oracles.update(JOIN_GROUPING_ORACLES)
     oracles.update(GOVERNANCE_ORACLES)
     oracles.update(CDC_ORACLES)
     oracles.update(LLM_ORACLES)

@@ -1,0 +1,330 @@
+"""Join-shape and grouping-set coverage the reference never exercises.
+
+The reference's joins are inner/left equi-joins only and its grouping
+is plain GROUP BY (SURVEY.md §2.3, §2.4). A complete engine also needs
+full-outer alignment, explicit cross joins, CUBE grouping sets, the
+positional window family (first/last/nth value), and similarity
+self-joins with blocking. Each query here has a DuckDB oracle twin.
+
+Scale notes (100 TB design):
+- ``daily_channel_full_outer`` aligns two independently-aggregated
+  daily series; both sides collapse to #days rows before the full
+  outer join, so the join input is thousands of rows regardless of
+  fact-table size.
+- ``priority_region_matrix`` cross-joins two tiny dimensions (5×5) to
+  build the dense result frame, then LEFT-joins the aggregated facts
+  onto it — the cross join never touches fact-table cardinality.
+- ``orders_cube`` computes all four grouping sets in one shuffle
+  (Spark expands CUBE map-side, same as ROLLUP).
+- ``segment_spend_extremes`` runs positional window functions over an
+  explicit UNBOUNDED..UNBOUNDED frame; input is one row per customer
+  (post-aggregation), partitioned by segment.
+- ``similar_name_pairs`` is entity-resolution blocking: the O(n²)
+  name-similarity self-join becomes a per-block join on
+  (nation, name-prefix) keys, so comparisons are Σ block² with
+  bounded blocks, all edit distances computed JVM-side
+  (``F.levenshtein``), no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from olist_lakehouse_2_0_spark.catalog import load
+from olist_lakehouse_2_0_spark.queries.relational import AVG6, MONEY, MONEY_SUM
+
+
+# ---------------------------------------------------------------------------
+# Full outer join: align two independently-aggregated daily series.
+# ---------------------------------------------------------------------------
+def daily_channel_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order activity FULL OUTER JOIN daily event activity on the
+    calendar date. The two series cover different date ranges, so both
+    null sides of the full outer join are exercised; counts are
+    zero-filled."""
+    orders = load(spark, sf_dir, "orders", spread=True)
+    events = load(spark, sf_dir, "events")
+    daily_orders = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("activity_date")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(MONEY))
+        .cast(MONEY_SUM)
+        .alias("order_revenue"),
+    )
+    daily_events = events.groupBy(
+        F.col("ts").cast("date").alias("activity_date")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return daily_orders.join(daily_events, "activity_date", "full_outer").select(
+        "activity_date",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("order_revenue"), F.lit(0).cast(MONEY_SUM)).alias(
+            "order_revenue"
+        ),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+    )
+
+
+DAILY_CHANNEL_FULL_OUTER_SQL = """
+WITH daily_orders AS (
+  SELECT CAST(o_orderdate AS DATE) AS activity_date,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS order_revenue
+  FROM orders
+  GROUP BY 1
+), daily_events AS (
+  SELECT CAST(ts AS DATE) AS activity_date,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY 1
+)
+SELECT activity_date,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(order_revenue, CAST(0 AS DECIMAL(18,2))) AS order_revenue,
+       COALESCE(n_events, 0) AS n_events
+FROM daily_orders FULL OUTER JOIN daily_events USING (activity_date)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross join: dense dimension matrix with zero-filled fact cells.
+# ---------------------------------------------------------------------------
+def priority_region_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every (region, order priority) cell with its order count and
+    revenue — including zero cells. The dense frame comes from an
+    explicit cross join of the two dimensions; facts LEFT-join onto
+    it."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders", spread=True)
+
+    priorities = orders.select(
+        F.col("o_orderpriority").alias("priority")
+    ).distinct()
+    matrix = region.select(F.col("r_name").alias("region")).crossJoin(
+        priorities
+    )
+
+    facts = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(MONEY))
+            .cast(MONEY_SUM)
+            .alias("revenue"),
+        )
+    )
+    return matrix.join(facts, ["region", "priority"], "left").select(
+        "region",
+        "priority",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("revenue"), F.lit(0).cast(MONEY_SUM)).alias("revenue"),
+    )
+
+
+PRIORITY_REGION_MATRIX_SQL = """
+WITH matrix AS (
+  SELECT r.r_name AS region, p.priority
+  FROM region r
+  CROSS JOIN (SELECT DISTINCT o_orderpriority AS priority FROM orders) p
+), facts AS (
+  SELECT r.r_name AS region,
+         o.o_orderpriority AS priority,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT m.region,
+       m.priority,
+       COALESCE(f.n_orders, 0) AS n_orders,
+       COALESCE(f.revenue, CAST(0 AS DECIMAL(18,2))) AS revenue
+FROM matrix m LEFT JOIN facts f USING (region, priority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets: all four (status, priority) marginals in one pass.
+# ---------------------------------------------------------------------------
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts/revenue by CUBE (status, priority): per-cell,
+    per-status, per-priority, and grand total — four grouping sets,
+    one shuffle."""
+    orders = load(spark, sf_dir, "orders", spread=True)
+    base = orders.select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast(MONEY).alias("price"),
+    )
+    return base.cube("status", "priority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").cast(MONEY_SUM).alias("revenue"),
+        F.avg("price").cast(AVG6).alias("avg_order_value"),
+    )
+
+
+ORDERS_CUBE_SQL = """
+SELECT o_orderstatus AS status,
+       o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue,
+       CAST(AVG(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,6)) AS avg_order_value
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Positional window functions over an explicit full-partition frame.
+# ---------------------------------------------------------------------------
+def segment_spend_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment: the top, runner-up and bottom customer by
+    lifetime spend via first_value / nth_value / last_value over an
+    UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING frame."""
+    orders = load(spark, sf_dir, "orders", spread=True)
+    customer = load(spark, sf_dir, "customer")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(MONEY))
+            .cast(MONEY_SUM)
+            .alias("spend")
+        )
+        .join(
+            customer.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    w = (
+        W.partitionBy("c_mktsegment")
+        .orderBy(F.desc("spend"), F.asc("o_custkey"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        spend.select(
+            F.col("c_mktsegment").alias("segment"),
+            F.first_value(F.col("o_custkey")).over(w).alias("top_customer"),
+            F.nth_value(F.col("o_custkey"), 2).over(w).alias("runner_up"),
+            F.last_value(F.col("o_custkey")).over(w).alias("bottom_customer"),
+            F.max("spend").over(w).alias("top_spend"),
+            F.min("spend").over(w).alias("bottom_spend"),
+        )
+        .distinct()
+    )
+
+
+SEGMENT_SPEND_EXTREMES_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS spend
+  FROM orders
+  GROUP BY o_custkey
+)
+SELECT DISTINCT
+       c.c_mktsegment AS segment,
+       FIRST_VALUE(s.o_custkey) OVER w AS top_customer,
+       NTH_VALUE(s.o_custkey, 2) OVER w AS runner_up,
+       LAST_VALUE(s.o_custkey) OVER w AS bottom_customer,
+       MAX(s.spend) OVER w AS top_spend,
+       MIN(s.spend) OVER w AS bottom_spend
+FROM spend s
+JOIN customer c ON s.o_custkey = c.c_custkey
+WINDOW w AS (PARTITION BY c.c_mktsegment
+             ORDER BY s.spend DESC, s.o_custkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Entity-resolution blocking + JVM edit distance.
+# ---------------------------------------------------------------------------
+def similar_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer pairs in the same nation whose names are within edit
+    distance 1, found by blocking on (nation, 15-char name prefix) so
+    the self-join compares only within bounded blocks."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+        F.substring(F.col("c_name"), 1, 15).alias("block"),
+    )
+    a = cust.select(
+        F.col("key").alias("id_a"),
+        F.col("name").alias("name_a"),
+        "nation",
+        "block",
+    )
+    b = cust.select(
+        F.col("key").alias("id_b"),
+        F.col("name").alias("name_b"),
+        F.col("nation").alias("nation_b"),
+        F.col("block").alias("block_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("nation") == F.col("nation_b"))
+            & (F.col("block") == F.col("block_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn(
+            "edit_distance", F.levenshtein(F.col("name_a"), F.col("name_b"))
+        )
+        .filter(F.col("edit_distance") <= 1)
+        .select("id_a", "id_b", F.col("nation").alias("nation_key"), "edit_distance")
+    )
+
+
+SIMILAR_NAME_PAIRS_SQL = """
+SELECT a.c_custkey AS id_a,
+       b.c_custkey AS id_b,
+       a.c_nationkey AS nation_key,
+       levenshtein(a.c_name, b.c_name) AS edit_distance
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND SUBSTRING(a.c_name, 1, 15) = SUBSTRING(b.c_name, 1, 15)
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+JOIN_GROUPING_QUERIES = {
+    "daily_channel_full_outer": daily_channel_full_outer,
+    "priority_region_matrix": priority_region_matrix,
+    "orders_cube": orders_cube,
+    "segment_spend_extremes": segment_spend_extremes,
+    "similar_name_pairs": similar_name_pairs,
+}
+
+JOIN_GROUPING_ORACLES = {
+    "daily_channel_full_outer": DAILY_CHANNEL_FULL_OUTER_SQL,
+    "priority_region_matrix": PRIORITY_REGION_MATRIX_SQL,
+    "orders_cube": ORDERS_CUBE_SQL,
+    "segment_spend_extremes": SEGMENT_SPEND_EXTREMES_SQL,
+    "similar_name_pairs": SIMILAR_NAME_PAIRS_SQL,
+}
