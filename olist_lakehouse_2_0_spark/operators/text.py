@@ -295,6 +295,27 @@ def fingerprint(text: Column | str) -> Column:
     return F.xxhash64(normalized)
 
 
+def token_chunks(
+    text: Column | str, window: int = 50, stride: int = 40
+) -> Column:
+    """Overlapping token-window chunks for context-length-bounded
+    training: an array of token arrays, one slice per stride offset
+    (``window - stride`` tokens of overlap between consecutive chunks).
+
+    Pure JVM array expressions (sequence → transform → slice): chunking
+    100 TB of text is a narrow per-row map with zero shuffle; the
+    downstream ``posexplode`` multiplies rows ~len/stride-fold without
+    ever leaving the executor. Callers should filter empty documents
+    first (an empty token array still yields one empty chunk)."""
+    toks = tokens(text)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    return F.transform(starts, lambda s: F.slice(toks, s + 1, window))
+
+
 def winnow_fingerprints(
     text: Column | str, k: int = 8, window: int = 4, normalized: bool = False
 ) -> Column:

@@ -153,6 +153,83 @@ GROUP BY source, lang
 """
 
 
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window=50, stride=40): every
+    document becomes ceil(n_tokens/stride) chunks with 10 tokens of
+    overlap — the standard pre-tokenization step for context-bounded
+    training. Entirely JVM array expressions (sequence/transform/slice
+    + posexplode), no shuffle until a downstream consumer groups."""
+    docs = load(spark, sf_dir, "documents", spread=True).filter(
+        ops_text.token_count("text") > 0
+    )
+    chunks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(ops_text.token_chunks("text", window=50, stride=40)).alias(
+            "chunk_index", "chunk_toks"
+        ),
+    )
+    return chunks.select(
+        "doc_id",
+        "source",
+        "chunk_index",
+        F.size("chunk_toks").alias("n_chunk_tokens"),
+        F.array_join("chunk_toks", " ").alias("chunk_text"),
+    )
+
+
+DOC_CHUNKS_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(TRIM(text), '\\s+') AS t
+  FROM documents
+  WHERE LENGTH(TRIM(text)) > 0
+), starts AS (
+  SELECT doc_id, source, t, UNNEST(range(0, LEN(t), 40)) AS s
+  FROM toks
+)
+SELECT doc_id,
+       source,
+       CAST(s / 40 AS INT) AS chunk_index,
+       CAST(LEN(list_slice(t, s + 1, s + 50)) AS INT) AS n_chunk_tokens,
+       array_to_string(list_slice(t, s + 1, s + 50), ' ') AS chunk_text
+FROM starts
+"""
+
+
+def doc_quality_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source z-score normalization of the quality score: each
+    document scored relative to its source's mean/stddev — the standard
+    per-domain normalization before mixing sources into one corpus.
+    One window shuffle on source; stddev==0 sources yield NULL."""
+    from pyspark.sql import Window as W
+
+    stats = text_stats(spark, sf_dir).select(
+        "doc_id", "source", "quality_score"
+    )
+    w = W.partitionBy("source")
+    mu = F.avg("quality_score").over(w)
+    sigma = F.stddev_samp("quality_score").over(w)
+    return stats.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.round((F.col("quality_score") - mu) / F.nullif(sigma, F.lit(0.0)), 4)
+        .alias("quality_zscore"),
+    )
+
+
+DOC_QUALITY_ZSCORE_SQL = f"""
+WITH stats AS ({TEXT_STATS_SQL})
+SELECT doc_id,
+       source,
+       quality_score,
+       ROUND((quality_score - AVG(quality_score) OVER (PARTITION BY source))
+             / NULLIF(STDDEV_SAMP(quality_score) OVER (PARTITION BY source), 0.0),
+             4) AS quality_zscore
+FROM stats
+"""
+
+
 def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level token frequency top-20 (vocabulary analytics)."""
     docs = load(spark, sf_dir, "documents", spread=True)
@@ -955,6 +1032,8 @@ GROUP BY doc_id
 
 LLM_QUERIES = {
     "text_stats": text_stats,
+    "doc_chunks": doc_chunks,
+    "doc_quality_zscore": doc_quality_zscore,
     "doc_quality_by_source": doc_quality_by_source,
     "top_tokens": top_tokens,
     "exact_dedup_docs": exact_dedup_docs,
@@ -985,6 +1064,8 @@ LLM_QUERIES = {
 
 LLM_ORACLES = {
     "text_stats": TEXT_STATS_SQL,
+    "doc_chunks": DOC_CHUNKS_SQL,
+    "doc_quality_zscore": DOC_QUALITY_ZSCORE_SQL,
     "doc_quality_by_source": DOC_QUALITY_BY_SOURCE_SQL,
     "top_tokens": TOP_TOKENS_SQL,
     "exact_dedup_docs": EXACT_DEDUP_DOCS_SQL,
