@@ -212,14 +212,77 @@ GROUP BY p_brand
 """
 
 
+# ---------------------------------------------------------------------------
+# Time-series gap filling: dense calendar spine with zero-filled days.
+# ---------------------------------------------------------------------------
+def daily_orders_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order series densified over the full calendar range: days
+    with no orders appear with zero counts and an ``is_gap`` flag — the
+    hypertable-rollup/gap-fill shape time-series stores provide.
+
+    The calendar spine is generated from the aggregated series' own
+    min/max (one tiny 1-row aggregate, sequence-exploded to #days
+    rows), so no fact-scale data feeds the spine; the spine LEFT-joins
+    the per-day aggregate."""
+    orders = load(spark, sf_dir, "orders", spread=True)
+    daily = (
+        orders.filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(MONEY))
+            .cast(MONEY_SUM)
+            .alias("revenue"),
+        )
+    )
+    spine = daily.agg(
+        F.min("order_date").alias("d0"), F.max("order_date").alias("d1")
+    ).select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("order_date")
+    )
+    return spine.join(daily, "order_date", "left").select(
+        "order_date",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("revenue"), F.lit(0).cast(MONEY_SUM)).alias("revenue"),
+        F.col("n_orders").isNull().alias("is_gap"),
+    )
+
+
+DAILY_ORDERS_GAPFILL_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS order_date,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS revenue
+  FROM orders
+  WHERE o_orderdate IS NOT NULL
+  GROUP BY 1
+), spine AS (
+  SELECT UNNEST(generate_series(
+           (SELECT MIN(order_date) FROM daily),
+           (SELECT MAX(order_date) FROM daily),
+           INTERVAL 1 DAY))::DATE AS order_date
+)
+SELECT s.order_date,
+       COALESCE(d.n_orders, 0) AS n_orders,
+       COALESCE(d.revenue, CAST(0 AS DECIMAL(18,2))) AS revenue,
+       d.n_orders IS NULL AS is_gap
+FROM spine s LEFT JOIN daily d USING (order_date)
+"""
+
+
 WINDOW_ANALYTICS_QUERIES = {
     "daily_revenue_trend": daily_revenue_trend,
     "segment_spend_ranks": segment_spend_ranks,
     "parts_above_brand_avg": parts_above_brand_avg,
+    "daily_orders_gapfill": daily_orders_gapfill,
 }
 
 WINDOW_ANALYTICS_ORACLES = {
     "daily_revenue_trend": DAILY_REVENUE_TREND_SQL,
     "segment_spend_ranks": SEGMENT_SPEND_RANKS_SQL,
     "parts_above_brand_avg": PARTS_ABOVE_BRAND_AVG_SQL,
+    "daily_orders_gapfill": DAILY_ORDERS_GAPFILL_SQL,
 }
