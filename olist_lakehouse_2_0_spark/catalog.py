@@ -164,6 +164,21 @@ def spread_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 def _load_nanos_ts(spark: SparkSession, path: str, ts_col: str) -> DataFrame:
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    # Driver testdata has shipped the events timestamp two ways: as a
+    # real parquet TIMESTAMP (readable directly) and as TIMESTAMP(NANOS)
+    # (which Spark only reads via the nanosAsLong legacy flag, as int64
+    # epoch-nanos). Probe the plain read first and only fall back to the
+    # nanos path when the column is long-typed or the footer is rejected.
+    try:
+        df = spark.read.parquet(path)
+        if not isinstance(df.schema[ts_col].dataType, LongType):
+            # Cast NTZ → TIMESTAMP (session tz is UTC, values unchanged)
+            # so downstream watermarks/windows see event-time typing.
+            return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    except Exception:
+        pass
 
     key = "spark.sql.legacy.parquet.nanosAsLong"
     prev = spark.conf.get(key, None)

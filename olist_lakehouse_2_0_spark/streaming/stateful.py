@@ -66,7 +66,12 @@ def _make_update(gap_minutes: int):
         chunks = list(pdfs)
         if chunks:
             whole = pd.concat(chunks, ignore_index=True).sort_values("ts")
-            ts_us = (whole["ts"].astype("int64") // 1000).to_numpy()
+            # Normalize to ns first: Arrow may hand pandas datetime64 in
+            # either ns or us resolution, and a bare astype("int64")
+            # would silently change units between the two.
+            ts_us = (
+                whole["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            ).to_numpy()
             n_events += len(whole)
             total_value += float(whole["value"].sum())
             for t in ts_us:
@@ -114,20 +119,39 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``catalog._load_nanos_ts``) and converts to microsecond timestamps.
     """
     path = os.path.join(sf_dir, "events.parquet")
-    # NOTE: the nanosAsLong flag must stay set while the STREAM runs —
-    # the file source re-resolves the parquet footer per micro-batch —
-    # so it cannot be restored here; run_profile_availablenow restores
-    # it after the query terminates.
+    # The events timestamp has shipped both as a real parquet TIMESTAMP
+    # and as TIMESTAMP(NANOS) (readable only as int64 via the
+    # nanosAsLong legacy flag). Probe the plain read first.
+    # NOTE: in the nanos case the flag must stay set while the STREAM
+    # runs — the file source re-resolves the parquet footer per
+    # micro-batch — so it cannot be restored here;
+    # run_profile_availablenow restores it after the query terminates.
+    from pyspark.sql.types import LongType
+
     key = "spark.sql.legacy.parquet.nanosAsLong"
-    spark.conf.set(key, "true")
-    schema = spark.read.parquet(path).schema
+    try:
+        schema = spark.read.parquet(path).schema
+        nanos = isinstance(schema["ts"].dataType, LongType)
+    except Exception:
+        nanos = True
+    if nanos:
+        spark.conf.set(key, "true")
+        schema = spark.read.parquet(path).schema
     # The file stream source only accepts directories; stage a symlink
     # to the single events file inside a temp landing dir (zero-copy —
     # this mirrors how files would land incrementally in production).
     landing = tempfile.mkdtemp(prefix="events_stream_src_")
     os.symlink(path, os.path.join(landing, "events.parquet"))
     stream = spark.readStream.schema(schema).parquet(landing)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        # Cast NTZ → TIMESTAMP (session tz is UTC, values unchanged) so
+        # watermarks accept `ts` as an event-time column.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def run_profile_availablenow(
