@@ -313,12 +313,59 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Distribution histogram (TPC-H Q13 shape): LEFT OUTER join preserving
+# zero-match keys, COUNT(col) per key, then a second aggregation over
+# the counts themselves.
+# ---------------------------------------------------------------------------
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed 0, 1, 2, … non-urgent orders. The
+    outer join keeps customers with no qualifying orders (COUNT(col)
+    gives them 0); the histogram re-aggregates the per-customer counts.
+
+    Scale: one shuffle joins orders to customers on the customer key;
+    the per-customer aggregate reuses that partitioning, and the final
+    histogram is a near-scalar aggregation (cardinality = max order
+    count), cheap at any corpus size."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders", spread=True)
+    routine = orders.filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    per_customer = (
+        customer.select("c_custkey")
+        .join(routine, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_customer.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+WITH per_customer AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer
+  LEFT JOIN (
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_orderpriority <> '1-URGENT'
+  ) o ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT n_orders, COUNT(*) AS n_customers
+FROM per_customer
+GROUP BY n_orders
+"""
+
+
 JOIN_GROUPING_QUERIES = {
     "daily_channel_full_outer": daily_channel_full_outer,
     "priority_region_matrix": priority_region_matrix,
     "orders_cube": orders_cube,
     "segment_spend_extremes": segment_spend_extremes,
     "similar_name_pairs": similar_name_pairs,
+    "customer_order_distribution": customer_order_distribution,
 }
 
 JOIN_GROUPING_ORACLES = {
@@ -327,4 +374,5 @@ JOIN_GROUPING_ORACLES = {
     "orders_cube": ORDERS_CUBE_SQL,
     "segment_spend_extremes": SEGMENT_SPEND_EXTREMES_SQL,
     "similar_name_pairs": SIMILAR_NAME_PAIRS_SQL,
+    "customer_order_distribution": CUSTOMER_ORDER_DISTRIBUTION_SQL,
 }

@@ -1030,6 +1030,130 @@ GROUP BY doc_id
 """
 
 
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level unigram language-model scoring: train token
+    frequencies over the whole corpus, then score each document by its
+    average token log-probability — the classic cheap LM-quality signal
+    for training-data filtering (low scores = gibberish / rare-token
+    soup).
+
+    Scale design: term frequencies aggregate per (doc, token) first, so
+    the token-key join carries one row per distinct token per doc, not
+    one per occurrence; the corpus-wide vocabulary is derived FROM that
+    same shuffled tf relation, so Catalyst reuses one exchange for both
+    branches. The vocab total reaches the plan as a broadcast scalar.
+    Common-token key skew ("the" joins against every doc) is AQE
+    skew-split territory; no driver-side collection anywhere."""
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    tf = (
+        docs.select("doc_id", F.explode(ops_text.tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    counts = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    total = counts.agg(F.sum("c").alias("n"))
+    logp = counts.crossJoin(F.broadcast(total)).select(
+        "token",
+        (
+            F.log(F.col("c").cast("double")) - F.log(F.col("n").cast("double"))
+        ).alias("logp"),
+    )
+    return (
+        tf.join(logp, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (
+                F.sum(F.col("tf") * F.col("logp"))
+                / F.sum("tf").cast("double")
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+UNIGRAM_LOGPROB_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS token
+  FROM documents
+  WHERE LENGTH(TRIM(text)) > 0
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), counts AS (
+  SELECT token, SUM(tf) AS c FROM tf GROUP BY token
+), total AS (
+  SELECT SUM(c) AS n FROM counts
+)
+SELECT tf.doc_id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       SUM(tf.tf * (LN(c) - LN(n))) / CAST(SUM(tf.tf) AS DOUBLE) AS avg_logprob
+FROM tf JOIN counts USING (token) CROSS JOIN total
+GROUP BY tf.doc_id
+"""
+
+
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per dedup cluster: after connected
+    components groups duplicates, keep one representative per cluster —
+    the longest text, ties broken by lowest doc_id. This is the step
+    that turns a dup-pair graph into an actual keep/drop decision in a
+    training-data pipeline.
+
+    One shuffle on the component key serves both the member count and
+    the representative pick (count window + row_number window share the
+    partitioning)."""
+    from pyspark.sql import Window as W
+
+    docs = _with_duplicates(load(spark, sf_dir, "documents", spread=True))
+    fp = docs.select(
+        "doc_id",
+        F.length("text").alias("n_len"),
+        ops_text.fingerprint("text").alias("fp"),
+    )
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp")
+    pairs = (
+        a.join(b, "fp").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    )
+    members = dedup_components(pairs).join(
+        fp.select("doc_id", "n_len"), "doc_id"
+    )
+    pick = W.partitionBy("component").orderBy(F.desc("n_len"), F.asc("doc_id"))
+    return (
+        members.withColumn("rn", F.row_number().over(pick))
+        .withColumn("n_members", F.count(F.lit(1)).over(W.partitionBy("component")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("canonical_doc_id"),
+            "n_members",
+            F.col("n_len").alias("canonical_len"),
+        )
+    )
+
+
+DEDUP_CANONICAL_SQL = r"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, '  ' || text || ' ' FROM documents
+), keyed AS (
+  SELECT doc_id, LENGTH(text) AS n_len,
+         REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g') AS norm
+  FROM unioned
+), comp AS (
+  SELECT doc_id, n_len,
+         MIN(doc_id) OVER (PARTITION BY norm) AS component,
+         COUNT(*) OVER (PARTITION BY norm) AS n_members
+  FROM keyed
+)
+SELECT component, doc_id AS canonical_doc_id, n_members,
+       n_len AS canonical_len
+FROM comp
+WHERE n_members > 1
+QUALIFY ROW_NUMBER() OVER (PARTITION BY component ORDER BY n_len DESC, doc_id) = 1
+"""
+
+
 LLM_QUERIES = {
     "text_stats": text_stats,
     "doc_chunks": doc_chunks,
@@ -1060,6 +1184,8 @@ LLM_QUERIES = {
     "pii_redaction": pii_redaction,
     "gopher_quality_filter": gopher_quality_filter,
     "decontamination": decontamination,
+    "unigram_logprob": unigram_logprob,
+    "dedup_canonical": dedup_canonical,
 }
 
 LLM_ORACLES = {
@@ -1086,4 +1212,6 @@ LLM_ORACLES = {
     "pii_redaction": PII_REDACTION_SQL,
     "gopher_quality_filter": GOPHER_QUALITY_FILTER_SQL,
     "decontamination": DECONTAMINATION_SQL,
+    "unigram_logprob": UNIGRAM_LOGPROB_SQL,
+    "dedup_canonical": DEDUP_CANONICAL_SQL,
 }
