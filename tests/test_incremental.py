@@ -1,0 +1,104 @@
+"""Incremental MV maintenance: batch-merged aggregates must equal a
+one-shot full recompute, across any batch split, including the
+HLL-sketch approx-distinct state; the foreachBatch merger must skip
+replayed micro-batches (exactly-once)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_lakehouse_2_0_spark.catalog import load
+from olist_lakehouse_2_0_spark.plans.incremental import (
+    AggSpec,
+    IncrementalAggTable,
+)
+
+SPECS = [
+    AggSpec("sum", "price_dec", "revenue"),
+    AggSpec("count", "*", "n_items"),
+    AggSpec("count", "l_returnflag", "n_flagged"),
+    AggSpec("min", "l_shipdate", "first_ship"),
+    AggSpec("max", "l_shipdate", "last_ship"),
+    AggSpec("approx_distinct", "l_partkey", "n_parts_approx"),
+]
+
+
+def _facts(spark, sf_dir):
+    return load(spark, sf_dir, "lineitem").withColumn(
+        # decimal money column: exact sums regardless of merge order
+        "price_dec",
+        F.col("l_extendedprice").cast("decimal(12,2)"),
+    )
+
+
+def _rows(df):
+    return sorted(
+        tuple(r) for r in df.toPandas().itertuples(index=False)
+    )
+
+
+def test_incremental_matches_full_recompute(spark, sf_smoke, tmp_path):
+    facts = _facts(spark, sf_smoke)
+    table = IncrementalAggTable(
+        str(tmp_path / "agg"), keys=["l_returnflag", "l_linestatus"], specs=SPECS
+    )
+    # three uneven batches, applied in arbitrary order
+    for i in (2, 0, 1):
+        table.apply_batch(spark, facts.filter(F.col("l_orderkey") % 3 == i))
+
+    full = facts.groupBy("l_returnflag", "l_linestatus").agg(
+        *[s.partial() for s in SPECS]
+    )
+    full = full.select(
+        "l_returnflag", "l_linestatus", *[s.finalize() for s in SPECS]
+    )
+    inc = table.read_final(spark)
+    assert sorted(inc.columns) == sorted(full.columns)
+    # exact equality, sketch estimate included: HLL registers merge by
+    # element-wise max, so incremental == one-shot bit-for-bit
+    assert _rows(inc.select(*sorted(inc.columns))) == _rows(
+        full.select(*sorted(full.columns))
+    )
+
+
+def test_schema_stays_fixed_across_merges(spark, sf_smoke, tmp_path):
+    facts = _facts(spark, sf_smoke)
+    table = IncrementalAggTable(
+        str(tmp_path / "agg"), keys=["l_returnflag"], specs=SPECS
+    )
+    table.apply_batch(spark, facts.filter(F.col("l_orderkey") % 2 == 0))
+    schema_after_first = table.read_states(spark).schema
+    table.apply_batch(spark, facts.filter(F.col("l_orderkey") % 2 == 1))
+    # SUM(DECIMAL) widens per aggregation; the stored schema must not
+    # creep across merges
+    assert table.read_states(spark).schema == schema_after_first
+
+
+def test_foreach_batch_merger_skips_replays(spark, sf_smoke, tmp_path):
+    facts = _facts(spark, sf_smoke).limit(100)
+    table = IncrementalAggTable(
+        str(tmp_path / "agg"),
+        keys=["l_returnflag"],
+        specs=[AggSpec("count", "*", "n_items")],
+    )
+    merger = table.foreach_batch_merger(spark)
+    merger(facts, 0)
+    once = _rows(table.read_final(spark))
+    merger(facts, 0)  # failure replay of the same micro-batch
+    assert _rows(table.read_final(spark)) == once, "replay double-merged"
+    merger(facts, 1)  # genuinely new batch does merge
+    doubled = _rows(table.read_final(spark))
+    assert doubled != once
+    assert table.last_applied_batch() == 1
+
+
+def test_bad_spec_rejected():
+    with pytest.raises(ValueError):
+        AggSpec("median", "x", "m")
+    with pytest.raises(ValueError):
+        IncrementalAggTable(
+            "/tmp/x",
+            keys=["k"],
+            specs=[AggSpec("sum", "a", "s"), AggSpec("count", "*", "s")],
+        )
