@@ -115,6 +115,85 @@ class Catalog:
         return name
 
 
+    def write_clustered(
+        self,
+        df: DataFrame,
+        name: str,
+        cluster_cols: list[str],
+        layer: str | None = None,
+        num_files: int | None = None,
+    ) -> str:
+        """Range-clustered write: the OSS counterpart of the
+        reference's Z-ORDER / CLUSTER BY table properties (reference
+        src/pipelines/bronze/orders.sql:14, gold/daily_orders.sql:19).
+
+        ``repartitionByRange`` gives files non-overlapping key ranges
+        and ``sortWithinPartitions`` tightens parquet row-group min/max
+        stats, so a point or range predicate on the cluster key prunes
+        to O(1) files at planning/scan time instead of scanning all of
+        them — the dominant read-path win at 100 TB for key-filtered
+        queries. (True multi-column Z-ordering interleaves bits; for
+        the reference's single-key usage, range clustering gives the
+        same pruning.)"""
+        out = (
+            df.repartitionByRange(num_files, *cluster_cols)
+            if num_files
+            else df.repartitionByRange(*cluster_cols)
+        ).sortWithinPartitions(*cluster_cols)
+        path = self.path_for(name, layer)
+        out.write.mode("overwrite").parquet(path)
+        key = f"{layer}.{name}" if layer else name
+        self.tables[key] = TableRef(name=key, path=path)
+        return path
+
+    def compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        layer: str | None = None,
+        target_file_bytes: int = 128 << 20,
+    ) -> tuple[int, int]:
+        """Small-file compaction (the reference delegates this to
+        Databricks auto-optimize, reference
+        src/pipelines/bronze/orders.sql:13): rewrite a parquet
+        directory into ``ceil(total_bytes / target)`` files.
+
+        Streaming ingest appends one file set per micro-batch; at
+        100 TB the resulting small-file population dominates scan
+        planning and open() overhead, so compaction runs as a periodic
+        maintenance job per table (per partition directory for
+        partitioned tables). ``coalesce`` merges without a shuffle;
+        the rewrite lands in a staging dir and swaps in atomically, so
+        readers never see a partial table. Returns (files_before,
+        files_after); no-op when already at or below target."""
+        import math
+
+        path = self.path_for(name, layer)
+        files = [
+            os.path.join(root, f)
+            for root, _, names in os.walk(path)
+            for f in names
+            if f.endswith(".parquet")
+        ]
+        total = sum(os.path.getsize(f) for f in files)
+        n = max(1, math.ceil(total / target_file_bytes))
+        if n >= len(files):
+            return (len(files), len(files))
+        df = spark.read.parquet(path)
+        staging = path + "__compacting"
+        df.coalesce(n).write.mode("overwrite").parquet(staging)
+        from olist_lakehouse_2_0_spark.plans.pipeline import _swap_dirs
+
+        _swap_dirs(spark, staging, path)
+        after = sum(
+            1
+            for _, _, names in os.walk(path)
+            for f in names
+            if f.endswith(".parquet")
+        )
+        return (len(files), after)
+
+
 def testdata_catalog(sf_dir: str) -> Catalog:
     """Catalog over one driver testdata scale-factor directory."""
     cat = Catalog(root=sf_dir)

@@ -1,0 +1,108 @@
+"""File-management operators: small-file compaction preserves data and
+reduces file count; range-clustered writes yield non-overlapping file
+key ranges that prune point queries to O(1) files."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from olist_lakehouse_2_0_spark.catalog import Catalog, load
+
+
+def _parquet_files(path: str) -> list[str]:
+    return [
+        os.path.join(root, f)
+        for root, _, names in os.walk(path)
+        for f in names
+        if f.endswith(".parquet")
+    ]
+
+
+def test_compact_reduces_files_and_preserves_data(spark, sf_smoke, tmp_path):
+    cat = Catalog(root=str(tmp_path))
+    li = load(spark, sf_smoke, "lineitem")
+    # simulate a streaming-ingested table: many tiny files
+    cat.write(li.repartition(40), "lineitem_small")
+    path = cat.path_for("lineitem_small")
+    assert len(_parquet_files(path)) == 40
+    expected = li.count()
+
+    before, after = cat.compact(spark, "lineitem_small", target_file_bytes=1 << 20)
+    assert before == 40 and after < 40
+
+    got = spark.read.parquet(path)
+    assert got.count() == expected
+    assert sorted(got.columns) == sorted(li.columns)
+    # identical content, not just identical counts
+    assert (
+        got.exceptAll(li).count() == 0 and li.exceptAll(got).count() == 0
+    )
+
+    # already compact -> no-op
+    b2, a2 = cat.compact(spark, "lineitem_small", target_file_bytes=1 << 30)
+    assert (b2, a2) == (after, after)
+
+
+def test_clustered_write_prunes_point_queries(spark, sf_smoke, tmp_path):
+    cat = Catalog(root=str(tmp_path))
+    li = load(spark, sf_smoke, "lineitem")
+    n_files = 8
+    cat.write(li.repartition(n_files), "li_unclustered")
+    cat.write_clustered(li, "li_clustered", ["l_orderkey"], num_files=n_files)
+
+    def overlapping_files(path: str, key_value: int) -> int:
+        hits = 0
+        for f in _parquet_files(path):
+            meta = pq.ParquetFile(f).metadata
+            idx = next(
+                i
+                for i in range(meta.num_columns)
+                if meta.row_group(0).column(i).path_in_schema == "l_orderkey"
+            )
+            lo = min(
+                meta.row_group(g).column(idx).statistics.min
+                for g in range(meta.num_row_groups)
+            )
+            hi = max(
+                meta.row_group(g).column(idx).statistics.max
+                for g in range(meta.num_row_groups)
+            )
+            if lo <= key_value <= hi:
+                hits += 1
+        return hits
+
+    mid_key = li.approxQuantile("l_orderkey", [0.5], 0.01)[0]
+    unclustered = overlapping_files(cat.path_for("li_unclustered"), int(mid_key))
+    clustered = overlapping_files(cat.path_for("li_clustered"), int(mid_key))
+    # round-robin files all span the full key range; range-clustered
+    # files have disjoint ranges (ties at boundaries at most)
+    assert unclustered == n_files
+    assert clustered <= 2
+
+    # content unchanged by clustering
+    got = spark.read.parquet(cat.path_for("li_clustered"))
+    assert got.exceptAll(li).count() == 0 and li.exceptAll(got).count() == 0
+
+    # rows inside each file are sorted by the cluster key (tight
+    # row-group stats for skipping)
+    one = _parquet_files(cat.path_for("li_clustered"))[0]
+    keys = pq.read_table(one, columns=["l_orderkey"])["l_orderkey"].to_pylist()
+    assert keys == sorted(keys)
+
+
+def test_filtered_scan_reads_fewer_rows_on_clustered(spark, sf_smoke, tmp_path):
+    """End-to-end pruning: a key-range filter over the clustered table
+    must skip row groups (scan fewer rows) vs the round-robin layout."""
+    cat = Catalog(root=str(tmp_path))
+    li = load(spark, sf_smoke, "lineitem")
+    cat.write(li.repartition(8), "li_rr")
+    cat.write_clustered(li, "li_rc", ["l_orderkey"], num_files=8)
+
+    lo, hi = 100, 200
+    pred = (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi)
+    expected = li.filter(pred).count()
+    for name in ("li_rr", "li_rc"):
+        assert spark.read.parquet(cat.path_for(name)).filter(pred).count() == expected
