@@ -61,6 +61,43 @@ def read_csv(
     return with_audit_columns(df) if audit else df
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    audit: bool = True,
+) -> DataFrame:
+    """Batch JSON-lines read with the same rescue + audit contract as
+    the CSV source: malformed lines land in ``_rescued_data`` instead
+    of failing the batch (PERMISSIVE), well-formed extra fields are
+    dropped by the explicit schema (pin the schema at scale — JSON
+    inference samples the data and can flap between runs). This is the
+    ingestion format of most web-scraped / API-exported text corpora,
+    so a training-data pipeline needs it next to CSV."""
+    df = (
+        spark.read.schema(_schema_with_rescue(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", RESCUE_COL)
+        .json(path)
+    )
+    return with_audit_columns(df) if audit else df
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    whole_file: bool = False,
+    audit: bool = True,
+) -> DataFrame:
+    """Raw text read for unstructured corpora: one row per line
+    (``value: string``), or one row per FILE with ``whole_file=True``
+    (document-per-file corpora). Whole-file mode cannot split a file
+    across tasks — at 100 TB keep individual documents well under the
+    task memory budget and let parallelism come from file count."""
+    df = spark.read.text(path, wholetext=whole_file)
+    return with_audit_columns(df) if audit else df
+
+
 def read_parquet(
     spark: SparkSession,
     path: str,
