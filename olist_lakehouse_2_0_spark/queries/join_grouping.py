@@ -359,6 +359,63 @@ GROUP BY n_orders
 """
 
 
+# ---------------------------------------------------------------------------
+# Argmin join-back: earliest row per key via aggregate + equality join
+# (the aggregate-then-join-back plan, distinct from the window-argmax
+# used in segment_spend_extremes / dedup_canonical).
+# ---------------------------------------------------------------------------
+def first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's earliest order (date ties broken by lowest
+    order key). The aggregate side collapses to one row per customer
+    before the join, so the join-back input is |customers|, not
+    |orders| — at scale this beats a full-orders window sort when the
+    per-key row count is high.
+
+    Key-tie correctness: joining on (custkey, min_date) alone would
+    fan out on date ties, so the tiebreak aggregates MIN(orderkey)
+    within the min date via a struct-ordered MIN (single aggregation
+    pass, no second join)."""
+    # no spread: per-row work is trivial, and orders is scanned twice
+    # (aggregate side + join-back side) — a round-robin repartition
+    # would just add two local shuffles
+    orders = load(spark, sf_dir, "orders")
+    first = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min(F.struct("o_orderdate", "o_orderkey")).alias("__first")
+        )
+        .select(
+            "o_custkey",
+            F.col("__first.o_orderkey").alias("o_orderkey"),
+        )
+    )
+    return first.join(
+        orders.select(
+            "o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus"
+        ),
+        "o_orderkey",
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("first_orderkey"),
+        F.col("o_orderdate").alias("first_order_date"),
+        F.col("o_totalprice").alias("first_order_price"),
+        F.col("o_orderstatus").alias("first_order_status"),
+    )
+
+
+FIRST_ORDER_PER_CUSTOMER_SQL = """
+SELECT o_custkey AS custkey,
+       o_orderkey AS first_orderkey,
+       o_orderdate AS first_order_date,
+       o_totalprice AS first_order_price,
+       o_orderstatus AS first_order_status
+FROM orders
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+) = 1
+"""
+
+
 JOIN_GROUPING_QUERIES = {
     "daily_channel_full_outer": daily_channel_full_outer,
     "priority_region_matrix": priority_region_matrix,
@@ -366,6 +423,7 @@ JOIN_GROUPING_QUERIES = {
     "segment_spend_extremes": segment_spend_extremes,
     "similar_name_pairs": similar_name_pairs,
     "customer_order_distribution": customer_order_distribution,
+    "first_order_per_customer": first_order_per_customer,
 }
 
 JOIN_GROUPING_ORACLES = {
@@ -375,4 +433,5 @@ JOIN_GROUPING_ORACLES = {
     "segment_spend_extremes": SEGMENT_SPEND_EXTREMES_SQL,
     "similar_name_pairs": SIMILAR_NAME_PAIRS_SQL,
     "customer_order_distribution": CUSTOMER_ORDER_DISTRIBUTION_SQL,
+    "first_order_per_customer": FIRST_ORDER_PER_CUSTOMER_SQL,
 }

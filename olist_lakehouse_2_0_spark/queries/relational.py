@@ -672,6 +672,32 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Global top-k (O1/O2): ORDER BY + LIMIT compiles to
+# TakeOrderedAndProject — per-partition heap of k rows + driver merge,
+# never a full sort. The scalable "top N overall" path at any size.
+# ---------------------------------------------------------------------------
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 25 orders by total price (orderkey tiebreak for a
+    deterministic boundary)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+TOP_REVENUE_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+"""
+
+
 RELATIONAL_QUERIES = {
     "daily_orders": daily_orders,
     "monthly_orders_lag": monthly_orders_lag,
@@ -684,6 +710,7 @@ RELATIONAL_QUERIES = {
     "top_parts_per_brand": top_parts_per_brand,
     "valid_orders_filter": valid_orders_filter,
     "dq_violation_summary": dq_violation_summary,
+    "top_revenue_orders": top_revenue_orders,
 }
 
 RELATIONAL_ORACLES = {
@@ -698,4 +725,5 @@ RELATIONAL_ORACLES = {
     "top_parts_per_brand": TOP_PARTS_PER_BRAND_SQL,
     "valid_orders_filter": VALID_ORDERS_FILTER_SQL,
     "dq_violation_summary": DQ_VIOLATION_SUMMARY_SQL,
+    "top_revenue_orders": TOP_REVENUE_ORDERS_SQL,
 }
