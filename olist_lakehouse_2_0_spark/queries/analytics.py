@@ -296,6 +296,50 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Unpivot / melt: wide metric columns -> long (metric, value) rows —
+# the inverse of returnflag_pivot. Narrow-side reshaping is a metadata
+# projection (each input row emits k output rows in place, no shuffle).
+# ---------------------------------------------------------------------------
+def priority_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority order metrics reshaped long: one (priority, metric,
+    value) row per metric. Values unify to DOUBLE (unpivot requires a
+    common value type)."""
+    orders = load(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(MONEY))
+        .cast("double")
+        .alias("revenue"),
+        F.avg("o_totalprice").alias("avg_price"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "revenue", "avg_price"],
+        "metric",
+        "value",
+    )
+
+
+PRIORITY_METRICS_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+         AVG(o_totalprice) AS avg_price
+  FROM orders
+  GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, metric, value FROM (
+  SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+  UNION ALL
+  SELECT o_orderpriority, 'revenue', revenue FROM wide
+  UNION ALL
+  SELECT o_orderpriority, 'avg_price', avg_price FROM wide
+)
+"""
+
+
 ANALYTICS_QUERIES = {
     "pricing_summary": pricing_summary,
     "revenue_by_nation": revenue_by_nation,
@@ -304,6 +348,7 @@ ANALYTICS_QUERIES = {
     "orders_rollup": orders_rollup,
     "returnflag_pivot": returnflag_pivot,
     "price_percentiles": price_percentiles,
+    "priority_metrics_unpivot": priority_metrics_unpivot,
 }
 
 ANALYTICS_ORACLES = {
@@ -314,4 +359,5 @@ ANALYTICS_ORACLES = {
     "orders_rollup": ORDERS_ROLLUP_SQL,
     "returnflag_pivot": RETURNFLAG_PIVOT_SQL,
     "price_percentiles": PRICE_PERCENTILES_SQL,
+    "priority_metrics_unpivot": PRIORITY_METRICS_UNPIVOT_SQL,
 }

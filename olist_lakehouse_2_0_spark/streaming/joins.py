@@ -55,3 +55,25 @@ def stream_interval_join(
         )
     )
     return lw.join(rw, cond, "inner").drop("__rkey")
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Enrich a stream with a static dimension (stream-static join).
+
+    No state is kept: the static side is (re)planned per micro-batch
+    and — being dimension-sized — broadcast to the executors, so every
+    batch row enriches map-side with no shuffle of the stream. This is
+    the streaming counterpart of the gold-layer dimension joins (J2/J5
+    shapes, reference src/pipelines/gold/seller_performance.sql:47-50)
+    and the standard way to attach slowly-refreshed reference data
+    (the per-batch re-plan picks up dimension updates between batches).
+
+    LEFT join by default: dimension misses must not drop fact rows in
+    an append-only pipeline (they surface as NULL attributes for a DQ
+    expectation to count instead)."""
+    return stream.join(F.broadcast(dim), key, how)

@@ -72,6 +72,47 @@ def test_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
     assert got == expected
 
 
+def test_stream_static_enrich_matches_batch_and_keeps_misses(
+    spark, events_dir, tmp_path
+):
+    """Stream-static broadcast enrichment: streaming answer equals the
+    batch join, and dimension misses keep the fact row (NULL attrs)."""
+    from olist_lakehouse_2_0_spark.streaming.joins import stream_static_enrich
+
+    batch = load(spark, SF, "events")
+    # dimension covering only half the users — the rest must survive
+    # with NULL attributes
+    dim = (
+        batch.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn("user_tier", F.lit("even"))
+    )
+    expected = sorted(
+        (r["event_id"], r["user_tier"])
+        for r in stream_static_enrich(batch, dim, "user_id").collect()
+    )
+    assert any(t is None for _, t in expected), "no dimension misses"
+    assert any(t == "even" for _, t in expected)
+
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+    q = (
+        stream_static_enrich(stream, dim, "user_id")
+        .writeStream.format("memory")
+        .queryName("stream_enrich")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["event_id"], r["user_tier"])
+        for r in spark.table("stream_enrich").collect()
+    )
+    assert got == expected
+
+
 def test_stream_interval_join_batch_twin_agrees_with_bucketed(spark):
     """The watermark join's batch degradation must agree with the
     bucketed equi-join interval_join used by the batch query path."""
