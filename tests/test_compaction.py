@@ -93,6 +93,67 @@ def test_clustered_write_prunes_point_queries(spark, sf_smoke, tmp_path):
     assert keys == sorted(keys)
 
 
+def _overlapping_files(path: str, col: str, key_value: float) -> int:
+    hits = 0
+    for f in _parquet_files(path):
+        meta = pq.ParquetFile(f).metadata
+        idx = next(
+            i
+            for i in range(meta.num_columns)
+            if meta.row_group(0).column(i).path_in_schema == col
+        )
+        lo = min(
+            meta.row_group(g).column(idx).statistics.min
+            for g in range(meta.num_row_groups)
+        )
+        hi = max(
+            meta.row_group(g).column(idx).statistics.max
+            for g in range(meta.num_row_groups)
+        )
+        if lo <= key_value <= hi:
+            hits += 1
+    return hits
+
+
+def test_zordered_write_prunes_both_dimensions(spark, sf_smoke, tmp_path):
+    """Z-order interleaving must let point queries on EITHER dimension
+    skip files, where round-robin files span everything and single-key
+    range clustering only serves its own key."""
+    cat = Catalog(root=str(tmp_path))
+    li = load(spark, sf_smoke, "lineitem")
+    n_files = 16
+    cat.write(li.repartition(n_files), "li_rr")
+    cat.write_zordered(
+        spark, li, "li_z", ["l_partkey", "l_suppkey"], num_files=n_files
+    )
+    assert len(_parquet_files(cat.path_for("li_z"))) == n_files
+
+    mid_part = int(li.approxQuantile("l_partkey", [0.5], 0.01)[0])
+    mid_supp = int(li.approxQuantile("l_suppkey", [0.5], 0.01)[0])
+    rr_path, z_path = cat.path_for("li_rr"), cat.path_for("li_z")
+    # round-robin: every file spans the full range of both keys
+    assert _overlapping_files(rr_path, "l_partkey", mid_part) == n_files
+    assert _overlapping_files(rr_path, "l_suppkey", mid_supp) == n_files
+    # z-ordered: each dimension individually prunes most files
+    # (16 files = 4 leading z-bits = 2 bits per dimension -> a point
+    # query on either key matches ~4 of 16 ranges, + boundary spill)
+    assert _overlapping_files(z_path, "l_partkey", mid_part) <= 8
+    assert _overlapping_files(z_path, "l_suppkey", mid_supp) <= 8
+
+    # content identity
+    got = spark.read.parquet(z_path)
+    assert got.exceptAll(li).count() == 0 and li.exceptAll(got).count() == 0
+
+
+def test_zorder_rejects_single_column(spark, sf_smoke, tmp_path):
+    import pytest
+
+    cat = Catalog(root=str(tmp_path))
+    li = load(spark, sf_smoke, "lineitem")
+    with pytest.raises(ValueError):
+        cat.write_zordered(spark, li, "bad", ["l_partkey"])
+
+
 def test_filtered_scan_reads_fewer_rows_on_clustered(spark, sf_smoke, tmp_path):
     """End-to-end pruning: a key-range filter over the clustered table
     must skip row groups (scan fewer rows) vs the round-robin layout."""
