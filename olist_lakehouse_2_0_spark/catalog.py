@@ -296,6 +296,23 @@ def load(
     return spread_scan(spark, df) if spread else df
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so the engine is
+    queryable through plain ``spark.sql`` — the reference's users write
+    SQL (Lakeflow SQL files), so the SQL entry point is part of
+    capability parity, and Catalyst plans a SQL query and the
+    equivalent DataFrame identically (same optimizer, same physical
+    plans)."""
+    for t in TESTDATA_TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """SQL entry point over the testdata tables."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)
+
+
 def spread_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Fan a narrow scan out across all cores before per-row-heavy work.
 

@@ -253,3 +253,39 @@ def test_cdc_sink_streaming_end_to_end(spark, batches, tmp_path):
     expected = scd1_snapshot(b1.unionByName(b2).unionByName(b3), SPEC)
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_cdc_sink_streaming_scd2_end_to_end(spark, batches, tmp_path):
+    """CdcSink SCD2 through a real streaming query (C3 incremental):
+    micro-batched apply — including the delete-then-reinsert run and
+    same-batch multi-versions — must equal the one-shot history over
+    all events."""
+    from olist_lakehouse_2_0_spark.operators.cdc import CdcSink, scd2_history
+
+    b1, b2, b3 = batches
+    landing = tmp_path / "landing2"
+    landing.mkdir()
+    for i, b in enumerate((b1, b2, b3)):
+        b.coalesce(1).write.parquet(str(landing / f"batch{i}"))
+
+    target = str(tmp_path / "scd2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing) + "/*")
+    )
+    sink = CdcSink(target, SPEC, scd_type=2)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(target)
+    expected = scd2_history(b1.unionByName(b2).unionByName(b3), SPEC)
+    assert sorted(got.columns) == sorted(expected.columns)
+    cols = sorted(got.columns)
+    assert got.select(cols).exceptAll(expected.select(cols)).count() == 0
+    assert expected.select(cols).exceptAll(got.select(cols)).count() == 0

@@ -41,6 +41,24 @@ def test_jsonl_reads_rescues_and_audits(spark, tmp_path):
     assert {"_source_file", "_file_modified_at", "_ingested_at"} <= set(df.columns)
 
 
+def test_sql_entry_point_matches_dataframe_api(spark, sf_smoke):
+    """spark.sql over registered views must give the same answer as
+    the DataFrame formulation (same Catalyst plans underneath)."""
+    from olist_lakehouse_2_0_spark.catalog import run_sql
+    from olist_lakehouse_2_0_spark.queries.join_grouping import (
+        CUSTOMER_ORDER_DISTRIBUTION_SQL,
+        customer_order_distribution,
+    )
+
+    via_sql = run_sql(spark, sf_smoke, CUSTOMER_ORDER_DISTRIBUTION_SQL)
+    via_df = customer_order_distribution(spark, sf_smoke)
+    assert sorted(via_sql.columns) == sorted(via_df.columns)
+    cols = sorted(via_sql.columns)
+    assert sorted(map(tuple, via_sql.select(cols).collect())) == sorted(
+        map(tuple, via_df.select(cols).collect())
+    )
+
+
 def test_text_line_and_whole_file_modes(spark, tmp_path):
     raw = str(tmp_path / "txt")
     os.makedirs(raw)
