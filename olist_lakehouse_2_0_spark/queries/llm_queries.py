@@ -1154,6 +1154,88 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY component ORDER BY n_len DESC, doc_id) =
 """
 
 
+def training_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-preparation chain as ONE composed plan:
+    exact-dedup (drop whitespace-perturbed copies) → quality filter
+    (heuristic score ≥ 0.7) → deterministic train/val/test split →
+    per-(split, source) docs and token totals. Each stage is an
+    operator proven on its own elsewhere; this query proves the
+    composition — Catalyst fuses the scoring/filter/split projections
+    into the dedup output's scan, so the chain costs one fingerprint
+    shuffle + one final aggregation regardless of corpus size."""
+    from olist_lakehouse_2_0_spark.operators.sampling import split_assignment
+
+    docs = _with_duplicates(load(spark, sf_dir, "documents", spread=True))
+    deduped = exact_dedup(docs, "doc_id", "text")
+    scored = deduped.select(
+        "doc_id",
+        "source",
+        ops_text.token_count("text").alias("n_tokens"),
+        ops_text.quality_score("text").alias("__q"),
+    ).filter(F.col("__q") >= 0.7)
+    return (
+        scored.select(
+            "source",
+            split_assignment(F.col("doc_id")).alias("split"),
+            "n_tokens",
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+TRAINING_CORPUS_SUMMARY_SQL = rf"""
+WITH unioned AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, '  ' || text || ' ', source FROM documents
+), keyed AS (
+  SELECT *, REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g') AS norm
+  FROM unioned
+), deduped AS (
+  SELECT doc_id, text, source FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+    FROM keyed
+  ) WHERE rn = 1
+), toks AS (
+  SELECT doc_id, text, source,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN []
+              ELSE regexp_split_to_array(TRIM(text), '\s+') END AS toks
+  FROM deduped
+), scored AS (
+  SELECT doc_id, source, LEN(toks) AS n_tokens,
+         LEN(list_filter(toks, t -> LOWER(t) IN ({_STOPWORDS_SQL})))
+           / NULLIF(LEN(toks), 0) AS swr,
+         (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\w\s]', '', 'g')))
+           / NULLIF(LENGTH(text), 0) AS pr
+  FROM toks
+), quality AS (
+  SELECT doc_id, source, n_tokens,
+         (CASE WHEN n_tokens >= 20 THEN 0.4
+               WHEN n_tokens >= 5 THEN 0.2 ELSE 0.0 END)
+         + (CASE WHEN COALESCE(swr, 0.0) BETWEEN 0.05 AND 0.6
+                 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN COALESCE(pr, 0.0) <= 0.2
+                 THEN 0.3 ELSE 0.0 END) AS q
+  FROM scored
+)
+SELECT split, source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+FROM (
+  SELECT source, n_tokens,
+         CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                THEN 'train'
+              WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM quality WHERE q >= 0.7
+)
+GROUP BY split, source
+"""
+
+
 LLM_QUERIES = {
     "text_stats": text_stats,
     "doc_chunks": doc_chunks,
@@ -1186,6 +1268,7 @@ LLM_QUERIES = {
     "decontamination": decontamination,
     "unigram_logprob": unigram_logprob,
     "dedup_canonical": dedup_canonical,
+    "training_corpus_summary": training_corpus_summary,
 }
 
 LLM_ORACLES = {
@@ -1214,4 +1297,5 @@ LLM_ORACLES = {
     "decontamination": DECONTAMINATION_SQL,
     "unigram_logprob": UNIGRAM_LOGPROB_SQL,
     "dedup_canonical": DEDUP_CANONICAL_SQL,
+    "training_corpus_summary": TRAINING_CORPUS_SUMMARY_SQL,
 }

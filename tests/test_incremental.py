@@ -93,6 +93,53 @@ def test_foreach_batch_merger_skips_replays(spark, sf_smoke, tmp_path):
     assert table.last_applied_batch() == 1
 
 
+class TestIncrementalProperties:
+    """Property: for ANY rows and ANY batch partition of them, the
+    merged aggregate equals the one-shot aggregate (merge is
+    associative/commutative over batches)."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),                    # group key
+            st.integers(min_value=-1000, max_value=1000),        # measure
+            st.integers(min_value=0, max_value=4),               # batch tag
+        ),
+        min_size=1,
+        max_size=30,
+    )
+
+    @given(rows=rows_strategy)
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_any_batch_split_matches_one_shot(self, spark, tmp_path_factory, rows):
+        specs = [
+            AggSpec("sum", "v", "total"),
+            AggSpec("count", "*", "n"),
+            AggSpec("min", "v", "lo"),
+            AggSpec("max", "v", "hi"),
+            AggSpec("approx_distinct", "v", "nd"),
+        ]
+        df = spark.createDataFrame(rows, "k string, v long, b long")
+        table = IncrementalAggTable(
+            str(tmp_path_factory.mktemp("prop") / "agg"), keys=["k"], specs=specs
+        )
+        for tag in sorted({b for _, _, b in rows}):
+            table.apply_batch(spark, df.filter(F.col("b") == tag).drop("b"))
+        one_shot = (
+            df.drop("b")
+            .groupBy("k")
+            .agg(*[s.partial() for s in specs])
+            .select("k", *[s.finalize() for s in specs])
+        )
+        assert _rows(table.read_final(spark)) == _rows(one_shot)
+
+
 def test_bad_spec_rejected():
     with pytest.raises(ValueError):
         AggSpec("median", "x", "m")
