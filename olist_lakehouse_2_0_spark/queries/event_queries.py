@@ -268,6 +268,86 @@ GROUP BY user_id
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage conversion funnel: first view → first click at
+    or after that view → first purchase at or after that click, per
+    user; one summary row of stage populations and conversion rates.
+
+    The sequential constraint (each stage's earliest qualifying event
+    must not precede the previous stage's) is what plain groupBy can't
+    express in one pass — each stage joins the previous stage's
+    per-user timestamp back to the events, filters, and re-aggregates.
+    All three joins and aggregations key on user_id, so at scale the
+    stage dataflow is co-partitioned end-to-end; the final summary is
+    a near-scalar aggregate."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(first_view, "user_id")
+        .filter(F.col("ts") >= F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    funnel = first_view.join(first_click, "user_id", "left").join(
+        first_purchase, "user_id", "left"
+    )
+    return funnel.agg(
+        F.count(F.lit(1)).alias("n_viewed"),
+        F.count("click_ts").alias("n_clicked_after_view"),
+        F.count("purchase_ts").alias("n_purchased_after_click"),
+        F.round(
+            F.count("click_ts") * 100.0 / F.nullif(F.count(F.lit(1)), F.lit(0)),
+            2,
+        ).alias("view_to_click_pct"),
+        F.round(
+            F.count("purchase_ts")
+            * 100.0
+            / F.nullif(F.count("click_ts"), F.lit(0)),
+            2,
+        ).alias("click_to_purchase_pct"),
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH first_view AS (
+  SELECT user_id, MIN(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), first_click AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN first_view v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.view_ts
+  GROUP BY e.user_id
+), first_purchase AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN first_click c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+  GROUP BY e.user_id
+)
+SELECT COUNT(*) AS n_viewed,
+       COUNT(click_ts) AS n_clicked_after_view,
+       COUNT(purchase_ts) AS n_purchased_after_click,
+       ROUND(COUNT(click_ts) * 100.0 / NULLIF(COUNT(*), 0), 2)
+         AS view_to_click_pct,
+       ROUND(COUNT(purchase_ts) * 100.0 / NULLIF(COUNT(click_ts), 0), 2)
+         AS click_to_purchase_pct
+FROM first_view v
+LEFT JOIN first_click c USING (user_id)
+LEFT JOIN first_purchase p USING (user_id)
+"""
+
+
 EVENT_QUERIES = {
     "events_hourly_by_type": events_hourly_by_type,
     "events_sliding_halfhour": events_sliding_halfhour,
@@ -278,6 +358,7 @@ EVENT_QUERIES = {
     "events_user_setops": events_user_setops,
     "events_sketch_profile": events_sketch_profile,
     "events_user_profile_stateful": events_user_profile_stateful,
+    "events_funnel": events_funnel,
 }
 
 EVENT_ORACLES = {
@@ -289,4 +370,5 @@ EVENT_ORACLES = {
     "events_asof_purchase_view": EVENTS_ASOF_SQL,
     "events_error_after_click": EVENTS_ERROR_AFTER_CLICK_SQL,
     "events_user_setops": EVENTS_SETOPS_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
 }

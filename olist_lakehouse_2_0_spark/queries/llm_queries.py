@@ -1039,18 +1039,23 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: term frequencies aggregate per (doc, token) first, so
     the token-key join carries one row per distinct token per doc, not
-    one per occurrence; the corpus-wide vocabulary is derived FROM that
-    same shuffled tf relation, so Catalyst reuses one exchange for both
-    branches. The vocab total reaches the plan as a broadcast scalar.
-    Common-token key skew ("the" joins against every doc) is AQE
-    skew-split territory; no driver-side collection anywhere."""
+    one per occurrence. The tf relation feeds three consumers (the
+    scoring join, the vocabulary counts, and via those the corpus
+    total), so it is persisted explicitly — one tokenize+shuffle pass
+    over the corpus instead of three (exchange reuse can't be relied
+    on here: the explode subtrees canonicalize differently per
+    branch). The vocab counts are vocab-sized and persisted too; the
+    total reaches the plan as a broadcast scalar. Common-token key
+    skew ("the" joins against every doc) is AQE skew-split territory;
+    no driver-side collection anywhere."""
     docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     tf = (
         docs.select("doc_id", F.explode(ops_text.tokens("text")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
-    counts = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    counts = tf.groupBy("token").agg(F.sum("tf").alias("c")).persist()
     total = counts.agg(F.sum("c").alias("n"))
     logp = counts.crossJoin(F.broadcast(total)).select(
         "token",

@@ -61,3 +61,53 @@ def test_seller_performance_broadcasts_supplier(plans):
         l for l in plan.splitlines() if "ReadSchema" in l and "s_name" in l
     ]
     assert supplier_reads and all("s_acctbal" not in l for l in supplier_reads)
+
+
+def test_top_revenue_orders_uses_topk_not_full_sort(spark):
+    from olist_lakehouse_2_0_spark.queries.relational import top_revenue_orders
+
+    plan = _formatted_plan(top_revenue_orders(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    # a global Sort node would mean the whole table is sorted for 25 rows
+    assert "Sort [" not in plan
+
+
+def test_first_order_joinback_broadcasts_aggregate_side(spark):
+    from olist_lakehouse_2_0_spark.queries.join_grouping import (
+        first_order_per_customer,
+    )
+
+    plan = _formatted_plan(first_order_per_customer(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unigram_logprob_caches_tf_relation(spark):
+    """The tf relation feeds the vocabulary branch, the corpus total,
+    and the scoring join; it must come from the persisted cache —
+    exchange reuse can't be relied on for explode subtrees — so the
+    corpus is tokenized once, not three times."""
+    from olist_lakehouse_2_0_spark.queries.llm_queries import unigram_logprob
+
+    df = unigram_logprob(spark, SF)
+    try:
+        plan = _formatted_plan(df)
+        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_category_lag_single_exchange_for_group_and_window(spark):
+    """groupBy + LAG window share the category partitioning: exactly
+    one hash-partitioning exchange on category in the plan."""
+    from olist_lakehouse_2_0_spark.queries.relational import (
+        category_performance_lag,
+    )
+
+    plan = _formatted_plan(category_performance_lag(spark, SF))
+    exchanges = [
+        l
+        for l in plan.splitlines()
+        if "hashpartitioning" in l and "category" in l
+    ]
+    assert len(exchanges) == 1, exchanges
