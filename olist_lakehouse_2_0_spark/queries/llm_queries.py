@@ -1159,6 +1159,74 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY component ORDER BY n_len DESC, doc_id) =
 """
 
 
+def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document. The ranking key is
+    integer-only — (tf desc, doc-frequency asc, token asc) — which
+    orders identically to tf·idf for fixed tf but never depends on
+    cross-engine float rounding of ln(); the tf-idf score itself is
+    emitted as a value column (tolerant-compared). One corpus
+    tokenize pass (persisted tf), document frequencies derived from
+    it, corpus size as a broadcast scalar."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    tf = (
+        docs.select("doc_id", F.explode(ops_text.tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    pick = W.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token")
+    )
+    return (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(pick))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            "rank",
+            (
+                F.col("tf")
+                * (
+                    F.log(F.col("n_docs").cast("double"))
+                    - F.log(F.col("df").cast("double"))
+                )
+            ).alias("tfidf"),
+        )
+    )
+
+
+DOC_KEYWORDS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS token
+  FROM documents
+  WHERE LENGTH(TRIM(text)) > 0
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf
+)
+SELECT doc_id, token, tf, df,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY doc_id ORDER BY tf DESC, df, token
+       ) AS INT) AS rank,
+       tf * (LN(n_docs) - LN(df)) AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n
+QUALIFY rank <= 3
+"""
+
+
 def training_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-preparation chain as ONE composed plan:
     exact-dedup (drop whitespace-perturbed copies) → quality filter
@@ -1274,6 +1342,7 @@ LLM_QUERIES = {
     "unigram_logprob": unigram_logprob,
     "dedup_canonical": dedup_canonical,
     "training_corpus_summary": training_corpus_summary,
+    "doc_keywords": doc_keywords,
 }
 
 LLM_ORACLES = {
@@ -1303,4 +1372,5 @@ LLM_ORACLES = {
     "unigram_logprob": UNIGRAM_LOGPROB_SQL,
     "dedup_canonical": DEDUP_CANONICAL_SQL,
     "training_corpus_summary": TRAINING_CORPUS_SUMMARY_SQL,
+    "doc_keywords": DOC_KEYWORDS_SQL,
 }
