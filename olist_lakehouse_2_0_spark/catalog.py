@@ -115,6 +115,35 @@ class Catalog:
         return name
 
 
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str],
+        layer: str | None = None,
+    ) -> str:
+        """Dynamic partition overwrite: replace ONLY the partitions
+        present in ``df``, leaving all others untouched — the
+        partition-scoped refresh pattern for date-partitioned gold
+        tables (recompute the affected days, never rewrite history).
+        Complements :mod:`plans.incremental`'s merge approach: use
+        merging for mergeable aggregate states, partition overwrite
+        when a partition's rows must be recomputed exactly.
+
+        Spark's static overwrite mode would truncate the whole table
+        first; the per-write ``partitionOverwriteMode=dynamic`` option
+        scopes the delete to partitions the incoming data touches."""
+        path = self.path_for(name, layer)
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+        key = f"{layer}.{name}" if layer else name
+        self.tables[key] = TableRef(name=key, path=path)
+        return path
+
     def write_clustered(
         self,
         df: DataFrame,

@@ -64,6 +64,29 @@ def synthesize_image_column(
     return df.withColumn(payload_col, F.concat(header, body))
 
 
+def dedup_payloads(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """Exact content dedup of binary payloads, entirely JVM-side: the
+    group key is (xxhash64(payload), byte length) — the media bytes
+    never cross into Python and never shuffle (only the 12-byte key +
+    id move), and ``min(id)`` is map-side combinable. At 100 TB of
+    images this is the first pass of any media pipeline: identical
+    downloads collapse before a single decode runs."""
+    c = F.col(payload_col)
+    keyed = df.select(
+        F.col(id_col),
+        F.xxhash64(c).alias("__fp"),
+        F.octet_length(c).alias("__len"),
+    )
+    keep = (
+        keyed.groupBy("__fp", "__len")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
 def _le_u16(col) -> "F.Column":
     low = F.pmod(col, F.lit(256)).cast("int")
     high = F.floor(col / 256).cast("int")

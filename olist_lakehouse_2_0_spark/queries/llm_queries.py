@@ -1227,6 +1227,30 @@ QUALIFY rank <= 3
 """
 
 
+def image_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal → dedup composition: synthesize image payloads keyed
+    on doc_id % 100 (so each distinct image repeats across docs), then
+    collapse byte-identical payloads JVM-side (xxhash64 + byte length,
+    min doc_id kept). The oracle derives the same survivors from the
+    synthesis key directly — if the fingerprint grouping diverged from
+    true byte identity, the comparison would catch it."""
+    from olist_lakehouse_2_0_spark.operators.multimodal import dedup_payloads
+
+    docs = load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", (F.col("doc_id") % 100).alias("img_key")
+    )
+    with_payload = synthesize_image_column(docs, "img_key")
+    kept = dedup_payloads(with_payload, "doc_id", "image")
+    return kept.select("doc_id", "img_key")
+
+
+IMAGE_PAYLOAD_DEDUP_SQL = """
+SELECT MIN(doc_id) AS doc_id, doc_id % 100 AS img_key
+FROM documents
+GROUP BY doc_id % 100
+"""
+
+
 def training_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-preparation chain as ONE composed plan:
     exact-dedup (drop whitespace-perturbed copies) → quality filter
@@ -1343,6 +1367,7 @@ LLM_QUERIES = {
     "dedup_canonical": dedup_canonical,
     "training_corpus_summary": training_corpus_summary,
     "doc_keywords": doc_keywords,
+    "image_payload_dedup": image_payload_dedup,
 }
 
 LLM_ORACLES = {
@@ -1373,4 +1398,5 @@ LLM_ORACLES = {
     "dedup_canonical": DEDUP_CANONICAL_SQL,
     "training_corpus_summary": TRAINING_CORPUS_SUMMARY_SQL,
     "doc_keywords": DOC_KEYWORDS_SQL,
+    "image_payload_dedup": IMAGE_PAYLOAD_DEDUP_SQL,
 }

@@ -115,6 +115,52 @@ def _overlapping_files(path: str, col: str, key_value: float) -> int:
     return hits
 
 
+def test_dynamic_partition_overwrite_scopes_to_touched_partitions(
+    spark, sf_smoke, tmp_path
+):
+    """Rewriting one order-priority partition must leave the others
+    byte-for-byte intact (no table truncate)."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(root=str(tmp_path))
+    orders = load(spark, sf_smoke, "orders")
+    cat.overwrite_partitions(orders, "orders_part", ["o_orderpriority"])
+    path = cat.path_for("orders_part")
+    before = {
+        p: sorted(os.listdir(os.path.join(path, p)))
+        for p in os.listdir(path)
+        if p.startswith("o_orderpriority=")
+    }
+
+    # recompute just the 5-LOW partition with a derived change
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    cat.overwrite_partitions(low, "orders_part", ["o_orderpriority"])
+
+    after = {
+        p: sorted(os.listdir(os.path.join(path, p)))
+        for p in os.listdir(path)
+        if p.startswith("o_orderpriority=")
+    }
+    assert set(before) == set(after), "partition set changed"
+    untouched = [p for p in before if "5-LOW" not in p]
+    assert untouched and all(before[p] == after[p] for p in untouched), (
+        "untouched partitions were rewritten"
+    )
+    assert before["o_orderpriority=5-LOW"] != after["o_orderpriority=5-LOW"]
+
+    got = spark.read.parquet(path)
+    assert got.count() == orders.count()
+    doubled = got.filter(F.col("o_orderpriority") == "5-LOW").agg(
+        F.sum("o_totalprice")
+    ).first()[0]
+    original = orders.filter(F.col("o_orderpriority") == "5-LOW").agg(
+        F.sum("o_totalprice") * 2
+    ).first()[0]
+    assert abs(doubled - original) < 1e-6
+
+
 def test_zordered_write_prunes_both_dimensions(spark, sf_smoke, tmp_path):
     """Z-order interleaving must let point queries on EITHER dimension
     skip files, where round-robin files span everything and single-key
