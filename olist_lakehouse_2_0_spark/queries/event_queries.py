@@ -348,6 +348,60 @@ LEFT JOIN first_purchase p USING (user_id)
 """
 
 
+def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by the week of
+    their first signup event; for each later week, how many of that
+    cohort were active (any event). The triangular (cohort_week,
+    week_offset) → distinct-users output is the standard retention
+    report.
+
+    Scale: the cohort anchor is one user-keyed aggregation; activity
+    dedups to (user, week) grain BEFORE the join, so the join input is
+    bounded by users × weeks, not raw events; the final aggregate is
+    cohort-matrix-sized."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(
+            F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+        )
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+USER_COHORT_RETENTION_SQL = """
+WITH cohort AS (
+  SELECT user_id,
+         CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events WHERE event_type = 'signup'
+  GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS week
+  FROM events
+)
+SELECT cohort_week,
+       CAST(DATEDIFF('day', cohort_week, week) / 7 AS INT) AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM activity JOIN cohort USING (user_id)
+WHERE week >= cohort_week
+GROUP BY 1, 2
+"""
+
+
 EVENT_QUERIES = {
     "events_hourly_by_type": events_hourly_by_type,
     "events_sliding_halfhour": events_sliding_halfhour,
@@ -359,6 +413,7 @@ EVENT_QUERIES = {
     "events_sketch_profile": events_sketch_profile,
     "events_user_profile_stateful": events_user_profile_stateful,
     "events_funnel": events_funnel,
+    "user_cohort_retention": user_cohort_retention,
 }
 
 EVENT_ORACLES = {
@@ -371,4 +426,5 @@ EVENT_ORACLES = {
     "events_error_after_click": EVENTS_ERROR_AFTER_CLICK_SQL,
     "events_user_setops": EVENTS_SETOPS_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
+    "user_cohort_retention": USER_COHORT_RETENTION_SQL,
 }
