@@ -186,3 +186,29 @@ def check_fail_metrics(result: ExpectationResult, expectations: list[Expectation
     ]
     if failed:
         raise ExpectationFailed(f"FAIL expectation violated: {failed}")
+
+
+def enforce_aggregate(df: DataFrame, checks: dict[str, Column]) -> dict[str, bool]:
+    """Table-level FAIL gate: each value is a BOOLEAN AGGREGATE
+    expression (e.g. ``F.count(F.lit(1)) > 100``,
+    ``F.sum(F.col('v').isNull().cast('int')) / F.count(F.lit(1)) <
+    0.01``). The reference's expectations are row-level only
+    (CONSTRAINT ... EXPECT, reference src/pipelines/silver/
+    orders.sql:10-22); table-level invariants — row-count bounds, null
+    share, referential totals — need one aggregate over the whole
+    relation, so they can't ride on a per-row filter.
+
+    All checks evaluate in ONE aggregation job (single scan, partial
+    aggregation map-side; the collected result is one row of booleans,
+    never data rows). Raises :class:`ExpectationFailed` naming every
+    failed check; returns the per-check outcomes when all pass."""
+    if not checks:
+        return {}
+    row = df.agg(
+        *[F.coalesce(c, F.lit(False)).alias(n) for n, c in checks.items()]
+    ).first()
+    outcomes = {n: bool(row[n]) for n in checks}
+    failed = sorted(n for n, ok in outcomes.items() if not ok)
+    if failed:
+        raise ExpectationFailed(f"aggregate expectation violated: {failed}")
+    return outcomes

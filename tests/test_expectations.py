@@ -92,6 +92,55 @@ def test_string_predicate_form(spark, orders_fixture):
     assert result.df.count() == 6
 
 
+def test_aggregate_expectations_single_job(spark):
+    from pyspark.sql import functions as F
+
+    from olist_lakehouse_2_0_spark.operators.expectations import (
+        ExpectationFailed,
+        enforce_aggregate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, 40.0)], "id long, v double"
+    )
+    ok = enforce_aggregate(
+        df,
+        {
+            "min_rows": F.count(F.lit(1)) >= 3,
+            "null_share_bounded": (
+                F.sum(F.col("v").isNull().cast("int")) / F.count(F.lit(1))
+            )
+            <= 0.5,
+        },
+    )
+    assert ok == {"min_rows": True, "null_share_bounded": True}
+
+    with pytest.raises(ExpectationFailed) as e:
+        enforce_aggregate(
+            df,
+            {
+                "min_rows": F.count(F.lit(1)) >= 100,
+                "positive_total": F.sum("v") > 0,
+            },
+        )
+    assert "min_rows" in str(e.value) and "positive_total" not in str(e.value)
+
+
+def test_aggregate_expectation_null_result_fails(spark):
+    """An aggregate check that evaluates to NULL (e.g. sum over an
+    empty relation) must fail closed, not pass silently."""
+    from pyspark.sql import functions as F
+
+    from olist_lakehouse_2_0_spark.operators.expectations import (
+        ExpectationFailed,
+        enforce_aggregate,
+    )
+
+    empty = spark.createDataFrame([], "id long, v double")
+    with pytest.raises(ExpectationFailed):
+        enforce_aggregate(empty, {"positive_total": F.sum("v") > 0})
+
+
 def test_quarantine_captures_dropped_rows_with_labels(spark):
     from pyspark.sql import functions as F
 

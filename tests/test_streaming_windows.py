@@ -90,6 +90,72 @@ def test_session_stream_matches_batch(spark, events_dir, tmp_path):
     assert got_rows == exp_rows
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data policy: an event older than the watermark whose window
+    already closed must be DROPPED, not re-opened — the bounded-state
+    guarantee that lets window state be evicted at scale. Three
+    micro-batches: on-time data, then a too-late event + fresh data,
+    then a far-future flush that closes everything."""
+    import datetime as dt
+
+    schema = "ts timestamp, event_type string, value double, user_id long"
+
+    def ts(h, m=0):
+        return dt.datetime(2026, 1, 1, h, m)
+
+    landing = tmp_path / "late_landing"
+    landing.mkdir()
+    batches = [
+        # batch 0: events at 09:10 and 10:45 -> watermark advances to
+        # 10:15, strictly past the 09:00-10:00 window's end
+        [(ts(9, 10), "click", 1.0, 1), (ts(10, 45), "click", 1.0, 2)],
+        # batch 1: the 10:15 watermark takes effect — the 09:00 window
+        # is emitted and its state evicted at this batch's end (a late
+        # row arriving IN this batch would still merge: eviction is
+        # end-of-batch)
+        [(ts(10, 50), "click", 1.0, 6)],
+        # batch 2: 09:20 targets the evicted 09:00 window -> DROPPED;
+        # 11:10 is fresh
+        [(ts(9, 20), "click", 100.0, 3), (ts(11, 10), "click", 1.0, 4)],
+        # batch 3: far-future flush advances the watermark past 11:00
+        [(ts(15, 0), "flush", 0.0, 5)],
+    ]
+    import time
+
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(landing / f"b{i}")
+        )
+        # distinct mtimes: the file source orders micro-batches by
+        # modification time, and the scenario depends on the order
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(landing / "b0")).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing) + "/*")
+    )
+    got = _drain(
+        tumbling_window_agg(
+            stream.withWatermark("ts", "30 minutes"), distinct_users=False
+        ),
+        spark,
+        tmp_path,
+        "late_drop",
+    )
+    clicks = {
+        r["window_start"].hour: (r["n_events"], float(r["sum_value"]))
+        for r in got.filter(F.col("event_type") == "click").collect()
+    }
+    # 09:00 window: only the on-time 09:10 event — the late 09:20
+    # (value 100.0) must not appear
+    assert clicks[9] == (1, 1.0), clicks
+    assert clicks[10] == (2, 2.0)
+    assert clicks[11] == (1, 1.0)
+
+
 def test_sketch_profile_accuracy(spark):
     """Approx sketches must land within tolerance of exact answers."""
     from olist_lakehouse_2_0_spark.queries.event_queries import (
