@@ -97,6 +97,28 @@ def test_unigram_logprob_caches_tf_relation(spark):
         spark.catalog.clearCache()
 
 
+def test_join_strategy_hints_are_honored(spark):
+    """Fact-fact joins at 100 TB must not broadcast; the engine relies
+    on Catalyst honoring explicit strategy hints when the default pick
+    needs overriding (e.g. force shuffle-hash to skip both sort passes,
+    or sort-merge for spill-safety)."""
+    from olist_lakehouse_2_0_spark.catalog import load
+
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+
+    smj = li.join(
+        orders.hint("merge"), li.l_orderkey == orders.o_orderkey
+    )
+    assert "SortMergeJoin" in _formatted_plan(smj)
+
+    shj = li.join(
+        orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+    )
+    plan = _formatted_plan(shj)
+    assert "ShuffledHashJoin" in plan and "SortMergeJoin" not in plan
+
+
 def test_category_lag_single_exchange_for_group_and_window(spark):
     """groupBy + LAG window share the category partitioning: exactly
     one hash-partitioning exchange on category in the plan."""

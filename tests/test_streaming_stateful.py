@@ -103,6 +103,44 @@ def test_state_carries_across_micro_batches(spark, tmp_path):
     assert got[3]["n_sessions"] == 1
 
 
+def test_rocksdb_state_store_produces_same_profile(spark, tmp_path):
+    """The at-scale state backend: billions of keys don't fit JVM-heap
+    state, so production runs RocksDB. The provider must be a drop-in —
+    identical profile output, state carried across micro-batches. The
+    conf is read per-query at stream start, so setting it on the shared
+    session and restoring afterwards scopes it to this test."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        rows = _run_two_batches(spark, tmp_path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    from pyspark.sql import Window as W
+
+    final = (
+        rows.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.desc("_batch"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    got = {r["user_id"]: r.asDict() for r in final.collect()}
+    assert got[1]["n_events"] == 3 and got[1]["n_sessions"] == 2
+    assert got[2]["n_events"] == 2 and got[2]["n_sessions"] == 1
+    assert got[3]["n_events"] == 1
+
+
 def test_profile_matches_relational_gap_count(spark, tmp_path):
     """The stateful result must equal the batch LAG-gap computation."""
     rows = _run_two_batches(spark, tmp_path)
