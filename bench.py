@@ -37,7 +37,11 @@ def main() -> None:
 
     @pandas_udf("long")
     def _warm(s: pd.Series) -> pd.Series:
-        return s
+        # touch numpy so each reused worker pays its import here, not
+        # inside the first signature-computing query's timing
+        import numpy as np
+
+        return pd.Series(np.asarray(s, dtype="int64"))
 
     spark.range(0, 1000, 1, 32).select(_warm(col("id"))).write.format(
         "noop"
