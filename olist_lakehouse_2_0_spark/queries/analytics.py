@@ -340,6 +340,90 @@ SELECT o_orderpriority, metric, value FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# GROUPING() markers: distinguish "NULL because rollup total row" from
+# "NULL in the data" — the companion feature to ROLLUP/CUBE.
+# ---------------------------------------------------------------------------
+def orders_rollup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("o_orderstatus").cast("int").alias("status_is_total"),
+            F.grouping("o_orderpriority").cast("int").alias(
+                "priority_is_total"
+            ),
+        )
+    )
+
+
+ORDERS_ROLLUP_FLAGS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(GROUPING(o_orderstatus) AS INT) AS status_is_total,
+       CAST(GROUPING(o_orderpriority) AS INT) AS priority_is_total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-total WITHOUT a global window: an empty-partitionBy window
+# funnels every row through ONE task (Spark warns "No Partition
+# Defined"); the scale-correct plan aggregates the total separately and
+# broadcasts the scalar back.
+# ---------------------------------------------------------------------------
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders", spread=True)
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    per_nation = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast(MONEY))
+            .cast(MONEY_SUM)
+            .alias("revenue")
+        )
+    )
+    total = per_nation.agg(
+        F.sum("revenue").cast(MONEY_SUM).alias("total_revenue")
+    )
+    return per_nation.crossJoin(F.broadcast(total)).select(
+        "nation",
+        "revenue",
+        F.round(
+            F.col("revenue") * 100.0 / F.col("total_revenue"), 4
+        ).alias("revenue_share_pct"),
+    )
+
+
+NATION_REVENUE_SHARE_SQL = """
+WITH per_nation AS (
+  SELECT n_name AS nation,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+), total AS (
+  SELECT CAST(SUM(revenue) AS DECIMAL(18,2)) AS total_revenue FROM per_nation
+)
+SELECT nation, revenue,
+       ROUND(revenue * 100.0 / total_revenue, 4) AS revenue_share_pct
+FROM per_nation CROSS JOIN total
+"""
+
+
 ANALYTICS_QUERIES = {
     "pricing_summary": pricing_summary,
     "revenue_by_nation": revenue_by_nation,
@@ -349,6 +433,8 @@ ANALYTICS_QUERIES = {
     "returnflag_pivot": returnflag_pivot,
     "price_percentiles": price_percentiles,
     "priority_metrics_unpivot": priority_metrics_unpivot,
+    "orders_rollup_flags": orders_rollup_flags,
+    "nation_revenue_share": nation_revenue_share,
 }
 
 ANALYTICS_ORACLES = {
@@ -360,4 +446,6 @@ ANALYTICS_ORACLES = {
     "returnflag_pivot": RETURNFLAG_PIVOT_SQL,
     "price_percentiles": PRICE_PERCENTILES_SQL,
     "priority_metrics_unpivot": PRIORITY_METRICS_UNPIVOT_SQL,
+    "orders_rollup_flags": ORDERS_ROLLUP_FLAGS_SQL,
+    "nation_revenue_share": NATION_REVENUE_SHARE_SQL,
 }
