@@ -54,3 +54,37 @@ def mask_phone(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     masked = F.concat(F.substring(c, 1, 10), F.lit("****-****"))
     return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(masked)
+
+
+#: SQL bodies of the masks — same expressions as the Column functions
+#: above, usable as catalog-registered SQL UDFs.
+_SQL_MASKS = {
+    "mask_name": (
+        "CASE WHEN s IS NULL THEN NULL ELSE CONCAT(SUBSTRING(s, 1, 1), "
+        "'*** ', SUBSTRING_INDEX(s, ' ', -1)) END"
+    ),
+    "mask_email": (
+        "CASE WHEN s IS NULL THEN NULL ELSE CONCAT(SUBSTRING(s, 1, 2), "
+        "'****@', SUBSTRING_INDEX(s, '@', -1)) END"
+    ),
+    "mask_phone": (
+        "CASE WHEN s IS NULL THEN NULL ELSE CONCAT(SUBSTRING(s, 1, 10), "
+        "'****-****') END"
+    ),
+}
+
+
+def register_sql_masks(spark: SparkSession) -> list[str]:
+    """Register the masks as SQL UDFs (``CREATE OR REPLACE TEMPORARY
+    FUNCTION ... RETURN <expr>``) — the direct analogue of the
+    reference's CREATE FUNCTION masks (reference
+    src/setup/pii_masking.sql:22-70). SQL UDFs inline as Catalyst
+    expressions at plan time: no serialization boundary, same codegen
+    as the Column-expression forms, and callable from any
+    ``spark.sql`` query. Returns the registered names."""
+    for name, body in _SQL_MASKS.items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(s STRING) "
+            f"RETURNS STRING RETURN {body}"
+        )
+    return list(_SQL_MASKS)

@@ -56,6 +56,33 @@ def test_mask_semantics(spark, customers):
     assert by_state["BA"].customer_name is None
 
 
+def test_sql_udf_masks_match_column_expressions(spark, customers):
+    """The SQL-UDF registrations (reference CREATE FUNCTION analogue)
+    must produce byte-identical output to the Column-expression masks
+    — one semantics, two calling surfaces."""
+    from olist_lakehouse_2_0_spark.functions.masking import register_sql_masks
+
+    names = register_sql_masks(spark)
+    assert set(names) == {"mask_name", "mask_email", "mask_phone"}
+    customers.createOrReplaceTempView("gov_customers")
+    via_sql = spark.sql(
+        "SELECT mask_name(customer_name) AS n, mask_email(customer_email)"
+        " AS e, mask_phone(customer_phone) AS p FROM gov_customers"
+    )
+    via_cols = customers.select(
+        mask_name("customer_name").alias("n"),
+        mask_email("customer_email").alias("e"),
+        mask_phone("customer_phone").alias("p"),
+    )
+    def rows(df):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: tuple((x is None, x or "") for x in t),
+        )
+
+    assert rows(via_sql) == rows(via_cols)
+
+
 def test_privileged_group_sees_raw(spark, customers):
     set_groups(spark, "pii-readers")
     out = PROTECTED.read(spark, customers).collect()
