@@ -297,10 +297,22 @@ class Catalog:
 
 
 def testdata_catalog(sf_dir: str) -> Catalog:
-    """Catalog over one driver testdata scale-factor directory."""
+    """Catalog over one driver testdata scale-factor directory.
+
+    The driver has shipped tables as single ``{table}.parquet`` files;
+    tolerate a ``{table}/`` directory layout too (parquet dataset dirs
+    are the normal shape everywhere else), preferring whichever
+    exists."""
     cat = Catalog(root=sf_dir)
     for t in TESTDATA_TABLES:
-        cat.register(t, os.path.join(sf_dir, f"{t}.parquet"))
+        file_path = os.path.join(sf_dir, f"{t}.parquet")
+        dir_path = os.path.join(sf_dir, t)
+        path = (
+            file_path
+            if os.path.exists(file_path) or not os.path.isdir(dir_path)
+            else dir_path
+        )
+        cat.register(t, path)
     return cat
 
 
@@ -318,6 +330,10 @@ def load(
     consumer does heavy per-row compute directly on the scan output.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(path) and os.path.isdir(os.path.join(sf_dir, name)):
+        # tolerate a {table}/ dataset-directory layout (see
+        # testdata_catalog)
+        path = os.path.join(sf_dir, name)
     if name == "events":
         df = _load_nanos_ts(spark, path, "ts")
     else:
