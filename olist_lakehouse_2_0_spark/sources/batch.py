@@ -98,6 +98,19 @@ def read_text(
     return with_audit_columns(df) if audit else df
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    audit: bool = False,
+) -> DataFrame:
+    """Batch ORC read — the other columnar lake format (vectorized
+    reader, predicate pushdown and column pruning same as parquet).
+    Kept in the source matrix so tables produced by Hive-lineage
+    pipelines plug in without conversion."""
+    df = spark.read.orc(path)
+    return with_audit_columns(df) if audit else df
+
+
 def read_parquet(
     spark: SparkSession,
     path: str,

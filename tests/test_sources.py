@@ -41,6 +41,33 @@ def test_jsonl_reads_rescues_and_audits(spark, tmp_path):
     assert {"_source_file", "_file_modified_at", "_ingested_at"} <= set(df.columns)
 
 
+def test_orc_roundtrip_with_pushdown(spark, sf_smoke, tmp_path):
+    from olist_lakehouse_2_0_spark.catalog import load
+    from olist_lakehouse_2_0_spark.sources.batch import read_orc
+
+    li = load(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    path = str(tmp_path / "li_orc")
+    li.write.mode("overwrite").orc(path)
+
+    back = read_orc(spark, path)
+    assert back.count() == li.count()
+    assert sorted(back.columns) == sorted(li.columns)
+
+    filtered = back.filter(back.l_orderkey == 1)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filtered.explain("formatted")
+    plan = buf.getvalue()
+    # predicate reaches the ORC scan, same as parquet
+    assert "PushedFilters" in plan and "l_orderkey" in plan
+    assert filtered.count() == li.filter(li.l_orderkey == 1).count()
+
+
 def test_sql_entry_point_matches_dataframe_api(spark, sf_smoke):
     """spark.sql over registered views must give the same answer as
     the DataFrame formulation (same Catalyst plans underneath)."""
