@@ -34,6 +34,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from olist_lakehouse_2_0_spark.catalog import Catalog
 from olist_lakehouse_2_0_spark.operators.expectations import (
@@ -67,6 +68,7 @@ class TableDef:
 class RunResult:
     written: dict[str, str] = field(default_factory=dict)
     metrics: dict[str, dict[str, int]] = field(default_factory=dict)
+    events: list[dict] = field(default_factory=list)
 
 
 class Pipeline:
@@ -94,6 +96,7 @@ class Pipeline:
         spark: SparkSession,
         full_refresh: bool = False,
         external_inputs: dict[str, DataFrame] | None = None,
+        event_log_path: str | None = None,
     ) -> RunResult:
         """Execute the DAG in dependency order.
 
@@ -101,13 +104,44 @@ class Pipeline:
         not defined as pipeline nodes (e.g. raw file scans built by the
         caller). Streaming nodes are executed with an availableNow
         drain; ``full_refresh`` clears their targets + checkpoints
-        first (reference weekly full-refresh job)."""
+        first (reference weekly full-refresh job).
+
+        ``event_log_path``: append one audit row per node to a parquet
+        event log — the engine-side analogue of the reference
+        platform's pipeline event log (per-node status, duration,
+        expectation metrics). A failing node logs its ``failed`` event
+        before the error propagates."""
+        import json as _json
+        import time as _time
+
         external_inputs = external_inputs or {}
         result = RunResult()
         views: dict[str, DataFrame] = {}
 
+        def log_event(name: str, node: TableDef, status: str, t0: float) -> None:
+            event = {
+                "pipeline": self.name,
+                "table": name,
+                "layer": node.layer,
+                "materialization": node.materialization.value,
+                "status": status,
+                "duration_s": round(_time.time() - t0, 3),
+                "metrics_json": _json.dumps(result.metrics.get(name, {})),
+            }
+            result.events.append(event)
+            if event_log_path:
+                spark.createDataFrame(
+                    [tuple(event.values())],
+                    "pipeline string, table string, layer string, "
+                    "materialization string, status string, "
+                    "duration_s double, metrics_json string",
+                ).withColumn(
+                    "logged_at", F.current_timestamp()
+                ).write.mode("append").parquet(event_log_path)
+
         for name in self.topo_order():
             node = self.tables[name]
+            t0 = _time.time()
             streaming_consumer = node.materialization is Materialization.STREAMING_TABLE
             ins: dict[str, DataFrame] = {}
             for dep in node.inputs:
@@ -135,10 +169,16 @@ class Pipeline:
             if node.materialization is Materialization.VIEW:
                 enforced = enforce(df, node.expectations)
                 views[name] = enforced.df
+                log_event(name, node, "computed", t0)
                 continue
 
             if node.materialization is Materialization.STREAMING_TABLE:
-                self._run_streaming_node(spark, node, df, full_refresh, result)
+                try:
+                    self._run_streaming_node(spark, node, df, full_refresh, result)
+                except Exception:
+                    log_event(name, node, "failed", t0)
+                    raise
+                log_event(name, node, "written", t0)
                 continue
 
             # MATERIALIZED_VIEW: full recompute + overwrite (S6). FAIL
@@ -147,14 +187,23 @@ class Pipeline:
             enforced = enforce(df, node.expectations, fail_strategy="defer")
             target = self.catalog.path_for(name, node.layer)
             tmp = target + "__staging"
-            enforced.df.write.mode("overwrite").parquet(tmp)
-            check_fail_metrics(enforced, node.expectations)  # may raise
+            try:
+                enforced.df.write.mode("overwrite").parquet(tmp)
+                check_fail_metrics(enforced, node.expectations)  # may raise
+            except Exception:
+                try:
+                    result.metrics[name] = enforced.metrics()
+                except Exception:
+                    pass  # write itself failed; no observed metrics
+                log_event(name, node, "failed", t0)
+                raise
             result.metrics[name] = enforced.metrics()
             _swap_dirs(spark, tmp, target)
             self.catalog.register(
                 f"{node.layer}.{name}" if node.layer else name, target
             )
             result.written[name] = target
+            log_event(name, node, "written", t0)
         return result
 
     def _run_streaming_node(

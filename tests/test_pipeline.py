@@ -154,6 +154,57 @@ def test_full_refresh_reprocesses(spark, tmp_path):
     assert spark.read.parquet(result.written["bronze_orders"]).count() == 5
 
 
+def test_event_log_records_per_node_outcomes(spark, tmp_path):
+    """The pipeline event log (reference-platform event-log analogue)
+    records one row per node with status, duration and expectation
+    metrics — including the failed FAIL-gate node."""
+    root = str(tmp_path / "lake")
+    raw = str(tmp_path / "raw" / "orders")
+    _write_csv(raw, "batch1.csv", BATCH1)
+    log_path = str(tmp_path / "event_log")
+
+    pipe = _build_pipeline(root, raw)
+    external = {"raw_orders": read_csv_stream(spark, raw, ORDER_SCHEMA)}
+    result = pipe.run(spark, external_inputs=external, event_log_path=log_path)
+    assert [e["status"] for e in result.events] == ["written"] * 3
+
+    log = spark.read.parquet(log_path)
+    rows = {r["table"]: r for r in log.collect()}
+    assert set(rows) == {"bronze_orders", "silver_orders", "gold_state_orders"}
+    assert all(r["status"] == "written" for r in rows.values())
+    assert all(r["duration_s"] >= 0 for r in rows.values())
+    import json
+
+    silver_metrics = json.loads(rows["silver_orders"]["metrics_json"])
+    assert rows["silver_orders"]["layer"] == "silver"
+    assert isinstance(silver_metrics, dict)
+
+    # failing FAIL gate logs status=failed before propagating
+    bad_gold = TableDef(
+        name="gold_bad",
+        inputs=("silver_orders",),
+        build=lambda ins: ins["silver_orders"]
+        .groupBy("customer_state")
+        .agg(F.count(F.lit(1)).alias("n")),
+        expectations=[expect_or_fail("impossible", F.col("n") < 0)],
+        layer="gold",
+    )
+    pipe2 = Pipeline("failing", Catalog(root=root), [bad_gold])
+    silver_df = spark.read.parquet(os.path.join(root, "silver", "silver_orders"))
+    with pytest.raises(ExpectationFailed):
+        pipe2.run(
+            spark,
+            external_inputs={"silver_orders": silver_df},
+            event_log_path=log_path,
+        )
+    failed = (
+        spark.read.parquet(log_path)
+        .filter(F.col("table") == "gold_bad")
+        .collect()
+    )
+    assert len(failed) == 1 and failed[0]["status"] == "failed"
+
+
 def test_gold_fail_gate_blocks_promotion(spark, tmp_path):
     root = str(tmp_path / "lake")
     raw = str(tmp_path / "raw" / "orders")
