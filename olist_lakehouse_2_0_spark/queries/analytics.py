@@ -424,6 +424,65 @@ FROM per_nation CROSS JOIN total
 """
 
 
+# ---------------------------------------------------------------------------
+# Disjunctive multi-table predicate (TPC-H Q19 shape): OR of AND-groups
+# spanning both join sides. Catalyst splits the disjunction — the parts
+# referencing only one relation push below the join, the rest stays as
+# the join's residual condition.
+# ---------------------------------------------------------------------------
+def discounted_revenue_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem", spread=True)
+    part = load(spark, sf_dir, "part")
+    li = lineitem.select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = part.select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    joined = li.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    ).filter(cond)
+    return joined.agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("decimal(18,4)")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+DISCOUNTED_REVENUE_DISJUNCTIVE_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DECIMAL(18,4)) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
 ANALYTICS_QUERIES = {
     "pricing_summary": pricing_summary,
     "revenue_by_nation": revenue_by_nation,
@@ -435,6 +494,7 @@ ANALYTICS_QUERIES = {
     "priority_metrics_unpivot": priority_metrics_unpivot,
     "orders_rollup_flags": orders_rollup_flags,
     "nation_revenue_share": nation_revenue_share,
+    "discounted_revenue_disjunctive": discounted_revenue_disjunctive,
 }
 
 ANALYTICS_ORACLES = {
@@ -448,4 +508,5 @@ ANALYTICS_ORACLES = {
     "priority_metrics_unpivot": PRIORITY_METRICS_UNPIVOT_SQL,
     "orders_rollup_flags": ORDERS_ROLLUP_FLAGS_SQL,
     "nation_revenue_share": NATION_REVENUE_SHARE_SQL,
+    "discounted_revenue_disjunctive": DISCOUNTED_REVENUE_DISJUNCTIVE_SQL,
 }
