@@ -67,6 +67,11 @@ class Catalog:
             return spark.read.format(ref.format).load(ref.path)
         return spark.read.parquet(self.path_for(name, layer))
 
+    def _register_written(self, name: str, layer: str | None, path: str) -> str:
+        key = f"{layer}.{name}" if layer else name
+        self.tables[key] = TableRef(name=key, path=path)
+        return path
+
     def write(
         self,
         df: DataFrame,
@@ -80,9 +85,7 @@ class Catalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        key = f"{layer}.{name}" if layer else name
-        self.tables[key] = TableRef(name=key, path=path)
-        return path
+        return self._register_written(name, layer, path)
 
 
     def write_bucketed(
@@ -140,9 +143,7 @@ class Catalog:
             .partitionBy(*partition_by)
             .parquet(path)
         )
-        key = f"{layer}.{name}" if layer else name
-        self.tables[key] = TableRef(name=key, path=path)
-        return path
+        return self._register_written(name, layer, path)
 
     def write_clustered(
         self,
@@ -171,9 +172,7 @@ class Catalog:
         ).sortWithinPartitions(*cluster_cols)
         path = self.path_for(name, layer)
         out.write.mode("overwrite").parquet(path)
-        key = f"{layer}.{name}" if layer else name
-        self.tables[key] = TableRef(name=key, path=path)
-        return path
+        return self._register_written(name, layer, path)
 
     def write_zordered(
         self,
@@ -207,6 +206,15 @@ class Catalog:
         d = len(zorder_cols)
         if d < 2:
             raise ValueError("z-ordering needs >= 2 columns")
+        if d * bits > 63:
+            # bit i*d+j must stay inside a signed 64-bit long: shifting
+            # past 63 wraps (count mod 64) and silently interleaves
+            # unrelated dimensions into the same positions
+            raise ValueError(
+                f"{d} columns x {bits} bits = {d * bits} Z-key bits "
+                "exceeds 63; lower bits (e.g. "
+                f"bits={63 // d}) or drop columns"
+            )
         stats = df.agg(
             *[F.min(c).alias(f"min_{c}") for c in zorder_cols],
             *[F.max(c).alias(f"max_{c}") for c in zorder_cols],
@@ -244,9 +252,7 @@ class Catalog:
         )
         path = self.path_for(name, layer)
         out.write.mode("overwrite").parquet(path)
-        key = f"{layer}.{name}" if layer else name
-        self.tables[key] = TableRef(name=key, path=path)
-        return path
+        return self._register_written(name, layer, path)
 
     def compact(
         self,
@@ -296,23 +302,23 @@ class Catalog:
         return (len(files), after)
 
 
-def testdata_catalog(sf_dir: str) -> Catalog:
-    """Catalog over one driver testdata scale-factor directory.
+def _testdata_path(sf_dir: str, name: str) -> str:
+    """Resolve one testdata table: the driver ships single
+    ``{table}.parquet`` files, but tolerate a ``{table}/`` dataset
+    directory too (the normal parquet shape everywhere else),
+    preferring whichever exists."""
+    file_path = os.path.join(sf_dir, f"{name}.parquet")
+    dir_path = os.path.join(sf_dir, name)
+    if os.path.exists(file_path) or not os.path.isdir(dir_path):
+        return file_path
+    return dir_path
 
-    The driver has shipped tables as single ``{table}.parquet`` files;
-    tolerate a ``{table}/`` directory layout too (parquet dataset dirs
-    are the normal shape everywhere else), preferring whichever
-    exists."""
+
+def testdata_catalog(sf_dir: str) -> Catalog:
+    """Catalog over one driver testdata scale-factor directory."""
     cat = Catalog(root=sf_dir)
     for t in TESTDATA_TABLES:
-        file_path = os.path.join(sf_dir, f"{t}.parquet")
-        dir_path = os.path.join(sf_dir, t)
-        path = (
-            file_path
-            if os.path.exists(file_path) or not os.path.isdir(dir_path)
-            else dir_path
-        )
-        cat.register(t, path)
+        cat.register(t, _testdata_path(sf_dir, t))
     return cat
 
 
@@ -329,11 +335,7 @@ def load(
     ``spread=True`` requests :func:`spread_scan` — use it when the
     consumer does heavy per-row compute directly on the scan output.
     """
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if not os.path.exists(path) and os.path.isdir(os.path.join(sf_dir, name)):
-        # tolerate a {table}/ dataset-directory layout (see
-        # testdata_catalog)
-        path = os.path.join(sf_dir, name)
+    path = _testdata_path(sf_dir, name)
     if name == "events":
         df = _load_nanos_ts(spark, path, "ts")
     else:
@@ -394,21 +396,18 @@ def _load_nanos_ts(spark: SparkSession, path: str, ts_col: str) -> DataFrame:
     except Exception:
         pass
 
+    # NOTE: the flag must STAY set — Spark re-reads it from the session
+    # conf when the physical parquet scan is built (execution time, not
+    # analysis time), so restoring it here would make every later
+    # action on the returned (lazy) DataFrame fail on the footer's
+    # TIMESTAMP(NANOS). Same tradeoff as the streaming reader
+    # (streaming/stateful.py::read_events_stream); the flag only
+    # affects TIMESTAMP(NANOS) columns, which nothing else reads.
     key = "spark.sql.legacy.parquet.nanosAsLong"
-    prev = spark.conf.get(key, None)
     spark.conf.set(key, "true")
-    try:
-        df = spark.read.parquet(path)
-        # Materialize the schema while the flag is set; the plan keeps
-        # the long-typed read, so restoring the conf afterwards is safe.
-        # `div` = integer division: epoch-nanos exceed double's 53-bit
-        # mantissa, so `/ 1000` + cast would be off by ±1 microsecond.
-        df = df.withColumn(
-            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
-        )
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
-    return df
+    df = spark.read.parquet(path)
+    # `div` = integer division: epoch-nanos exceed double's 53-bit
+    # mantissa, so `/ 1000` + cast would be off by ±1 microsecond.
+    return df.withColumn(
+        ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
+    )

@@ -54,7 +54,12 @@ def _id32(prefix: str) -> Column:
 
 def _fk32(prefix: str, parent_n: int, salt: str) -> Column:
     """Foreign key to a parent entity: same id formula over a hashed
-    parent index, so referential integrity holds without any join."""
+    parent index, so referential integrity holds without any join —
+    for parents whose OWN id wasn't corrupted by injection. A parent
+    hit by bad-id injection orphans its children (deliberately: that
+    is exactly what corrupt upstream ids do in production, and the DQ
+    pipeline drops the bad parent while the orphaned children surface
+    in join-miss metrics)."""
     idx = F.pmod(_h(salt), F.lit(parent_n)).cast("string")
     return F.md5(F.concat(F.lit(prefix), idx))
 

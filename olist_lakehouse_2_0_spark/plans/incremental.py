@@ -106,7 +106,11 @@ class IncrementalAggTable:
         )
 
     def _marker_path(self) -> str:
-        return self.path + "__last_batch"
+        # INSIDE the table directory: committed by the same atomic swap
+        # as the data (underscore prefix -> invisible to parquet scans),
+        # and deleted with the table on a rebuild, so a fresh stream
+        # with restarted batch ids never sees a stale marker.
+        return os.path.join(self.path, "_last_batch")
 
     def last_applied_batch(self) -> int | None:
         try:
@@ -116,11 +120,15 @@ class IncrementalAggTable:
             return None
 
     # -- maintenance -------------------------------------------------
-    def apply_batch(self, spark: SparkSession, batch: DataFrame) -> None:
+    def apply_batch(
+        self, spark: SparkSession, batch: DataFrame, batch_id: int | None = None
+    ) -> None:
         """Merge one append-only batch of fact rows into the stored
         aggregate. Cost: one partial aggregation of the batch plus one
         key-shuffle over (aggregate table + batch partials) rows —
-        never a rescan of history."""
+        never a rescan of history. When ``batch_id`` is given it is
+        written into the staging directory BEFORE the swap, so the
+        data and the replay marker commit in one atomic rename."""
         partial = batch.groupBy(*self.keys).agg(
             *[s.partial() for s in self.specs]
         )
@@ -149,6 +157,9 @@ class IncrementalAggTable:
             merged = partial
         staging = self.path + "__staging"
         merged.write.mode("overwrite").parquet(staging)
+        if batch_id is not None:
+            with open(os.path.join(staging, "_last_batch"), "w") as f:
+                f.write(str(batch_id))
         from olist_lakehouse_2_0_spark.plans.pipeline import _swap_dirs
 
         _swap_dirs(spark, staging, self.path)
@@ -156,18 +167,15 @@ class IncrementalAggTable:
     def foreach_batch_merger(self, spark: SparkSession):
         """``writeStream.foreachBatch`` sink that merges each
         micro-batch exactly once: replays (same or lower batch id after
-        a failure/restart) are skipped via a marker recorded AFTER the
-        merge commits."""
+        a failure/restart) are skipped via the marker committed
+        atomically WITH the merged data — a crash between merge and
+        marker cannot double-count, because they are one rename."""
 
         def merge_batch(batch: DataFrame, batch_id: int) -> None:
             last = self.last_applied_batch()
             if last is not None and batch_id <= last:
                 return
-            self.apply_batch(spark, batch)
-            tmp = self._marker_path() + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(str(batch_id))
-            os.replace(tmp, self._marker_path())
+            self.apply_batch(spark, batch, batch_id=batch_id)
 
         return merge_batch
 

@@ -41,6 +41,18 @@ def test_referential_integrity_without_joins(spark):
     assert orphans.count() == 0
 
 
+def test_corrupted_parent_ids_orphan_their_children(spark):
+    """Bad-id injection on the parent deliberately orphans child rows
+    (corrupt upstream ids do exactly this); the orphan share tracks the
+    parent bad rate, scaled by each parent's child fan-in."""
+    customers = G.gen_customers(spark, 300, bad_rate=0.02)
+    orders = G.gen_orders(spark, 1000, n_customers=300, bad_rate=0.0)
+    orphans = orders.join(
+        customers.select("customer_id"), "customer_id", "left_anti"
+    ).count()
+    assert 0 < orphans < 0.1 * 1000
+
+
 def test_bad_rate_injection_bounds(spark):
     orders = G.gen_orders(spark, N, n_customers=100, bad_rate=0.02)
     bad = orders.filter(F.col("order_status") == "INVALID_STATUS").count()

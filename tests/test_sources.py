@@ -41,6 +41,38 @@ def test_jsonl_reads_rescues_and_audits(spark, tmp_path):
     assert {"_source_file", "_file_modified_at", "_ingested_at"} <= set(df.columns)
 
 
+def test_nanos_timestamp_parquet_loads_and_stays_readable(spark, tmp_path):
+    """TIMESTAMP(NANOS) parquet (rejected by Spark's reader without the
+    nanosAsLong legacy flag) must load via the events loader AND stay
+    executable after the loader returns — Spark re-reads the flag when
+    the physical scan is built, so the loader must leave it set."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olist_lakehouse_2_0_spark.catalog import _load_nanos_ts
+
+    base = 1_700_000_000_000_000_000  # epoch nanos
+    table = pa.table(
+        {
+            "ts": pa.array([base, base + 1_500_000], type=pa.timestamp("ns")),
+            "v": pa.array([1, 2], type=pa.int64()),
+        }
+    )
+    path = str(tmp_path / "nanos.parquet")
+    pq.write_table(table, path, version="2.6", coerce_timestamps=None)
+    assert pq.read_schema(path).field("ts").type == pa.timestamp("ns")
+
+    df = _load_nanos_ts(spark, path, "ts")
+    # interleave an unrelated read, then execute the lazy plan
+    spark.range(3).count()
+    rows = {r["v"]: r["ts"] for r in df.collect()}
+    assert rows[1] == dt.datetime.utcfromtimestamp(base / 1e9)
+    # nano sub-microsecond flooring: +1.5ms lands on the exact micro
+    assert (rows[2] - rows[1]).total_seconds() == 0.0015
+
+
 def test_orc_roundtrip_with_pushdown(spark, sf_smoke, tmp_path):
     from olist_lakehouse_2_0_spark.catalog import load
     from olist_lakehouse_2_0_spark.sources.batch import read_orc
