@@ -402,6 +402,65 @@ GROUP BY 1, 2
 """
 
 
+def events_gold_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MV maintenance under the oracle gate: the events
+    table is re-staged as three files, drained as separate micro-
+    batches through ``foreach_batch_merger`` into a mergeable-state
+    aggregate table (COUNT / decimal SUM / MIN / MAX per event type),
+    and the final maintained table is returned — it must equal the
+    one-shot SQL aggregate bit-for-bit, proving the merge path end to
+    end inside the correctness gate. Decimal measures make the sums
+    merge-order-exact."""
+    import os
+    import tempfile
+
+    from olist_lakehouse_2_0_spark.plans.incremental import (
+        AggSpec,
+        IncrementalAggTable,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(12,2)").alias("value")
+    )
+    root = tempfile.mkdtemp(prefix="gold_inc_")
+    landing = os.path.join(root, "landing")
+    events.repartition(3).write.parquet(landing)
+
+    specs = [
+        AggSpec("count", "*", "n_events"),
+        AggSpec("sum", "value", "total_value"),
+        AggSpec("min", "value", "min_value"),
+        AggSpec("max", "value", "max_value"),
+    ]
+    table = IncrementalAggTable(
+        os.path.join(root, "gold"), keys=["event_type"], specs=specs
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = (
+        stream.writeStream.foreachBatch(table.foreach_batch_merger(spark))
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read_final(spark)
+
+
+EVENTS_GOLD_INCREMENTAL_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(value AS DECIMAL(12,2))) AS total_value,
+       MIN(CAST(value AS DECIMAL(12,2))) AS min_value,
+       MAX(CAST(value AS DECIMAL(12,2))) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
 EVENT_QUERIES = {
     "events_hourly_by_type": events_hourly_by_type,
     "events_sliding_halfhour": events_sliding_halfhour,
@@ -414,6 +473,7 @@ EVENT_QUERIES = {
     "events_user_profile_stateful": events_user_profile_stateful,
     "events_funnel": events_funnel,
     "user_cohort_retention": user_cohort_retention,
+    "events_gold_incremental": events_gold_incremental,
 }
 
 EVENT_ORACLES = {
@@ -427,4 +487,5 @@ EVENT_ORACLES = {
     "events_user_setops": EVENTS_SETOPS_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "user_cohort_retention": USER_COHORT_RETENTION_SQL,
+    "events_gold_incremental": EVENTS_GOLD_INCREMENTAL_SQL,
 }
