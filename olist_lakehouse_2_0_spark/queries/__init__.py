@@ -3,6 +3,21 @@
 Submodules contribute (name -> callable) and (name -> DuckDB SQL) dicts;
 this module merges them. Queries without an oracle entry are checked
 rows-only by the driver (non-SQL-expressible operators).
+
+Driver-stable output canonicalization
+-------------------------------------
+The driver hash-compares Spark results (``toPandas()``) against DuckDB
+results (``.df()``). DuckDB's pandas conversion always yields float64
+for DECIMAL and datetime64 for DATE — while Spark's yields ``Decimal``
+and ``datetime.date`` objects, which hash differently even when the
+values are identical (round-1 root cause: 28 value-identical queries
+failed the hash on exactly this). Queries therefore keep *exact decimal
+arithmetic internally* (order-independent, overflow-safe at 1000-way
+parallelism — see SURVEY §7.4) and this registry casts only the FINAL
+output columns to the driver-stable twins: DecimalType -> double,
+DateType -> timestamp. Decimal->double is a single correctly-rounded
+IEEE conversion of the already-quantized decimal on both engines, so
+values stay deterministic; it is NOT float accumulation.
 """
 
 from __future__ import annotations
@@ -10,6 +25,8 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from olist_lakehouse_2_0_spark.queries.analytics import (
     ANALYTICS_ORACLES,
@@ -47,6 +64,37 @@ from olist_lakehouse_2_0_spark.queries.window_analytics import (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
+def driver_stable(df: DataFrame) -> DataFrame:
+    """Cast final output columns to driver-stable types.
+
+    DecimalType -> double and DateType -> timestamp, matching what
+    DuckDB's ``.df()`` emits for the oracle side (see module docstring).
+    A no-op (no extra projection) when nothing needs casting; Catalyst
+    collapses the added projection otherwise.
+    """
+    cols = []
+    changed = False
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.DecimalType):
+            cols.append(F.col(f.name).cast("double").alias(f.name))
+            changed = True
+        elif isinstance(f.dataType, T.DateType):
+            cols.append(F.col(f.name).cast("timestamp").alias(f.name))
+            changed = True
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols) if changed else df
+
+
+def _stabilized(fn: QueryFn) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return driver_stable(fn(spark, sf_dir))
+
+    run.__name__ = getattr(fn, "__name__", "query")
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def all_queries() -> dict[str, QueryFn]:
     queries: dict[str, QueryFn] = {}
     queries.update(RELATIONAL_QUERIES)
@@ -57,7 +105,7 @@ def all_queries() -> dict[str, QueryFn]:
     queries.update(CDC_QUERIES)
     queries.update(LLM_QUERIES)
     queries.update(EVENT_QUERIES)
-    return queries
+    return {name: _stabilized(fn) for name, fn in queries.items()}
 
 
 def all_oracles() -> dict[str, str]:

@@ -41,32 +41,48 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem", spread=True)
     cutoff = "1998-12-01"
     base = li.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # Sums run over per-row DECIMAL casts: exact and order-independent
+    # regardless of partition count (double sums drift at 1000-way
+    # parallelism AND diverge from the single-threaded oracle). The
+    # per-row double->decimal quantization is itself deterministic, so
+    # both engines sum identical exact values. Averages are expressed
+    # as exact-sum / count (one double division at the end).
+    qty_d = F.col("l_quantity").cast(MONEY)
+    price_d = F.col("l_extendedprice").cast(MONEY)
+    disc_price_d = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(28,6)")
+    charge_d = (
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    ).cast("decimal(28,6)")
+    disc_d = F.col("l_discount").cast("decimal(8,6)")
+    cnt = F.count(F.lit(1))
     return (
         base.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(charge).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(qty_d).cast("double").alias("sum_qty"),
+            F.sum(price_d).cast("double").alias("sum_base_price"),
+            F.sum(disc_price_d).cast("double").alias("sum_disc_price"),
+            F.sum(charge_d).cast("double").alias("sum_charge"),
+            (F.sum(qty_d).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(price_d).cast("double") / cnt).alias("avg_price"),
+            (F.sum(disc_d).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
     )
 
 
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(l_quantity) AS sum_qty,
-       SUM(l_extendedprice) AS sum_base_price,
-       SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-       SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-       AVG(l_quantity) AS avg_qty,
-       AVG(l_extendedprice) AS avg_price,
-       AVG(l_discount) AS avg_disc,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(8,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
@@ -113,8 +129,13 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("n_name").alias("nation"))
+        # Keep the sum at its natural scale-4 — a final round-to-cents
+        # cast can land exactly on a .xx5 boundary, where Spark rounds
+        # HALF_UP and DuckDB HALF_EVEN (observed: 13693067.385 -> .39
+        # vs .38). The exact scale-4 decimal converts to the same
+        # double on both engines.
         .agg(
-            F.sum(revenue).cast(MONEY_SUM).alias("revenue"),
+            F.sum(revenue).alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
@@ -123,7 +144,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 REVENUE_BY_NATION_SQL = """
 SELECT n_name AS nation,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,2)) AS revenue,
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
        COUNT(DISTINCT o_orderkey) AS n_orders
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey

@@ -259,7 +259,7 @@ WITH ordered AS (
 )
 SELECT user_id,
        COUNT(*) AS n_events,
-       SUM(value) AS total_value,
+       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value,
        COUNT(CASE WHEN prev_ts IS NULL
                     OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 END) AS n_sessions,
        MAX(ts) AS last_ts

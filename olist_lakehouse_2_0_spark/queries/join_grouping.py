@@ -292,7 +292,8 @@ def similar_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("id_a") < F.col("id_b")),
         )
         .withColumn(
-            "edit_distance", F.levenshtein(F.col("name_a"), F.col("name_b"))
+            "edit_distance",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long"),
         )
         .filter(F.col("edit_distance") <= 1)
         .select("id_a", "id_b", F.col("nation").alias("nation_key"), "edit_distance")

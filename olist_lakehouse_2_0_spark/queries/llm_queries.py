@@ -143,7 +143,7 @@ DOC_QUALITY_BY_SOURCE_SQL = f"""
 WITH stats AS ({TEXT_STATS_SQL})
 SELECT source, lang,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        CAST(AVG(n_tokens) AS DECIMAL(18,6)) AS avg_tokens,
        CAST(AVG(quality_score) AS DECIMAL(18,6)) AS avg_quality,
        COUNT(CASE WHEN quality_score >= 0.7 THEN 1 END) AS high_quality_docs,
@@ -242,7 +242,7 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.orderBy(F.desc("occurrences"), F.asc("token"))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 20)
         .select("token", "occurrences", "rank")
     )
@@ -436,7 +436,7 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "corpus_id",
         F.col("cosine").cast("decimal(12,6)").alias("cosine"),
-        "rank",
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -588,7 +588,7 @@ WITH assigned AS (
               ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens
   FROM documents
 )
-SELECT split, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM assigned
 GROUP BY split
 """
@@ -630,8 +630,8 @@ def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.min("n_tokens").alias("min_tokens"),
-            F.max("n_tokens").alias("max_tokens"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
         )
     )
 
@@ -644,7 +644,7 @@ WITH toks AS (
 )
 SELECT CAST(FLOOR(n_tokens / 64) AS BIGINT) AS length_bucket,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        MIN(n_tokens) AS min_tokens,
        MAX(n_tokens) AS max_tokens
 FROM toks
@@ -684,8 +684,8 @@ WITH per_doc AS (
   FROM documents
 )
 SELECT source, COUNT(*) AS n_docs,
-       SUM(ws) AS ws_tokens,
-       SUM(bpe) AS bpe_tokens,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
        CAST(AVG(bpe / NULLIF(ws, 0)) AS DECIMAL(18,6)) AS avg_bpe_per_ws_token
 FROM per_doc
 GROUP BY source
@@ -741,7 +741,7 @@ WITH sized AS (
 SELECT source,
        CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS bin,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS tokens_packed,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_packed,
        CAST(SUM(n_tokens) / 2048.0 AS DECIMAL(18,6)) AS fill_ratio
 FROM cum
 GROUP BY 1, 2
@@ -893,9 +893,9 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = ops_text.pii_counts("text")
     return docs.select(
         "doc_id",
-        counts["n_email"].alias("n_email"),
-        counts["n_ip"].alias("n_ip"),
-        counts["n_phone"].alias("n_phone"),
+        counts["n_email"].cast("long").alias("n_email"),
+        counts["n_ip"].cast("long").alias("n_ip"),
+        counts["n_phone"].cast("long").alias("n_phone"),
         ops_text.redact_pii("text").alias("redacted"),
     )
 
@@ -1057,20 +1057,35 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = tf.groupBy("token").agg(F.sum("tf").alias("c")).persist()
     total = counts.agg(F.sum("c").alias("n"))
+    # logp quantizes to an INTEGER number of 1e-9 units at the source,
+    # via floor(x*1e9 + 0.5) — pure IEEE multiply/add/floor that both
+    # engines compute bit-identically (engine-native double->decimal
+    # casts do NOT agree: BigDecimal shortest-repr vs multiply-and-
+    # round). After quantization all downstream arithmetic (tf x logp
+    # products, the per-doc sum) is exact integer math, so the result
+    # is order-independent at any parallelism.
     logp = counts.crossJoin(F.broadcast(total)).select(
         "token",
-        (
-            F.log(F.col("c").cast("double")) - F.log(F.col("n").cast("double"))
-        ).alias("logp"),
+        F.floor(
+            (
+                F.log(F.col("c").cast("double"))
+                - F.log(F.col("n").cast("double"))
+            )
+            * 1e9
+            + 0.5
+        ).alias("logp_q"),
     )
     return (
         tf.join(logp, "token")
         .groupBy("doc_id")
         .agg(
             F.sum("tf").alias("n_tokens"),
+            # tf x logp_q is exact integer math, so the sum is
+            # order-independent: identical at any parallelism and
+            # bit-equal to the single-threaded oracle.
             (
-                F.sum(F.col("tf") * F.col("logp"))
-                / F.sum("tf").cast("double")
+                F.sum(F.col("tf") * F.col("logp_q")).cast("double")
+                / (F.sum("tf").cast("double") * F.lit(1e9))
             ).alias("avg_logprob"),
         )
     )
@@ -1087,11 +1102,16 @@ WITH toks AS (
   SELECT token, SUM(tf) AS c FROM tf GROUP BY token
 ), total AS (
   SELECT SUM(c) AS n FROM counts
+), logps AS (
+  SELECT token,
+         CAST(FLOOR((LN(CAST(c AS DOUBLE)) - LN(CAST(n AS DOUBLE))) * 1e9 + 0.5) AS BIGINT) AS logp_q
+  FROM counts CROSS JOIN total
 )
 SELECT tf.doc_id,
        CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
-       SUM(tf.tf * (LN(c) - LN(n))) / CAST(SUM(tf.tf) AS DOUBLE) AS avg_logprob
-FROM tf JOIN counts USING (token) CROSS JOIN total
+       CAST(CAST(SUM(tf.tf * logp_q) AS BIGINT) AS DOUBLE)
+         / (CAST(SUM(tf.tf) AS DOUBLE) * 1e9) AS avg_logprob
+FROM tf JOIN logps USING (token)
 GROUP BY tf.doc_id
 """
 
@@ -1131,7 +1151,7 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             "component",
             F.col("doc_id").alias("canonical_doc_id"),
             "n_members",
-            F.col("n_len").alias("canonical_len"),
+            F.col("n_len").cast("long").alias("canonical_len"),
         )
     )
 
@@ -1319,7 +1339,7 @@ WITH unioned AS (
                  THEN 0.3 ELSE 0.0 END) AS q
   FROM scored
 )
-SELECT split, source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+SELECT split, source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM (
   SELECT source, n_tokens,
          CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'

@@ -206,7 +206,7 @@ SELECT n_name AS nation,
        CAST(SUM(order_item_total) AS DECIMAL(18,2)) AS total_item_revenue,
        CAST(AVG(CAST(order_item_total AS DOUBLE)) AS DECIMAL(18,6)) AS avg_order_item_value,
        COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished_orders,
-       SUM(item_count) AS total_items
+       CAST(SUM(item_count) AS BIGINT) AS total_items
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -224,47 +224,36 @@ GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 def orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders", spread=True)
-    # Three pre-aggregations consume lineitem (reference J1 keeps them
-    # as separate subqueries). Shuffle the fact side on the group key
-    # ONCE and persist: each groupBy below sees the cached
-    # hash(l_orderkey) partitioning and skips its own exchange — one
-    # fact shuffle instead of three identical ones.
-    lineitem = (
-        load(spark, sf_dir, "lineitem")
-        .repartition(F.col("l_orderkey"))
-        .persist()
-    )
+    lineitem = load(spark, sf_dir, "lineitem", spread=True)
 
-    items = lineitem.groupBy("l_orderkey").agg(
+    # The reference keeps items/shipping/flags as three separate
+    # subqueries; here all three share the l_orderkey grain so they fuse
+    # into ONE groupBy.agg — one shuffle of the fact table, no cache.
+    # (Round-1 shape repartition().persist()'d the full fact side to
+    # dodge duplicate exchanges; at 100 TB that caches the largest table
+    # in the warehouse. The fused aggregate needs neither.)
+    # return_flags is emitted as a sorted comma-joined STRING (not an
+    # array) so the driver's pandas canonicalizer can sort/hash it.
+    per_order = lineitem.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("item_count"),
         F.countDistinct("l_partkey").alias("distinct_parts"),
         F.sum(F.col("l_extendedprice").cast(MONEY)).cast(MONEY_SUM).alias("items_total"),
-    )
-    shipping = lineitem.groupBy("l_orderkey").agg(
-        F.min(F.col("l_shipdate").cast("date")).alias("first_ship_date"),
-        F.max(F.col("l_shipdate").cast("date")).alias("last_ship_date"),
-    )
-    flags = lineitem.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_returnflag")).alias("return_flags"),
+        F.min(F.date_trunc("day", F.col("l_shipdate"))).alias("first_ship_date"),
+        F.max(F.date_trunc("day", F.col("l_shipdate"))).alias("last_ship_date"),
+        F.concat_ws(",", F.array_sort(F.collect_set("l_returnflag"))).alias(
+            "return_flags"
+        ),
         F.max("l_linestatus").alias("max_linestatus"),
     )
 
-    # Three LEFT JOINs on the same key: Spark shuffles orders once on
-    # o_orderkey and the three aggregated sides arrive already partitioned
-    # by the groupBy on the same key — AQE reuses the exchange.
-    enriched = (
-        orders.join(items, F.col("o_orderkey") == items["l_orderkey"], "left")
-        .drop(items["l_orderkey"])
-        .join(shipping, F.col("o_orderkey") == shipping["l_orderkey"], "left")
-        .drop(shipping["l_orderkey"])
-        .join(flags, F.col("o_orderkey") == flags["l_orderkey"], "left")
-        .drop(flags["l_orderkey"])
-    )
+    enriched = orders.join(
+        per_order, F.col("o_orderkey") == per_order["l_orderkey"], "left"
+    ).drop(per_order["l_orderkey"])
     return enriched.select(
         F.col("o_orderkey").alias("order_id"),
         F.col("o_custkey").alias("customer_id"),
         F.col("o_orderstatus").alias("order_status"),
-        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.date_trunc("day", F.col("o_orderdate")).alias("order_date"),
         F.coalesce(F.col("item_count"), F.lit(0)).alias("item_count"),
         F.coalesce(F.col("distinct_parts"), F.lit(0)).alias("distinct_parts"),
         F.coalesce(F.col("items_total"), F.lit(0).cast(MONEY_SUM)).alias("items_total"),
@@ -273,47 +262,39 @@ def orders_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         "return_flags",
         "max_linestatus",
         (F.col("o_orderstatus") == "F").alias("is_finished"),
-        F.coalesce(F.array_contains("return_flags", "R"), F.lit(False)).alias(
-            "has_returns"
-        ),
+        F.coalesce(
+            F.col("return_flags").contains("R"), F.lit(False)
+        ).alias("has_returns"),
     )
 
 
 ORDERS_ENRICHED_SQL = """
-WITH items AS (
+WITH per_order AS (
   SELECT l_orderkey,
          COUNT(*) AS item_count,
          COUNT(DISTINCT l_partkey) AS distinct_parts,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS items_total
-  FROM lineitem GROUP BY l_orderkey
-), shipping AS (
-  SELECT l_orderkey,
-         MIN(CAST(l_shipdate AS DATE)) AS first_ship_date,
-         MAX(CAST(l_shipdate AS DATE)) AS last_ship_date
-  FROM lineitem GROUP BY l_orderkey
-), flags AS (
-  SELECT l_orderkey,
-         LIST_SORT(LIST_DISTINCT(LIST(l_returnflag))) AS return_flags,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS items_total,
+         MIN(DATE_TRUNC('day', l_shipdate)) AS first_ship_date,
+         MAX(DATE_TRUNC('day', l_shipdate)) AS last_ship_date,
+         ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(l_returnflag))), ',') AS return_flags,
          MAX(l_linestatus) AS max_linestatus
   FROM lineitem GROUP BY l_orderkey
 )
 SELECT o_orderkey AS order_id,
        o_custkey AS customer_id,
        o_orderstatus AS order_status,
-       CAST(o_orderdate AS DATE) AS order_date,
-       COALESCE(items.item_count, 0) AS item_count,
-       COALESCE(items.distinct_parts, 0) AS distinct_parts,
-       COALESCE(items.items_total, CAST(0 AS DECIMAL(18,2))) AS items_total,
-       shipping.first_ship_date,
-       shipping.last_ship_date,
-       flags.return_flags,
-       flags.max_linestatus,
+       DATE_TRUNC('day', o_orderdate) AS order_date,
+       COALESCE(item_count, 0) AS item_count,
+       COALESCE(distinct_parts, 0) AS distinct_parts,
+       CAST(COALESCE(items_total, 0) AS DOUBLE) AS items_total,
+       first_ship_date,
+       last_ship_date,
+       return_flags,
+       max_linestatus,
        o_orderstatus = 'F' AS is_finished,
-       COALESCE(LIST_CONTAINS(flags.return_flags, 'R'), FALSE) AS has_returns
+       COALESCE(CONTAINS(return_flags, 'R'), FALSE) AS has_returns
 FROM orders
-LEFT JOIN items ON o_orderkey = items.l_orderkey
-LEFT JOIN shipping ON o_orderkey = shipping.l_orderkey
-LEFT JOIN flags ON o_orderkey = flags.l_orderkey
+LEFT JOIN per_order ON o_orderkey = per_order.l_orderkey
 """
 
 
@@ -492,7 +473,7 @@ def silver_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.col("c_name")).alias("customer_name"),
         F.upper(F.col("c_mktsegment")).alias("segment_upper"),
         F.lower(F.col("c_mktsegment")).alias("segment_lower"),
-        F.length(F.col("c_name")).alias("name_length"),
+        F.length(F.col("c_name")).cast("long").alias("name_length"),
         F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
         F.concat(F.substring(F.col("c_name"), 1, 1), F.lit("***")).alias("masked_name"),
         F.substring_index(F.col("c_name"), "#", -1).alias("customer_number"),
@@ -547,7 +528,7 @@ def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("l_partkey"))
     return (
-        part_rev.withColumn("rnk", F.row_number().over(w))
+        part_rev.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select("p_brand", F.col("l_partkey").alias("part_id"), "revenue", "rnk")
     )
@@ -660,7 +641,7 @@ WITH agg AS (
     COUNT(*) AS n_rows
   FROM lineitem
 )
-SELECT rule, n_violations, n_rows,
+SELECT rule, CAST(n_violations AS BIGINT) AS n_violations, n_rows,
        CAST(ROUND(n_violations * 100.0 / n_rows, 4) AS DECIMAL(10,2)) AS violation_pct
 FROM (
   SELECT 'orderkey_not_null' AS rule, orderkey_not_null AS n_violations, n_rows FROM agg

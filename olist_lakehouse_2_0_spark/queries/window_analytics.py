@@ -125,8 +125,8 @@ def segment_spend_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("segment"),
             F.col("o_custkey").alias("customer_key"),
             "spend",
-            F.rank().over(w).alias("spend_rank"),
-            F.dense_rank().over(w).alias("spend_dense_rank"),
+            F.rank().over(w).cast("long").alias("spend_rank"),
+            F.dense_rank().over(w).cast("long").alias("spend_dense_rank"),
             F.ntile(4).over(w).alias("spend_quartile"),
             F.round(F.percent_rank().over(w), 6).alias("spend_pct_rank"),
             F.round(F.cume_dist().over(w), 6).alias("spend_cume_dist"),

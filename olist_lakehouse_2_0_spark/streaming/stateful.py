@@ -39,9 +39,13 @@ PROFILE_SCHEMA = (
     "user_id bigint, n_events bigint, total_value double, "
     "n_sessions bigint, last_ts timestamp"
 )
-#: Persistent per-key state: (n_events, total_value, n_sessions,
-#: last_seen_epoch_us).
-STATE_SCHEMA = "n_events bigint, total_value double, n_sessions bigint, last_us bigint"
+#: Persistent per-key state: (n_events, total_cents, n_sessions,
+#: last_seen_epoch_us). The value total is carried as integer
+#: hundredths (floor(v*100 + 0.5) per event): exact integer addition
+#: makes the running total independent of micro-batch boundaries and
+#: state-merge order — a float accumulator drifts from the batch-SQL
+#: oracle by summation order.
+STATE_SCHEMA = "n_events bigint, total_cents bigint, n_sessions bigint, last_us bigint"
 
 _US_PER_MIN = 60_000_000
 
@@ -56,9 +60,9 @@ def _make_update(gap_minutes: int):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.exists:
-            n_events, total_value, n_sessions, last_us = state.get
+            n_events, total_cents, n_sessions, last_us = state.get
         else:
-            n_events, total_value, n_sessions, last_us = 0, 0.0, 0, None
+            n_events, total_cents, n_sessions, last_us = 0, 0, 0, None
         # The iterator yields the key group in Arrow-sized CHUNKS
         # (maxRecordsPerBatch); sorting chunks independently would
         # interleave out-of-order timestamps across chunk boundaries
@@ -72,18 +76,26 @@ def _make_update(gap_minutes: int):
             ts_us = (
                 whole["ts"].astype("datetime64[ns]").astype("int64") // 1000
             ).to_numpy()
+            import numpy as np
+
             n_events += len(whole)
-            total_value += float(whole["value"].sum())
+            # floor(v*100 + 0.5): pure IEEE quantization to integer
+            # hundredths, bit-identical in any engine; summed exactly.
+            total_cents += int(
+                np.floor(whole["value"].to_numpy() * 100.0 + 0.5)
+                .astype("int64")
+                .sum()
+            )
             for t in ts_us:
                 if last_us is None or t - last_us > gap_us:
                     n_sessions += 1
                 last_us = int(t)
-        state.update((n_events, total_value, n_sessions, last_us))
+        state.update((n_events, total_cents, n_sessions, last_us))
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
                 "n_events": [n_events],
-                "total_value": [total_value],
+                "total_value": [total_cents / 100.0],
                 "n_sessions": [n_sessions],
                 "last_ts": [pd.Timestamp(last_us, unit="us")],
             }
@@ -118,10 +130,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the nanosAsLong legacy flag (same handling as the batch loader,
     ``catalog._load_nanos_ts``) and converts to microsecond timestamps.
     """
-    path = os.path.join(sf_dir, "events.parquet")
+    from olist_lakehouse_2_0_spark.catalog import _testdata_path
+
+    # Resolve single-file vs dataset-directory layout the same way the
+    # batch loader does (catalog._testdata_path).
+    path = _testdata_path(sf_dir, "events")
     # The events timestamp has shipped both as a real parquet TIMESTAMP
     # and as TIMESTAMP(NANOS) (readable only as int64 via the
-    # nanosAsLong legacy flag). Probe the plain read first.
+    # nanosAsLong legacy flag). Probe the plain read first; the probe
+    # itself may raise only for nanos files, so try the flag before
+    # concluding the path is unreadable.
     # NOTE: in the nanos case the flag must stay set while the STREAM
     # runs — the file source re-resolves the parquet footer per
     # micro-batch — so it cannot be restored here;
@@ -136,12 +154,27 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         nanos = True
     if nanos:
         spark.conf.set(key, "true")
-        schema = spark.read.parquet(path).schema
-    # The file stream source only accepts directories; stage a symlink
-    # to the single events file inside a temp landing dir (zero-copy —
-    # this mirrors how files would land incrementally in production).
+        schema = spark.read.parquet(path).schema  # raises if truly unreadable
+        if not isinstance(schema["ts"].dataType, LongType):
+            # Readable without the flag after all (probe failed for an
+            # unrelated transient reason) — don't rewrite ts below.
+            spark.conf.unset(key)
+            nanos = False
+    # The file stream source only accepts directories; stage symlinks
+    # to the data file(s) inside a temp landing dir (zero-copy — this
+    # mirrors how files would land incrementally in production). A
+    # dataset DIRECTORY is symlinked per-file: the stream source does
+    # not follow directory symlinks without recursiveFileLookup.
     landing = tempfile.mkdtemp(prefix="events_stream_src_")
-    os.symlink(path, os.path.join(landing, "events.parquet"))
+    if os.path.isdir(path):
+        for i, fname in enumerate(sorted(os.listdir(path))):
+            if fname.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(path, fname),
+                    os.path.join(landing, f"part-{i:05d}.parquet"),
+                )
+    else:
+        os.symlink(path, os.path.join(landing, "events.parquet"))
     stream = spark.readStream.schema(schema).parquet(landing)
     if nanos:
         stream = stream.withColumn(
