@@ -23,6 +23,8 @@ from olist_lakehouse_2_0_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     minhash_dedup_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
     simhash_dedup_pairs,
 )
 from olist_lakehouse_2_0_spark.operators.multimodal import (
@@ -489,6 +491,146 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(
         emb.unionByName(copies), "vec_id", "embedding", threshold=0.999
     )
+
+
+# ---------------------------------------------------------------------------
+# Verified companions for the approximate dedup family (VERDICT r1 next
+# step #7): each runs the approximate candidate stage end-to-end, then
+# verifies candidates with an EXACT, SQL-expressible criterion. When the
+# candidate stage has full recall of the exact set — structural for
+# identical inputs (identical signatures collide in every band/chunk/
+# bucket by construction), and verified empirically for the near-dup
+# tail — the verified output EQUALS the exact pair set, so the driver
+# hash-checks the whole approximate pipeline against a DuckDB oracle
+# instead of trusting pytest-only recall bounds.
+# ---------------------------------------------------------------------------
+
+
+def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidates (64 perms, 16 bands x 4 rows) intersected
+    with the exact n-gram Jaccard pair set at threshold 0.8. Banding
+    collision probability at s>=0.8 is 1-(1-0.8^4)^16 ~ 0.9998 per
+    pair (and 1.0 for the planted identical copies), so LSH loses
+    nothing here and the intersection equals the exact set — same
+    oracle as ``jaccard_dups``."""
+    docs = _with_duplicates(load(spark, sf_dir, "documents", spread=True))
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=64, n=3, seed=42
+    )
+    cands = minhash_lsh_candidates(sigs, "doc_id", bands=16, rows_per_band=4)
+    exact = jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=8
+    )
+    return exact.join(cands, ["id_a", "id_b"], "left_semi").select(
+        "id_a", "id_b", F.col("jaccard").cast("decimal(10,6)").alias("jaccard")
+    )
+
+
+def simhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidates at hamming 0, verified by normalized-text
+    fingerprint equality. Token-identical documents produce identical
+    signatures, and the 16-bit pigeonhole banding makes identical
+    signatures collide in every chunk — recall of the exact-dup pair
+    set is structural, so the verified output equals the
+    normalized-text-equal pair set the oracle computes."""
+    docs = _with_duplicates(load(spark, sf_dir, "documents", spread=True))
+    cand = simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=0)
+    fp = docs.select("doc_id", ops_text.fingerprint("text").alias("__fp"))
+    fa = fp.select(F.col("doc_id").alias("id_a"), F.col("__fp").alias("__fp_a"))
+    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("__fp").alias("__fp_b"))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .filter(F.col("__fp_a") == F.col("__fp_b"))
+        .select("id_a", "id_b")
+    )
+
+
+def winnow_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint overlap candidates verified by
+    normalized-text fingerprint equality. Identical token streams keep
+    identical winnowed fingerprint sets (overlap 1.0), so with the
+    boilerplate stop-list disabled the candidate stage structurally
+    recalls every exact-dup pair; the verified output equals the
+    normalized-text-equal pair set (same oracle as the SimHash
+    companion)."""
+    docs = _with_duplicates(load(spark, sf_dir, "documents", spread=True))
+    cand = ops_text.winnow_overlap_pairs(
+        docs, "doc_id", "text", k=8, window=4, min_overlap=0.8,
+        max_fp_df=None,
+    )
+    fp = docs.select("doc_id", ops_text.fingerprint("text").alias("__fp"))
+    fa = fp.select(F.col("doc_id").alias("id_a"), F.col("__fp").alias("__fp_a"))
+    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("__fp").alias("__fp_b"))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .filter(F.col("__fp_a") == F.col("__fp_b"))
+        .select("id_a", "id_b")
+    )
+
+
+def embedding_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup pairs at cosine >= 0.999 with planted
+    exact vector copies: identical vectors share every hyperplane
+    bucket (structural recall), the remaining corpus is near-orthogonal
+    random vectors with no incidental pairs at this threshold, so the
+    LSH output equals the brute-force pair set the oracle computes.
+    cosine is quantized with floor(x*1e6+0.5) — pure IEEE ops both
+    engines compute identically."""
+    emb = load(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", "embedding"
+    )
+    copies = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    pairs = embedding_neardup_pairs(
+        emb.unionByName(copies), "vec_id", "embedding", threshold=0.999
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (F.floor(F.col("cosine") * 1e6 + F.lit(0.5)) / 1e6).alias("cosine_q"),
+    )
+
+
+MINHASH_VERIFIED_DUPS_SQL = JACCARD_DUPS_SQL
+
+_NORM_EQUAL_PAIRS_SQL = r"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, '  ' || text || ' ' FROM documents
+), keyed AS (
+  SELECT doc_id, REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g') AS norm
+  FROM unioned WHERE LENGTH(TRIM(text)) > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM keyed a JOIN keyed b ON a.norm = b.norm AND a.doc_id < b.doc_id
+"""
+
+SIMHASH_VERIFIED_DUPS_SQL = _NORM_EQUAL_PAIRS_SQL
+WINNOW_VERIFIED_DUPS_SQL = _NORM_EQUAL_PAIRS_SQL
+
+EMBEDDING_NEARDUP_VERIFIED_SQL = """
+WITH u AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings
+), n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM u
+), scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, LEN(a.embedding)+1),
+                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+           / NULLIF(a.nrm * b.nrm, 0.0) AS cosine
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       CAST(FLOOR(cosine * 1e6 + 0.5) AS BIGINT) / 1e6 AS cosine_q
+FROM scored
+WHERE cosine >= 0.999 AND NOT isnan(cosine)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1363,6 +1505,10 @@ LLM_QUERIES = {
     "jaccard_dups": jaccard_dups,
     "minhash_dups": minhash_dups,
     "simhash_dups": simhash_dups,
+    "minhash_verified_dups": minhash_verified_dups,
+    "simhash_verified_dups": simhash_verified_dups,
+    "winnow_verified_dups": winnow_verified_dups,
+    "embedding_neardup_verified": embedding_neardup_verified,
     "embedding_topk_bruteforce": embedding_topk_bruteforce,
     "embedding_topk_ivf": embedding_topk_ivf,
     "embedding_neardup": embedding_neardup,
@@ -1398,6 +1544,10 @@ LLM_ORACLES = {
     "top_tokens": TOP_TOKENS_SQL,
     "exact_dedup_docs": EXACT_DEDUP_DOCS_SQL,
     "jaccard_dups": JACCARD_DUPS_SQL,
+    "minhash_verified_dups": MINHASH_VERIFIED_DUPS_SQL,
+    "simhash_verified_dups": SIMHASH_VERIFIED_DUPS_SQL,
+    "winnow_verified_dups": WINNOW_VERIFIED_DUPS_SQL,
+    "embedding_neardup_verified": EMBEDDING_NEARDUP_VERIFIED_SQL,
     "embedding_topk_bruteforce": EMBEDDING_TOPK_SQL,
     "image_metadata": IMAGE_METADATA_SQL,
     "fingerprint_dups": FINGERPRINT_DUPS_SQL,
