@@ -269,12 +269,20 @@ class Catalog:
         Streaming ingest appends one file set per micro-batch; at
         100 TB the resulting small-file population dominates scan
         planning and open() overhead, so compaction runs as a periodic
-        maintenance job per table (per partition directory for
-        partitioned tables). ``coalesce`` merges without a shuffle;
-        the rewrite lands in a staging dir and swaps in atomically, so
-        readers never see a partial table. Returns (files_before,
-        files_after); no-op when already at or below target."""
+        maintenance job per table. ``coalesce`` merges without a
+        shuffle; the rewrite lands in a staging dir and swaps in
+        atomically, so readers never see a partial table. Partitioned
+        layouts (``key=value`` subdirectories) are preserved: the
+        discovered partition columns are re-applied on write (with a
+        hash repartition on them so each partition value lands in one
+        task -> one output file per partition directory) — a plain
+        coalesce rewrite would flatten the layout and silently break
+        partition pruning and overwrite_partitions. Returns
+        (files_before, files_after); no-op when already at or below
+        target."""
         import math
+
+        from pyspark.sql import functions as F
 
         path = self.path_for(name, layer)
         files = [
@@ -287,9 +295,30 @@ class Catalog:
         n = max(1, math.ceil(total / target_file_bytes))
         if n >= len(files):
             return (len(files), len(files))
+        # Discover key=value partition nesting (one column per level).
+        part_cols: list[str] = []
+        probe = path
+        while True:
+            subs = [
+                d
+                for d in sorted(os.listdir(probe))
+                if "=" in d and os.path.isdir(os.path.join(probe, d))
+            ]
+            if not subs:
+                break
+            part_cols.append(subs[0].split("=", 1)[0])
+            probe = os.path.join(probe, subs[0])
         df = spark.read.parquet(path)
         staging = path + "__compacting"
-        df.coalesce(n).write.mode("overwrite").parquet(staging)
+        if part_cols:
+            (
+                df.repartition(n, *[F.col(c) for c in part_cols])
+                .write.mode("overwrite")
+                .partitionBy(*part_cols)
+                .parquet(staging)
+            )
+        else:
+            df.coalesce(n).write.mode("overwrite").parquet(staging)
         from olist_lakehouse_2_0_spark.plans.pipeline import _swap_dirs
 
         _swap_dirs(spark, staging, path)

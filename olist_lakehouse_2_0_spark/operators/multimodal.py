@@ -68,15 +68,20 @@ def dedup_payloads(
     df: DataFrame, id_col: str, payload_col: str
 ) -> DataFrame:
     """Exact content dedup of binary payloads, entirely JVM-side: the
-    group key is (xxhash64(payload), byte length) — the media bytes
-    never cross into Python and never shuffle (only the 12-byte key +
+    group key is (sha2-256(payload), byte length) — the media bytes
+    never cross into Python and never shuffle (only the ~40-byte key +
     id move), and ``min(id)`` is map-side combinable. At 100 TB of
     images this is the first pass of any media pipeline: identical
-    downloads collapse before a single decode runs."""
+    downloads collapse before a single decode runs.
+
+    A cryptographic digest, not a 64-bit hash: at multi-billion-payload
+    scale the birthday bound on 64 bits (~2^32) makes silent collisions
+    — distinct payloads dropped as duplicates — a certainty, while
+    256-bit collisions stay negligible at any feasible corpus size."""
     c = F.col(payload_col)
     keyed = df.select(
         F.col(id_col),
-        F.xxhash64(c).alias("__fp"),
+        F.sha2(c, 256).alias("__fp"),
         F.octet_length(c).alias("__len"),
     )
     keep = (

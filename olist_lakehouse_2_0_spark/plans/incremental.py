@@ -128,7 +128,14 @@ class IncrementalAggTable:
         key-shuffle over (aggregate table + batch partials) rows —
         never a rescan of history. When ``batch_id`` is given it is
         written into the staging directory BEFORE the swap, so the
-        data and the replay marker commit in one atomic rename."""
+        data and the replay marker commit together when staging is
+        promoted. The promotion itself is two renames (old table
+        aside, then staging in); a crash between them is healed by
+        ``recover_swap`` below before the table is read — no window
+        discards merged history."""
+        from olist_lakehouse_2_0_spark.plans.pipeline import recover_swap
+
+        recover_swap(spark, self.path)
         partial = batch.groupBy(*self.keys).agg(
             *[s.partial() for s in self.specs]
         )
@@ -182,6 +189,9 @@ class IncrementalAggTable:
     # -- reads -------------------------------------------------------
     def read_states(self, spark: SparkSession) -> DataFrame:
         """Raw stored states (sketches as binary)."""
+        from olist_lakehouse_2_0_spark.plans.pipeline import recover_swap
+
+        recover_swap(spark, self.path)
         return spark.read.parquet(self.path)
 
     def read_final(self, spark: SparkSession) -> DataFrame:

@@ -167,8 +167,15 @@ class Pipeline:
             df = node.build(ins)
 
             if node.materialization is Materialization.VIEW:
-                enforced = enforce(df, node.expectations)
-                views[name] = enforced.df
+                # FAIL expectations on a view raise inside enforce();
+                # log the failure event before propagating, same as the
+                # streaming and MV branches below.
+                try:
+                    enforced = enforce(df, node.expectations)
+                    views[name] = enforced.df
+                except Exception:
+                    log_event(name, node, "failed", t0)
+                    raise
                 log_event(name, node, "computed", t0)
                 continue
 
@@ -234,15 +241,44 @@ class Pipeline:
 
 
 def _swap_dirs(spark: SparkSession, src: str, dst: str) -> None:
-    """Promote a staging directory over the target atomically-enough via
-    the Hadoop FileSystem API (portable to HDFS/S3A committers)."""
+    """Promote a staging directory over the target via the Hadoop
+    FileSystem API (portable to HDFS/S3A committers).
+
+    Each rename is atomic, but the sequence is not: the OLD target is
+    renamed aside (``dst__old``) before the staging dir is promoted,
+    then deleted. A crash between the renames therefore never loses
+    data — either ``dst`` or ``dst__old`` holds the previous table,
+    and :func:`recover_swap` restores it on restart. (The earlier
+    delete-then-rename sequence had a window with NO table at all:
+    a replayed micro-batch would then rebuild the aggregate from that
+    batch alone, silently discarding merged history.)"""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path
     fs = HPath(dst).getFileSystem(conf)
+    old = HPath(dst + "__old")
+    if fs.exists(old):
+        fs.delete(old, True)
     if fs.exists(HPath(dst)):
-        fs.delete(HPath(dst), True)
+        fs.rename(HPath(dst), old)
     fs.rename(HPath(src), HPath(dst))
+    if fs.exists(old):
+        fs.delete(old, True)
+
+
+def recover_swap(spark: SparkSession, dst: str) -> bool:
+    """Restore ``dst`` from ``dst__old`` if a crash mid-:func:`_swap_dirs`
+    left the aside copy but no promoted target. Returns True if a
+    restore happened. Safe to call unconditionally before reading."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(dst).getFileSystem(conf)
+    old = HPath(dst + "__old")
+    if fs.exists(old) and not fs.exists(HPath(dst)):
+        fs.rename(old, HPath(dst))
+        return True
+    return False
 
 
 def ensure_dirs(*paths: str) -> None:

@@ -46,6 +46,45 @@ def test_compact_reduces_files_and_preserves_data(spark, sf_smoke, tmp_path):
     assert (b2, a2) == (after, after)
 
 
+def test_compact_preserves_partitioned_layout(spark, sf_smoke, tmp_path):
+    """Compacting a key=value partitioned table must keep the partition
+    directories (and thus pruning + overwrite_partitions), not flatten
+    them into plain files."""
+    cat = Catalog(root=str(tmp_path))
+    orders = load(spark, sf_smoke, "orders").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    path = cat.path_for("orders_part")
+    (
+        orders.repartition(12)
+        .write.mode("overwrite")
+        .partitionBy("status")
+        .parquet(path)
+    )
+    cat.register("orders_part", path)
+    expected = orders.count()
+    n_before = len(_parquet_files(path))
+
+    before, after = cat.compact(
+        spark, "orders_part", target_file_bytes=1 << 20
+    )
+    assert before == n_before and after < n_before
+
+    # partition directories survive
+    subdirs = [
+        d
+        for d in os.listdir(path)
+        if os.path.isdir(os.path.join(path, d)) and d.startswith("status=")
+    ]
+    assert len(subdirs) >= 2
+    got = spark.read.parquet(path)
+    assert got.count() == expected
+    assert "status" in got.columns
+    # pruning still works: a status filter reads only its own directory
+    one = got.filter(F.col("status") == "F")
+    assert one.count() == orders.filter(F.col("status") == "F").count()
+
+
 def test_clustered_write_prunes_point_queries(spark, sf_smoke, tmp_path):
     cat = Catalog(root=str(tmp_path))
     li = load(spark, sf_smoke, "lineitem")
