@@ -514,9 +514,11 @@ def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing here and the intersection equals the exact set — same
     oracle as ``jaccard_dups``."""
     docs = _with_duplicates(load(spark, sf_dir, "documents", spread=True))
+    # Both sides of the banding self-join read the signatures; persist
+    # so the pandas-UDF signature pass runs once, not once per side.
     sigs = minhash_signatures(
         docs, "doc_id", "text", num_hashes=64, n=3, seed=42
-    )
+    ).persist()
     cands = minhash_lsh_candidates(sigs, "doc_id", bands=16, rows_per_band=4)
     exact = jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=8
@@ -549,15 +551,18 @@ def simhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winnow_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-fingerprint overlap candidates verified by
     normalized-text fingerprint equality. Identical token streams keep
-    identical winnowed fingerprint sets (overlap 1.0), so with the
-    boilerplate stop-list disabled the candidate stage structurally
-    recalls every exact-dup pair; the verified output equals the
+    identical winnowed fingerprint sets, and the document-frequency
+    stop-list removes a fingerprint from BOTH members of a dup pair
+    symmetrically — overlap stays 1.0 as long as any fingerprint
+    survives the cut (holds on this corpus at max_fp_df=64; a fully
+    disabled stop-list is structurally lossless but quadratic in
+    boilerplate document frequency). The verified output equals the
     normalized-text-equal pair set (same oracle as the SimHash
     companion)."""
     docs = _with_duplicates(load(spark, sf_dir, "documents", spread=True))
     cand = ops_text.winnow_overlap_pairs(
         docs, "doc_id", "text", k=8, window=4, min_overlap=0.8,
-        max_fp_df=None,
+        max_fp_df=64,
     )
     fp = docs.select("doc_id", ops_text.fingerprint("text").alias("__fp"))
     fa = fp.select(F.col("doc_id").alias("id_a"), F.col("__fp").alias("__fp_a"))

@@ -511,6 +511,97 @@ FROM customer
 
 
 # ---------------------------------------------------------------------------
+# §2.8 completion — the cleansing-library functions silver_cleanse does
+# not reach: INITCAP city normalization, REPLACE category normalization,
+# sentiment CASE, size bands (functions/cleansing.py; reference
+# src/pipelines/silver/customers.sql:29-39, products.sql:30-73,
+# order_reviews.sql:41-55).
+# ---------------------------------------------------------------------------
+def scalar_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olist_lakehouse_2_0_spark.functions.cleansing import (
+        clean_id,
+        normalize_category,
+        normalize_city,
+        normalize_state,
+        sentiment,
+        size_category,
+    )
+
+    customer = load(spark, sf_dir, "customer")
+    return customer.select(
+        F.col("c_custkey").alias("customer_id"),
+        clean_id("c_name").alias("id_clean"),
+        normalize_city("c_mktsegment").alias("city_norm"),
+        normalize_state("c_mktsegment").alias("state_norm"),
+        normalize_category(
+            F.concat(F.col("c_mktsegment"), F.lit("_ext"))
+        ).alias("category_norm"),
+        sentiment((F.col("c_custkey") % 6).cast("int")).alias(
+            "review_sentiment"
+        ),
+        size_category(F.col("c_acctbal") * 10).alias("size_band"),
+    )
+
+
+SCALAR_FUNCTION_MATRIX_SQL = """
+SELECT c_custkey AS customer_id,
+       TRIM(c_name) AS id_clean,
+       UPPER(SUBSTRING(LOWER(TRIM(c_mktsegment)), 1, 1))
+         || SUBSTRING(LOWER(TRIM(c_mktsegment)), 2) AS city_norm,
+       UPPER(TRIM(c_mktsegment)) AS state_norm,
+       REPLACE(LOWER(TRIM(c_mktsegment || '_ext')), '_', ' ') AS category_norm,
+       CASE WHEN c_custkey % 6 >= 4 THEN 'positive'
+            WHEN c_custkey % 6 = 3 THEN 'neutral'
+            WHEN c_custkey % 6 <= 2 THEN 'negative' END AS review_sentiment,
+       CASE WHEN c_acctbal * 10 IS NULL THEN NULL
+            WHEN c_acctbal * 10 < 1000 THEN 'small'
+            WHEN c_acctbal * 10 < 10000 THEN 'medium'
+            WHEN c_acctbal * 10 < 100000 THEN 'large'
+            ELSE 'extra_large' END AS size_band
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.8 completion — datetime family: TO_TIMESTAMP format parse
+# round-trip, DATE_FORMAT, YEAR/MONTH/DAY extraction, DATEDIFF
+# (functions/cleansing.py delivery_days; reference
+# src/pipelines/silver/orders.sql:31-61).
+# ---------------------------------------------------------------------------
+def datetime_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olist_lakehouse_2_0_spark.functions.cleansing import delivery_days
+
+    orders = load(spark, sf_dir, "orders", spread=True)
+    ts_str = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    return orders.select(
+        "o_orderkey",
+        ts_str.alias("ts_text"),
+        F.to_timestamp(ts_str, "yyyy-MM-dd HH:mm:ss").alias("ts_roundtrip"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month_num"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        delivery_days(
+            F.to_timestamp(F.lit("1995-01-01 00:00:00")),
+            F.col("o_orderdate"),
+        ).cast("long").alias("days_since_1995"),
+    )
+
+
+DATETIME_FUNCTION_MATRIX_SQL = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_text,
+       strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                '%Y-%m-%d %H:%M:%S') AS ts_roundtrip,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS order_month_num,
+       CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS order_day,
+       CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+            AS BIGINT) AS days_since_1995
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
 # Top-K per group — beyond the reference's O1/O2 sorts: ranked retrieval
 # via row_number window, the pattern AUTO CDC dedup builds on (§2.5 note).
 # ---------------------------------------------------------------------------
@@ -688,6 +779,8 @@ RELATIONAL_QUERIES = {
     "category_performance_lag": category_performance_lag,
     "geo_dedup": geo_dedup,
     "silver_cleanse": silver_cleanse,
+    "scalar_function_matrix": scalar_function_matrix,
+    "datetime_function_matrix": datetime_function_matrix,
     "top_parts_per_brand": top_parts_per_brand,
     "valid_orders_filter": valid_orders_filter,
     "dq_violation_summary": dq_violation_summary,
@@ -703,6 +796,8 @@ RELATIONAL_ORACLES = {
     "category_performance_lag": CATEGORY_PERFORMANCE_LAG_SQL,
     "geo_dedup": GEO_DEDUP_SQL,
     "silver_cleanse": SILVER_CLEANSE_SQL,
+    "scalar_function_matrix": SCALAR_FUNCTION_MATRIX_SQL,
+    "datetime_function_matrix": DATETIME_FUNCTION_MATRIX_SQL,
     "top_parts_per_brand": TOP_PARTS_PER_BRAND_SQL,
     "valid_orders_filter": VALID_ORDERS_FILTER_SQL,
     "dq_violation_summary": DQ_VIOLATION_SUMMARY_SQL,
