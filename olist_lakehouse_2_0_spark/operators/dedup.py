@@ -448,6 +448,7 @@ def dedup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    cliques: bool = False,
 ) -> DataFrame:
     """Connected components over near-dup pairs: assigns every doc the
     minimum doc id reachable through the pair graph (its canonical
@@ -466,7 +467,35 @@ def dedup_components(
     the simple variant of the large-star/small-star algorithm
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14) — adequate until cluster diameters grow past tens.
+
+    ``cliques=True`` declares that every connected component of
+    ``pairs`` is a clique — true by construction whenever pairs come
+    from an *equality* key (exact fingerprint, identical payload hash),
+    since equality is transitive. Cliques have diameter 1, so the
+    closed-form round 0 (neighbor-min over the symmetric edge set) is
+    already the fixpoint and the result is a single declarative plan:
+    no persist, no driver-side convergence actions, one shuffle on the
+    node id. Use the default iterative path for similarity-keyed
+    candidates (LSH bands, winnowing overlaps), where A~B and B~C do
+    not imply an A-C edge.
     """
+    if cliques:
+        sym = pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("__e")
+        ).select("__e.src", "__e.dst")
+        return (
+            sym.groupBy(F.col("src").alias("node"))
+            .agg(F.min("dst").alias("__nbr0"))
+            .select(
+                F.col("node").alias("doc_id"),
+                F.least(F.col("node"), F.col("__nbr0")).alias("component"),
+            )
+        )
     # Symmetrize with a single explode pass rather than a union of two
     # selects: a union would evaluate the (possibly expensive) `pairs`
     # lineage once per branch.

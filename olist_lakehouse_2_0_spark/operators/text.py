@@ -316,6 +316,102 @@ def token_chunks(
     return F.transform(starts, lambda s: F.slice(toks, s + 1, window))
 
 
+def segment_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide segment-level deduplication statistics — the
+    CCNet / RefinedWeb "remove lines shared across documents" pass,
+    generalized to fixed-size token segments (web "lines" are newline
+    splits; single-line corpora need a token-window segmenter).
+
+    Each document is cut into non-overlapping ``seg_tokens``-token
+    segments; a segment is *shared* when it appears in at least
+    ``min_docs`` distinct documents anywhere in the corpus. Returns one
+    row per document::
+
+        (id_col, n_segments, n_shared_segments, n_tokens,
+         n_kept_tokens, shared_frac)
+
+    where ``n_kept_tokens`` counts tokens surviving removal of shared
+    segments — the size of the corpus after line-level dedup.
+
+    Scale design (100 TB): segmentation is a narrow per-row map
+    (sequence/slice, no explode until the aggregation input); the
+    global segment-frequency table groups on a **64-bit xxhash64 of the
+    segment text**, never shuffling segment strings — one shuffle with
+    map-side partial ``count_distinct`` reduction. The join back to
+    per-document segments is on the same key, so the exchange is
+    reused. Documents hashing to the same 64-bit key collide with
+    probability ~2^-64 per pair; for exact-byte guarantees swap the key
+    for ``sha2(seg, 256)`` as in
+    :func:`~olist_lakehouse_2_0_spark.operators.multimodal.dedup_payloads`.
+    """
+    segs = (
+        df.select(
+            F.col(id_col),
+            F.explode(token_chunks(text_col, seg_tokens, seg_tokens)).alias(
+                "__toks"
+            ),
+        )
+        .filter(F.size("__toks") > 0)
+        .select(
+            id_col,
+            F.size("__toks").alias("__n"),
+            F.xxhash64(F.array_join("__toks", " ")).alias("__h"),
+        )
+    )
+    counts = segs.groupBy("__h").agg(
+        F.count_distinct(id_col).alias("__docs")
+    )
+    shared = F.col("__docs") >= min_docs
+    return (
+        segs.join(counts, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.count(F.when(shared, 1)).alias("n_shared_segments"),
+            F.sum("__n").cast("long").alias("n_tokens"),
+            F.sum(F.when(~shared, F.col("__n")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_kept_tokens"),
+        )
+        .withColumn(
+            "shared_frac",
+            F.col("n_shared_segments").cast("double") / F.col("n_segments"),
+        )
+    )
+
+
+def token_pair_counts(df: DataFrame, text_col: str, top_n: int = 20) -> DataFrame:
+    """Global adjacent-token-pair frequencies, top ``top_n`` — one
+    distributed iteration of the BPE merge-selection step (count every
+    adjacent symbol pair across the corpus, pick the most frequent).
+
+    Returns ``(pair, occurrences, rank)`` with deterministic
+    tie-breaking (count desc, pair asc). Scale: pair construction is a
+    per-row JVM array zip (no shuffle); the count is one hash aggregate
+    with map-side combine over a vocabulary-bounded key space, and the
+    global top-n is ``TakeOrderedAndProject`` over the (tiny)
+    aggregated side — never a full sort of the corpus."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        df.select(F.explode(word_ngrams(text_col, 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+    )
+    w = W.orderBy(F.desc("occurrences"), F.asc("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select("pair", "occurrences", "rank")
+    )
+
+
 def winnow_fingerprints(
     text: Column | str, k: int = 8, window: int = 4, normalized: bool = False
 ) -> Column:

@@ -1286,7 +1286,7 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b, "fp").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
     )
-    members = dedup_components(pairs).join(
+    members = dedup_components(pairs, cliques=True).join(
         fp.select("doc_id", "n_len"), "doc_id"
     )
     pick = W.partitionBy("component").orderBy(F.desc("n_len"), F.asc("doc_id"))
@@ -1500,7 +1500,95 @@ GROUP BY split, source
 """
 
 
+def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide segment-level dedup (CCNet/RefinedWeb line-dedup
+    over 10-token segments): per-document shared-segment counts and
+    surviving-token totals over a corpus where every third document has
+    a prefix-plagiarizing companion (first 20 tokens copied + a unique
+    tail), so exactly the copied-prefix segments are shared and each
+    doc's tail segments survive."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    toks = ops_text.tokens(F.col("text"))
+    copies = (
+        docs.filter((F.col("doc_id") % 3 == 0) & (F.size(toks) >= 20))
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.array_join(F.slice(toks, 1, 20), " "),
+                F.concat(F.lit("xtail"), F.col("doc_id").cast("string")),
+            ).alias("text"),
+        )
+    )
+    corpus = docs.select("doc_id", "text").unionByName(copies)
+    return ops_text.segment_dedup_stats(
+        corpus, "doc_id", "text", seg_tokens=10, min_docs=2
+    )
+
+
+SEGMENT_DEDUP_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000,
+         array_to_string(list_slice(regexp_split_to_array(TRIM(text), '\s+'), 1, 20), ' ')
+           || ' xtail' || doc_id
+  FROM documents
+  WHERE doc_id % 3 = 0
+    AND LEN(regexp_split_to_array(TRIM(text), '\s+')) >= 20
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t
+  FROM corpus WHERE LENGTH(TRIM(text)) > 0
+), segs AS (
+  SELECT doc_id,
+         array_to_string(list_slice(t, s + 1, s + 10), ' ') AS seg,
+         LEN(list_slice(t, s + 1, s + 10)) AS n
+  FROM (SELECT doc_id, t, UNNEST(range(0, LEN(t), 10)) AS s FROM toks)
+), counts AS (
+  SELECT seg, COUNT(DISTINCT doc_id) AS n_docs FROM segs GROUP BY seg
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_segments,
+       COUNT(*) FILTER (c.n_docs >= 2) AS n_shared_segments,
+       CAST(SUM(s.n) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN c.n_docs < 2 THEN s.n ELSE 0 END) AS BIGINT)
+           AS n_kept_tokens,
+       COUNT(*) FILTER (c.n_docs >= 2)::DOUBLE / COUNT(*) AS shared_frac
+FROM segs s JOIN counts c USING (seg)
+GROUP BY s.doc_id
+"""
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed BPE merge-selection iteration: global
+    adjacent-token-pair counts, top 20 with deterministic
+    tie-breaking."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return ops_text.token_pair_counts(docs, "text", top_n=20)
+
+
+BPE_PAIR_COUNTS_SQL = r"""
+WITH t AS (
+  SELECT regexp_split_to_array(TRIM(text), '\s+') AS l
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), pairs AS (
+  SELECT UNNEST(list_transform(range(1, LEN(l)), i -> l[i] || ' ' || l[i + 1]))
+      AS pair
+  FROM t WHERE LEN(l) >= 2
+), counts AS (
+  SELECT pair, COUNT(*) AS occurrences FROM pairs GROUP BY pair
+)
+SELECT pair, occurrences, rank FROM (
+  SELECT pair, occurrences,
+         ROW_NUMBER() OVER (ORDER BY occurrences DESC, pair) AS rank
+  FROM counts
+) WHERE rank <= 20
+"""
+
+
 LLM_QUERIES = {
+    "segment_dedup": segment_dedup,
+    "bpe_pair_counts": bpe_pair_counts,
     "text_stats": text_stats,
     "doc_chunks": doc_chunks,
     "doc_quality_zscore": doc_quality_zscore,
@@ -1542,6 +1630,8 @@ LLM_QUERIES = {
 }
 
 LLM_ORACLES = {
+    "segment_dedup": SEGMENT_DEDUP_SQL,
+    "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
     "text_stats": TEXT_STATS_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
     "doc_quality_zscore": DOC_QUALITY_ZSCORE_SQL,

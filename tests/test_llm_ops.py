@@ -302,3 +302,74 @@ def test_contaminated_docs_semantics(spark):
     # doc 1: "the quick brown", "quick brown fox" both in bench;
     # doc 3 repeats "quick brown fox" but distinct hits count once
     assert got == {1: 2, 3: 1}
+
+
+def test_dedup_components_cliques_matches_iterative(spark):
+    """The closed-form cliques path must agree with the iterative
+    propagation on an equality-keyed (clique-shaped) pair graph."""
+    from olist_lakehouse_2_0_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (20, 21), (20, 22), (21, 22)],
+        "id_a long, id_b long",
+    )
+    expected = {
+        r["doc_id"]: r["component"] for r in dedup_components(pairs).collect()
+    }
+    fast = {
+        r["doc_id"]: r["component"]
+        for r in dedup_components(pairs, cliques=True).collect()
+    }
+    assert fast == expected == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_segment_dedup_stats_flags_shared_prefix(spark):
+    """A document sharing its first segments with another doc gets
+    exactly those segments flagged; unique tails survive with their
+    token counts intact."""
+    from olist_lakehouse_2_0_spark.operators.text import segment_dedup_stats
+
+    base = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, base + " unique one tail here now extra pad toks ok fine"),
+            (2, base + " other distinct ending words go here right now yes ok"),
+            (3, "completely different text with exactly its own ten words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in segment_dedup_stats(
+            docs, "doc_id", "text", seg_tokens=10, min_docs=2
+        ).collect()
+    }
+    # docs 1 and 2: segments 0-9 and 10-19 shared, final 10-token tail unique
+    for d in (1, 2):
+        assert out[d]["n_segments"] == 3
+        assert out[d]["n_shared_segments"] == 2
+        assert out[d]["n_tokens"] == 30
+        assert out[d]["n_kept_tokens"] == 10
+        assert abs(out[d]["shared_frac"] - 2 / 3) < 1e-12
+    assert out[3]["n_shared_segments"] == 0
+    assert out[3]["n_kept_tokens"] == 10
+
+
+def test_token_pair_counts_orders_and_ties(spark):
+    """Pair counting must count in-order adjacencies (not distinct
+    pairs) and break count ties by pair text ascending."""
+    from olist_lakehouse_2_0_spark.operators.text import token_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x")],
+        "doc_id long, text string",
+    )
+    rows = token_pair_counts(docs, "text", top_n=10).collect()
+    assert [(r["pair"], r["occurrences"], r["rank"]) for r in rows] == [
+        ("a b", 3, 1),
+        ("b a", 1, 2),
+        ("b c", 1, 3),
+        ("b x", 1, 4),
+    ]
