@@ -480,6 +480,29 @@ def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, corpus, k=10, num_centroids=16, nprobe=4)
 
 
+def embedding_topk_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with ``nprobe == num_centroids`` — every bucket is
+    probed, so the candidate set is the whole corpus and the output
+    must EQUAL brute force exactly (same cosine fold, same tie-break).
+    This puts the entire IVF machinery — centroid packing, map-side
+    nearest-centroid assignment, probe ordering, bucket equi-join,
+    per-query ranking — under the driver's DuckDB hash gate (oracle =
+    the brute-force SQL), while ``embedding_topk_ivf`` keeps showing
+    the pruned nprobe<k configuration."""
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    topk = ivf_topk(queries, corpus, k=10, num_centroids=16, nprobe=16)
+    return topk.select(
+        "query_id",
+        "corpus_id",
+        F.col("cosine").cast("decimal(12,6)").alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via hyperplane LSH (rows-only).
 
@@ -1589,6 +1612,7 @@ SELECT pair, occurrences, rank FROM (
 LLM_QUERIES = {
     "segment_dedup": segment_dedup,
     "bpe_pair_counts": bpe_pair_counts,
+    "embedding_topk_ivf_exhaustive": embedding_topk_ivf_exhaustive,
     "text_stats": text_stats,
     "doc_chunks": doc_chunks,
     "doc_quality_zscore": doc_quality_zscore,
@@ -1632,6 +1656,7 @@ LLM_QUERIES = {
 LLM_ORACLES = {
     "segment_dedup": SEGMENT_DEDUP_SQL,
     "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
+    "embedding_topk_ivf_exhaustive": EMBEDDING_TOPK_SQL,
     "text_stats": TEXT_STATS_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
     "doc_quality_zscore": DOC_QUALITY_ZSCORE_SQL,
