@@ -1523,6 +1523,105 @@ GROUP BY split, source
 """
 
 
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram language model with add-k smoothing
+    (k = 0.5): P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V), each document
+    scored by its average bigram log-probability — the next step up
+    from :func:`unigram_logprob` as a cheap fluency/perplexity signal
+    for training-data filtering (KenLM-style scoring reduced to its
+    distributed essentials).
+
+    Scale design mirrors the unigram query: per-(doc, bigram)
+    frequencies first so join keys carry one row per distinct bigram
+    per doc; the conditional-probability table joins bigram counts to
+    their prefix unigram counts on the token key (vocab²-bounded, AQE
+    skew territory for stop-bigrams); V arrives as a broadcast scalar.
+    Log-probs quantize to integer 1e-9 units at the source (floor(x*1e9
+    + 0.5) — see unigram_logprob for why), so every downstream product
+    and sum is exact integer math, order-independent at any
+    parallelism."""
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(ops_text.tokens("text")).alias("token"))
+    uc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c1")).persist()
+    vocab = uc.agg(F.count(F.lit(1)).alias("vsize"))
+    bf = (
+        docs.select(
+            "doc_id",
+            F.explode(ops_text.word_ngrams("text", 2)).alias("bigram"),
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    bc = bf.groupBy("bigram").agg(F.sum("tf").cast("long").alias("c12"))
+    lp = (
+        bc.withColumn("__w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .join(uc.withColumnRenamed("token", "__w1"), "__w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            F.floor(
+                (
+                    F.log(F.col("c12").cast("double") + F.lit(0.5))
+                    - F.log(
+                        F.col("c1").cast("double")
+                        + F.lit(0.5) * F.col("vsize").cast("double")
+                    )
+                )
+                * 1e9
+                + 0.5
+            ).alias("logp_q"),
+        )
+    )
+    return (
+        bf.join(lp, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            (
+                F.sum(F.col("tf") * F.col("logp_q")).cast("double")
+                / (F.sum("tf").cast("double") * F.lit(1e9))
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+BIGRAM_LOGPROB_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS l
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), uc AS (
+  SELECT token, COUNT(*) AS c1
+  FROM (SELECT UNNEST(l) AS token FROM toks) GROUP BY token
+), v AS (
+  SELECT COUNT(*) AS vsize FROM uc
+), bf AS (
+  SELECT doc_id, bigram, COUNT(*) AS tf FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, LEN(l)), i -> l[i] || ' ' || l[i + 1]))
+               AS bigram
+    FROM toks WHERE LEN(l) >= 2
+  ) GROUP BY doc_id, bigram
+), bc AS (
+  SELECT bigram, CAST(SUM(tf) AS BIGINT) AS c12 FROM bf GROUP BY bigram
+), lp AS (
+  SELECT bigram,
+         CAST(FLOOR((LN(CAST(c12 AS DOUBLE) + 0.5)
+                     - LN(CAST(c1 AS DOUBLE) + 0.5 * CAST(vsize AS DOUBLE)))
+                    * 1e9 + 0.5) AS BIGINT) AS logp_q
+  FROM bc
+  JOIN uc ON split_part(bc.bigram, ' ', 1) = uc.token
+  CROSS JOIN v
+)
+SELECT bf.doc_id,
+       CAST(SUM(bf.tf) AS BIGINT) AS n_bigrams,
+       CAST(CAST(SUM(bf.tf * logp_q) AS BIGINT) AS DOUBLE)
+         / (CAST(SUM(bf.tf) AS DOUBLE) * 1e9) AS avg_logprob
+FROM bf JOIN lp USING (bigram)
+GROUP BY bf.doc_id
+"""
+
+
 def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide segment-level dedup (CCNet/RefinedWeb line-dedup
     over 10-token segments): per-document shared-segment counts and
@@ -1611,6 +1710,7 @@ SELECT pair, occurrences, rank FROM (
 
 LLM_QUERIES = {
     "segment_dedup": segment_dedup,
+    "bigram_logprob": bigram_logprob,
     "bpe_pair_counts": bpe_pair_counts,
     "embedding_topk_ivf_exhaustive": embedding_topk_ivf_exhaustive,
     "text_stats": text_stats,
@@ -1655,6 +1755,7 @@ LLM_QUERIES = {
 
 LLM_ORACLES = {
     "segment_dedup": SEGMENT_DEDUP_SQL,
+    "bigram_logprob": BIGRAM_LOGPROB_SQL,
     "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
     "embedding_topk_ivf_exhaustive": EMBEDDING_TOPK_SQL,
     "text_stats": TEXT_STATS_SQL,
