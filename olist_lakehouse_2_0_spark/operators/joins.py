@@ -50,3 +50,63 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return s.join(o, [on, "__salt"], how).drop("__salt")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Point-in-interval join without a nested-loop plan: match every
+    ``points`` row whose numeric ``point_col`` falls in the half-open
+    ``[start_col, end_col)`` of an ``intervals`` row.
+
+    Spark has no native range join (a bare ``p >= s AND p < e``
+    condition plans as BroadcastNestedLoopJoin, or a full cartesian
+    when neither side fits in memory). This is the standard bucketed
+    rewrite: both sides map into fixed-width buckets — points to their
+    containing bucket, intervals exploded across every bucket they
+    overlap — then an ordinary hash equi-join on the bucket id feeds
+    the exact containment filter. Shuffle volume is
+    |points| + |intervals| x avg_buckets_per_interval, never
+    |points| x |intervals|.
+
+    All three columns must be numeric and in the same unit (cast
+    dates/timestamps to epoch days/seconds first). Pick
+    ``bucket_width`` near the median interval length: much smaller
+    multiplies the interval-side explode; much larger degrades the
+    equi-join toward all-pairs within a bucket. Long-tail intervals
+    spanning many buckets are the skew case — AQE skew-split territory,
+    or cap interval length upstream.
+    """
+    p = points.withColumn(
+        "__bucket", F.floor(F.col(point_col) / bucket_width).cast("long")
+    )
+    i = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_width).cast("long"),
+                # end is exclusive, but an interval ending exactly on a
+                # bucket boundary still owns no row of that bucket —
+                # sequence() is inclusive so subtract the boundary case
+                # via greatest() to keep degenerate (empty) intervals
+                # from exploding to a negative range.
+                F.greatest(
+                    F.floor((F.col(end_col) - 1) / bucket_width).cast("long"),
+                    F.floor(F.col(start_col) / bucket_width).cast("long"),
+                ),
+            )
+        ),
+    )
+    return (
+        p.join(i, "__bucket")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("__bucket")
+    )

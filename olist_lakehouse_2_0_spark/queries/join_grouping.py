@@ -417,7 +417,88 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def shipments_in_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join under the oracle gate: count lineitem shipments whose
+    ship date falls in a 7-day window opened by every 97th order
+    (promo-window attribution shape). Uses the bucketed
+    :func:`~olist_lakehouse_2_0_spark.operators.joins.range_join`
+    rewrite — an equi-join on 7-day date buckets plus an exact
+    containment filter — where a naive BETWEEN condition would plan as
+    BroadcastNestedLoopJoin (or a cartesian at scale). The oracle IS
+    the naive BETWEEN join, so the driver hash-proves the rewrite's
+    semantics."""
+    from olist_lakehouse_2_0_spark.operators.joins import range_join
+
+    orders = load(spark, sf_dir, "orders", spread=True)
+    lineitem = load(spark, sf_dir, "lineitem", spread=True)
+    windows = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("window_id"),
+        F.unix_date(F.col("o_orderdate").cast("date")).alias("__ws"),
+        (F.unix_date(F.col("o_orderdate").cast("date")) + 7).alias("__we"),
+    )
+    points = lineitem.select(
+        F.unix_date(F.col("l_shipdate").cast("date")).alias("__p"),
+        "l_quantity",
+    )
+    joined = range_join(points, windows, "__p", "__ws", "__we", bucket_width=7)
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_shipments"),
+        F.sum("l_quantity").alias("total_qty"),
+    )
+
+
+SHIPMENTS_IN_ORDER_WINDOWS_SQL = """
+WITH win AS (
+  SELECT o_orderkey AS window_id,
+         CAST(o_orderdate AS DATE) AS ws,
+         CAST(o_orderdate AS DATE) + INTERVAL 7 DAY AS we
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT window_id,
+       COUNT(*) AS n_shipments,
+       SUM(l_quantity) AS total_qty
+FROM lineitem
+JOIN win ON CAST(l_shipdate AS DATE) >= ws AND CAST(l_shipdate AS DATE) < we
+GROUP BY window_id
+"""
+
+
+def salted_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation salted join under the oracle gate: orders joined
+    to customers through
+    :func:`~olist_lakehouse_2_0_spark.operators.joins.salted_join`
+    (each key spread across 8 salt buckets, the dimension side
+    replicated to match), aggregated to revenue per nation. The oracle
+    is the plain equi-join — the driver hash-proves that salting is
+    invisible in the result, which is the whole point of the
+    technique."""
+    from olist_lakehouse_2_0_spark.operators.joins import salted_join
+
+    orders = load(spark, sf_dir, "orders", spread=True).select(
+        "o_custkey", "o_totalprice"
+    )
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    joined = salted_join(orders, customer, "o_custkey", salt=8)
+    return joined.groupBy(F.col("c_nationkey").alias("nation_key")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(MONEY)).cast(MONEY_SUM).alias("revenue"),
+    )
+
+
+SALTED_NATION_REVENUE_SQL = """
+SELECT c_nationkey AS nation_key,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
 JOIN_GROUPING_QUERIES = {
+    "shipments_in_order_windows": shipments_in_order_windows,
+    "salted_nation_revenue": salted_nation_revenue,
     "daily_channel_full_outer": daily_channel_full_outer,
     "priority_region_matrix": priority_region_matrix,
     "orders_cube": orders_cube,
@@ -428,6 +509,8 @@ JOIN_GROUPING_QUERIES = {
 }
 
 JOIN_GROUPING_ORACLES = {
+    "shipments_in_order_windows": SHIPMENTS_IN_ORDER_WINDOWS_SQL,
+    "salted_nation_revenue": SALTED_NATION_REVENUE_SQL,
     "daily_channel_full_outer": DAILY_CHANNEL_FULL_OUTER_SQL,
     "priority_region_matrix": PRIORITY_REGION_MATRIX_SQL,
     "orders_cube": ORDERS_CUBE_SQL,

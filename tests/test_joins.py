@@ -56,3 +56,35 @@ def test_salt_spreads_hot_key(spark):
     counts = {r["__salt"]: r["count"] for r in dist}
     assert len(counts) == 8  # hot key occupies all salt buckets
     assert max(counts.values()) < 0.9 * 9000  # no bucket re-concentrates
+
+
+def test_range_join_matches_between_semantics(spark):
+    """Bucketed range join must equal the naive BETWEEN join, including
+    boundary behavior (start inclusive, end exclusive), intervals
+    spanning multiple buckets, and empty intervals matching nothing."""
+    from olist_lakehouse_2_0_spark.operators.joins import range_join
+
+    points = spark.createDataFrame(
+        [(i,) for i in range(0, 50)], "p long"
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, 5, 8),     # within one bucket
+            (2, 9, 23),    # spans buckets
+            (3, 30, 30),   # empty
+            (4, 48, 60),   # runs past the data
+        ],
+        "iid long, s long, e long",
+    )
+    got = {
+        (r["iid"], r["p"])
+        for r in range_join(points, intervals, "p", "s", "e", 7).collect()
+    }
+    expected = {
+        (iid, p)
+        for iid, s, e in [(1, 5, 8), (2, 9, 23), (3, 30, 30), (4, 48, 60)]
+        for p in range(50)
+        if s <= p < e
+    }
+    assert got == expected
+    assert all(not (iid == 3) for iid, _ in got)
