@@ -59,13 +59,32 @@ def token_shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, out_col: str = "__hs"
+) -> DataFrame:
+    """Shared shingle scan: ``(id_col, out_col: array<bigint>)`` with
+    the xxhash64 of each distinct word n-gram. Both
+    :func:`jaccard_pairs` and :func:`minhash_signatures` accept this
+    via ``hashes_col`` so a pipeline that runs several dedup schemes
+    over one corpus (the verified-companion pattern) tokenizes and
+    shingles the corpus ONCE — persist the result and the second
+    scheme's scan cost drops to reading (id, 8B×shingles) rows."""
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            token_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+        ).alias(out_col),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
-    text_col: str,
+    text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    hashes_col: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
@@ -83,14 +102,20 @@ def jaccard_pairs(
     # shingle text (distinctness is preserved up to 2^-64 collisions —
     # same rationale as fingerprint dedup; the DuckDB oracle joins on
     # the shingle text and hash-matches).
-    sh = (
-        df.repartition(F.col(id_col))
-        .select(
+    if hashes_col is not None:
+        sh = df.select(
             F.col(id_col).alias("__id"),
-            F.explode(token_shingles(F.col(text_col), n)).alias("__g"),
+            F.explode(F.col(hashes_col)).alias("__shingle"),
         )
-        .select("__id", F.xxhash64("__g").alias("__shingle"))
-    )
+    else:
+        sh = (
+            df.repartition(F.col(id_col))
+            .select(
+                F.col(id_col).alias("__id"),
+                F.explode(token_shingles(F.col(text_col), n)).alias("__g"),
+            )
+            .select("__id", F.xxhash64("__g").alias("__shingle"))
+        )
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("__shingle")
@@ -130,10 +155,11 @@ def jaccard_pairs(
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
-    text_col: str,
+    text_col: str = "text",
     num_hashes: int = 64,
     n: int = 3,
     seed: int = 42,
+    hashes_col: str | None = None,
 ) -> DataFrame:
     """MinHash signatures: shingle -> xxhash64 -> k universal hashes
     ((a*h + b) mod 2^31-1) -> min per hash function.
@@ -172,13 +198,21 @@ def minhash_signatures(
             out.append(m.min(axis=0))
         return pd.Series(out)
 
-    hashed = df.select(
-        F.col(id_col),
-        F.transform(
+    if hashes_col is not None:
+        # Shared scan: reduce the precomputed xxhash64 shingles (see
+        # :func:`hashed_shingles`) into the Mersenne field; pmod of the
+        # raw hash equals pmod(xxhash64(s), M) computed from text.
+        grams = F.transform(
+            F.col(hashes_col), lambda h: F.pmod(h, F.lit(_MERSENNE))
+        )
+    else:
+        grams = F.transform(
             token_shingles(F.col(text_col), n),
             lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
-        ).alias("__hs"),
-    ).filter(F.size("__hs") > 0)
+        )
+    hashed = df.select(F.col(id_col), grams.alias("__hs")).filter(
+        F.size("__hs") > 0
+    )
     return hashed.select(F.col(id_col), sig_of("__hs").alias("sig"))
 
 

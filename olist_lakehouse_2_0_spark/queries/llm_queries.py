@@ -21,6 +21,7 @@ from olist_lakehouse_2_0_spark.operators.dedup import (
     dedup_components,
     embedding_neardup_pairs,
     exact_dedup,
+    hashed_shingles,
     jaccard_pairs,
     minhash_dedup_pairs,
     minhash_lsh_candidates,
@@ -537,14 +538,21 @@ def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing here and the intersection equals the exact set — same
     oracle as ``jaccard_dups``."""
     docs = _with_duplicates(load(spark, sf_dir, "documents", spread=True))
+    # Shared shingle scan: tokenize+shingle+hash the corpus ONCE and
+    # feed both pipelines (the MinHash signatures and the exact Jaccard
+    # index) from the persisted (id, 8B x shingles) frame — without it
+    # each side re-runs the full tokenizer scan.
+    shingled = hashed_shingles(
+        docs.repartition(F.col("doc_id")), "doc_id", "text", n=3
+    ).persist()
     # Both sides of the banding self-join read the signatures; persist
     # so the pandas-UDF signature pass runs once, not once per side.
     sigs = minhash_signatures(
-        docs, "doc_id", "text", num_hashes=64, n=3, seed=42
+        shingled, "doc_id", num_hashes=64, seed=42, hashes_col="__hs"
     ).persist()
     cands = minhash_lsh_candidates(sigs, "doc_id", bands=16, rows_per_band=4)
     exact = jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=8
+        shingled, "doc_id", threshold=0.8, max_shingle_df=8, hashes_col="__hs"
     )
     return exact.join(cands, ["id_a", "id_b"], "left_semi").select(
         "id_a", "id_b", F.col("jaccard").cast("decimal(10,6)").alias("jaccard")
