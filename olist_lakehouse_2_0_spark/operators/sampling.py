@@ -122,3 +122,29 @@ def epoch_oversample(
             )
         keep = keep | ((F.col(group_col) == group) & cond)
     return exploded.filter(keep)
+
+
+def stratified_cap(
+    df: DataFrame, key_col: str, group_col: str, n_per_group: int
+) -> DataFrame:
+    """Exact per-stratum cap: keep the ``n_per_group`` rows with the
+    smallest md5-hash rank inside each group — "at most N documents
+    per domain", the exact-count complement of the rate-based
+    :func:`mixture_sample`. Deterministic: the same rows survive on
+    every run and engine (hash order, ties broken by the key itself).
+
+    Emits ``cap_rank`` (1-based rank within the group) alongside the
+    input columns. One shuffle on the group key for the rank window;
+    each group's members sort within their partition. For groups with
+    hundreds of millions of rows the window sort dominates — pre-filter
+    with ``sample_by_rate`` at a rate safely above n/|group| first so
+    the sort input is ~n, then apply the exact cap."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(
+        _hex4(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("cap_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("cap_rank") <= n_per_group)
+    )

@@ -793,6 +793,30 @@ WHERE (source = 'web'   AND SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < '800
 """
 
 
+def domain_capped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus caps: keep exactly the 40 hash-first documents
+    of every source — the exact-count dedup of over-represented domains
+    that rate-based mixture sampling can't express (a 90%-web corpus
+    capped at N docs/domain needs a rank, not a rate)."""
+    from olist_lakehouse_2_0_spark.operators.sampling import stratified_cap
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    capped = stratified_cap(docs, "doc_id", "source", 40)
+    return capped.select("doc_id", "source", "cap_rank", "n_chars")
+
+
+DOMAIN_CAPPED_CORPUS_SQL = """
+SELECT doc_id, source, cap_rank, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id
+         ) AS cap_rank
+  FROM documents
+) WHERE cap_rank <= 40
+"""
+
+
 def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-length bucketing (64-token buckets): the packing
     pre-pass of a training pipeline — bucket histogram plus per-bucket
@@ -1719,6 +1743,7 @@ SELECT pair, occurrences, rank FROM (
 LLM_QUERIES = {
     "segment_dedup": segment_dedup,
     "bigram_logprob": bigram_logprob,
+    "domain_capped_corpus": domain_capped_corpus,
     "bpe_pair_counts": bpe_pair_counts,
     "embedding_topk_ivf_exhaustive": embedding_topk_ivf_exhaustive,
     "text_stats": text_stats,
@@ -1764,6 +1789,7 @@ LLM_QUERIES = {
 LLM_ORACLES = {
     "segment_dedup": SEGMENT_DEDUP_SQL,
     "bigram_logprob": BIGRAM_LOGPROB_SQL,
+    "domain_capped_corpus": DOMAIN_CAPPED_CORPUS_SQL,
     "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
     "embedding_topk_ivf_exhaustive": EMBEDDING_TOPK_SQL,
     "text_stats": TEXT_STATS_SQL,
