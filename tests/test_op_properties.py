@@ -1,0 +1,139 @@
+"""Property-based invariants (hypothesis) for the round-2 operators:
+range_join vs a naive Python BETWEEN scan, stratified_cap's exact-count
+and determinism guarantees, and segment_dedup_stats vs a brute-force
+Python segmenter — for ANY corpus/interval shape, not just the
+hand-picked unit-test cases."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from olist_lakehouse_2_0_spark.operators.joins import range_join
+from olist_lakehouse_2_0_spark.operators.sampling import stratified_cap
+from olist_lakehouse_2_0_spark.operators.text import segment_dedup_stats
+
+# Small value domains force collisions (shared segments, hot buckets,
+# adjacent intervals) far more often than uniform randomness would.
+intervals_strategy = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 12)),  # (start, length)
+    min_size=0,
+    max_size=8,
+)
+points_strategy = st.lists(st.integers(-5, 55), min_size=0, max_size=30)
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12),
+    min_size=0,
+    max_size=8,
+)
+
+groups_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.sampled_from(["x", "y", "z"])),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+def _seg_expected(docs: list[list[str]], seg: int, min_docs: int):
+    segs_by_doc = {}
+    for i, toks in enumerate(docs):
+        segs_by_doc[i] = [
+            tuple(toks[s : s + seg]) for s in range(0, max(len(toks), 1), seg)
+        ]
+        segs_by_doc[i] = [s for s in segs_by_doc[i] if s]
+    df_count: dict[tuple, set] = {}
+    for i, segs in segs_by_doc.items():
+        for s in segs:
+            df_count.setdefault(s, set()).add(i)
+    out = {}
+    for i, segs in segs_by_doc.items():
+        if not segs:
+            continue
+        shared = [s for s in segs if len(df_count[s]) >= min_docs]
+        out[i] = (
+            len(segs),
+            len(shared),
+            sum(len(s) for s in segs),
+            sum(len(s) for s in segs if len(df_count[s]) < min_docs),
+        )
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+class TestOperatorProperties:
+    @given(points=points_strategy, ivs=intervals_strategy)
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_range_join_equals_naive_between(self, spark, points, ivs):
+        p = spark.createDataFrame([(i, v) for i, v in enumerate(points)], "pid long, p long")
+        i_rows = [(j, s, s + ln) for j, (s, ln) in enumerate(ivs)]
+        iv = spark.createDataFrame(i_rows, "iid long, s long, e long")
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join(p, iv, "p", "s", "e", bucket_width=5).collect()
+        }
+        expected = {
+            (pid, iid)
+            for pid, v in enumerate(points)
+            for iid, s, e in i_rows
+            if s <= v < e
+        }
+        assert got == expected
+
+    @given(rows=groups_strategy, n=st.integers(1, 5))
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_stratified_cap_exact_count_and_hash_order(self, spark, rows, n):
+        df = spark.createDataFrame(rows, "k long, g string")
+        got = [
+            (r["k"], r["g"], r["cap_rank"])
+            for r in stratified_cap(df, "k", "g", n).collect()
+        ]
+        # exact count per group
+        per_group: dict[str, list] = {}
+        for k, g, rk in got:
+            per_group.setdefault(g, []).append((k, rk))
+        sizes = {g: len([1 for kk, gg in rows if gg == g]) for g in set(g for _, g in rows)}
+        for g, members in per_group.items():
+            assert len(members) == min(n, sizes[g])
+        # survivors are the hash-first keys (engine-portable md5 order)
+        for g in sizes:
+            keys = [k for k, gg in rows if gg == g]
+            order = sorted(
+                keys, key=lambda k: (hashlib.md5(str(k).encode()).hexdigest()[:4], k)
+            )
+            expect = set(order[:n])
+            assert {k for k, gg, _ in got if gg == g} == expect
+
+    @given(docs=docs_strategy)
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_segment_dedup_stats_matches_python(self, spark, docs):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (
+                r["n_segments"],
+                r["n_shared_segments"],
+                r["n_tokens"],
+                r["n_kept_tokens"],
+            )
+            for r in segment_dedup_stats(
+                df, "doc_id", "text", seg_tokens=3, min_docs=2
+            ).collect()
+        }
+        assert got == _seg_expected(docs, 3, 2)
