@@ -745,6 +745,68 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# P6 + quarantine under the oracle gate: DROP-row expectations with the
+# dropped rows preserved and labeled (the audit-sink pattern,
+# reference ON VIOLATION DROP ROW, src/pipelines/silver/orders.sql:10-22).
+# ---------------------------------------------------------------------------
+def dq_drop_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine rollup of DROP-expectation violations: lineitem rows
+    failing any of three business rules are dropped from the main flow
+    and land in the quarantine branch tagged with the violated rule
+    names; the query returns per-label row counts and quantity totals.
+    The oracle recomputes the same labels with CASE/list_filter, so the
+    driver hash-verifies both the drop predicate semantics (NULL counts
+    as violation) and the label construction."""
+    from olist_lakehouse_2_0_spark.operators.expectations import (
+        enforce,
+        expect_or_drop,
+    )
+
+    li = load(spark, sf_dir, "lineitem", spread=True)
+    rules = [
+        expect_or_drop("discount_low", F.col("l_discount") <= 0.05),
+        expect_or_drop("quantity_cap", F.col("l_quantity") <= 30),
+        expect_or_drop("flag_domain", F.col("l_returnflag").isin("A", "N")),
+    ]
+    result = enforce(li, rules, quarantine=True)
+    return (
+        result.quarantined.select(
+            F.concat_ws(",", "_violated").alias("violated"),
+            "l_quantity",
+        )
+        .groupBy("violated")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # l_quantity values are integral doubles -> exact sums at
+            # any parallelism.
+            F.sum("l_quantity").alias("total_qty"),
+        )
+    )
+
+
+DQ_DROP_QUARANTINE_SQL = """
+WITH labeled AS (
+  SELECT array_to_string(list_filter([
+           CASE WHEN NOT COALESCE(l_discount <= 0.05, FALSE)
+                THEN 'discount_low' END,
+           CASE WHEN NOT COALESCE(l_quantity <= 30, FALSE)
+                THEN 'quantity_cap' END,
+           CASE WHEN NOT COALESCE(l_returnflag IN ('A', 'N'), FALSE)
+                THEN 'flag_domain' END
+         ], x -> x IS NOT NULL), ',') AS violated,
+         l_quantity
+  FROM lineitem
+  WHERE NOT COALESCE(l_discount <= 0.05, FALSE)
+     OR NOT COALESCE(l_quantity <= 30, FALSE)
+     OR NOT COALESCE(l_returnflag IN ('A', 'N'), FALSE)
+)
+SELECT violated, COUNT(*) AS n_rows, SUM(l_quantity) AS total_qty
+FROM labeled
+GROUP BY violated
+"""
+
+
+# ---------------------------------------------------------------------------
 # Global top-k (O1/O2): ORDER BY + LIMIT compiles to
 # TakeOrderedAndProject — per-partition heap of k rows + driver merge,
 # never a full sort. The scalable "top N overall" path at any size.
@@ -784,6 +846,7 @@ RELATIONAL_QUERIES = {
     "top_parts_per_brand": top_parts_per_brand,
     "valid_orders_filter": valid_orders_filter,
     "dq_violation_summary": dq_violation_summary,
+    "dq_drop_quarantine": dq_drop_quarantine,
     "top_revenue_orders": top_revenue_orders,
 }
 
@@ -801,5 +864,6 @@ RELATIONAL_ORACLES = {
     "top_parts_per_brand": TOP_PARTS_PER_BRAND_SQL,
     "valid_orders_filter": VALID_ORDERS_FILTER_SQL,
     "dq_violation_summary": DQ_VIOLATION_SUMMARY_SQL,
+    "dq_drop_quarantine": DQ_DROP_QUARANTINE_SQL,
     "top_revenue_orders": TOP_REVENUE_ORDERS_SQL,
 }
