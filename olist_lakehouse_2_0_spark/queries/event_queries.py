@@ -461,7 +461,70 @@ GROUP BY event_type
 """
 
 
+def events_csv_ingest_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full S1→S5 incremental ingest path under the oracle gate:
+    events re-staged as three CSV files, streamed through the
+    checkpointed CSV source (one file per micro-batch, availableNow)
+    into a parquet streaming table, then the SAME stream is run a
+    second time against the same checkpoint — which must ingest
+    nothing, or the aggregate below double-counts and the hash check
+    fails. The returned rollup therefore driver-verifies incremental
+    CSV ingestion, the parquet sink, AND exactly-once redelivery
+    semantics in one query. Values quantize to integer cents (the CSV
+    double roundtrip is exact — Spark writes shortest-roundtrip
+    decimal strings — and integer sums are order-independent)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from olist_lakehouse_2_0_spark.streaming.ingest import (
+        read_csv_stream,
+        run_to_parquet,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="csv_ingest_")
+    landing = os.path.join(root, "landing")
+    events.repartition(3).write.option("header", True).csv(landing)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    target = os.path.join(root, "bronze")
+    ckpt = os.path.join(root, "ckpt")
+    for _ in range(2):  # second run must be a no-op (exactly-once)
+        stream = read_csv_stream(
+            spark, landing, schema, audit=False, max_files_per_trigger=1
+        )
+        run_to_parquet(stream, target, ckpt)
+    ingested = spark.read.parquet(target)
+    return ingested.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("total_cents"),
+    )
+
+
+EVENTS_CSV_INGEST_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+GROUP BY event_type
+"""
+
+
 EVENT_QUERIES = {
+    "events_csv_ingest_exactly_once": events_csv_ingest_exactly_once,
     "events_hourly_by_type": events_hourly_by_type,
     "events_sliding_halfhour": events_sliding_halfhour,
     "events_sessionized": events_sessionized,
@@ -477,6 +540,7 @@ EVENT_QUERIES = {
 }
 
 EVENT_ORACLES = {
+    "events_csv_ingest_exactly_once": EVENTS_CSV_INGEST_SQL,
     "events_user_profile_stateful": EVENTS_USER_PROFILE_STATEFUL_SQL,
     "events_hourly_by_type": EVENTS_HOURLY_SQL,
     "events_sliding_halfhour": EVENTS_SLIDING_SQL,
