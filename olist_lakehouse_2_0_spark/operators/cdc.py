@@ -116,7 +116,21 @@ def scd1_snapshot(events: DataFrame, spec: ChangeSpec) -> DataFrame:
     )
 
 
-def scd1_apply(target: DataFrame | None, events: DataFrame, spec: ChangeSpec) -> DataFrame:
+def _null_payload(events: DataFrame, spec: ChangeSpec) -> list[Column]:
+    """Typed NULL literals for every payload column — the payload shape
+    of a tombstone pseudo-event (delete payloads are never read)."""
+    return [
+        F.lit(None).cast(events.schema[c].dataType).alias(c)
+        for c in spec.payload_columns(events)
+    ]
+
+
+def scd1_apply(
+    target: DataFrame | None,
+    events: DataFrame,
+    spec: ChangeSpec,
+    deletes: DataFrame | None = None,
+) -> DataFrame:
     """Incremental SCD1 merge: existing snapshot + new batch -> new
     snapshot, guarded by ``new.seq > target.seq`` (out-of-order arrival
     across batches, docs/CDC_GUIDE.md:237-244).
@@ -126,8 +140,15 @@ def scd1_apply(target: DataFrame | None, events: DataFrame, spec: ChangeSpec) ->
     rows are treated as pseudo-events (op=UPSERT at their stored
     ``__seq``) and the winner per key is recomputed. One shuffle on the
     keys; identical result to Delta MERGE with the sequence guard.
+
+    ``deletes`` (keys + ``__seq``): previously applied delete
+    tombstones. A snapshot cannot represent "key k was deleted at seq
+    d" — it simply has no row — so when an OLDER event for k arrives in
+    a LATER batch, the merge would resurrect the key unless the delete
+    is replayed. :class:`CdcSink` maintains this tombstone set; pass it
+    for cross-batch out-of-order delete correctness.
     """
-    if target is None:
+    if target is None and deletes is None:
         return scd1_snapshot(events, spec)
 
     batch_latest = _latest_per_key(events, spec).select(
@@ -136,8 +157,17 @@ def scd1_apply(target: DataFrame | None, events: DataFrame, spec: ChangeSpec) ->
         spec.seq_expr().alias(SEQ_COL),
         spec.is_delete().alias("__is_delete"),
     )
-    existing = target.withColumn("__is_delete", F.lit(False))
-    merged = existing.unionByName(batch_latest)
+    merged = batch_latest
+    if target is not None:
+        merged = merged.unionByName(target.withColumn("__is_delete", F.lit(False)))
+    if deletes is not None:
+        tombstones = deletes.select(
+            *spec.keys,
+            *_null_payload(events, spec),
+            F.col("__seq").alias(SEQ_COL),
+            F.lit(True).alias("__is_delete"),
+        )
+        merged = merged.unionByName(tombstones)
     w = W.partitionBy(*spec.keys).orderBy(F.desc_nulls_last(SEQ_COL), F.desc("__is_delete"))
     return (
         merged.withColumn("__rn", F.row_number().over(w))
@@ -193,18 +223,28 @@ def scd2_history(events: DataFrame, spec: ChangeSpec) -> DataFrame:
     )
 
 
-def events_from_history(target: DataFrame, spec: ChangeSpec) -> DataFrame:
+def events_from_history(
+    target: DataFrame, spec: ChangeSpec, include_deletes: bool = True
+) -> DataFrame:
     """Reconstruct the minimal equivalent event stream from an SCD2
     target: each version row is an upsert at __start_at; every version
     closed at a sequence where no successor version starts marks a
     DELETE at that __end_at (covers interior delete-then-reinsert runs,
-    not just a trailing delete)."""
+    not just a trailing delete).
+
+    ``include_deletes=False`` emits upserts only — for callers that
+    replay deletes from an authoritative tombstone set instead (a
+    history cannot represent a delete that never had a version to
+    close, so derived deletes are incomplete under cross-batch
+    out-of-order arrival; see :class:`CdcSink`)."""
     payload = [c for c in target.columns if c not in (START_COL, END_COL, CURRENT_COL)]
     upserts = target.select(
         *payload,
         F.col(START_COL).alias("__evt_seq"),
         F.lit("UPSERT").alias("__evt_op"),
     )
+    if not include_deletes:
+        return upserts
     starts = target.select(*spec.keys, F.col(START_COL).alias("__succ_start"))
     closed = target.filter(F.col(END_COL).isNotNull())
     join_cond = [F.col(f"c.{k}") == F.col(f"s.{k}") for k in spec.keys] + [
@@ -222,12 +262,25 @@ def events_from_history(target: DataFrame, spec: ChangeSpec) -> DataFrame:
     return upserts.unionByName(deletes)
 
 
-def scd2_apply(target: DataFrame | None, events: DataFrame, spec: ChangeSpec) -> DataFrame:
+def scd2_apply(
+    target: DataFrame | None,
+    events: DataFrame,
+    spec: ChangeSpec,
+    deletes: DataFrame | None = None,
+) -> DataFrame:
     """Incremental SCD2 merge: reconstruct the target's event stream,
     union the new batch, re-version. Late (out-of-order) events splice
     into history exactly as if they had arrived in order — the property
-    the reference guarantees (docs/CDC_GUIDE.md:237-244)."""
-    if target is None:
+    the reference guarantees (docs/CDC_GUIDE.md:237-244).
+
+    ``deletes`` (keys + ``__seq``): the authoritative tombstone set of
+    every delete applied so far (maintained by :class:`CdcSink`). A
+    history cannot represent a delete that closed nothing — a DELETE
+    arriving BEFORE its key's insert lands in a later batch leaves no
+    version row, so reconstruction alone would resurrect the dropped
+    span. With ``deletes`` given, derived deletes are skipped and the
+    tombstones are replayed instead (complete by construction)."""
+    if target is None and deletes is None:
         return scd2_history(events, spec)
 
     new_events = events.select(
@@ -236,7 +289,23 @@ def scd2_apply(target: DataFrame | None, events: DataFrame, spec: ChangeSpec) ->
         spec.seq_expr().alias("__evt_seq"),
         F.when(spec.is_delete(), "DELETE").otherwise("UPSERT").alias("__evt_op"),
     )
-    combined = events_from_history(target, spec).unionByName(new_events)
+    combined = new_events
+    if target is not None:
+        combined = combined.unionByName(
+            events_from_history(target, spec, include_deletes=deletes is None)
+        )
+    if deletes is not None:
+        tombstones = deletes.select(
+            *spec.keys,
+            *_null_payload(events, spec),
+            F.col("__seq").alias("__evt_seq"),
+            F.lit("DELETE").alias("__evt_op"),
+        )
+        # The batch's own deletes are also in the tombstone set; keep
+        # one event per (key, seq, op) so replay sees each exactly once.
+        combined = combined.unionByName(tombstones).dropDuplicates(
+            [*spec.keys, "__evt_seq", "__evt_op"]
+        )
     replay_spec = ChangeSpec(
         keys=spec.keys,
         sequence_by=("__evt_seq",),
@@ -270,26 +339,65 @@ class CdcSink:
     scd_type: int = 1
     _spark_fmt: str = field(default="parquet", repr=False)
 
+    @property
+    def deletes_path(self) -> str:
+        """Tombstone sidecar: every (key, __seq) delete applied so far.
+
+        A snapshot/history cannot represent a delete whose key has no
+        prior row (the orphan-delete case: the DELETE's micro-batch
+        arrives before the batch carrying the key's INSERT). Without a
+        durable record the later batch would resurrect the key — the
+        round-2 oracle gate caught exactly this. The sidecar is
+        O(total deletes), the same state the reference's AUTO CDC
+        retains internally."""
+        return f"{self.path}__deletes"
+
+    @staticmethod
+    def _swap_write(df: DataFrame, path: str, tag: str) -> None:
+        """Overwrite ``path`` with ``df`` when the plan may read
+        ``path`` itself: write to a temp dir, then delete+rename via
+        the Hadoop FileSystem API (works on HDFS/S3A too)."""
+        spark = df.sparkSession
+        tmp = f"{path}__tmp_{tag}"
+        df.write.mode("overwrite").parquet(tmp)
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        fs = HPath(path).getFileSystem(conf)
+        fs.delete(HPath(path), True)
+        fs.rename(HPath(tmp), HPath(path))
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         try:
             target = spark.read.parquet(self.path)
         except Exception:
             target = None
+        try:
+            prev_deletes = spark.read.parquet(self.deletes_path)
+        except Exception:
+            prev_deletes = None
+        batch_deletes = batch_df.filter(self.spec.is_delete()).select(
+            *self.spec.keys, self.spec.seq_expr().alias("__seq")
+        )
+        all_deletes = (
+            batch_deletes
+            if prev_deletes is None
+            else prev_deletes.unionByName(batch_deletes).distinct()
+        )
         if self.scd_type == 1:
-            out = scd1_apply(target, batch_df, self.spec)
+            out = scd1_apply(target, batch_df, self.spec, deletes=all_deletes)
         else:
-            out = scd2_apply(target, batch_df, self.spec)
+            out = scd2_apply(target, batch_df, self.spec, deletes=all_deletes)
         if target is None:
             out.write.mode("overwrite").parquet(self.path)
-            return
-        # The output plan reads self.path, so write to a temp dir and
-        # swap via the Hadoop FileSystem API (works on HDFS/S3A too).
-        tmp = f"{self.path}__tmp_batch{batch_id}"
-        out.write.mode("overwrite").parquet(tmp)
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        HPath = jvm.org.apache.hadoop.fs.Path
-        fs = HPath(self.path).getFileSystem(conf)
-        fs.delete(HPath(self.path), True)
-        fs.rename(HPath(tmp), HPath(self.path))
+        else:
+            self._swap_write(out, self.path, f"batch{batch_id}")
+        # Sidecar last: if the job dies between the two writes the
+        # checkpoint hasn't committed this batch, the batch replays,
+        # and the distinct() union makes the tombstone merge
+        # idempotent.
+        if prev_deletes is None:
+            all_deletes.write.mode("overwrite").parquet(self.deletes_path)
+        else:
+            self._swap_write(all_deletes, self.deletes_path, f"batch{batch_id}")

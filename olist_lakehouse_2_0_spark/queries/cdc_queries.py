@@ -115,5 +115,60 @@ WHERE op <> 'DELETE'
 SCD2_USERS_SQL = SCD2_USERS_SQL.replace("FROM feed_base", "FROM events")
 
 
-CDC_QUERIES = {"scd1_users": scd1_users, "scd2_users": scd2_users}
-CDC_ORACLES = {"scd1_users": SCD1_USERS_SQL, "scd2_users": SCD2_USERS_SQL}
+def scd2_users_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL SCD2 merge path under the oracle gate (C2–C5):
+    the change feed is re-staged as three hash-split parquet files and
+    streamed one file per micro-batch through ``CdcSink`` — so each
+    user's events arrive scattered across batches, OUT of sequence
+    order — into a parquet SCD2 target via the read-merge-swap apply.
+    The final history must equal the in-order batch rebuild the oracle
+    computes: out-of-order resolution (C4), deletes closing versions
+    (C5), and multi-batch merge idempotence are all inside the hash
+    check. (``scd2_users`` verifies the one-shot batch path; this one
+    verifies the streaming merge.)"""
+    import os
+    import tempfile
+
+    from olist_lakehouse_2_0_spark.operators.cdc import CdcSink
+    from olist_lakehouse_2_0_spark.streaming.ingest import run_foreach_batch
+
+    feed = _as_change_feed(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type", "value", "props", "__op"
+    )
+    root = tempfile.mkdtemp(prefix="scd2_inc_")
+    landing = os.path.join(root, "landing")
+    # Hash-split into 3 files: each micro-batch carries an arbitrary
+    # slice of every user's history (out-of-order arrival guaranteed).
+    feed.repartition(3).write.parquet(landing)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    target = os.path.join(root, "scd2")
+    sink = CdcSink(target, EVENT_SPEC, scd_type=2)
+    run_foreach_batch(stream, sink, os.path.join(root, "ckpt"))
+
+    hist = spark.read.parquet(target)
+    return hist.select(
+        "user_id",
+        F.col("ts").alias("change_ts"),
+        F.col("event_type"),
+        "value",
+        F.col("__start_at").alias("start_at"),
+        F.col("__end_at").alias("end_at"),
+        F.col("__is_current").alias("is_current"),
+    )
+
+
+CDC_QUERIES = {
+    "scd1_users": scd1_users,
+    "scd2_users": scd2_users,
+    "scd2_users_incremental": scd2_users_incremental,
+}
+CDC_ORACLES = {
+    "scd1_users": SCD1_USERS_SQL,
+    "scd2_users": SCD2_USERS_SQL,
+    "scd2_users_incremental": SCD2_USERS_SQL,
+}

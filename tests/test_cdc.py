@@ -289,3 +289,44 @@ def test_cdc_sink_streaming_scd2_end_to_end(spark, batches, tmp_path):
     cols = sorted(got.columns)
     assert got.select(cols).exceptAll(expected.select(cols)).count() == 0
     assert expected.select(cols).exceptAll(got.select(cols)).count() == 0
+
+
+def test_orphan_delete_across_batches_not_resurrected(spark, tmp_path):
+    """A DELETE whose micro-batch arrives BEFORE the batch carrying the
+    key's INSERT must stay deleted (SCD1) and close the version (SCD2).
+    The target alone cannot represent the orphan delete — the
+    tombstone sidecar must carry it across batches. Regression for the
+    round-2 oracle-gate failure."""
+    from olist_lakehouse_2_0_spark.operators.cdc import CdcSink
+
+    # arrival: batch A = {DELETE c9@seq 84}, batch B = {INSERT c9@seq 10,
+    # UPDATE c9@seq 205}; truth in sequence order: 10, 84(DELETE), 205.
+    batch_a = spark.createDataFrame(
+        [(84, "DELETE", "ta", "c9", "x", "XX")], SCHEMA
+    )
+    batch_b = spark.createDataFrame(
+        [(10, "INSERT", "tb", "c9", "sp", "SP"),
+         (205, "UPDATE", "tc", "c9", "ba", "BA")],
+        SCHEMA,
+    )
+    for scd_type, check in ((1, "snap"), (2, "hist")):
+        sink = CdcSink(str(tmp_path / f"t{scd_type}"), SPEC, scd_type=scd_type)
+        sink(batch_a, 0)
+        sink(batch_b, 1)
+        out = spark.read.parquet(sink.path)
+        if check == "snap":
+            rows = {r["customer_id"]: r["city"] for r in out.collect()}
+            assert rows == {"c9": "ba"}  # state at seq 205 survives
+        else:
+            vers = sorted(
+                (r["__start_at"], r["__end_at"]) for r in out.collect()
+            )
+            # version 10 closed by the delete at 84, version 205 open —
+            # NOT version 10 closed at 205 (the resurrect bug).
+            assert vers == [(10, 84), (205, None)]
+
+    # trailing orphan delete: the delete is the LAST event overall
+    sink = CdcSink(str(tmp_path / "t3"), SPEC, scd_type=1)
+    sink(spark.createDataFrame([(300, "DELETE", "td", "c9", "x", "XX")], SCHEMA), 0)
+    sink(batch_b, 1)
+    assert spark.read.parquet(sink.path).count() == 0
