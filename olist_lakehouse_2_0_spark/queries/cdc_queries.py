@@ -162,13 +162,53 @@ def scd2_users_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd1_users_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental SCD1 merge path under the oracle gate (C2/C4/C5
+    streaming variant): same three hash-split micro-batches as
+    :func:`scd2_users_incremental`, applied through ``CdcSink``
+    (scd_type=1) with the delete-tombstone sidecar; the final snapshot
+    must equal the in-order batch rebuild the oracle computes."""
+    import os
+    import tempfile
+
+    from olist_lakehouse_2_0_spark.operators.cdc import CdcSink
+    from olist_lakehouse_2_0_spark.streaming.ingest import run_foreach_batch
+
+    feed = _as_change_feed(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type", "value", "props", "__op"
+    )
+    root = tempfile.mkdtemp(prefix="scd1_inc_")
+    landing = os.path.join(root, "landing")
+    feed.repartition(3).write.parquet(landing)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    target = os.path.join(root, "scd1")
+    sink = CdcSink(target, EVENT_SPEC, scd_type=1)
+    run_foreach_batch(stream, sink, os.path.join(root, "ckpt"))
+
+    snap = spark.read.parquet(target)
+    return snap.select(
+        "user_id",
+        F.col("__seq").alias("last_event_id"),
+        F.col("ts").alias("last_change_ts"),
+        F.col("event_type").alias("last_event_type"),
+        "value",
+    )
+
+
 CDC_QUERIES = {
     "scd1_users": scd1_users,
     "scd2_users": scd2_users,
     "scd2_users_incremental": scd2_users_incremental,
+    "scd1_users_incremental": scd1_users_incremental,
 }
 CDC_ORACLES = {
     "scd1_users": SCD1_USERS_SQL,
     "scd2_users": SCD2_USERS_SQL,
     "scd2_users_incremental": SCD2_USERS_SQL,
+    "scd1_users_incremental": SCD1_USERS_SQL,
 }
