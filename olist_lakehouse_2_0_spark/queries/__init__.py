@@ -131,18 +131,39 @@ _R1_GREEN = {
 }
 
 
-def _registration_priority(name: str, has_oracle: bool) -> int:
-    """Order queries so the driver's bounded correctness window hits
-    never-yet-verified work first: (0) oracled, no round-1 row; (1)
-    oracled, round-1 red — now fixed; (2) oracled, already green; (3)
-    no oracle (rows-only check, weakest evidence) last."""
-    if not has_oracle:
-        return 3
-    if name not in _R1_CHECKED:
-        return 0
-    if name not in _R1_GREEN:
-        return 1
-    return 2
+def _ordered_for_window(
+    queries: dict[str, QueryFn], oracles: dict[str, str]
+) -> list[tuple[str, QueryFn]]:
+    """Order registration for the driver's bounded correctness window
+    (~50 rows in registration order). Two groups both need fresh rows
+    this round — (a) round-1 RED queries whose output-type fix must
+    show `hash_match: true` (VERDICT r1 next-step #1) and (b) oracled
+    queries that have never had a row (next-step #3) — and together
+    they exceed the window, so they are INTERLEAVED: whatever the
+    window size, both groups get proportional coverage. Already-green
+    queries follow (their round-1 rows stand), rows-only queries last
+    (weakest check)."""
+    fixed_red: list[tuple[str, QueryFn]] = []
+    never_checked: list[tuple[str, QueryFn]] = []
+    green: list[tuple[str, QueryFn]] = []
+    no_oracle: list[tuple[str, QueryFn]] = []
+    for item in queries.items():
+        name = item[0]
+        if name not in oracles:
+            no_oracle.append(item)
+        elif name not in _R1_CHECKED:
+            never_checked.append(item)
+        elif name not in _R1_GREEN:
+            fixed_red.append(item)
+        else:
+            green.append(item)
+    interleaved: list[tuple[str, QueryFn]] = []
+    for i in range(max(len(fixed_red), len(never_checked))):
+        if i < len(fixed_red):
+            interleaved.append(fixed_red[i])
+        if i < len(never_checked):
+            interleaved.append(never_checked[i])
+    return interleaved + green + no_oracle
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -155,11 +176,7 @@ def all_queries() -> dict[str, QueryFn]:
     queries.update(CDC_QUERIES)
     queries.update(LLM_QUERIES)
     queries.update(EVENT_QUERIES)
-    oracles = all_oracles()
-    ordered = sorted(
-        queries.items(),
-        key=lambda kv: _registration_priority(kv[0], kv[0] in oracles),
-    )
+    ordered = _ordered_for_window(queries, all_oracles())
     return {name: _stabilized(fn) for name, fn in ordered}
 
 
