@@ -150,3 +150,47 @@ def test_coverage_doc_mentions_every_registered_query():
     # and every oracle key must be a registered query
     dangling = sorted(set(all_oracles()) - set(all_queries()))
     assert not dangling, f"oracles without queries: {dangling}"
+
+
+def test_range_join_avoids_nested_loop(spark):
+    """The bucketed range join must plan as a hash equi-join on the
+    bucket key — never BroadcastNestedLoopJoin/CartesianProduct, which
+    is what a bare BETWEEN condition degenerates to."""
+    from olist_lakehouse_2_0_spark.queries.join_grouping import (
+        shipments_in_order_windows,
+    )
+
+    plan = _formatted_plan(shipments_in_order_windows(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_exhaustive_assignment_is_map_side(spark):
+    """IVF centroid assignment must not exchange corpus rows: the only
+    corpus-side joins are the broadcast of the packed centroid array
+    and the probe join on centroid_id (VERDICT r1 fix #5 held)."""
+    from olist_lakehouse_2_0_spark.queries.llm_queries import (
+        embedding_topk_ivf_exhaustive,
+    )
+
+    plan = _formatted_plan(embedding_topk_ivf_exhaustive(spark, SF))
+    assert "CartesianProduct" not in plan
+    # The round-1 bad plan shuffled a k-times-expanded corpus for a
+    # row_number argmin partitioned by corpus_id; the fixed plan has no
+    # exchange keyed on corpus_id at all (assignment is map-side).
+    assert "hashpartitioning(corpus_id" not in plan
+
+
+def test_dedup_components_cliques_path_has_no_iterative_jobs(spark):
+    """The cliques components path must be a single declarative plan:
+    building it triggers no Spark jobs, while the iterative path runs
+    driver-side convergence actions (persist + count per round)."""
+    from olist_lakehouse_2_0_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    dedup_components(pairs, cliques=True)  # build only, no action
+    assert len(tracker.getJobIdsForGroup(None) or []) == before
+    dedup_components(pairs)  # iterative path DOES run jobs while building
+    assert len(tracker.getJobIdsForGroup(None) or []) > before
