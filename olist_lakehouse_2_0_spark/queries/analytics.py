@@ -504,7 +504,37 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
 """
 
 
+
+# The exact grouping-set combination the reference's ROLLUP/CUBE can't
+# express: an explicit, non-hierarchical set list. Runs through the SQL
+# entry point (catalog.run_sql over registered views) so the driver
+# also certifies the spark.sql surface — the DataFrame API queries
+# cover everything else.
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus AS status,
+       o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+"""
+
+
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — (status, priority), (priority), grand
+    total, but deliberately NOT (status): a set list neither ROLLUP nor
+    CUBE produces, via the SQL entry point. One shuffle: Spark expands
+    the sets map-side exactly like rollup/cube."""
+    from olist_lakehouse_2_0_spark.catalog import run_sql
+
+    return run_sql(spark, sf_dir, _GROUPING_SETS_SQL)
+
+
+ORDERS_GROUPING_SETS_SQL = _GROUPING_SETS_SQL
+
+
 ANALYTICS_QUERIES = {
+    "orders_grouping_sets": orders_grouping_sets,
     "pricing_summary": pricing_summary,
     "revenue_by_nation": revenue_by_nation,
     "orders_building_segment_semi": orders_building_segment_semi,
@@ -519,6 +549,7 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "orders_grouping_sets": ORDERS_GROUPING_SETS_SQL,
     "pricing_summary": PRICING_SUMMARY_SQL,
     "revenue_by_nation": REVENUE_BY_NATION_SQL,
     "orders_building_segment_semi": ORDERS_BUILDING_SEGMENT_SEMI_SQL,
