@@ -355,20 +355,23 @@ class CdcSink:
     @staticmethod
     def _swap_write(df: DataFrame, path: str, tag: str) -> None:
         """Overwrite ``path`` with ``df`` when the plan may read
-        ``path`` itself: write to a temp dir, then delete+rename via
-        the Hadoop FileSystem API (works on HDFS/S3A too)."""
+        ``path`` itself: write to a temp dir, then promote via the
+        crash-safe rename-aside sequence (``plans.pipeline._swap_dirs``
+        — the old table survives as ``path__old`` through every crash
+        window and ``recover_swap`` restores it on the next read)."""
+        from olist_lakehouse_2_0_spark.plans.pipeline import _swap_dirs
+
         spark = df.sparkSession
         tmp = f"{path}__tmp_{tag}"
         df.write.mode("overwrite").parquet(tmp)
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        HPath = jvm.org.apache.hadoop.fs.Path
-        fs = HPath(path).getFileSystem(conf)
-        fs.delete(HPath(path), True)
-        fs.rename(HPath(tmp), HPath(path))
+        _swap_dirs(spark, tmp, path)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from olist_lakehouse_2_0_spark.plans.pipeline import recover_swap
+
         spark = batch_df.sparkSession
+        recover_swap(spark, self.path)
+        recover_swap(spark, self.deletes_path)
         try:
             target = spark.read.parquet(self.path)
         except Exception:

@@ -330,3 +330,23 @@ def test_orphan_delete_across_batches_not_resurrected(spark, tmp_path):
     sink(spark.createDataFrame([(300, "DELETE", "td", "c9", "x", "XX")], SCHEMA), 0)
     sink(batch_b, 1)
     assert spark.read.parquet(sink.path).count() == 0
+
+
+def test_cdc_sink_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between the swap renames leaves the table aside as
+    __old; the next batch must restore and keep merging instead of
+    rebuilding from the incoming batch alone."""
+    import os
+    import shutil
+
+    from olist_lakehouse_2_0_spark.operators.cdc import CdcSink
+
+    sink = CdcSink(str(tmp_path / "t"), SPEC, scd_type=1)
+    sink(spark.createDataFrame([(1, "INSERT", "t1", "c1", "sp", "SP")], SCHEMA), 0)
+    # simulate a crash mid-swap: promoted target missing, aside present
+    shutil.move(sink.path, sink.path + "__old")
+    assert not os.path.exists(sink.path)
+    sink(spark.createDataFrame([(2, "UPDATE", "t2", "c2", "ba", "BA")], SCHEMA), 1)
+    rows = {r["customer_id"]: r["city"] for r in
+            spark.read.parquet(sink.path).collect()}
+    assert rows == {"c1": "sp", "c2": "ba"}  # c1 survived the crash
