@@ -344,8 +344,11 @@ def segment_dedup_stats(
     global segment-frequency table groups on a **64-bit xxhash64 of the
     segment text**, never shuffling segment strings — one shuffle with
     map-side partial ``count_distinct`` reduction. The join back to
-    per-document segments is on the same key, so the exchange is
-    reused. Documents hashing to the same 64-bit key collide with
+    per-document segments hashes on the same key (the segmentation map
+    runs twice — recomputing a narrow projection beats caching a
+    corpus-sized intermediate at scale; persist the seg frame only if
+    the tokenizer dominates). Documents hashing to the same 64-bit key
+    collide with
     probability ~2^-64 per pair; for exact-byte guarantees swap the key
     for ``sha2(seg, 256)`` as in
     :func:`~olist_lakehouse_2_0_spark.operators.multimodal.dedup_payloads`.
