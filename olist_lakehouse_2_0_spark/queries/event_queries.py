@@ -195,6 +195,61 @@ WHERE c.event_type = 'click' AND e.event_type = 'error'
 """
 
 
+def events_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy: hourly partial
+    states are computed ONCE from raw events, then daily and monthly
+    levels are derived by MERGING the finer level's states (sum of
+    sums, sum of counts, min of mins, max of maxes) — raw data is
+    scanned exactly once no matter how many granularities exist.
+    At 100 TB this is the point: the monthly refresh costs O(#hours),
+    not O(#events). Decimal sums keep the merge order-independent. The
+    oracle aggregates raw events directly at monthly grain — merged
+    states must be indistinguishable from a direct aggregate."""
+    events = load(spark, sf_dir, "events", spread=True).filter(
+        F.col("ts").isNotNull()
+    )
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(10,2)")).alias("sum_value"),
+        F.min(F.col("value").cast("decimal(10,2)")).alias("min_value"),
+        F.max(F.col("value").cast("decimal(10,2)")).alias("max_value"),
+    )
+    def merge_up(df: DataFrame, unit: str) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc(unit, "bucket").alias("bucket"), "event_type"
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    daily = merge_up(hourly, "day")
+    monthly = merge_up(daily, "month")
+    return monthly.select(
+        F.col("bucket").alias("month"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("decimal(18,2)").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+EVENTS_ROLLUP_HIERARCHY_SQL = """
+SELECT date_trunc('month', ts) AS month,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(18,2)) AS sum_value,
+       MIN(CAST(value AS DECIMAL(10,2))) AS min_value,
+       MAX(CAST(value AS DECIMAL(10,2))) AS max_value
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY date_trunc('month', ts), event_type
+"""
+
+
 def events_user_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (§2.7 extension — the reference uses none, Spark
     provides them): purchasing users who also hit errors, minus users
@@ -532,6 +587,7 @@ EVENT_QUERIES = {
     "events_asof_purchase_view": events_asof_purchase_view,
     "events_error_after_click": events_error_after_click,
     "events_user_setops": events_user_setops,
+    "events_rollup_hierarchy": events_rollup_hierarchy,
     "events_sketch_profile": events_sketch_profile,
     "events_user_profile_stateful": events_user_profile_stateful,
     "events_funnel": events_funnel,
@@ -549,6 +605,7 @@ EVENT_ORACLES = {
     "events_asof_purchase_view": EVENTS_ASOF_SQL,
     "events_error_after_click": EVENTS_ERROR_AFTER_CLICK_SQL,
     "events_user_setops": EVENTS_SETOPS_SQL,
+    "events_rollup_hierarchy": EVENTS_ROLLUP_HIERARCHY_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "user_cohort_retention": USER_COHORT_RETENTION_SQL,
     "events_gold_incremental": EVENTS_GOLD_INCREMENTAL_SQL,
