@@ -8,9 +8,12 @@ event-time window toolkit. Each query here runs the SAME operator
 ``readStream`` — batch/stream unification — and has a DuckDB oracle
 twin for hash-checked correctness.
 
-Scale notes: all four shapes are single-shuffle groupBys with map-side
-partial aggregation; session windows keep state per user_id partition
-only. None of them collect to the driver.
+Scale notes: the window/aggregate shapes are single-shuffle groupBys
+with map-side partial aggregation; session windows keep state per
+user_id partition only; the streaming queries (CSV ingest, incremental
+SCD, incremental gold) run real checkpointed micro-batch drains whose
+final tables the oracle hash-checks. None of them collect to the
+driver.
 """
 
 from __future__ import annotations

@@ -188,9 +188,15 @@ def test_dedup_components_cliques_path_has_no_iterative_jobs(spark):
     from olist_lakehouse_2_0_spark.operators.dedup import dedup_components
 
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
-    tracker = spark.sparkContext.statusTracker()
-    before = len(tracker.getJobIdsForGroup(None) or [])
-    dedup_components(pairs, cliques=True)  # build only, no action
-    assert len(tracker.getJobIdsForGroup(None) or []) == before
-    dedup_components(pairs)  # iterative path DOES run jobs while building
-    assert len(tracker.getJobIdsForGroup(None) or []) > before
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    # A dedicated job group isolates the count from unrelated jobs that
+    # other tests' sessions may run concurrently.
+    sc.setJobGroup("cliques-probe", "cliques path should launch nothing")
+    try:
+        dedup_components(pairs, cliques=True)  # build only, no action
+        assert len(tracker.getJobIdsForGroup("cliques-probe") or []) == 0
+        dedup_components(pairs)  # iterative path runs jobs while building
+        assert len(tracker.getJobIdsForGroup("cliques-probe") or []) > 0
+    finally:
+        sc.setJobGroup("", "")
