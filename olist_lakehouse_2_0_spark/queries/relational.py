@@ -177,15 +177,46 @@ def orders_by_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(order_totals, F.col("o_orderkey") == F.col("l_orderkey"), "left")
         .withColumn("region_group", region_group)
     )
-    return joined.groupBy(F.col("n_name").alias("nation"), F.col("region_group")).agg(
-        F.count(F.lit(1)).alias("total_orders"),
-        F.countDistinct("o_custkey").alias("unique_customers"),
-        F.sum("order_item_total").cast(MONEY_SUM).alias("total_item_revenue"),
-        F.avg(F.col("order_item_total").cast("double"))
-        .cast(AVG6)
-        .alias("avg_order_item_value"),
-        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("finished_orders"),
-        F.sum("item_count").alias("total_items"),
+    # avg_order_item_value: exact integer-cent arithmetic with explicit
+    # half-up integer rounding to 1e-6 units. A double AVG cast to
+    # DECIMAL(18,6) hit a cross-engine tie at sf0.001 (....0740625
+    # rounds HALF_UP in Spark's decimal cast, half-even in DuckDB's) —
+    # round-half-up(a/n) == (2a + n) div (2n) is identical integer math
+    # in both engines at every scale.
+    cents = F.sum((F.col("order_item_total") * 100).cast("long"))
+    cnt = F.count("order_item_total")
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"), F.col("region_group"))
+        .agg(
+            F.count(F.lit(1)).alias("total_orders"),
+            F.countDistinct("o_custkey").alias("unique_customers"),
+            F.sum("order_item_total").cast(MONEY_SUM).alias("total_item_revenue"),
+            cents.alias("__cents"),
+            cnt.alias("__cnt"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias(
+                "finished_orders"
+            ),
+            F.sum("item_count").alias("total_items"),
+        )
+        .withColumn(
+            "avg_order_item_value",
+            (
+                F.expr(
+                    "(__cents * 20000 + __cnt) div nullif(2 * __cnt, 0)"
+                ).cast("double")
+                / F.lit(1e6)
+            ),
+        )
+        .select(
+            "nation",
+            "region_group",
+            "total_orders",
+            "unique_customers",
+            "total_item_revenue",
+            "avg_order_item_value",
+            "finished_orders",
+            "total_items",
+        )
     )
 
 
@@ -204,7 +235,10 @@ SELECT n_name AS nation,
        COUNT(*) AS total_orders,
        COUNT(DISTINCT o_custkey) AS unique_customers,
        CAST(SUM(order_item_total) AS DECIMAL(18,2)) AS total_item_revenue,
-       CAST(AVG(CAST(order_item_total AS DOUBLE)) AS DECIMAL(18,6)) AS avg_order_item_value,
+       CAST((2 * CAST(SUM(CAST(order_item_total * 100 AS BIGINT)) AS BIGINT) * 10000
+             + COUNT(order_item_total))
+            // NULLIF(2 * COUNT(order_item_total), 0) AS DOUBLE) / 1e6
+           AS avg_order_item_value,
        COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished_orders,
        CAST(SUM(item_count) AS BIGINT) AS total_items
 FROM orders
