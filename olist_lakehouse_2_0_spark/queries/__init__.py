@@ -18,6 +18,15 @@ output columns to the driver-stable twins: DecimalType -> double,
 DateType -> timestamp. Decimal->double is a single correctly-rounded
 IEEE conversion of the already-quantized decimal on both engines, so
 values stay deterministic; it is NOT float accumulation.
+
+Residual hazard (hit once, at sf0.001, in round 2): when a double
+value lands EXACTLY on a decimal-cast tie boundary (....5 at the cast
+scale), Spark rounds half-up and DuckDB half-even — a one-ulp hash
+mismatch. Queries whose averages are exposed through a decimal cast
+accept this measure-zero risk; where a tie actually occurred
+(orders_by_state) the average is computed in exact integer units with
+explicit half-up rounding instead (the (2a+n) div 2n idiom — use it if
+another query ever trips).
 """
 
 from __future__ import annotations
