@@ -57,12 +57,27 @@ def daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("urgent_orders"),
             F.countDistinct("o_custkey").alias("unique_customers"),
             _money_sum("o_totalprice", "total_revenue"),
-            F.avg("o_totalprice").cast(AVG6).alias("avg_order_value"),
             F.round(
                 finished * 100.0 / F.nullif(F.count(F.lit(1)), F.lit(0)), 2
             )
             .cast(RATE)
             .alias("finished_rate_pct"),
+        )
+        # avg over exact cents with explicit half-up rounding — the
+        # engine-native double->DECIMAL(18,6) cast diverged on a
+        # .xxxxx5 tie at sf0.1 (see registry hazard note).
+        .withColumn(
+            "avg_order_value",
+            F.expr(
+                "(cast(total_revenue * 100 as bigint) * 20000 + total_orders)"
+                " div nullif(2 * total_orders, 0)"
+            ).cast("double")
+            / F.lit(1e6),
+        )
+        .select(
+            "order_date", "total_orders", "finished_orders", "open_orders",
+            "urgent_orders", "unique_customers", "total_revenue",
+            "avg_order_value", "finished_rate_pct",
         )
     )
 
@@ -75,7 +90,9 @@ SELECT CAST(o_orderdate AS DATE) AS order_date,
        COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS urgent_orders,
        COUNT(DISTINCT o_custkey) AS unique_customers,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_revenue,
-       CAST(AVG(o_totalprice) AS DECIMAL(18,6)) AS avg_order_value,
+       CAST((2 * CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) * 10000
+             + COUNT(*)) // NULLIF(2 * COUNT(*), 0) AS DOUBLE) / 1e6
+           AS avg_order_value,
        CAST(ROUND(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) * 100.0
                   / NULLIF(COUNT(*), 0), 2) AS DECIMAL(10,2)) AS finished_rate_pct
 FROM orders
@@ -350,17 +367,50 @@ def seller_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     total_rev = F.sum(F.col("l_extendedprice").cast(MONEY))
     n_orders = F.countDistinct("l_orderkey")
-    return joined.groupBy(F.col("s_name").alias("seller_name")).agg(
-        n_orders.alias("total_orders"),
-        F.count(F.lit(1)).alias("total_items_sold"),
-        F.countDistinct("l_partkey").alias("distinct_products"),
-        F.countDistinct("o_custkey").alias("distinct_customers"),
-        total_rev.cast(MONEY_SUM).alias("total_revenue"),
-        (total_rev.cast("double") / F.nullif(n_orders, F.lit(0)))
-        .cast(AVG6)
-        .alias("avg_order_revenue"),
-        F.avg("l_extendedprice").cast(AVG6).alias("avg_item_price"),
-        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("finished_items"),
+    # Averages via exact integer cents with explicit half-up rounding
+    # to 1e-6 ((2a+n) div 2n) — the sf0.1 cross-scale check caught both
+    # engine-native decimal casts on a .xxxxx5 tie (Spark half-up,
+    # DuckDB half-even). See the registry docstring hazard note.
+    return (
+        joined.groupBy(F.col("s_name").alias("seller_name"))
+        .agg(
+            n_orders.alias("total_orders"),
+            F.count(F.lit(1)).alias("total_items_sold"),
+            F.countDistinct("l_partkey").alias("distinct_products"),
+            F.countDistinct("o_custkey").alias("distinct_customers"),
+            total_rev.cast(MONEY_SUM).alias("total_revenue"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias(
+                "finished_items"
+            ),
+        )
+        .withColumn("__cents", (F.col("total_revenue") * 100).cast("long"))
+        .withColumn(
+            "avg_order_revenue",
+            F.expr(
+                "(__cents * 20000 + total_orders)"
+                " div nullif(2 * total_orders, 0)"
+            ).cast("double")
+            / F.lit(1e6),
+        )
+        .withColumn(
+            "avg_item_price",
+            F.expr(
+                "(__cents * 20000 + total_items_sold)"
+                " div nullif(2 * total_items_sold, 0)"
+            ).cast("double")
+            / F.lit(1e6),
+        )
+        .select(
+            "seller_name",
+            "total_orders",
+            "total_items_sold",
+            "distinct_products",
+            "distinct_customers",
+            "total_revenue",
+            "avg_order_revenue",
+            "avg_item_price",
+            "finished_items",
+        )
     )
 
 
@@ -371,9 +421,13 @@ SELECT s_name AS seller_name,
        COUNT(DISTINCT l_partkey) AS distinct_products,
        COUNT(DISTINCT o_custkey) AS distinct_customers,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_revenue,
-       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-            / NULLIF(COUNT(DISTINCT l_orderkey), 0) AS DECIMAL(18,6)) AS avg_order_revenue,
-       CAST(AVG(l_extendedprice) AS DECIMAL(18,6)) AS avg_item_price,
+       CAST((2 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) * 10000
+             + COUNT(DISTINCT l_orderkey))
+            // NULLIF(2 * COUNT(DISTINCT l_orderkey), 0) AS DOUBLE) / 1e6
+           AS avg_order_revenue,
+       CAST((2 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) * 10000
+             + COUNT(*))
+            // NULLIF(2 * COUNT(*), 0) AS DOUBLE) / 1e6 AS avg_item_price,
        COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
