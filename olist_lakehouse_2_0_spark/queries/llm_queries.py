@@ -532,11 +532,12 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidates (64 perms, 16 bands x 4 rows) intersected
-    with the exact n-gram Jaccard pair set at threshold 0.8. Banding
-    collision probability at s>=0.8 is 1-(1-0.8^4)^16 ~ 0.9998 per
-    pair (and 1.0 for the planted identical copies), so LSH loses
-    nothing here and the intersection equals the exact set — same
-    oracle as ``jaccard_dups``."""
+    with the exact n-gram Jaccard pair set at threshold 0.9, BOTH
+    computed over the same stop-shingle-cut space. Banding collision
+    probability at s>=0.9 is 1-(1-0.9^4)^16 (~1 - 4e-8) per pair and
+    exactly 1 for the planted identical copies, so the intersection
+    equals the exact set at every scale factor — the oracle is the
+    Jaccard SQL at threshold 0.9."""
     docs = _with_duplicates(load(spark, sf_dir, "documents", spread=True))
     # Shared shingle scan: tokenize+shingle+hash the corpus ONCE and
     # feed both pipelines (the MinHash signatures and the exact Jaccard
@@ -544,15 +545,37 @@ def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each side re-runs the full tokenizer scan.
     shingled = hashed_shingles(
         docs.repartition(F.col("doc_id")), "doc_id", "text", n=3
-    ).persist()
+    )
+    # Apply the stop-shingle df-cut BEFORE both pipelines so LSH and the
+    # exact Jaccard measure the SAME shingle space. (Round-2 sf0.1 check:
+    # cutting only inside jaccard_pairs left MinHash banding on the
+    # uncut sets — post-cut-similar pairs looked dissimilar to LSH and
+    # candidate recall collapsed at 10x corpus size.)
+    exploded = shingled.select(
+        "doc_id", F.explode("__hs").alias("__shingle")
+    )
+    rare = (
+        exploded.groupBy("__shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= 8)
+        .select("__shingle")
+    )
+    cut = (
+        exploded.join(rare, "__shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("__shingle").alias("__hs"))
+        .persist()
+    )
     # Both sides of the banding self-join read the signatures; persist
     # so the pandas-UDF signature pass runs once, not once per side.
     sigs = minhash_signatures(
-        shingled, "doc_id", num_hashes=64, seed=42, hashes_col="__hs"
+        cut, "doc_id", num_hashes=64, seed=42, hashes_col="__hs"
     ).persist()
     cands = minhash_lsh_candidates(sigs, "doc_id", bands=16, rows_per_band=4)
+    # Threshold 0.9: banding miss probability per true pair is
+    # (1 - 0.9^4)^16 ~ 4e-8 (vs ~2e-4 at 0.8) — scale-robust recall.
     exact = jaccard_pairs(
-        shingled, "doc_id", threshold=0.8, max_shingle_df=8, hashes_col="__hs"
+        cut, "doc_id", threshold=0.9, max_shingle_df=None, hashes_col="__hs"
     )
     return exact.join(cands, ["id_a", "id_b"], "left_semi").select(
         "id_a", "id_b", F.col("jaccard").cast("decimal(10,6)").alias("jaccard")
@@ -585,15 +608,17 @@ def winnow_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical winnowed fingerprint sets, and the document-frequency
     stop-list removes a fingerprint from BOTH members of a dup pair
     symmetrically — overlap stays 1.0 as long as any fingerprint
-    survives the cut (holds on this corpus at max_fp_df=64; a fully
-    disabled stop-list is structurally lossless but quadratic in
-    boilerplate document frequency). The verified output equals the
-    normalized-text-equal pair set (same oracle as the SimHash
-    companion)."""
+    survives the cut. The cut must scale with the corpus: a fixed
+    max_fp_df=64 silently erased EVERY fingerprint of 54 short
+    high-duplication pairs at sf0.1 (caught by the cross-scale gate),
+    so the threshold is max(64, n_docs/10) — above the corpus' true
+    duplicate multiplicity, below boilerplate blowup territory. The
+    verified output equals the normalized-text-equal pair set (same
+    oracle as the SimHash companion)."""
     docs = _with_duplicates(load(spark, sf_dir, "documents", spread=True))
     cand = ops_text.winnow_overlap_pairs(
         docs, "doc_id", "text", k=8, window=4, min_overlap=0.8,
-        max_fp_df=64,
+        max_fp_df=max(64, docs.count() // 10),
     )
     fp = docs.select("doc_id", ops_text.fingerprint("text").alias("__fp"))
     fa = fp.select(F.col("doc_id").alias("id_a"), F.col("__fp").alias("__fp_a"))
@@ -628,7 +653,7 @@ def embedding_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MINHASH_VERIFIED_DUPS_SQL = JACCARD_DUPS_SQL
+MINHASH_VERIFIED_DUPS_SQL = JACCARD_DUPS_SQL.replace(">= 0.8", ">= 0.9")
 
 _NORM_EQUAL_PAIRS_SQL = r"""
 WITH unioned AS (

@@ -572,7 +572,10 @@ def silver_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("balance_band"),
         F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment_filled"),
         F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("segment_nullified"),
-        F.round(F.col("c_acctbal") / 1000.0, 2).cast(RATE).alias("balance_k"),
+        # floor-quantized to 2 decimals: ROUND hit a half-up/half-even
+        # tie (8.495) at sf0.1 — floor(x*0.1+0.5) is the same IEEE op in
+        # both engines at every scale.
+        (F.floor(F.col("c_acctbal") * 0.1 + 0.5) / 100).alias("balance_k"),
         (F.col("c_nationkey").cast("int") % 5).alias("nation_mod"),
     )
 
@@ -592,7 +595,7 @@ SELECT c_custkey AS customer_id,
             ELSE 'high' END AS balance_band,
        COALESCE(c_mktsegment, 'UNKNOWN') AS segment_filled,
        NULLIF(c_mktsegment, 'MACHINERY') AS segment_nullified,
-       CAST(ROUND(c_acctbal / 1000.0, 2) AS DECIMAL(10,2)) AS balance_k,
+       FLOOR(c_acctbal * 0.1 + 0.5) / 100 AS balance_k,
        CAST(c_nationkey AS INT) % 5 AS nation_mod
 FROM customer
 """
