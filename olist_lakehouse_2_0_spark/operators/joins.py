@@ -90,13 +90,16 @@ def range_join(
         F.explode(
             F.sequence(
                 F.floor(F.col(start_col) / bucket_width).cast("long"),
-                # end is exclusive, but an interval ending exactly on a
-                # bucket boundary still owns no row of that bucket —
-                # sequence() is inclusive so subtract the boundary case
-                # via greatest() to keep degenerate (empty) intervals
-                # from exploding to a negative range.
+                # Last candidate bucket is floor(end/width): correct for
+                # all reals (floor((end-1)/width) drops the final bucket
+                # for fractional data, e.g. [0, 7.5) width 7 must probe
+                # bucket 1 for point 7.2). When end lands exactly on a
+                # boundary this over-explodes by one bucket, which the
+                # exact containment filter below removes; greatest()
+                # keeps degenerate (empty) intervals from exploding to a
+                # negative range.
                 F.greatest(
-                    F.floor((F.col(end_col) - 1) / bucket_width).cast("long"),
+                    F.floor(F.col(end_col) / bucket_width).cast("long"),
                     F.floor(F.col(start_col) / bucket_width).cast("long"),
                 ),
             )

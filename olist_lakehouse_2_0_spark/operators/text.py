@@ -536,6 +536,7 @@ def winnow_overlap_pairs(
     window: int = 4,
     min_overlap: float = 0.5,
     max_fp_df: int | None = 8,
+    max_fp_df_frac: float | None = None,
 ) -> DataFrame:
     """All-pairs fingerprint-overlap detection via an inverted index:
     explode fingerprints, self-join on the fingerprint value, count
@@ -548,18 +549,33 @@ def winnow_overlap_pairs(
     fingerprints appearing in more than that many documents (boilerplate
     n-grams) — without it, a corpus-wide common fingerprint makes the
     self-join quadratic in its document frequency.
+
+    ``max_fp_df_frac`` makes the cut corpus-relative: the effective
+    threshold is ``greatest(max_fp_df, floor(n_rows(df) * frac))``,
+    with the row count computed LAZILY inside the same job (a one-row
+    aggregate broadcast into the df-cut filter) — no driver-side
+    ``count()`` action at plan-construction time, so plan dumps and
+    profiling paths that never execute the query stay free.
     """
     # Three downstream consumers (df-cut, sizes, self-join) would each
     # recompute the fingerprint scan; persist the compact (doc, fp)
     # index instead — 16 bytes/row regardless of document size.
     prints = winnow_prints(df, id_col, text_col, k, window).persist()
-    if max_fp_df is not None:
-        rare = (
-            prints.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_fp_df)
-            .select("fp")
-        )
+    if max_fp_df is not None or max_fp_df_frac is not None:
+        fp_df = prints.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        if max_fp_df_frac is not None:
+            n_rows = df.agg(F.count(F.lit(1)).alias("__n_rows"))
+            thresh = F.greatest(
+                F.lit(int(max_fp_df or 0)).cast("long"),
+                F.floor(F.col("__n_rows") * F.lit(max_fp_df_frac)),
+            )
+            rare = (
+                fp_df.join(F.broadcast(n_rows))
+                .filter(F.col("_df") <= thresh)
+                .select("fp")
+            )
+        else:
+            rare = fp_df.filter(F.col("_df") <= max_fp_df).select("fp")
         prints = prints.join(rare, "fp")
     sizes = prints.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
     a = prints.alias("a")

@@ -128,15 +128,36 @@ _R1_CHECKED = {
     "embedding_neardup",
 }
 
-#: Of those, the ones already hash-green in round 1 — they can safely
-#: rotate to the back of the window.
-_R1_GREEN = {
-    "top_revenue_orders", "price_percentiles", "priority_metrics_unpivot",
-    "orders_rollup_flags", "discounted_revenue_disjunctive",
-    "similar_name_pairs", "customer_order_distribution",
-    "first_order_per_customer", "pii_masked_customers",
-    "region_filtered_customers", "scd1_users", "scd2_users", "text_stats",
-    "doc_chunks", "doc_quality_zscore", "top_tokens", "exact_dedup_docs",
+#: Queries first registered in round 3 — they need a driver row too,
+#: but queue behind the 28 that have waited since round 1.
+_NEW_IN_R3 = {
+    "dq_fail_gate_violations", "scd2_track_history_subset",
+    "cdc_fanout_consistency", "image_decode_stats", "audio_wav_stats",
+    "events_csv_malformed_audit",
+}
+
+#: Queries that received a correctness row in round 2
+#: (CORRECTNESS_r02.json — all 50 hash-green).
+_R2_CHECKED = {
+    "daily_orders", "scalar_function_matrix", "monthly_orders_lag",
+    "datetime_function_matrix", "orders_by_state", "dq_drop_quarantine",
+    "orders_enriched", "orders_grouping_sets", "seller_performance",
+    "shipments_in_order_windows", "category_performance_lag",
+    "salted_nation_revenue", "geo_dedup", "scd2_users_incremental",
+    "silver_cleanse", "scd1_users_incremental", "top_parts_per_brand",
+    "segment_dedup", "valid_orders_filter", "bigram_logprob",
+    "dq_violation_summary", "domain_capped_corpus", "pricing_summary",
+    "bpe_pair_counts", "revenue_by_nation",
+    "embedding_topk_ivf_exhaustive", "orders_building_segment_semi",
+    "minhash_verified_dups", "customers_inactive_anti",
+    "simhash_verified_dups", "orders_rollup", "winnow_verified_dups",
+    "returnflag_pivot", "embedding_neardup_verified",
+    "nation_revenue_share", "image_metadata", "daily_revenue_trend",
+    "fingerprint_dups", "segment_spend_ranks", "image_resize",
+    "parts_above_brand_avg", "video_frame_sample", "daily_orders_gapfill",
+    "dataset_split", "daily_channel_full_outer", "source_mixture_sample",
+    "priority_region_matrix", "doc_length_buckets", "orders_cube",
+    "token_budgets",
 }
 
 
@@ -144,35 +165,37 @@ def _ordered_for_window(
     queries: dict[str, QueryFn], oracles: dict[str, str]
 ) -> list[tuple[str, QueryFn]]:
     """Order registration for the driver's bounded correctness window
-    (~50 rows in registration order). Two groups both need fresh rows
-    this round — (a) round-1 RED queries whose output-type fix must
-    show `hash_match: true` (VERDICT r1 next-step #1) and (b) oracled
-    queries that have never had a row (next-step #3) — and together
-    they exceed the window, so they are INTERLEAVED: whatever the
-    window size, both groups get proportional coverage. Already-green
-    queries follow (their round-1 rows stand), rows-only queries last
-    (weakest check)."""
-    fixed_red: list[tuple[str, QueryFn]] = []
-    never_checked: list[tuple[str, QueryFn]] = []
-    green: list[tuple[str, QueryFn]] = []
-    no_oracle: list[tuple[str, QueryFn]] = []
+    (~50 rows in registration order). Round-3 goal (VERDICT r2
+    next-step #1): close the full set. 75 of 103 queries have a driver
+    row across rounds 1-2; the 28 that never got one go FIRST
+    (oracled before rows-only), then queries new this round, then the
+    round-1-green ones (their rows are oldest), then round-2-green
+    last — the window comfortably covers the never-checked + new set,
+    and spare slots re-confirm the stalest greens."""
+    never_oracled: list[tuple[str, QueryFn]] = []
+    never_rows_only: list[tuple[str, QueryFn]] = []
+    new_this_round: list[tuple[str, QueryFn]] = []
+    r1_green: list[tuple[str, QueryFn]] = []
+    r2_green: list[tuple[str, QueryFn]] = []
     for item in queries.items():
         name = item[0]
-        if name not in oracles:
-            no_oracle.append(item)
-        elif name not in _R1_CHECKED:
-            never_checked.append(item)
-        elif name not in _R1_GREEN:
-            fixed_red.append(item)
+        if name in _R2_CHECKED:
+            r2_green.append(item)
+        elif name in _R1_CHECKED:
+            r1_green.append(item)
+        elif name in _NEW_IN_R3:
+            new_this_round.append(item)
+        elif name in oracles:
+            never_oracled.append(item)
         else:
-            green.append(item)
-    interleaved: list[tuple[str, QueryFn]] = []
-    for i in range(max(len(fixed_red), len(never_checked))):
-        if i < len(fixed_red):
-            interleaved.append(fixed_red[i])
-        if i < len(never_checked):
-            interleaved.append(never_checked[i])
-    return interleaved + green + no_oracle
+            never_rows_only.append(item)
+    return (
+        never_oracled
+        + never_rows_only
+        + new_this_round
+        + r1_green
+        + r2_green
+    )
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -127,15 +127,15 @@ def scd2_users_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     check. (``scd2_users`` verifies the one-shot batch path; this one
     verifies the streaming merge.)"""
     import os
-    import tempfile
 
     from olist_lakehouse_2_0_spark.operators.cdc import CdcSink
+    from olist_lakehouse_2_0_spark.staging import staging_dir
     from olist_lakehouse_2_0_spark.streaming.ingest import run_foreach_batch
 
     feed = _as_change_feed(spark, sf_dir).select(
         "user_id", "event_id", "ts", "event_type", "value", "props", "__op"
     )
-    root = tempfile.mkdtemp(prefix="scd2_inc_")
+    root = staging_dir("scd2_inc")
     landing = os.path.join(root, "landing")
     # Hash-split into 3 files: each micro-batch carries an arbitrary
     # slice of every user's history (out-of-order arrival guaranteed).
@@ -169,15 +169,15 @@ def scd1_users_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scd_type=1) with the delete-tombstone sidecar; the final snapshot
     must equal the in-order batch rebuild the oracle computes."""
     import os
-    import tempfile
 
     from olist_lakehouse_2_0_spark.operators.cdc import CdcSink
+    from olist_lakehouse_2_0_spark.staging import staging_dir
     from olist_lakehouse_2_0_spark.streaming.ingest import run_foreach_batch
 
     feed = _as_change_feed(spark, sf_dir).select(
         "user_id", "event_id", "ts", "event_type", "value", "props", "__op"
     )
-    root = tempfile.mkdtemp(prefix="scd1_inc_")
+    root = staging_dir("scd1_inc")
     landing = os.path.join(root, "landing")
     feed.repartition(3).write.parquet(landing)
 

@@ -470,17 +470,17 @@ def events_gold_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     end inside the correctness gate. Decimal measures make the sums
     merge-order-exact."""
     import os
-    import tempfile
 
     from olist_lakehouse_2_0_spark.plans.incremental import (
         AggSpec,
         IncrementalAggTable,
     )
+    from olist_lakehouse_2_0_spark.staging import staging_dir
 
     events = load(spark, sf_dir, "events").select(
         "event_type", F.col("value").cast("decimal(12,2)").alias("value")
     )
-    root = tempfile.mkdtemp(prefix="gold_inc_")
+    root = staging_dir("gold_inc")
     landing = os.path.join(root, "landing")
     events.repartition(3).write.parquet(landing)
 
@@ -532,10 +532,10 @@ def events_csv_ingest_exactly_once(spark: SparkSession, sf_dir: str) -> DataFram
     double roundtrip is exact — Spark writes shortest-roundtrip
     decimal strings — and integer sums are order-independent)."""
     import os
-    import tempfile
 
     from pyspark.sql import types as T
 
+    from olist_lakehouse_2_0_spark.staging import staging_dir
     from olist_lakehouse_2_0_spark.streaming.ingest import (
         read_csv_stream,
         run_to_parquet,
@@ -544,7 +544,7 @@ def events_csv_ingest_exactly_once(spark: SparkSession, sf_dir: str) -> DataFram
     events = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    root = tempfile.mkdtemp(prefix="csv_ingest_")
+    root = staging_dir("csv_ingest")
     landing = os.path.join(root, "landing")
     events.repartition(3).write.option("header", True).csv(landing)
 

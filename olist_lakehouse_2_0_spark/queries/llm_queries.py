@@ -613,12 +613,15 @@ def winnow_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-duplication pairs at sf0.1 (caught by the cross-scale gate),
     so the threshold is max(64, n_docs/10) — above the corpus' true
     duplicate multiplicity, below boilerplate blowup territory. The
-    verified output equals the normalized-text-equal pair set (same
-    oracle as the SimHash companion)."""
+    count feeding the threshold is computed lazily INSIDE the job
+    (``max_fp_df_frac`` broadcasts a one-row aggregate into the df-cut
+    filter), so constructing this DataFrame triggers no driver action.
+    The verified output equals the normalized-text-equal pair set
+    (same oracle as the SimHash companion)."""
     docs = _with_duplicates(load(spark, sf_dir, "documents", spread=True))
     cand = ops_text.winnow_overlap_pairs(
         docs, "doc_id", "text", k=8, window=4, min_overlap=0.8,
-        max_fp_df=max(64, docs.count() // 10),
+        max_fp_df=64, max_fp_df_frac=0.1,
     )
     fp = docs.select("doc_id", ops_text.fingerprint("text").alias("__fp"))
     fa = fp.select(F.col("doc_id").alias("id_a"), F.col("__fp").alias("__fp_a"))
@@ -1284,13 +1287,18 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = tf.groupBy("token").agg(F.sum("tf").alias("c")).persist()
     total = counts.agg(F.sum("c").alias("n"))
-    # logp quantizes to an INTEGER number of 1e-9 units at the source,
-    # via floor(x*1e9 + 0.5) — pure IEEE multiply/add/floor that both
+    # logp quantizes to an INTEGER number of 1e-6 units at the source,
+    # via floor(x*1e6 + 0.5) — pure IEEE multiply/add/floor that both
     # engines compute bit-identically (engine-native double->decimal
     # casts do NOT agree: BigDecimal shortest-repr vs multiply-and-
     # round). After quantization all downstream arithmetic (tf x logp
     # products, the per-doc sum) is exact integer math, so the result
-    # is order-independent at any parallelism.
+    # is order-independent at any parallelism. The unit is 1e-6, not
+    # 1e-9: log() itself is not guaranteed correctly rounded across
+    # libm implementations, and a 1-ulp input difference flips the
+    # quantized value with probability ~|x| * 1.1e-16 * Q per distinct
+    # key — ~1e-9 per key at Q=1e6 (negligible even at billions of
+    # distinct tokens) vs ~1e-6 at Q=1e9.
     logp = counts.crossJoin(F.broadcast(total)).select(
         "token",
         F.floor(
@@ -1298,7 +1306,7 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.log(F.col("c").cast("double"))
                 - F.log(F.col("n").cast("double"))
             )
-            * 1e9
+            * 1e6
             + 0.5
         ).alias("logp_q"),
     )
@@ -1312,7 +1320,7 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             # bit-equal to the single-threaded oracle.
             (
                 F.sum(F.col("tf") * F.col("logp_q")).cast("double")
-                / (F.sum("tf").cast("double") * F.lit(1e9))
+                / (F.sum("tf").cast("double") * F.lit(1e6))
             ).alias("avg_logprob"),
         )
     )
@@ -1331,13 +1339,13 @@ WITH toks AS (
   SELECT SUM(c) AS n FROM counts
 ), logps AS (
   SELECT token,
-         CAST(FLOOR((LN(CAST(c AS DOUBLE)) - LN(CAST(n AS DOUBLE))) * 1e9 + 0.5) AS BIGINT) AS logp_q
+         CAST(FLOOR((LN(CAST(c AS DOUBLE)) - LN(CAST(n AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS logp_q
   FROM counts CROSS JOIN total
 )
 SELECT tf.doc_id,
        CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
        CAST(CAST(SUM(tf.tf * logp_q) AS BIGINT) AS DOUBLE)
-         / (CAST(SUM(tf.tf) AS DOUBLE) * 1e9) AS avg_logprob
+         / (CAST(SUM(tf.tf) AS DOUBLE) * 1e6) AS avg_logprob
 FROM tf JOIN logps USING (token)
 GROUP BY tf.doc_id
 """
@@ -1593,10 +1601,10 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc; the conditional-probability table joins bigram counts to
     their prefix unigram counts on the token key (vocab²-bounded, AQE
     skew territory for stop-bigrams); V arrives as a broadcast scalar.
-    Log-probs quantize to integer 1e-9 units at the source (floor(x*1e9
-    + 0.5) — see unigram_logprob for why), so every downstream product
-    and sum is exact integer math, order-independent at any
-    parallelism."""
+    Log-probs quantize to integer 1e-6 units at the source (floor(x*1e6
+    + 0.5) — see unigram_logprob for the unit choice and the libm
+    1-ulp flip analysis), so every downstream product and sum is exact
+    integer math, order-independent at any parallelism."""
     docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     toks = docs.select("doc_id", F.explode(ops_text.tokens("text")).alias("token"))
     uc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c1")).persist()
@@ -1625,7 +1633,7 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + F.lit(0.5) * F.col("vsize").cast("double")
                     )
                 )
-                * 1e9
+                * 1e6
                 + 0.5
             ).alias("logp_q"),
         )
@@ -1637,7 +1645,7 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tf").cast("long").alias("n_bigrams"),
             (
                 F.sum(F.col("tf") * F.col("logp_q")).cast("double")
-                / (F.sum("tf").cast("double") * F.lit(1e9))
+                / (F.sum("tf").cast("double") * F.lit(1e6))
             ).alias("avg_logprob"),
         )
     )
@@ -1665,7 +1673,7 @@ WITH toks AS (
   SELECT bigram,
          CAST(FLOOR((LN(CAST(c12 AS DOUBLE) + 0.5)
                      - LN(CAST(c1 AS DOUBLE) + 0.5 * CAST(vsize AS DOUBLE)))
-                    * 1e9 + 0.5) AS BIGINT) AS logp_q
+                    * 1e6 + 0.5) AS BIGINT) AS logp_q
   FROM bc
   JOIN uc ON split_part(bc.bigram, ' ', 1) = uc.token
   CROSS JOIN v
@@ -1673,7 +1681,7 @@ WITH toks AS (
 SELECT bf.doc_id,
        CAST(SUM(bf.tf) AS BIGINT) AS n_bigrams,
        CAST(CAST(SUM(bf.tf * logp_q) AS BIGINT) AS DOUBLE)
-         / (CAST(SUM(bf.tf) AS DOUBLE) * 1e9) AS avg_logprob
+         / (CAST(SUM(bf.tf) AS DOUBLE) * 1e6) AS avg_logprob
 FROM bf JOIN lp USING (bigram)
 GROUP BY bf.doc_id
 """

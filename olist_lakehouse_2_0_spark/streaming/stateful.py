@@ -23,7 +23,6 @@ Scale notes (100 TB design):
 from __future__ import annotations
 
 import os
-import tempfile
 from typing import TYPE_CHECKING, Any, Iterator, Tuple
 
 import pandas as pd
@@ -165,7 +164,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mirrors how files would land incrementally in production). A
     # dataset DIRECTORY is symlinked per-file: the stream source does
     # not follow directory symlinks without recursiveFileLookup.
-    landing = tempfile.mkdtemp(prefix="events_stream_src_")
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+
+    landing = staging_dir("events_stream_src")
     if os.path.isdir(path):
         for i, fname in enumerate(sorted(os.listdir(path))):
             if fname.endswith(".parquet"):
@@ -199,7 +200,9 @@ def run_profile_availablenow(
     update, so the result is identical whether the source fed one batch
     or many.
     """
-    out_root = tempfile.mkdtemp(prefix="stateful_profile_")
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+
+    out_root = staging_dir("stateful_profile")
     data_dir = os.path.join(out_root, "data")
     ckpt_dir = os.path.join(out_root, "ckpt")
 

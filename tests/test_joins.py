@@ -88,3 +88,34 @@ def test_range_join_matches_between_semantics(spark):
     }
     assert got == expected
     assert all(not (iid == 3) for iid, _ in got)
+
+
+def test_range_join_fractional_values(spark):
+    """Fractional (double) points/intervals: the last candidate bucket
+    is floor(end/width), so a point in the interval's final partial
+    bucket (e.g. 7.2 in [0, 7.5) with width 7) is matched."""
+    from olist_lakehouse_2_0_spark.operators.joins import range_join
+
+    points = spark.createDataFrame(
+        [(0.5,), (6.9,), (7.2,), (7.5,), (13.99,), (14.0,)], "p double"
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, 0.0, 7.5),    # fractional end inside bucket 1
+            (2, 7.0, 14.0),   # end exactly on a bucket boundary
+            (3, 6.5, 6.5),    # empty fractional interval
+        ],
+        "iid long, s double, e double",
+    )
+    got = {
+        (r["iid"], r["p"])
+        for r in range_join(points, intervals, "p", "s", "e", 7).collect()
+    }
+    expected = {
+        (iid, p)
+        for iid, s, e in [(1, 0.0, 7.5), (2, 7.0, 14.0), (3, 6.5, 6.5)]
+        for p in [0.5, 6.9, 7.2, 7.5, 13.99, 14.0]
+        if s <= p < e
+    }
+    assert (1, 7.2) in expected  # the regression case this test guards
+    assert got == expected
