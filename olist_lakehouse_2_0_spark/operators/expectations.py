@@ -188,6 +188,38 @@ def check_fail_metrics(result: ExpectationResult, expectations: list[Expectation
         raise ExpectationFailed(f"FAIL expectation violated: {failed}")
 
 
+def gate_report(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """The relation the FAIL gate evaluates, AS DATA: one row per
+    expectation with its violation count, its action, and whether a
+    FAIL-actioned rule with >0 violations would block the update
+    (reference gold/daily_orders.sql:10-13 FAIL UPDATE semantics,
+    docs/ARCHITECTURE.md:127-141).
+
+    :func:`enforce`'s gate surfaces the same counts only through an
+    exception / Observation metrics; this returns them as a DataFrame
+    so the gate's decision table is oracle-checkable. One aggregation
+    job over ``df`` (all counters in a single pass, map-side partial
+    aggregation), then a constant-width unpivot — no per-rule scans.
+    """
+    counters = [
+        F.sum(
+            F.when(~F.coalesce(e.pred(), F.lit(False)), 1).otherwise(0)
+        ).cast("long").alias(f"v_{i}")
+        for i, e in enumerate(expectations)
+    ]
+    agg = df.agg(*counters)
+    stack = ", ".join(
+        f"'{e.name}', '{e.action.value}', v_{i}"
+        for i, e in enumerate(expectations)
+    )
+    return agg.selectExpr(
+        f"stack({len(expectations)}, {stack}) AS (rule, action, violations)"
+    ).withColumn(
+        "gate_blocks",
+        (F.col("action") == Action.FAIL.value) & (F.col("violations") > 0),
+    )
+
+
 def enforce_aggregate(df: DataFrame, checks: dict[str, Column]) -> dict[str, bool]:
     """Table-level FAIL gate: each value is a BOOLEAN AGGREGATE
     expression (e.g. ``F.count(F.lit(1)) > 100``,

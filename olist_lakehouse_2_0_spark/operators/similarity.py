@@ -109,10 +109,12 @@ def _nearest_centroid(vec: Column) -> Column:
     return (-best["nid"]).cast("int")
 
 
-def _probe_centroids(vec: Column, nprobe: int) -> Column:
+def _probe_centroids(vec: Column, nprobe: int | None) -> Column:
     """Map-side top-``nprobe`` centroid ids for one query vector,
     ordered by descending similarity then ascending id: sort
-    struct<-sim, id> ascending, slice the head. Returns an array."""
+    struct<-sim, id> ascending, slice the head. ``nprobe=None`` probes
+    EVERY centroid (exhaustive — IVF degenerates to exact search).
+    Returns an array."""
     ordered = F.array_sort(
         F.transform(
             F.col("__cents"),
@@ -122,16 +124,25 @@ def _probe_centroids(vec: Column, nprobe: int) -> Column:
             ),
         )
     )
-    return F.transform(
-        F.slice(ordered, 1, nprobe), lambda s: s["cid"]
-    )
+    if nprobe is not None:
+        ordered = F.slice(ordered, 1, nprobe)
+    return F.transform(ordered, lambda s: s["cid"])
+
+
+def default_num_centroids(n_rows: int) -> int:
+    """~sqrt(n) centroids (floor 16): the classic IVF balance point —
+    posting lists hold ~sqrt(n) vectors each, and probe-join
+    parallelism grows with the corpus instead of being capped by a
+    fixed centroid count (the round-2 watch item: 16 centroids bound
+    the probe join to 16 partitions regardless of scale)."""
+    return max(16, int(n_rows**0.5))
 
 
 def build_ivf_index(
     corpus: DataFrame,
     corpus_id: str = "corpus_id",
     vec_col: str = "embedding",
-    num_centroids: int = 16,
+    num_centroids: int | None = 16,
 ) -> tuple[DataFrame, DataFrame]:
     """Assign every corpus vector to its nearest centroid.
 
@@ -140,12 +151,20 @@ def build_ivf_index(
     uniform). Returns (centroids(centroid_id, __centroid_vec),
     assigned(corpus_id, __cvec, __cnorm, centroid_id)).
 
+    ``num_centroids=None`` sizes the codebook as ~sqrt(corpus rows)
+    (:func:`default_num_centroids`). That needs one ``count()`` action
+    here at build time — index construction is an offline batch step
+    that materializes results anyway (see :func:`write_ivf_index`),
+    not a lazily-composed query path.
+
     At 100 TB the centroid table stays tiny; it is packed into a
     one-row array and broadcast, so assignment is a pure map-side
     argmin over the corpus scan — NO exchange of corpus rows at all
-    (the index write would then be partitioned by centroid_id so
-    probes prune partitions).
+    (:func:`write_ivf_index` then writes the postings partitioned by
+    centroid_id so probes prune partitions).
     """
+    if num_centroids is None:
+        num_centroids = default_num_centroids(corpus.count())
     sample = (
         corpus.select(F.col(corpus_id), F.col(vec_col))
         .withColumn("__r", F.xxhash64(F.col(corpus_id).cast("string")))
@@ -175,14 +194,17 @@ def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 10,
-    num_centroids: int = 16,
-    nprobe: int = 4,
+    num_centroids: int | None = 16,
+    nprobe: int | None = 4,
     query_id: str = "query_id",
     corpus_id: str = "corpus_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` nearest centroid
-    buckets per query. Returns (query_id, corpus_id, cosine, rank)."""
+    buckets per query (``nprobe=None`` probes all buckets — exact
+    results through the full IVF machinery; ``num_centroids=None``
+    sizes the codebook ~sqrt(n)). Returns (query_id, corpus_id,
+    cosine, rank)."""
     centroids, assigned = build_ivf_index(corpus, corpus_id, vec_col, num_centroids)
     q = queries.select(
         F.col(query_id), F.col(vec_col).alias("__qvec"),
@@ -197,6 +219,91 @@ def ivf_topk(
         .select(query_id, "__qvec", "__qnorm", "centroid_id")
     )
     scored = probes.join(assigned, "centroid_id").withColumn(
+        "cosine",
+        dot(F.col("__qvec"), F.col("__cvec"))
+        / F.nullif(F.col("__qnorm") * F.col("__cnorm"), F.lit(0.0)),
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    catalog,
+    table: str = "ivf",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+    num_centroids: int | None = None,
+) -> int:
+    """Materialize the IVF index on disk: the postings (assigned corpus
+    vectors + norms) are written PARTITIONED BY ``centroid_id``, and
+    the centroid codebook as a companion table.
+
+    Partitioning by centroid_id is what makes IVF pay off at 100 TB:
+    a probe that touches ``nprobe`` of ``num_centroids`` buckets reads
+    only those partitions' files (static partition pruning — verified
+    in tests/test_similarity.py by asserting PartitionFilters in the
+    probe scan), instead of re-scanning the full corpus per query
+    batch. Returns the centroid count (``None`` → ~sqrt(n), see
+    :func:`default_num_centroids`).
+    """
+    if num_centroids is None:
+        num_centroids = default_num_centroids(corpus.count())
+    centroids, assigned = build_ivf_index(
+        corpus, corpus_id, vec_col, num_centroids
+    )
+    catalog.write(assigned, f"{table}_postings", partition_by=["centroid_id"])
+    catalog.write(centroids, f"{table}_centroids")
+    return num_centroids
+
+
+def ivf_topk_indexed(
+    queries: DataFrame,
+    catalog,
+    table: str = "ivf",
+    k: int = 10,
+    nprobe: int | None = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against an on-disk index written by
+    :func:`write_ivf_index`, reading ONLY the probed partitions.
+
+    The probed centroid ids are resolved first (a driver-side collect
+    bounded by ``num_centroids`` ~ sqrt(corpus) integers — query-issue
+    planning work, same order as AQE statistics, never corpus data)
+    and pushed into the postings scan as a literal IN-filter, so the
+    scan prunes partitions STATICALLY at plan time: at scale the read
+    is nprobe/num_centroids of the index regardless of engine version
+    or dynamic-pruning heuristics. Returns (query_id, corpus_id,
+    cosine, rank)."""
+    spark = queries.sparkSession
+    centroids = catalog.read(spark, f"{table}_centroids")
+    packed = _pack_centroids(centroids)
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    probes = (
+        q.crossJoin(F.broadcast(packed))
+        .withColumn(
+            "centroid_id",
+            F.explode(_probe_centroids(F.col("__qvec"), nprobe)),
+        )
+        .select(query_id, "__qvec", "__qnorm", "centroid_id")
+    )
+    probe_ids = sorted(
+        r[0] for r in probes.select("centroid_id").distinct().collect()
+    )
+    postings = catalog.read(spark, f"{table}_postings").filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    scored = probes.join(postings, "centroid_id").withColumn(
         "cosine",
         dot(F.col("__qvec"), F.col("__cvec"))
         / F.nullif(F.col("__qnorm") * F.col("__cnorm"), F.lit(0.0)),

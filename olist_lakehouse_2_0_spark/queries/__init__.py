@@ -133,7 +133,7 @@ _R1_CHECKED = {
 _NEW_IN_R3 = {
     "dq_fail_gate_violations", "scd2_track_history_subset",
     "cdc_fanout_consistency", "image_decode_stats", "audio_wav_stats",
-    "events_csv_malformed_audit",
+    "events_csv_malformed_audit", "embedding_topk_ivf_indexed",
 }
 
 #: Queries that received a correctness row in round 2

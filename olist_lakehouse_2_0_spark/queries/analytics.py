@@ -238,21 +238,45 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         F.col("o_totalprice").cast(MONEY).alias("price"),
     )
-    return base.rollup("order_year", "status").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum("price").cast(MONEY_SUM).alias("revenue"),
-        F.avg("price").cast(AVG6).alias("avg_order_value"),
+    # avg in exact integer cents with explicit half-up rounding to 1e-6
+    # units — the (2a+n) div 2n idiom (see orders_by_state), applied
+    # per VERDICT r2 next-step #8 so no decimal-cast average is left
+    # exposed to the Spark-half-up/DuckDB-half-even tie divergence.
+    # int64 bound: cents*20000 overflows past ~4.6e14 group cents
+    # (~$4.6T per group) — switch the product to decimal(38,0) beyond.
+    return (
+        base.rollup("order_year", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast(MONEY_SUM).alias("revenue"),
+            F.sum((F.col("price") * 100).cast("long")).alias("__cents"),
+            F.count("price").alias("__cnt"),
+        )
+        .withColumn(
+            "avg_order_value",
+            F.expr("(__cents * 20000 + __cnt) div nullif(2 * __cnt, 0)")
+            .cast("double")
+            / F.lit(1e6),
+        )
+        .drop("__cents", "__cnt")
     )
 
 
 ORDERS_ROLLUP_SQL = """
-SELECT YEAR(o_orderdate) AS order_year,
-       o_orderstatus AS status,
-       COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue,
-       CAST(AVG(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,6)) AS avg_order_value
-FROM orders
-GROUP BY ROLLUP (YEAR(o_orderdate), o_orderstatus)
+WITH g AS (
+  SELECT YEAR(o_orderdate) AS order_year,
+         o_orderstatus AS status,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+         COUNT(o_totalprice) AS cnt
+  FROM orders
+  GROUP BY ROLLUP (YEAR(o_orderdate), o_orderstatus)
+)
+SELECT order_year, status, n_orders, revenue,
+       CAST((cents * 20000 + cnt) // NULLIF(2 * cnt, 0) AS DOUBLE) / 1e6
+         AS avg_order_value
+FROM g
 """
 
 

@@ -200,15 +200,179 @@ def scd1_users_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: C6 spec: only event_type is TRACKED — ts/value changes alone do not
+#: open a new version (TRACK HISTORY ON subset,
+#: reference docs/CDC_GUIDE.md:167-180).
+TRACK_SUBSET_SPEC = ChangeSpec(
+    keys=("user_id",),
+    sequence_by=("event_id",),
+    operation_col="__op",
+    delete_ops=("DELETE",),
+    except_columns=("props",),
+    track_history_except=("ts", "value"),
+)
+
+
+def scd2_track_history_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRACK HISTORY subset under the oracle gate (C6): SCD2 where only
+    ``event_type`` is tracked — an event repeating its predecessor's
+    type (predecessor not a delete) opens NO new version, so runs of
+    same-type events collapse to one version spanning the run. The
+    oracle recomputes suppression with LAG and must match version
+    boundaries exactly. (pytest covers the operator in isolation; this
+    puts the suppressed-version history itself under the hash gate.)"""
+    feed = _as_change_feed(spark, sf_dir)
+    hist = scd2_history(feed, TRACK_SUBSET_SPEC)
+    return hist.select(
+        "user_id",
+        F.col("ts").alias("change_ts"),
+        F.col("event_type"),
+        "value",
+        F.col("__start_at").alias("start_at"),
+        F.col("__end_at").alias("end_at"),
+        F.col("__is_current").alias("is_current"),
+    )
+
+
+SCD2_TRACK_HISTORY_SUBSET_SQL = """
+WITH feed AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         CASE event_type WHEN 'signup' THEN 'INSERT'
+                         WHEN 'error' THEN 'DELETE'
+                         ELSE 'UPDATE' END AS op
+  FROM events
+), marked AS (
+  SELECT *,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type,
+         LAG(op) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_op
+  FROM feed
+), surv AS (
+  -- keep deletes, first events, events after a delete, and tracked-
+  -- column changes; drop same-type repeats (the suppression rule)
+  SELECT * FROM marked
+  WHERE op = 'DELETE'
+     OR prev_type IS NULL
+     OR prev_op = 'DELETE'
+     OR prev_type <> event_type
+), versioned AS (
+  SELECT user_id, ts, event_type, value, op,
+         event_id AS start_at,
+         LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS end_at
+  FROM surv
+)
+SELECT user_id, ts AS change_ts, event_type, value, start_at, end_at,
+       end_at IS NULL AS is_current
+FROM versioned
+WHERE op <> 'DELETE'
+"""
+
+
+def cdc_fanout_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One stream → SCD1 + SCD2 fan-out under the oracle gate (C7,
+    reference cdc_customers_silver.sql both flows off one staging
+    stream): the change feed is staged once, drained once, and EACH
+    micro-batch is applied to BOTH a SCD1 ``CdcSink`` and a SCD2
+    ``CdcSink``. The output full-outer-joins the SCD1 snapshot with
+    the SCD2 current versions per key — both targets must agree on
+    membership, sequence, and value (``consistent`` true everywhere),
+    and the oracle recomputes the same join from the in-order rebuild,
+    so divergence between the two fan-out legs fails the hash."""
+    import os
+
+    from olist_lakehouse_2_0_spark.operators.cdc import CdcSink
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+    from olist_lakehouse_2_0_spark.streaming.ingest import run_foreach_batch
+
+    feed = _as_change_feed(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type", "value", "props", "__op"
+    )
+    root = staging_dir("cdc_fanout")
+    landing = os.path.join(root, "landing")
+    feed.repartition(3).write.parquet(landing)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    scd1_sink = CdcSink(os.path.join(root, "scd1"), EVENT_SPEC, scd_type=1)
+    scd2_sink = CdcSink(os.path.join(root, "scd2"), EVENT_SPEC, scd_type=2)
+
+    def fanout(batch_df: DataFrame, batch_id: int) -> None:
+        scd1_sink(batch_df, batch_id)
+        scd2_sink(batch_df, batch_id)
+
+    run_foreach_batch(stream, fanout, os.path.join(root, "ckpt"))
+
+    snap = spark.read.parquet(os.path.join(root, "scd1")).select(
+        "user_id",
+        F.col("__seq").alias("snap_seq"),
+        F.col("value").alias("snap_value"),
+    )
+    cur = (
+        spark.read.parquet(os.path.join(root, "scd2"))
+        .filter(F.col("__is_current"))
+        .select(
+            "user_id",
+            F.col("__start_at").alias("cur_start"),
+            F.col("value").alias("cur_value"),
+        )
+    )
+    return snap.join(cur, "user_id", "full_outer").select(
+        "user_id",
+        "snap_seq",
+        "snap_value",
+        "cur_start",
+        "cur_value",
+        (
+            F.coalesce(F.col("snap_seq") == F.col("cur_start"), F.lit(False))
+            & F.col("snap_value").eqNullSafe(F.col("cur_value"))
+        ).alias("consistent"),
+    )
+
+
+CDC_FANOUT_CONSISTENCY_SQL = """
+WITH feed AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         CASE event_type WHEN 'signup' THEN 'INSERT'
+                         WHEN 'error' THEN 'DELETE'
+                         ELSE 'UPDATE' END AS op
+  FROM events
+), latest AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM feed
+), snap AS (
+  SELECT user_id, event_id AS snap_seq, value AS snap_value
+  FROM latest WHERE rn = 1 AND op <> 'DELETE'
+), versioned AS (
+  SELECT user_id, value, op, event_id AS start_at,
+         LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS end_at
+  FROM feed
+), cur AS (
+  SELECT user_id, start_at AS cur_start, value AS cur_value
+  FROM versioned WHERE op <> 'DELETE' AND end_at IS NULL
+)
+SELECT COALESCE(s.user_id, c.user_id) AS user_id,
+       snap_seq, snap_value, cur_start, cur_value,
+       COALESCE(snap_seq = cur_start, FALSE)
+         AND (snap_value IS NOT DISTINCT FROM cur_value) AS consistent
+FROM snap s FULL OUTER JOIN cur c ON s.user_id = c.user_id
+"""
+
+
 CDC_QUERIES = {
     "scd1_users": scd1_users,
     "scd2_users": scd2_users,
     "scd2_users_incremental": scd2_users_incremental,
     "scd1_users_incremental": scd1_users_incremental,
+    "scd2_track_history_subset": scd2_track_history_subset,
+    "cdc_fanout_consistency": cdc_fanout_consistency,
 }
 CDC_ORACLES = {
     "scd1_users": SCD1_USERS_SQL,
     "scd2_users": SCD2_USERS_SQL,
     "scd2_users_incremental": SCD2_USERS_SQL,
     "scd1_users_incremental": SCD1_USERS_SQL,
+    "scd2_track_history_subset": SCD2_TRACK_HISTORY_SUBSET_SQL,
+    "cdc_fanout_consistency": CDC_FANOUT_CONSISTENCY_SQL,
 }

@@ -116,22 +116,40 @@ def events_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction (JVM ``get_json_object``, no UDF) +
     per-type aggregate over the extracted integer field."""
     events = extract_json_props(load(spark, sf_dir, "events", spread=True), field="k")
-    return events.groupBy("event_type").agg(
-        F.count("props_k").alias("n_with_k"),
-        F.min("props_k").alias("min_k"),
-        F.max("props_k").alias("max_k"),
-        F.avg("props_k").cast(AVG6).alias("avg_k"),
+    # Integer average via the exact half-up (2a+n) div 2n idiom at 1e-6
+    # units (VERDICT r2 #8) — no decimal-cast avg tie exposure.
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("props_k").alias("n_with_k"),
+            F.min("props_k").alias("min_k"),
+            F.max("props_k").alias("max_k"),
+            F.sum("props_k").cast("long").alias("__sum_k"),
+        )
+        .withColumn(
+            "avg_k",
+            F.expr(
+                "(__sum_k * 2000000 + n_with_k) div nullif(2 * n_with_k, 0)"
+            ).cast("double")
+            / F.lit(1e6),
+        )
+        .drop("__sum_k")
     )
 
 
 EVENTS_PROPS_SQL = """
-SELECT event_type,
-       COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
-       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
-       CAST(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DECIMAL(18,6)) AS avg_k
-FROM events
-GROUP BY event_type
+WITH g AS (
+  SELECT event_type,
+         COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+         MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+         MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+  FROM events
+  GROUP BY event_type
+)
+SELECT event_type, n_with_k, min_k, max_k,
+       CAST((sum_k * 2000000 + n_with_k) // NULLIF(2 * n_with_k, 0) AS DOUBLE) / 1e6 AS avg_k
+FROM g
 """
 
 
@@ -581,6 +599,90 @@ GROUP BY event_type
 """
 
 
+def events_csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CSV rescue path under the oracle gate: events re-staged as
+    CSV plus a file of deliberately malformed lines (non-numeric keys,
+    garbage trailing fields); a PERMISSIVE read with
+    ``columnNameOfCorruptRecord`` must keep every good row typed and
+    capture exactly the bad lines — none dropped, none leaking into the
+    typed columns. The audit rollup buckets corrupt rows under one
+    label next to the per-type good-row counts, so both the parse and
+    the rescue are inside the hash check (production ingestion never
+    FAILFASTs a 100 TB backfill over three bad lines; it quarantines
+    them).
+
+    Scale trap this query pins down: Spark's CSV parser PRUNES to the
+    referenced columns, and a pruned-away column is never type-checked
+    — an audit that reads only (event_type, _corrupt) silently reports
+    zero corruption. The aggregates below deliberately touch the typed
+    event_id/value columns so the lazy parser must validate them; the
+    corrupt rows' PARTIAL results (Spark keeps parseable fields of a
+    bad line) are part of the oracled output."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = staging_dir("csv_malformed")
+    landing = os.path.join(root, "landing")
+    events.repartition(2).write.option("header", True).csv(landing)
+    # Three malformed lines, all TYPE errors in referenced columns
+    # (unparsable long / double). Deliberately no wrong-arity lines:
+    # whether extra tokens are flagged depends on whether the pruned
+    # parser materializes those positions — type errors in referenced
+    # columns are corrupt under both full and pruned parsing.
+    # (header=True skips this file's first line like any other part.)
+    with open(os.path.join(landing, "part-malformed.csv"), "w") as f:
+        f.write("event_id,user_id,event_type,value\n")
+        f.write("notanint,77,click,1.5\n")
+        f.write("123,88,click,notadouble\n")
+        f.write("alsobad,99,view,xyz\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(landing)
+    )
+    # The typed aggregates run over GOOD rows only (corrupt rows keep
+    # engine-specific partial parses; those stay out of the oracle) but
+    # still REFERENCE event_id/value, which is what defeats the pruning
+    # trap above.
+    good = F.col("_corrupt").isNull()
+    bucket = F.when(~good, F.lit("__corrupt__")).otherwise(F.col("event_type"))
+    return parsed.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(good, F.col("event_id"))).alias("n_ids"),
+        F.sum(F.when(good, F.floor(F.col("value") * 100 + F.lit(0.5))))
+        .cast("long")
+        .alias("value_cents"),
+    )
+
+
+EVENTS_CSV_MALFORMED_AUDIT_SQL = """
+SELECT event_type AS bucket, COUNT(*) AS n_rows, COUNT(*) AS n_ids,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY event_type
+UNION ALL
+SELECT '__corrupt__', 3, 0, CAST(NULL AS BIGINT)
+"""
+
+
 EVENT_QUERIES = {
     "events_csv_ingest_exactly_once": events_csv_ingest_exactly_once,
     "events_hourly_by_type": events_hourly_by_type,
@@ -596,10 +698,12 @@ EVENT_QUERIES = {
     "events_funnel": events_funnel,
     "user_cohort_retention": user_cohort_retention,
     "events_gold_incremental": events_gold_incremental,
+    "events_csv_malformed_audit": events_csv_malformed_audit,
 }
 
 EVENT_ORACLES = {
     "events_csv_ingest_exactly_once": EVENTS_CSV_INGEST_SQL,
+    "events_csv_malformed_audit": EVENTS_CSV_MALFORMED_AUDIT_SQL,
     "events_user_profile_stateful": EVENTS_USER_PROFILE_STATEFUL_SQL,
     "events_hourly_by_type": EVENTS_HOURLY_SQL,
     "events_sliding_halfhour": EVENTS_SLIDING_SQL,

@@ -898,6 +898,68 @@ GROUP BY violated
 
 
 # ---------------------------------------------------------------------------
+# P7 under the oracle gate: the FAIL-UPDATE decision table as data.
+# ---------------------------------------------------------------------------
+def dq_fail_gate_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FAIL-gate's decision relation (P7, reference
+    gold/daily_orders.sql:10-13 FAIL UPDATE): one row per expectation
+    with violation count, action, and whether the gate would block the
+    promotion. The rule mix guarantees both outcomes appear in the
+    output — the two clean FAIL rules show gate_blocks=false, the
+    strict price cap has real violations so its FAIL row must come out
+    gate_blocks=true (and the oracle recomputes the identical table,
+    so the gate's blocking logic itself is hash-verified, not just the
+    counts). pytest covers the raise; this covers the decision."""
+    from olist_lakehouse_2_0_spark.operators.expectations import (
+        expect,
+        expect_or_drop,
+        expect_or_fail,
+        gate_report,
+    )
+
+    orders = load(spark, sf_dir, "orders", spread=True)
+    exps = [
+        expect_or_fail("orderkey_not_null", F.col("o_orderkey").isNotNull()),
+        expect_or_fail(
+            "status_domain", F.col("o_orderstatus").isin("O", "F", "P")
+        ),
+        expect_or_fail("price_cap_strict", F.col("o_totalprice") <= 100000),
+        expect_or_drop(
+            "priority_nonempty",
+            F.length(F.trim(F.col("o_orderpriority"))) > 0,
+        ),
+        expect("price_moderate", F.col("o_totalprice") <= 50000),
+    ]
+    return gate_report(orders, exps)
+
+
+DQ_FAIL_GATE_VIOLATIONS_SQL = """
+WITH agg AS (
+  SELECT
+    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v0,
+    SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)
+             THEN 1 ELSE 0 END) AS v1,
+    SUM(CASE WHEN NOT COALESCE(o_totalprice <= 100000, FALSE)
+             THEN 1 ELSE 0 END) AS v2,
+    SUM(CASE WHEN NOT COALESCE(LENGTH(TRIM(o_orderpriority)) > 0, FALSE)
+             THEN 1 ELSE 0 END) AS v3,
+    SUM(CASE WHEN NOT COALESCE(o_totalprice <= 50000, FALSE)
+             THEN 1 ELSE 0 END) AS v4
+  FROM orders
+)
+SELECT rule, action, CAST(violations AS BIGINT) AS violations,
+       (action = 'fail' AND violations > 0) AS gate_blocks
+FROM (
+  SELECT 'orderkey_not_null' AS rule, 'fail' AS action, v0 AS violations FROM agg
+  UNION ALL SELECT 'status_domain', 'fail', v1 FROM agg
+  UNION ALL SELECT 'price_cap_strict', 'fail', v2 FROM agg
+  UNION ALL SELECT 'priority_nonempty', 'drop', v3 FROM agg
+  UNION ALL SELECT 'price_moderate', 'warn', v4 FROM agg
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Global top-k (O1/O2): ORDER BY + LIMIT compiles to
 # TakeOrderedAndProject — per-partition heap of k rows + driver merge,
 # never a full sort. The scalable "top N overall" path at any size.
@@ -938,6 +1000,7 @@ RELATIONAL_QUERIES = {
     "valid_orders_filter": valid_orders_filter,
     "dq_violation_summary": dq_violation_summary,
     "dq_drop_quarantine": dq_drop_quarantine,
+    "dq_fail_gate_violations": dq_fail_gate_violations,
     "top_revenue_orders": top_revenue_orders,
 }
 
@@ -956,5 +1019,6 @@ RELATIONAL_ORACLES = {
     "valid_orders_filter": VALID_ORDERS_FILTER_SQL,
     "dq_violation_summary": DQ_VIOLATION_SUMMARY_SQL,
     "dq_drop_quarantine": DQ_DROP_QUARANTINE_SQL,
+    "dq_fail_gate_violations": DQ_FAIL_GATE_VIOLATIONS_SQL,
     "top_revenue_orders": TOP_REVENUE_ORDERS_SQL,
 }

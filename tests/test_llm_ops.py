@@ -118,9 +118,83 @@ def test_image_pipeline_roundtrip(spark):
     assert all(w == doc_id % 64 + 16 for doc_id, w in got.items())
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_fake_format_still_raises():
+    # FIMG fake payloads carry no pixels; only real formats decode.
     with pytest.raises(NotImplementedError):
         decode_image(FAKE_MAGIC + b"\x10\x00\x10\x00\x03")
+
+
+def test_bmp_roundtrip_and_resize():
+    """Real codec path: encode -> decode is exact, nearest-neighbor
+    resize picks the expected source pixels, odd widths exercise the
+    4-byte row padding."""
+    import numpy as np
+
+    from olist_lakehouse_2_0_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        resize_nearest,
+    )
+
+    rng = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    payload = encode_bmp(rng)
+    assert payload[:2] == b"BM"
+    decoded = decode_bmp(payload)
+    assert decoded.shape == (5, 7, 3)
+    assert (decoded == rng).all()
+
+    small = resize_nearest(decoded, (3, 2))  # (width, height)
+    assert small.shape == (2, 3, 3)
+    yi = (np.arange(2) * 5) // 2
+    xi = (np.arange(3) * 7) // 3
+    assert (small == rng[yi][:, xi]).all()
+    # decode_image dispatches BMP to the real path
+    assert (decode_image(payload) == rng).all()
+
+
+def test_wav_roundtrip():
+    import numpy as np
+
+    from olist_lakehouse_2_0_spark.operators.multimodal import (
+        decode_audio,
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = np.array([0, 1000, -1000, 32767, -32768, 7], dtype=np.int16)
+    payload = encode_wav(samples, 16000)
+    sr, channels, wave = decode_wav(payload)
+    assert (sr, channels) == (16000, 1)
+    assert (wave == samples).all()
+    assert (decode_audio(payload)[2] == samples).all()
+
+
+def test_resize_images_real_bmp_payloads(spark):
+    """resize_images on BMP payloads must replace the payload with a
+    re-encoded image of the target size whose pixels match the
+    nearest-neighbor law."""
+    import numpy as np
+
+    from olist_lakehouse_2_0_spark.operators.multimodal import (
+        decode_bmp,
+        resize_images,
+        resize_nearest,
+        synthesize_bmp_column,
+    )
+
+    docs = load(spark, SF, "documents").select("doc_id").limit(20)
+    resized = resize_images(
+        synthesize_bmp_column(docs, "doc_id"), target=(6, 5)
+    ).collect()
+    assert all(r.resized_width == 6 and r.resized_height == 5 for r in resized)
+    for r in resized[:5]:
+        arr = decode_bmp(bytes(r.image))
+        assert arr.shape == (5, 6, 3)
+        i = r.doc_id
+        w, h = i % 8 + 4, (i * 3) % 8 + 4
+        grid = (np.add.outer(np.arange(h), np.arange(w)) + i) % 256
+        src = np.repeat(grid[:, :, None], 3, axis=2).astype(np.uint8)
+        assert (arr == resize_nearest(src, (6, 5))).all()
 
 
 def test_sample_frames_shape(spark):

@@ -1,0 +1,102 @@
+"""On-disk IVF index: partition-pruned probes and exactness.
+
+The round-2 watch item: the in-memory IVF path never materialized its
+index, so at scale every query batch re-scanned the full corpus. These
+tests pin the on-disk contract — postings written partitioned by
+centroid_id, probe scans pruned to the probed partitions, exhaustive
+probing bit-equal to brute force through the parquet roundtrip.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from olist_lakehouse_2_0_spark.catalog import Catalog
+from olist_lakehouse_2_0_spark.operators.similarity import (
+    cosine_topk,
+    default_num_centroids,
+    ivf_topk_indexed,
+    write_ivf_index,
+)
+
+
+def _corpus(spark, n=400, dim=8):
+    # Deterministic pseudo-random vectors, JVM-side.
+    return spark.range(0, n).select(
+        F.col("id").alias("corpus_id"),
+        F.array(
+            *[
+                (
+                    F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(1000))
+                    / 1000.0
+                ).cast("float")
+                for i in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+
+
+def test_indexed_probe_prunes_partitions(spark, tmp_path):
+    """The probe scan over the partitioned postings must show a static
+    partition filter on centroid_id and read only the probed buckets'
+    files (nprobe of num_centroids)."""
+    corpus = _corpus(spark)
+    cat = Catalog(root=str(tmp_path))
+    n_cent = write_ivf_index(corpus, cat, num_centroids=16)
+    assert n_cent == 16
+
+    queries = corpus.filter(F.col("corpus_id") % 100 == 0).select(
+        F.col("corpus_id").alias("query_id"), "embedding"
+    )
+    topk = ivf_topk_indexed(queries, cat, nprobe=2, k=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        topk.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    # The literal IN-list must be a STATIC partition filter in the scan
+    # node — guaranteed pruning regardless of whether the optimizer's
+    # dynamic-pruning heuristic also fires (it may add a dynamicpruning
+    # subquery on top; that's fine, but the static filter is the
+    # contract).
+    assert "centroid_id IN" in plan or "centroid_id#" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    # Every query returns its k rows from the probed buckets.
+    counts = {r[0]: r[1] for r in topk.groupBy("query_id").count().collect()}
+    assert set(counts) == {0, 100, 200, 300}
+    assert all(v == 5 for v in counts.values())
+
+
+def test_indexed_exhaustive_equals_bruteforce(spark, tmp_path):
+    """nprobe=None probes every partition: the indexed result (through
+    the parquet roundtrip of vectors and norms) must equal brute force
+    exactly — same cosines, same tie-break order."""
+    corpus = _corpus(spark, n=200)
+    cat = Catalog(root=str(tmp_path))
+    write_ivf_index(corpus, cat, num_centroids=None)
+
+    queries = corpus.filter(F.col("corpus_id") % 50 == 0).select(
+        F.col("corpus_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["corpus_id"], r["rank"], round(r["cosine"], 12))
+        for r in cosine_topk(queries, corpus, k=10).collect()
+    }
+    indexed = {
+        (r["query_id"], r["corpus_id"], r["rank"], round(r["cosine"], 12))
+        for r in ivf_topk_indexed(queries, cat, nprobe=None, k=10).collect()
+    }
+    assert indexed == exact
+
+
+def test_default_num_centroids_sqrt_scaling():
+    assert default_num_centroids(100) == 16  # floor
+    assert default_num_centroids(10_000) == 100
+    assert default_num_centroids(1_000_000) == 1000
+    # 100 TB regime: 1e11 rows -> ~3e5 centroids, probe-join
+    # parallelism no longer capped by a constant.
+    assert default_num_centroids(10**11) == 316_227
