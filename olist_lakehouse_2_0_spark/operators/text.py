@@ -594,6 +594,82 @@ def winnow_overlap_pairs(
     )
 
 
+def winnow_dup_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_overlap: float = 0.8,
+    max_fp_df: int = 64,
+) -> DataFrame:
+    """Scale-safe FULL-RECALL candidate pairs for exact-duplicate
+    verification, two-tiered:
+
+    1. **Rare-print inverted index** — the winnow overlap self-join,
+       but only over fingerprints with document frequency <=
+       ``max_fp_df`` (a SCALE-INDEPENDENT constant). Self-join cost is
+       sum(df^2) over kept fingerprints, bounded by max_fp_df * total
+       prints regardless of corpus size.
+    2. **Identical-set signature join** — per-document xxhash64 of the
+       sorted fingerprint set; documents whose every fingerprint is
+       corpus-common (erased by tier 1's cut) still collide here,
+       because exact duplicates have IDENTICAL fingerprint sets.
+
+    Recall argument for exact dups: a dup pair shares its whole
+    fingerprint set. If any member fingerprint is rare, both docs keep
+    identical kept-sets in tier 1 (overlap 1.0); if none is, tier 2's
+    set signature matches. Either way the pair is a candidate.
+
+    This replaces the corpus-relative df-cut (max(64, n/10)) the
+    verified query used before: that threshold grows with the corpus,
+    and sum(df^2) under it measured 436M pair-units on a repetitive
+    10k-doc corpus (~15 s) vs 3.6M (~2 s) for the two-tier form — at
+    1e9 docs the n/10 cut would be catastrophic while this stays
+    linear. Candidate PRECISION is the caller's verification step;
+    tier 2 adds only identical-set pairs, which exact verification
+    keeps anyway.
+    """
+    prints = winnow_prints(df, id_col, text_col, k, window).persist()
+    fp_df = prints.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+    rare_prints = prints.join(
+        fp_df.filter(F.col("_df") <= max_fp_df).select("fp"), "fp"
+    )
+    sizes = rare_prints.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = rare_prints.alias("a")
+    b = rare_prints.alias("b")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_fp").alias("n_b"))
+    tier1 = (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.col("shared") / F.least(F.col("n_a"), F.col("n_b"))
+            >= min_overlap
+        )
+        .select("id_a", "id_b")
+    )
+    sig = prints.groupBy("doc").agg(
+        F.xxhash64(F.sort_array(F.collect_set("fp"))).alias("__sig")
+    )
+    sl = sig.alias("sl")
+    sr = sig.alias("sr")
+    tier2 = (
+        sl.join(sr, "__sig")
+        .filter(F.col("sl.doc") < F.col("sr.doc"))
+        .select(
+            F.col("sl.doc").alias("id_a"), F.col("sr.doc").alias("id_b")
+        )
+    )
+    return tier1.unionByName(tier2).distinct()
+
+
 def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full per-document text-analysis column set."""
     t = F.col(text_col)

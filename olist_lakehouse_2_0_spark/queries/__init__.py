@@ -134,6 +134,7 @@ _NEW_IN_R3 = {
     "dq_fail_gate_violations", "scd2_track_history_subset",
     "cdc_fanout_consistency", "image_decode_stats", "audio_wav_stats",
     "events_csv_malformed_audit", "embedding_topk_ivf_indexed",
+    "events_sketch_verified", "embedding_topk_ivf_kmeans_exhaustive",
 }
 
 #: Queries that received a correctness row in round 2

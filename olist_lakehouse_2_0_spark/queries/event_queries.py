@@ -312,6 +312,50 @@ def events_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sketch_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch path under the hash gate (companion to the rows-only
+    ``events_sketch_profile``): per type, EXACT counts plus boolean
+    accuracy verdicts for the sketches — HLL distinct-users within 5%
+    of exact (HLL register-max merge is commutative, so the estimate is
+    deterministic for a fixed input set at any partitioning), and the
+    approximate p50 inside the exact p40..p60 rank band (rank-based,
+    so it holds at any value distribution). The oracle emits TRUE
+    literals with the exact counts — a sketch drifting out of bounds
+    fails the hash."""
+    events = load(spark, sf_dir, "events", spread=True)
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__hll_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("__p50_approx"),
+        F.percentile("value", 0.40).alias("__p40"),
+        F.percentile("value", 0.60).alias("__p60"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("__hll_users") - F.col("exact_users"))
+            <= F.col("exact_users") * 0.05
+        ).alias("hll_within_5pct"),
+        (
+            (F.col("__p50_approx") >= F.col("__p40"))
+            & (F.col("__p50_approx") <= F.col("__p60"))
+        ).alias("p50_within_rank_band"),
+    )
+
+
+EVENTS_SKETCH_VERIFIED_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_within_5pct,
+       TRUE AS p50_within_rank_band
+FROM events
+GROUP BY event_type
+"""
+
+
 def events_user_profile_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): the
     events table replayed through an availableNow streaming query that
@@ -699,11 +743,13 @@ EVENT_QUERIES = {
     "user_cohort_retention": user_cohort_retention,
     "events_gold_incremental": events_gold_incremental,
     "events_csv_malformed_audit": events_csv_malformed_audit,
+    "events_sketch_verified": events_sketch_verified,
 }
 
 EVENT_ORACLES = {
     "events_csv_ingest_exactly_once": EVENTS_CSV_INGEST_SQL,
     "events_csv_malformed_audit": EVENTS_CSV_MALFORMED_AUDIT_SQL,
+    "events_sketch_verified": EVENTS_SKETCH_VERIFIED_SQL,
     "events_user_profile_stateful": EVENTS_USER_PROFILE_STATEFUL_SQL,
     "events_hourly_by_type": EVENTS_HOURLY_SQL,
     "events_sliding_halfhour": EVENTS_SLIDING_SQL,

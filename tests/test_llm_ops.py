@@ -230,6 +230,36 @@ def test_winnow_partial_overlap(spark):
     assert by_id[1] and by_id[1] != by_id[3]
 
 
+def test_winnow_dup_candidates_recall_for_common_fingerprint_docs(spark):
+    """The two-tier candidate generator must catch exact-dup pairs
+    whose EVERY fingerprint exceeds the df cut (tier 1 erases them;
+    tier 2's identical-set signature must recover them), while rare
+    partial-overlap pairs still come from tier 1."""
+    from olist_lakehouse_2_0_spark.operators.text import winnow_dup_candidates
+
+    common = "the same boiler plate sentence repeated in every document here"
+    rows = []
+    # 10 distinct docs all built ONLY from the common sentence -> every
+    # fingerprint has df ~10 > max_fp_df=4; docs 100/101 are exact dups.
+    for i in range(100, 110):
+        rows.append((i, common))
+    rows.append((200, "rare unique wording appears solely in this entry alone"))
+    rows.append((201, "rare unique wording appears solely in this entry alone"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in winnow_dup_candidates(
+            df, "doc_id", "text", k=8, window=4, max_fp_df=4
+        ).collect()
+    }
+    # all-common exact dups recovered via the signature tier
+    assert (100, 101) in got
+    # rare-fingerprint dups recovered via the inverted-index tier
+    assert (200, 201) in got
+    # no cross-tier false pairing between unrelated text groups
+    assert all(not (a < 200 <= b) for a, b in got)
+
+
 def test_dedup_components_clusters_pairs(spark):
     """Min-label propagation must produce one component per connected
     pair group, labeled by the smallest member id, including chains

@@ -137,3 +137,74 @@ class TestOperatorProperties:
             ).collect()
         }
         assert got == _seg_expected(docs, 3, 2)
+
+
+# ---------------------------------------------------------------------------
+# Codec properties (pure Python, no Spark session): the zero-dependency
+# BMP/WAV codecs must roundtrip ANY array exactly — including odd widths
+# (BMP 4-byte row padding), extreme int16 samples, and 1-pixel images.
+# ---------------------------------------------------------------------------
+
+
+class TestCodecProperties:
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_bmp_roundtrip_any_shape(self, h, w, seed):
+        import numpy as np
+
+        from olist_lakehouse_2_0_spark.operators.multimodal import (
+            decode_bmp,
+            encode_bmp,
+        )
+
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = encode_bmp(arr)
+        # documented size law: 54-byte headers + padded rows
+        assert len(payload) == 54 + ((3 * w + 3) // 4) * 4 * h
+        assert (decode_bmp(payload) == arr).all()
+
+    @given(
+        samples=st.lists(
+            st.integers(-32768, 32767), min_size=0, max_size=64
+        ),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_wav_roundtrip_any_samples(self, samples, rate):
+        import numpy as np
+
+        from olist_lakehouse_2_0_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        payload = encode_wav(np.array(samples, dtype=np.int16), rate)
+        sr, channels, wave = decode_wav(payload)
+        assert (sr, channels) == (rate, 1)
+        assert wave.tolist() == samples
+
+    @given(
+        h=st.integers(1, 10),
+        w=st.integers(1, 10),
+        th=st.integers(1, 10),
+        tw=st.integers(1, 10),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_resize_nearest_pixel_law(self, h, w, th, tw):
+        import numpy as np
+
+        from olist_lakehouse_2_0_spark.operators.multimodal import (
+            resize_nearest,
+        )
+
+        arr = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+        out = resize_nearest(arr, (tw, th))
+        assert out.shape == (th, tw, 3)
+        for y in range(th):
+            for x in range(tw):
+                assert (out[y, x] == arr[(y * h) // th, (x * w) // tw]).all()
