@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from olist_lakehouse_2_0_spark.catalog import load
-from olist_lakehouse_2_0_spark.queries.relational import AVG6, MONEY, MONEY_SUM
+from olist_lakehouse_2_0_spark.queries.relational import MONEY, MONEY_SUM
 
 
 # ---------------------------------------------------------------------------

@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 
 from olist_lakehouse_2_0_spark.catalog import load
 from olist_lakehouse_2_0_spark.streaming.windows import (
-    AVG6,
     extract_json_props,
     sessionize,
     sliding_window_agg,

@@ -33,7 +33,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from olist_lakehouse_2_0_spark.catalog import load
-from olist_lakehouse_2_0_spark.queries.relational import AVG6, MONEY, MONEY_SUM
+from olist_lakehouse_2_0_spark.queries.relational import MONEY, MONEY_SUM
 
 
 # ---------------------------------------------------------------------------

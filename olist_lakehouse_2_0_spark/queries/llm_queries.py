@@ -911,6 +911,66 @@ FROM params
 """
 
 
+def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup against a PERSISTED fingerprint store —
+    the production shape at 100 TB: each arriving batch dedups against
+    all history (a parquet store of 64-bit fingerprints, O(corpus)
+    state, anti-join per batch), never a full recompute.
+
+    The corpus (with planted dups) arrives as 3 deterministic batches
+    (doc_id % 3): a planted copy (id + 1e6 ≡ id+1 mod 3) always lands
+    in a DIFFERENT batch than its original, so the cross-batch store
+    path is exercised in both directions — copies arriving after their
+    original are dropped by the store, and the one batch-order where a
+    copy arrives FIRST wins instead (first-arrival semantics, which
+    the oracle reproduces with ORDER BY batch, doc_id). Within a
+    batch, min-id wins. Output = every surviving (doc_id, batch)."""
+    import os
+
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+
+    docs = _with_duplicates(load(spark, sf_dir, "documents", spread=True))
+    keyed = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("int").alias("batch"),
+        ops_text.fingerprint("text").alias("__fp"),
+    )
+    store = os.path.join(staging_dir("inc_dedup"), "store")
+    for b in range(3):
+        batch = keyed.filter(F.col("batch") == b)
+        # batch-internal dedup: min id per fingerprint
+        internal = batch.groupBy("__fp").agg(
+            F.min("doc_id").alias("doc_id"), F.first("batch").alias("batch")
+        )
+        try:
+            seen = spark.read.parquet(store).select("__fp")
+            fresh = internal.join(seen, "__fp", "left_anti")
+        except Exception:
+            fresh = internal
+        fresh.select("__fp", "doc_id", "batch").write.mode("append").parquet(
+            store
+        )
+    return spark.read.parquet(store).select("doc_id", "batch")
+
+
+INCREMENTAL_CORPUS_DEDUP_SQL = r"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, '  ' || text || ' ' FROM documents
+), keyed AS (
+  SELECT doc_id, CAST(doc_id % 3 AS INT) AS batch,
+         REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g') AS norm
+  FROM unioned
+), ranked AS (
+  SELECT doc_id, batch,
+         ROW_NUMBER() OVER (PARTITION BY norm ORDER BY batch, doc_id) AS rn
+  FROM keyed
+)
+SELECT doc_id, batch FROM ranked WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / splitting (md5-prefix based; fully oracled)
 # ---------------------------------------------------------------------------
@@ -1964,6 +2024,7 @@ LLM_QUERIES = {
     "doc_quality_by_source": doc_quality_by_source,
     "top_tokens": top_tokens,
     "exact_dedup_docs": exact_dedup_docs,
+    "incremental_corpus_dedup": incremental_corpus_dedup,
     "jaccard_dups": jaccard_dups,
     "minhash_dups": minhash_dups,
     "simhash_dups": simhash_dups,
@@ -2015,6 +2076,7 @@ LLM_ORACLES = {
     "doc_quality_by_source": DOC_QUALITY_BY_SOURCE_SQL,
     "top_tokens": TOP_TOKENS_SQL,
     "exact_dedup_docs": EXACT_DEDUP_DOCS_SQL,
+    "incremental_corpus_dedup": INCREMENTAL_CORPUS_DEDUP_SQL,
     "jaccard_dups": JACCARD_DUPS_SQL,
     "minhash_verified_dups": MINHASH_VERIFIED_DUPS_SQL,
     "simhash_verified_dups": SIMHASH_VERIFIED_DUPS_SQL,
