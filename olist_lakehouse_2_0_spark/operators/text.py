@@ -556,9 +556,11 @@ def winnow_overlap_pairs(
     estimate the df-cut's output size, demoting every prints⋈rare join
     from broadcast to sort-merge and recomputing the fingerprint
     aggregate per consumer. Callers that want a corpus-relative
-    threshold should resolve the row count once (parquet-metadata
-    count, cached per dataset — see queries/llm_queries.py
-    ``_corpus_rows``) and pass the literal.
+    threshold should resolve the row count once up front (a parquet
+    count() reads only footer metadata; cache it per dataset) and pass
+    the literal — though for exact-dup candidate generation, prefer
+    :func:`winnow_dup_candidates`, whose cost does not depend on a
+    corpus-relative cut at all.
     """
     # Three downstream consumers (df-cut, sizes, self-join) would each
     # recompute the fingerprint scan; persist the compact (doc, fp)

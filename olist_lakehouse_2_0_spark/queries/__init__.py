@@ -135,7 +135,7 @@ _NEW_IN_R3 = {
     "cdc_fanout_consistency", "image_decode_stats", "audio_wav_stats",
     "events_csv_malformed_audit", "embedding_topk_ivf_indexed",
     "events_sketch_verified", "embedding_topk_ivf_kmeans_exhaustive",
-    "incremental_corpus_dedup",
+    "incremental_corpus_dedup", "multi_format_roundtrip",
 }
 
 #: Queries that received a correctness row in round 2

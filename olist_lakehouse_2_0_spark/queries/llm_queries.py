@@ -288,20 +288,6 @@ SELECT token, occurrences, rank FROM (
 # ---------------------------------------------------------------------------
 
 
-#: Per-(sf_dir, table) row counts, resolved once per process. A
-#: count() over a parquet scan with no referenced columns is footer-
-#: metadata work, and caching it keeps repeated invocations (profiling
-#: reps, plan paths) from re-running even that (ADVICE r2).
-_CORPUS_ROWS: dict[tuple[str, str], int] = {}
-
-
-def _corpus_rows(spark: SparkSession, sf_dir: str, table: str = "documents") -> int:
-    key = (sf_dir, table)
-    if key not in _CORPUS_ROWS:
-        _CORPUS_ROWS[key] = load(spark, sf_dir, table).count()
-    return _CORPUS_ROWS[key]
-
-
 #: One on-disk IVF index per dataset per process (the offline-build,
 #: probe-many production shape; rebuilding per invocation would redo
 #: the centroid assignment and partitioned write every time).
@@ -908,6 +894,72 @@ SELECT doc_id, sample_rate, n_samples,
        CAST(list_sum(list_transform(range(0, n_samples), i ->
               (doc_id * 31 + i * 7) % 2048 - 1024)) AS BIGINT) AS amp_sum
 FROM params
+"""
+
+
+def multi_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The non-parquet batch sources under the hash gate: the documents
+    table is re-staged as JSON-lines (web-scrape/API corpus shape) and
+    ORC (Hive-lineage shape), read back through the engine's
+    ``read_jsonl`` / ``read_orc`` sources, and each format's per-source
+    doc counts and exact token totals must match the parquet original
+    the oracle reads — a value-level roundtrip check on both readers,
+    not just a schema smoke test. Staging cost is bounded by the
+    documents table; each read is one scan."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from olist_lakehouse_2_0_spark.sources.batch import read_jsonl, read_orc
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    root = staging_dir("multi_format")
+    jsonl_path = os.path.join(root, "docs_jsonl")
+    orc_path = os.path.join(root, "docs_orc")
+    docs.write.json(jsonl_path)
+    docs.write.orc(orc_path)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    via_jsonl = read_jsonl(spark, jsonl_path, schema, audit=False).select(
+        F.lit("jsonl").alias("format"),
+        "source",
+        ops_text.token_count("text").alias("n_tokens"),
+    )
+    via_orc = read_orc(spark, orc_path).select(
+        F.lit("orc").alias("format"),
+        "source",
+        ops_text.token_count("text").alias("n_tokens"),
+    )
+    return (
+        via_jsonl.unionByName(via_orc)
+        .groupBy("format", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+MULTI_FORMAT_ROUNDTRIP_SQL = r"""
+WITH sized AS (
+  SELECT source,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens
+  FROM documents
+), per_source AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM sized GROUP BY source
+)
+SELECT f.format, p.source, p.n_docs, p.total_tokens
+FROM per_source p, (SELECT 'jsonl' AS format UNION ALL SELECT 'orc') f
 """
 
 
@@ -2025,6 +2077,7 @@ LLM_QUERIES = {
     "top_tokens": top_tokens,
     "exact_dedup_docs": exact_dedup_docs,
     "incremental_corpus_dedup": incremental_corpus_dedup,
+    "multi_format_roundtrip": multi_format_roundtrip,
     "jaccard_dups": jaccard_dups,
     "minhash_dups": minhash_dups,
     "simhash_dups": simhash_dups,
@@ -2077,6 +2130,7 @@ LLM_ORACLES = {
     "top_tokens": TOP_TOKENS_SQL,
     "exact_dedup_docs": EXACT_DEDUP_DOCS_SQL,
     "incremental_corpus_dedup": INCREMENTAL_CORPUS_DEDUP_SQL,
+    "multi_format_roundtrip": MULTI_FORMAT_ROUNDTRIP_SQL,
     "jaccard_dups": JACCARD_DUPS_SQL,
     "minhash_verified_dups": MINHASH_VERIFIED_DUPS_SQL,
     "simhash_verified_dups": SIMHASH_VERIFIED_DUPS_SQL,
