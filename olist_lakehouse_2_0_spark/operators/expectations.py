@@ -208,15 +208,27 @@ def gate_report(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
         for i, e in enumerate(expectations)
     ]
     agg = df.agg(*counters)
-    stack = ", ".join(
-        f"'{e.name}', '{e.action.value}', v_{i}"
-        for i, e in enumerate(expectations)
+    # Column-literal unpivot (explode of struct array), never
+    # interpolated SQL text: a rule name containing a quote must stay
+    # data, not become part of the expression.
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(e.name).alias("rule"),
+                F.lit(e.action.value).alias("action"),
+                F.col(f"v_{i}").alias("violations"),
+            )
+            for i, e in enumerate(expectations)
+        ]
     )
-    return agg.selectExpr(
-        f"stack({len(expectations)}, {stack}) AS (rule, action, violations)"
-    ).withColumn(
-        "gate_blocks",
-        (F.col("action") == Action.FAIL.value) & (F.col("violations") > 0),
+    return (
+        agg.select(F.explode(rows).alias("r"))
+        .select("r.rule", "r.action", "r.violations")
+        .withColumn(
+            "gate_blocks",
+            (F.col("action") == Action.FAIL.value)
+            & (F.col("violations") > 0),
+        )
     )
 
 

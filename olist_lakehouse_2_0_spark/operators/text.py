@@ -564,7 +564,10 @@ def winnow_overlap_pairs(
     """
     # Three downstream consumers (df-cut, sizes, self-join) would each
     # recompute the fingerprint scan; persist the compact (doc, fp)
-    # index instead — 16 bytes/row regardless of document size.
+    # index instead — 16 bytes/row regardless of document size. The
+    # persisted blocks stay cached for the session (lazy results make
+    # an in-function unpersist unsound); batch callers should
+    # clearCache between corpora, as bench.py does.
     prints = winnow_prints(df, id_col, text_col, k, window).persist()
     if max_fp_df is not None:
         rare = (
@@ -574,6 +577,17 @@ def winnow_overlap_pairs(
             .select("fp")
         )
         prints = prints.join(rare, "fp")
+    return _overlap_pairs_from_prints(prints, min_overlap)
+
+
+def _overlap_pairs_from_prints(
+    prints: DataFrame, min_overlap: float
+) -> DataFrame:
+    """Containment-overlap pairs from a (doc, fp) index: self-join on
+    fp, count shared prints per doc pair, keep overlap = shared /
+    min(|kept prints|) >= ``min_overlap``. Shared by
+    :func:`winnow_overlap_pairs` and tier 1 of
+    :func:`winnow_dup_candidates` so the two can't drift."""
     sizes = prints.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
     a = prints.alias("a")
     b = prints.alias("b")
@@ -613,52 +627,42 @@ def winnow_dup_candidates(
        ``max_fp_df`` (a SCALE-INDEPENDENT constant). Self-join cost is
        sum(df^2) over kept fingerprints, bounded by max_fp_df * total
        prints regardless of corpus size.
-    2. **Identical-set signature join** — per-document xxhash64 of the
-       sorted fingerprint set; documents whose every fingerprint is
-       corpus-common (erased by tier 1's cut) still collide here,
-       because exact duplicates have IDENTICAL fingerprint sets.
+    2. **Identical-multiset signature join** — per-document xxhash64 of
+       the SORTED fingerprint list; documents whose every fingerprint
+       is corpus-common (erased by tier 1's cut) still collide here,
+       because exact duplicates have IDENTICAL fingerprint multisets.
+       The multiset (sorted collect_list), not the set: docs built
+       from the same boilerplate at different repetition counts share
+       the SET but not the multiset, so they no longer form one giant
+       all-pairs signature cluster — remaining clusters are
+       overwhelmingly true dup groups, whose pair count the OUTPUT
+       itself is quadratic in anyway.
 
     Recall argument for exact dups: a dup pair shares its whole
-    fingerprint set. If any member fingerprint is rare, both docs keep
-    identical kept-sets in tier 1 (overlap 1.0); if none is, tier 2's
-    set signature matches. Either way the pair is a candidate.
+    fingerprint multiset. If any member fingerprint is rare, both docs
+    keep identical kept-sets in tier 1 (overlap 1.0); if none is,
+    tier 2's multiset signature matches. Either way the pair is a
+    candidate.
 
     This replaces the corpus-relative df-cut (max(64, n/10)) the
     verified query used before: that threshold grows with the corpus,
     and sum(df^2) under it measured 436M pair-units on a repetitive
     10k-doc corpus (~15 s) vs 3.6M (~2 s) for the two-tier form — at
     1e9 docs the n/10 cut would be catastrophic while this stays
-    linear. Candidate PRECISION is the caller's verification step;
-    tier 2 adds only identical-set pairs, which exact verification
-    keeps anyway.
+    linear. Candidate PRECISION is the caller's verification step.
+    Persisted print blocks stay cached for the session (see
+    :func:`winnow_overlap_pairs` on why).
     """
     prints = winnow_prints(df, id_col, text_col, k, window).persist()
     fp_df = prints.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
     rare_prints = prints.join(
         fp_df.filter(F.col("_df") <= max_fp_df).select("fp"), "fp"
     )
-    sizes = rare_prints.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
-    a = rare_prints.alias("a")
-    b = rare_prints.alias("b")
-    shared = (
-        a.join(b, "fp")
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_fp").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_fp").alias("n_b"))
-    tier1 = (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(
-            F.col("shared") / F.least(F.col("n_a"), F.col("n_b"))
-            >= min_overlap
-        )
-        .select("id_a", "id_b")
+    tier1 = _overlap_pairs_from_prints(rare_prints, min_overlap).select(
+        "id_a", "id_b"
     )
     sig = prints.groupBy("doc").agg(
-        F.xxhash64(F.sort_array(F.collect_set("fp"))).alias("__sig")
+        F.xxhash64(F.sort_array(F.collect_list("fp"))).alias("__sig")
     )
     sl = sig.alias("sl")
     sr = sig.alias("sr")

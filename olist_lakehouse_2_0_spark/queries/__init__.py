@@ -138,6 +138,18 @@ _NEW_IN_R3 = {
     "incremental_corpus_dedup", "multi_format_roundtrip",
 }
 
+#: Previously-green queries whose IMPLEMENTATION changed in round 3
+#: (avg rounding idiom, LM quantization unit, larger IVF codebook,
+#: two-tier winnow candidates): their old green rows vouch for code
+#: that no longer exists, so they re-enter the window ahead of the
+#: untouched greens.
+_CHANGED_IN_R3 = {
+    "orders_rollup", "orders_cube", "bigram_logprob",
+    "embedding_topk_ivf_exhaustive", "winnow_verified_dups",
+    "doc_quality_by_source", "unigram_logprob", "events_props_by_type",
+    "orders_by_state",
+}
+
 #: Queries that received a correctness row in round 2
 #: (CORRECTNESS_r02.json — all 50 hash-green).
 _R2_CHECKED = {
@@ -171,17 +183,23 @@ def _ordered_for_window(
     next-step #1): close the full set. 75 of 103 queries have a driver
     row across rounds 1-2; the 28 that never got one go FIRST
     (oracled before rows-only), then queries new this round, then the
+    previously-green queries whose implementation CHANGED this round
+    (a stale green row proves nothing about rewritten code), then the
     round-1-green ones (their rows are oldest), then round-2-green
-    last — the window comfortably covers the never-checked + new set,
-    and spare slots re-confirm the stalest greens."""
+    last — the window covers never-checked + new + changed, and spare
+    slots re-confirm the stalest greens."""
     never_oracled: list[tuple[str, QueryFn]] = []
     never_rows_only: list[tuple[str, QueryFn]] = []
     new_this_round: list[tuple[str, QueryFn]] = []
+    changed_this_round: list[tuple[str, QueryFn]] = []
     r1_green: list[tuple[str, QueryFn]] = []
     r2_green: list[tuple[str, QueryFn]] = []
     for item in queries.items():
         name = item[0]
-        if name in _R2_CHECKED:
+        checked = name in _R1_CHECKED or name in _R2_CHECKED
+        if checked and name in _CHANGED_IN_R3:
+            changed_this_round.append(item)
+        elif name in _R2_CHECKED:
             r2_green.append(item)
         elif name in _R1_CHECKED:
             r1_green.append(item)
@@ -195,6 +213,7 @@ def _ordered_for_window(
         never_oracled
         + never_rows_only
         + new_this_round
+        + changed_this_round
         + r1_green
         + r2_green
     )

@@ -127,8 +127,12 @@ def events_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "avg_k",
+            # overflow-safe quotient/remainder half-up form (see
+            # analytics.orders_rollup for the derivation)
             F.expr(
-                "(__sum_k * 2000000 + n_with_k) div nullif(2 * n_with_k, 0)"
+                "(__sum_k div nullif(n_with_k, 0)) * 1000000"
+                " + (2 * (__sum_k % nullif(n_with_k, 0)) * 1000000"
+                "    + n_with_k) div nullif(2 * n_with_k, 0)"
             ).cast("double")
             / F.lit(1e6),
         )
@@ -147,7 +151,9 @@ WITH g AS (
   GROUP BY event_type
 )
 SELECT event_type, n_with_k, min_k, max_k,
-       CAST((sum_k * 2000000 + n_with_k) // NULLIF(2 * n_with_k, 0) AS DOUBLE) / 1e6 AS avg_k
+       CAST((sum_k // NULLIF(n_with_k, 0)) * 1000000
+            + (2 * (sum_k % NULLIF(n_with_k, 0)) * 1000000 + n_with_k)
+              // NULLIF(2 * n_with_k, 0) AS DOUBLE) / 1e6 AS avg_k
 FROM g
 """
 

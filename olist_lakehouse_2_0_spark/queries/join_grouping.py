@@ -179,9 +179,15 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
         F.col("o_totalprice").cast(MONEY).alias("price"),
     )
-    # Exact integer-cent average with explicit half-up rounding — the
-    # (2a+n) div 2n idiom (see orders_by_state / VERDICT r2 #8); no
-    # decimal-cast avg left exposed to the half-up/half-even tie.
+    # Exact integer-cent half-up average in the overflow-safe
+    # quotient/remainder form (see orders_rollup for the derivation —
+    # the naive (2cU+n) div 2n wraps int64 on CUBE grand totals at
+    # large scale factors).
+    avg_units = (
+        "(__cents div nullif(__cnt, 0)) * 10000"
+        " + (2 * (__cents % nullif(__cnt, 0)) * 10000 + __cnt)"
+        " div nullif(2 * __cnt, 0)"
+    )
     return (
         base.cube("status", "priority")
         .agg(
@@ -191,10 +197,7 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("price").alias("__cnt"),
         )
         .withColumn(
-            "avg_order_value",
-            F.expr("(__cents * 20000 + __cnt) div nullif(2 * __cnt, 0)")
-            .cast("double")
-            / F.lit(1e6),
+            "avg_order_value", F.expr(avg_units).cast("double") / F.lit(1e6)
         )
         .drop("__cents", "__cnt")
     )
@@ -212,7 +215,9 @@ WITH g AS (
   GROUP BY CUBE (o_orderstatus, o_orderpriority)
 )
 SELECT status, priority, n_orders, revenue,
-       CAST((cents * 20000 + cnt) // NULLIF(2 * cnt, 0) AS DOUBLE) / 1e6
+       CAST((cents // NULLIF(cnt, 0)) * 10000
+            + (2 * (cents % NULLIF(cnt, 0)) * 10000 + cnt)
+              // NULLIF(2 * cnt, 0) AS DOUBLE) / 1e6
          AS avg_order_value
 FROM g
 """

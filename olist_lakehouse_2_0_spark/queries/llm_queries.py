@@ -12,6 +12,9 @@ covered by operator unit tests against exact baselines.
 
 from __future__ import annotations
 
+import os
+import zlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -150,8 +153,12 @@ def doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "avg_tokens",
+            # overflow-safe quotient/remainder half-up form (see
+            # analytics.orders_rollup for the derivation)
             F.expr(
-                "(total_tokens * 2000000 + n_docs) div nullif(2 * n_docs, 0)"
+                "(total_tokens div nullif(n_docs, 0)) * 1000000"
+                " + (2 * (total_tokens % nullif(n_docs, 0)) * 1000000"
+                "    + n_docs) div nullif(2 * n_docs, 0)"
             ).cast("double")
             / F.lit(1e6),
         )
@@ -166,7 +173,9 @@ SELECT source, lang,
        CAST(AVG(quality_score) AS DECIMAL(18,6)) AS avg_quality,
        COUNT(CASE WHEN quality_score >= 0.7 THEN 1 END) AS high_quality_docs,
        COUNT(DISTINCT lang_guess) AS distinct_lang_guesses,
-       CAST((CAST(SUM(n_tokens) AS BIGINT) * 2000000 + COUNT(*))
+       CAST((CAST(SUM(n_tokens) AS BIGINT) // NULLIF(COUNT(*), 0)) * 1000000
+            + (2 * (CAST(SUM(n_tokens) AS BIGINT) % NULLIF(COUNT(*), 0))
+                 * 1000000 + COUNT(*))
               // NULLIF(2 * COUNT(*), 0) AS DOUBLE) / 1e6 AS avg_tokens
 FROM stats
 GROUP BY source, lang
@@ -301,15 +310,23 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str, emb: DataFrame):
     from olist_lakehouse_2_0_spark.operators.similarity import write_ivf_index
     from olist_lakehouse_2_0_spark.staging import staging_dir
 
-    cat = _IVF_INDEX_CACHE.get(sf_dir)
+    # The cache key and the staging tag must be the SAME normalization
+    # of sf_dir, or two spellings of one dataset ('/x/sf0.1' vs
+    # '/x/sf0.1/') would miss the cache yet collide on the tag —
+    # staging_dir's one-live-root-per-tag rule would then delete the
+    # first entry's live index out from under its cached Catalog. The
+    # hash suffix keeps distinct paths from colliding after the
+    # lossy '/'->'_' mapping.
+    norm = os.path.normpath(sf_dir)
+    tag = "ivf_index_%s_%08x" % (
+        os.path.basename(norm), zlib.crc32(norm.encode()),
+    )
+    cat = _IVF_INDEX_CACHE.get(tag)
     if cat is None:
         corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
-        # Tag includes the dataset so concurrent sf_dirs don't evict
-        # each other's live index via staging_dir's one-per-tag rule.
-        tag = "ivf_index_" + sf_dir.strip("/").replace("/", "_")
         cat = Catalog(root=staging_dir(tag))
         write_ivf_index(corpus, cat, num_centroids=None)
-        _IVF_INDEX_CACHE[sf_dir] = cat
+        _IVF_INDEX_CACHE[tag] = cat
     return cat
 
 
@@ -994,10 +1011,14 @@ def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         internal = batch.groupBy("__fp").agg(
             F.min("doc_id").alias("doc_id"), F.first("batch").alias("batch")
         )
-        try:
+        # Explicit existence check, NOT a bare try/except around the
+        # read: a corrupt/partial store must FAIL the run, not be
+        # silently treated as empty history (which would re-admit every
+        # duplicate — the worst failure mode a dedup store can have).
+        if os.path.exists(store):
             seen = spark.read.parquet(store).select("__fp")
             fresh = internal.join(seen, "__fp", "left_anti")
-        except Exception:
+        else:
             fresh = internal
         fresh.select("__fp", "doc_id", "batch").write.mode("append").parquet(
             store

@@ -197,9 +197,12 @@ def orders_by_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # avg_order_item_value: exact integer-cent arithmetic with explicit
     # half-up integer rounding to 1e-6 units. A double AVG cast to
     # DECIMAL(18,6) hit a cross-engine tie at sf0.001 (....0740625
-    # rounds HALF_UP in Spark's decimal cast, half-even in DuckDB's) —
-    # round-half-up(a/n) == (2a + n) div (2n) is identical integer math
-    # in both engines at every scale.
+    # rounds HALF_UP in Spark's decimal cast, half-even in DuckDB's).
+    # round-half-up(c*1e4/n) in the overflow-safe quotient/remainder
+    # form — (c div n)*1e4 + (2*(c mod n)*1e4 + n) div 2n — identical
+    # integer math in both engines with every intermediate bounded by
+    # max(avg*1e4, 2n*1e4), so no int64 wrap at any group size (the
+    # naive (2c*1e4+n) div 2n wraps past ~4.6e14 group cents).
     cents = F.sum((F.col("order_item_total") * 100).cast("long"))
     cnt = F.count("order_item_total")
     return (
@@ -219,7 +222,9 @@ def orders_by_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_order_item_value",
             (
                 F.expr(
-                    "(__cents * 20000 + __cnt) div nullif(2 * __cnt, 0)"
+                    "(__cents div nullif(__cnt, 0)) * 10000"
+                    " + (2 * (__cents % nullif(__cnt, 0)) * 10000"
+                    "    + __cnt) div nullif(2 * __cnt, 0)"
                 ).cast("double")
                 / F.lit(1e6)
             ),
@@ -252,9 +257,12 @@ SELECT n_name AS nation,
        COUNT(*) AS total_orders,
        COUNT(DISTINCT o_custkey) AS unique_customers,
        CAST(SUM(order_item_total) AS DECIMAL(18,2)) AS total_item_revenue,
-       CAST((2 * CAST(SUM(CAST(order_item_total * 100 AS BIGINT)) AS BIGINT) * 10000
-             + COUNT(order_item_total))
-            // NULLIF(2 * COUNT(order_item_total), 0) AS DOUBLE) / 1e6
+       CAST((CAST(SUM(CAST(order_item_total * 100 AS BIGINT)) AS BIGINT)
+               // NULLIF(COUNT(order_item_total), 0)) * 10000
+            + (2 * (CAST(SUM(CAST(order_item_total * 100 AS BIGINT)) AS BIGINT)
+                      % NULLIF(COUNT(order_item_total), 0)) * 10000
+               + COUNT(order_item_total))
+              // NULLIF(2 * COUNT(order_item_total), 0) AS DOUBLE) / 1e6
            AS avg_order_item_value,
        COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS finished_orders,
        CAST(SUM(item_count) AS BIGINT) AS total_items

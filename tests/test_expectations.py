@@ -165,3 +165,31 @@ def test_quarantine_captures_dropped_rows_with_labels(spark):
         3: ["flag_domain"],
         4: ["amount_positive", "flag_domain"],
     }
+
+
+def test_gate_report_decision_table_and_quoted_names(spark):
+    """gate_report must emit one row per rule with the blocking verdict,
+    and rule names containing quotes must stay data (the unpivot is
+    built from Column literals, not interpolated SQL)."""
+    from olist_lakehouse_2_0_spark.operators.expectations import (
+        expect,
+        expect_or_fail,
+        gate_report,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10).select(F.col("id").alias("v"))
+    rows = {
+        r["rule"]: (r["action"], r["violations"], r["gate_blocks"])
+        for r in gate_report(
+            df,
+            [
+                expect_or_fail("v's cap", F.col("v") < 5),   # 5 violations
+                expect_or_fail("clean", F.col("v") >= 0),    # 0 violations
+                expect("warn'd rule", F.col("v") != 3),      # 1 violation
+            ],
+        ).collect()
+    }
+    assert rows["v's cap"] == ("fail", 5, True)
+    assert rows["clean"] == ("fail", 0, False)
+    assert rows["warn'd rule"] == ("warn", 1, False)
