@@ -96,8 +96,8 @@ def main() -> None:
         "daily_orders", "orders_by_state", "orders_enriched",
         "seller_performance", "pricing_summary", "revenue_by_nation",
         "category_performance_lag", "scd2_users", "exact_dedup_docs",
-        "minhash_dups", "jaccard_dups", "embedding_topk_bruteforce",
-        "embedding_topk_ivf", "text_stats", "events_sessionized",
+        "minhash_verified_dups", "jaccard_dups", "embedding_topk_bruteforce",
+        "embedding_topk_ivf_exhaustive", "text_stats", "events_sessionized",
     ]
     print(
         json.dumps(

@@ -128,26 +128,32 @@ _R1_CHECKED = {
     "embedding_neardup",
 }
 
-#: Queries first registered in round 3 — they need a driver row too,
-#: but queue behind the 28 that have waited since round 1.
-_NEW_IN_R3 = {
-    "dq_fail_gate_violations", "scd2_track_history_subset",
-    "cdc_fanout_consistency", "image_decode_stats", "audio_wav_stats",
-    "events_csv_malformed_audit", "embedding_topk_ivf_indexed",
-    "events_sketch_verified", "embedding_topk_ivf_kmeans_exhaustive",
-    "incremental_corpus_dedup", "multi_format_roundtrip",
+#: The only registered queries whose LAST driver word is "fail"
+#: (CORRECTNESS_r01): all three were fixed in round 1's aftermath and
+#: are hash-green in every local strict sweep since, but the window
+#: ordering kept burying them behind never-checked queries for two
+#: straight rounds (VERDICT r3 next-step #1a). They go at the very
+#: front of the window until a driver row confirms the fix.
+_FIXED_RED = {
+    "segment_spend_extremes", "jaccard_dups", "embedding_topk_bruteforce",
 }
 
-#: Previously-green queries whose IMPLEMENTATION changed in round 3
-#: (avg rounding idiom, LM quantization unit, larger IVF codebook,
-#: two-tier winnow candidates): their old green rows vouch for code
-#: that no longer exists, so they re-enter the window ahead of the
-#: untouched greens.
-_CHANGED_IN_R3 = {
-    "orders_rollup", "orders_cube", "bigram_logprob",
-    "embedding_topk_ivf_exhaustive", "winnow_verified_dups",
-    "doc_quality_by_source", "unigram_logprob", "events_props_by_type",
-    "orders_by_state",
+#: Queries first registered in round 4 — no driver row yet.
+_NEW_IN_R4 = {
+    "csv_audit_columns", "mv_csv_roundtrip",
+    "embedding_topk_ivf_indexed_recall",
+}
+
+#: Previously-green queries whose IMPLEMENTATION changed in round 4
+#: (WAV stereo frame handling, shared-drain CDC fan-out trim, indexed
+#: IVF probe-pruning rework, CdcSink existence probes): a stale green
+#: row vouches for code that no longer exists, so they re-enter the
+#: window ahead of untouched greens.
+_CHANGED_IN_R4 = {
+    "audio_wav_stats", "audio_metadata", "cdc_fanout_consistency",
+    "embedding_topk_ivf_indexed", "scd2_users_incremental",
+    "scd1_users_incremental", "events_csv_ingest_exactly_once",
+    "events_gold_incremental", "events_sketch_verified",
 }
 
 #: Queries that received a correctness row in round 2
@@ -174,48 +180,75 @@ _R2_CHECKED = {
     "token_budgets",
 }
 
+#: Queries hash-green in round 3's window (CORRECTNESS_r03.json — 47
+#: green of 50 rows; the 3 non-green rows were rows-only twins /
+#: the array-column profile, all de-registered in round 4).
+_R3_CHECKED = {
+    "audio_metadata", "audio_wav_stats", "bigram_logprob",
+    "cdc_fanout_consistency", "context_packing", "decontamination",
+    "dedup_canonical", "dedup_clusters", "doc_keywords",
+    "doc_quality_by_source", "dq_fail_gate_violations",
+    "embedding_topk_ivf_exhaustive", "embedding_topk_ivf_indexed",
+    "embedding_topk_ivf_kmeans_exhaustive", "events_asof_purchase_view",
+    "events_csv_ingest_exactly_once", "events_csv_malformed_audit",
+    "events_error_after_click", "events_funnel",
+    "events_gold_incremental", "events_hourly_by_type",
+    "events_props_by_type", "events_rollup_hierarchy",
+    "events_sessionized", "events_sketch_verified",
+    "events_sliding_halfhour", "events_user_profile_stateful",
+    "events_user_setops", "gopher_quality_filter", "image_decode_stats",
+    "image_payload_dedup", "incremental_corpus_dedup", "mixture_epochs",
+    "multi_format_roundtrip", "orders_by_state", "orders_cube",
+    "orders_rollup", "orders_rollup_flags", "pii_redaction",
+    "price_percentiles", "priority_metrics_unpivot",
+    "scd2_track_history_subset", "top_revenue_orders",
+    "training_corpus_summary", "unigram_logprob",
+    "user_cohort_retention", "winnow_verified_dups",
+}
+
 
 def _ordered_for_window(
     queries: dict[str, QueryFn], oracles: dict[str, str]
 ) -> list[tuple[str, QueryFn]]:
     """Order registration for the driver's bounded correctness window
-    (~50 rows in registration order). Round-3 goal (VERDICT r2
-    next-step #1): close the full set. 75 of 103 queries have a driver
-    row across rounds 1-2; the 28 that never got one go FIRST
-    (oracled before rows-only), then queries new this round, then the
-    previously-green queries whose implementation CHANGED this round
-    (a stale green row proves nothing about rewritten code), then the
-    round-1-green ones (their rows are oldest), then round-2-green
-    last — the window covers never-checked + new + changed, and spare
-    slots re-confirm the stalest greens."""
-    never_oracled: list[tuple[str, QueryFn]] = []
-    never_rows_only: list[tuple[str, QueryFn]] = []
-    new_this_round: list[tuple[str, QueryFn]] = []
+    (~50 rows in registration order). Round-4 goal (VERDICT r3
+    next-step #1): every registered query driver-green. Priority:
+    (1) the three fixed-but-still-red r1 queries — the only entries
+    whose last driver word is "fail"; (2) anything with no driver row
+    at all (new this round or never windowed); (3) queries whose
+    implementation CHANGED this round (a stale green row proves
+    nothing about rewritten code); then the greens, stalest round
+    first, so spare slots re-confirm the oldest evidence."""
+    fixed_red: list[tuple[str, QueryFn]] = []
+    never_checked: list[tuple[str, QueryFn]] = []
     changed_this_round: list[tuple[str, QueryFn]] = []
     r1_green: list[tuple[str, QueryFn]] = []
     r2_green: list[tuple[str, QueryFn]] = []
+    r3_green: list[tuple[str, QueryFn]] = []
     for item in queries.items():
         name = item[0]
-        checked = name in _R1_CHECKED or name in _R2_CHECKED
-        if checked and name in _CHANGED_IN_R3:
+        checked = (
+            name in _R1_CHECKED or name in _R2_CHECKED or name in _R3_CHECKED
+        )
+        if name in _FIXED_RED:
+            fixed_red.append(item)
+        elif not checked:
+            never_checked.append(item)
+        elif name in _CHANGED_IN_R4:
             changed_this_round.append(item)
+        elif name in _R3_CHECKED:
+            r3_green.append(item)
         elif name in _R2_CHECKED:
             r2_green.append(item)
-        elif name in _R1_CHECKED:
-            r1_green.append(item)
-        elif name in _NEW_IN_R3:
-            new_this_round.append(item)
-        elif name in oracles:
-            never_oracled.append(item)
         else:
-            never_rows_only.append(item)
+            r1_green.append(item)
     return (
-        never_oracled
-        + never_rows_only
-        + new_this_round
+        fixed_red
+        + never_checked
         + changed_this_round
         + r1_green
         + r2_green
+        + r3_green
     )
 
 

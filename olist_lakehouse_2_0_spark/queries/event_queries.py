@@ -303,17 +303,21 @@ SELECT user_id FROM events WHERE event_type = 'signup'
 
 
 def events_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate sketches (rows-only: HLL++/KLL internals differ from
-    DuckDB's sketches, so no hash oracle; tests/test_streaming_windows.py
-    bounds the error vs exact): per-type approx distinct users and value
-    quantiles. At 100 TB these replace exact COUNT(DISTINCT)/percentile
+    """Approximate sketch profile — library API, NOT in the driver
+    registry (HLL++/KLL internals differ from DuckDB's sketches, so no
+    hash oracle exists; its machinery is driver-gated through the
+    oracled companion :func:`events_sketch_verified`, and
+    tests/test_streaming_windows.py bounds the error vs exact):
+    per-type approx distinct users and value quantiles as SCALAR
+    columns. At 100 TB these replace exact COUNT(DISTINCT)/percentile
     where a 2% error is acceptable — sketches merge map-side, so the
     shuffle carries kilobytes per group instead of all distinct values."""
     events = load(spark, sf_dir, "events", spread=True)
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_p50_p95"),
+        F.percentile_approx("value", 0.5, 10000).alias("value_p50"),
+        F.percentile_approx("value", 0.95, 10000).alias("value_p95"),
     )
 
 
@@ -742,7 +746,11 @@ EVENT_QUERIES = {
     "events_error_after_click": events_error_after_click,
     "events_user_setops": events_user_setops,
     "events_rollup_hierarchy": events_rollup_hierarchy,
-    "events_sketch_profile": events_sketch_profile,
+    # events_sketch_profile is deliberately NOT registered: its raw
+    # HLL/KLL estimates have no DuckDB-hash-stable form, and a
+    # permanent rows-only row reads as an error under the driver gate.
+    # The same sketch machinery is driver-gated via the oracled
+    # events_sketch_verified; the profile stays library API + pytest.
     "events_user_profile_stateful": events_user_profile_stateful,
     "events_funnel": events_funnel,
     "user_cohort_retention": user_cohort_retention,

@@ -2100,20 +2100,26 @@ LLM_QUERIES = {
     "incremental_corpus_dedup": incremental_corpus_dedup,
     "multi_format_roundtrip": multi_format_roundtrip,
     "jaccard_dups": jaccard_dups,
-    "minhash_dups": minhash_dups,
-    "simhash_dups": simhash_dups,
+    # The rows-only twins (minhash_dups, simhash_dups, winnow_overlap,
+    # embedding_topk_ivf, embedding_topk_ivf_kmeans, embedding_neardup)
+    # are deliberately NOT registered: their raw candidate/pruned
+    # outputs are not DuckDB-expressible, and a permanent no_oracle row
+    # reads as an error under the driver gate (VERDICT r3 next-step
+    # #1c). Each one's machinery IS driver-gated through its oracled
+    # companion below (minhash_verified_dups, simhash_verified_dups,
+    # winnow_verified_dups, embedding_topk_ivf_exhaustive/_indexed,
+    # embedding_topk_ivf_kmeans_exhaustive, embedding_neardup_verified,
+    # embedding_topk_ivf_indexed_recall); the pruned configurations
+    # remain library API covered by pytest recall bounds.
     "minhash_verified_dups": minhash_verified_dups,
     "simhash_verified_dups": simhash_verified_dups,
     "winnow_verified_dups": winnow_verified_dups,
     "embedding_neardup_verified": embedding_neardup_verified,
     "embedding_topk_bruteforce": embedding_topk_bruteforce,
-    "embedding_topk_ivf": embedding_topk_ivf,
-    "embedding_neardup": embedding_neardup,
     "image_metadata": image_metadata,
     "image_decode_stats": image_decode_stats,
     "audio_wav_stats": audio_wav_stats,
     "fingerprint_dups": fingerprint_dups,
-    "winnow_overlap": winnow_overlap,
     "image_resize": image_resize,
     "video_frame_sample": video_frame_sample,
     "dataset_split": dataset_split,
@@ -2123,7 +2129,6 @@ LLM_QUERIES = {
     "context_packing": context_packing,
     "audio_metadata": audio_metadata,
     "dedup_clusters": dedup_clusters,
-    "embedding_topk_ivf_kmeans": embedding_topk_ivf_kmeans,
     "embedding_topk_ivf_kmeans_exhaustive": embedding_topk_ivf_kmeans_exhaustive,
     "mixture_epochs": mixture_epochs,
     "pii_redaction": pii_redaction,

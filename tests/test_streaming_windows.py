@@ -175,7 +175,7 @@ def test_sketch_profile_accuracy(spark):
     }
     for t, e in exact.items():
         assert abs(got[t].approx_users - e.users) <= max(2, 0.05 * e.users)
-        assert abs(got[t].value_p50_p95[0] - e.p50) <= 0.05 * max(1.0, e.p50)
+        assert abs(got[t].value_p50 - e.p50) <= 0.05 * max(1.0, e.p50)
 
 
 def test_dedupe_stream_drops_redelivery(spark, tmp_path):
