@@ -152,8 +152,7 @@ _NEW_IN_R4 = {
 _CHANGED_IN_R4 = {
     "audio_wav_stats", "audio_metadata", "cdc_fanout_consistency",
     "embedding_topk_ivf_indexed", "scd2_users_incremental",
-    "scd1_users_incremental", "events_csv_ingest_exactly_once",
-    "events_gold_incremental", "events_sketch_verified",
+    "scd1_users_incremental",
 }
 
 #: Queries that received a correctness row in round 2

@@ -50,6 +50,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- local-mode hygiene ---
         .config("spark.ui.enabled", "false")
+        # keep stderr readable (no \r-animated stage bars interleaving
+        # with per-query progress lines / the driver's tail capture)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
