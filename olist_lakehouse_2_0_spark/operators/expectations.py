@@ -201,6 +201,14 @@ def gate_report(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     job over ``df`` (all counters in a single pass, map-side partial
     aggregation), then a constant-width unpivot — no per-rule scans.
     """
+    if not expectations:
+        # df.agg() with zero exprs and F.array() with zero elements
+        # both raise; mirror enforce()'s graceful no-op with an empty
+        # decision table of the same schema (ADVICE r3).
+        return df.sparkSession.createDataFrame(
+            [],
+            "rule string, action string, violations long, gate_blocks boolean",
+        )
     counters = [
         F.sum(
             F.when(~F.coalesce(e.pred(), F.lit(False)), 1).otherwise(0)

@@ -240,7 +240,10 @@ def encode_wav(samples, sample_rate: int, channels: int = 1) -> bytes:
 
 def decode_wav(payload: bytes):
     """Decode a PCM16 WAV to (sample_rate, channels, int16 ndarray).
-    Walks the RIFF chunk list (fmt may not immediately precede data)."""
+    The ndarray is the raw INTERLEAVED sample vector (len = frames x
+    channels); callers divide by ``channels`` for frame counts/
+    durations. Walks the RIFF chunk list (fmt may not immediately
+    precede data)."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -395,8 +398,10 @@ def decode_audio_stats(
     df: DataFrame, id_col: str, payload_col: str = "audio"
 ) -> DataFrame:
     """Decode real WAV bytes and emit exact per-clip stats from the
-    DECODED waveform: rate, sample count, duration, integer amplitude
-    sum."""
+    DECODED waveform: rate, FRAME count (interleaved samples divided
+    by channel count — a stereo clip of N frames reports N, not 2N),
+    duration from frames, and the integer amplitude sum over ALL
+    channels."""
     import numpy as np
 
     schema = T.StructType(
@@ -413,13 +418,17 @@ def decode_audio_stats(
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                sr, _channels, wave = decode_audio(bytes(payload))
+                sr, channels, wave = decode_audio(bytes(payload))
+                # decode_wav returns the raw interleaved sample vector;
+                # frame count and duration divide out the channels
+                # (ADVICE r3: stereo clips reported 2x duration).
+                frames = len(wave) // max(1, channels)
                 rows.append(
                     (
                         i,
                         sr,
-                        len(wave),
-                        len(wave) * 1000 // sr,
+                        frames,
+                        frames * 1000 // sr,
                         int(wave.sum(dtype=np.int64)),
                     )
                 )

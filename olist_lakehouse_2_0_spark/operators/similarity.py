@@ -270,18 +270,33 @@ def ivf_topk_indexed(
     query_id: str = "query_id",
     corpus_id: str = "corpus_id",
     vec_col: str = "embedding",
+    prune: str = "static",
+    max_inlist: int = 4096,
 ) -> DataFrame:
     """Approximate top-k against an on-disk index written by
     :func:`write_ivf_index`, reading ONLY the probed partitions.
 
-    The probed centroid ids are resolved first (a driver-side collect
-    bounded by ``num_centroids`` ~ sqrt(corpus) integers — query-issue
-    planning work, same order as AQE statistics, never corpus data)
-    and pushed into the postings scan as a literal IN-filter, so the
-    scan prunes partitions STATICALLY at plan time: at scale the read
-    is nprobe/num_centroids of the index regardless of engine version
-    or dynamic-pruning heuristics. Returns (query_id, corpus_id,
-    cosine, rank)."""
+    Two pruning strategies for the partitioned postings scan:
+
+    - ``prune="static"`` (default): the probed centroid ids are
+      resolved EAGERLY at query-construction time — a driver-side
+      collect bounded by ``num_centroids`` ~ sqrt(corpus) integers
+      (query-issue planning work, same order as AQE statistics, never
+      corpus data; note the Spark jobs run before the caller executes
+      anything) — and pushed into the scan as a literal IN-filter:
+      partitions prune at PLAN time, independent of engine version or
+      dynamic-pruning heuristics. When the resolved id set exceeds
+      ``max_inlist`` the call falls back to dynamic pruning — a
+      sqrt(1e11)-scale codebook would otherwise inline ~3e5 literals
+      into the plan and stall Catalyst analysis (ADVICE r3).
+    - ``prune="dynamic"``: no eager action at all — the distinct
+      probed ids are broadcast-semi-joined against the postings, and
+      Spark's dynamic partition pruning skips unprobed partitions at
+      runtime. Use when composing the search into a larger lazy plan.
+
+    Returns (query_id, corpus_id, cosine, rank)."""
+    if prune not in ("static", "dynamic"):
+        raise ValueError(f"prune must be 'static' or 'dynamic': {prune!r}")
     spark = queries.sparkSession
     centroids = catalog.read(spark, f"{table}_centroids")
     packed = _pack_centroids(centroids)
@@ -297,12 +312,20 @@ def ivf_topk_indexed(
         )
         .select(query_id, "__qvec", "__qnorm", "centroid_id")
     )
-    probe_ids = sorted(
-        r[0] for r in probes.select("centroid_id").distinct().collect()
-    )
-    postings = catalog.read(spark, f"{table}_postings").filter(
-        F.col("centroid_id").isin(probe_ids)
-    )
+    postings = catalog.read(spark, f"{table}_postings")
+    probe_ids: list | None = None
+    if prune == "static":
+        probe_ids = sorted(
+            r[0] for r in probes.select("centroid_id").distinct().collect()
+        )
+    if probe_ids is not None and len(probe_ids) <= max_inlist:
+        postings = postings.filter(F.col("centroid_id").isin(probe_ids))
+    else:
+        postings = postings.join(
+            F.broadcast(probes.select("centroid_id").distinct()),
+            "centroid_id",
+            "left_semi",
+        )
     scored = probes.join(postings, "centroid_id").withColumn(
         "cosine",
         dot(F.col("__qvec"), F.col("__cvec"))

@@ -313,7 +313,7 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str, emb: DataFrame):
     # The cache key and the staging tag must be the SAME normalization
     # of sf_dir, or two spellings of one dataset ('/x/sf0.1' vs
     # '/x/sf0.1/') would miss the cache yet collide on the tag —
-    # staging_dir's one-live-root-per-tag rule would then delete the
+    # staging_dir's bounded per-tag retention would then rotate the
     # first entry's live index out from under its cached Catalog. The
     # hash suffix keeps distinct paths from colliding after the
     # lossy '/'->'_' mapping.

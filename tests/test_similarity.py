@@ -100,3 +100,50 @@ def test_default_num_centroids_sqrt_scaling():
     # 100 TB regime: 1e11 rows -> ~3e5 centroids, probe-join
     # parallelism no longer capped by a constant.
     assert default_num_centroids(10**11) == 316_227
+
+
+def test_indexed_dynamic_prune_matches_static(spark, tmp_path):
+    """prune='dynamic' (no eager collect — broadcast semi-join pruning)
+    must return exactly the static-pruned result; same for the
+    automatic fallback when the resolved IN-list exceeds max_inlist."""
+    corpus = _corpus(spark, n=300)
+    cat = Catalog(root=str(tmp_path))
+    write_ivf_index(corpus, cat, num_centroids=16)
+    queries = corpus.filter(F.col("corpus_id") % 75 == 0).select(
+        F.col("corpus_id").alias("query_id"), "embedding"
+    )
+    static = ivf_topk_indexed(queries, cat, nprobe=3, k=5).collect()
+    dynamic = ivf_topk_indexed(
+        queries, cat, nprobe=3, k=5, prune="dynamic"
+    ).collect()
+    fallback = ivf_topk_indexed(
+        queries, cat, nprobe=3, k=5, max_inlist=1
+    ).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(dynamic, key=key) == sorted(static, key=key)
+    assert sorted(fallback, key=key) == sorted(static, key=key)
+
+
+def test_indexed_dynamic_prune_defers_collect(spark, tmp_path, monkeypatch):
+    """The dynamic path must not collect probe ids at query-construction
+    time (the whole point: composable into larger lazy plans); the
+    static path does, by contract."""
+    import pytest
+
+    corpus = _corpus(spark, n=200)
+    cat = Catalog(root=str(tmp_path))
+    write_ivf_index(corpus, cat, num_centroids=16)
+    queries = corpus.limit(2).select(
+        F.col("corpus_id").alias("query_id"), "embedding"
+    )
+
+    def _no_collect(self):
+        raise AssertionError("eager collect during query construction")
+
+    # Patch the CONCRETE DataFrame class (pyspark.sql.DataFrame is an
+    # abstract base in Spark 4; subclass methods would shadow a patch
+    # on the base).
+    monkeypatch.setattr(type(corpus), "collect", _no_collect)
+    ivf_topk_indexed(queries, cat, nprobe=2, k=3, prune="dynamic")
+    with pytest.raises(AssertionError, match="eager collect"):
+        ivf_topk_indexed(queries, cat, nprobe=2, k=3, prune="static")
