@@ -652,6 +652,82 @@ GROUP BY event_type
 """
 
 
+def csv_audit_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``_metadata`` audit-column surface under the hash gate (S2 +
+    P1 — previously pytest-only, VERDICT r3 next-step #3; reference
+    bronze/orders.sql:18-20 ``_metadata.file_path`` /
+    ``file_modification_time`` projections): the events table is
+    re-staged as four CSV directories keyed by a user hash bucket,
+    read back through the engine's ``read_csv`` batch source with
+    audit columns ON, and the output derives each row's bucket FROM
+    ``_source_file`` — so a wrong or missing file-path audit column
+    scrambles the whole grouping and fails the hash. ``audit_ok``
+    additionally pins the audit timestamps' invariants (file mtime and
+    ingest stamp present, mtime not after ingest)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from olist_lakehouse_2_0_spark.sources.batch import read_csv
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+
+    events = load(spark, sf_dir, "events", spread=True).select(
+        "event_id", "user_id", "event_type"
+    )
+    root = staging_dir("csv_audit")
+    # One directory per bucket so the bucket is recoverable ONLY from
+    # the file path the reader's audit column reports. Four bounded
+    # filter+write jobs over one cached frame — staging setup, not the
+    # measured read path.
+    events.persist()
+    try:
+        for b in range(4):
+            events.filter(F.pmod(F.col("user_id"), F.lit(4)) == b).write.option(
+                "header", True
+            ).csv(os.path.join(root, f"bucket{b}"))
+    finally:
+        events.unpersist()
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    back = read_csv(spark, os.path.join(root, "bucket*"), schema, audit=True)
+    return back.groupBy(
+        F.regexp_extract(F.col("_source_file"), r"bucket(\d+)/", 1)
+        .cast("int")
+        .alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.max("event_id").alias("max_event_id"),
+        (
+            (F.count(F.when(F.col("_file_modified_at").isNull(), 1)) == 0)
+            & (F.count(F.when(F.col("_ingested_at").isNull(), 1)) == 0)
+            & (
+                F.count(
+                    F.when(F.col("_file_modified_at") > F.col("_ingested_at"), 1)
+                )
+                == 0
+            )
+        ).alias("audit_ok"),
+    )
+
+
+CSV_AUDIT_COLUMNS_SQL = """
+SELECT user_id % 4 AS bucket,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT user_id) AS n_users,
+       MAX(event_id) AS max_event_id,
+       TRUE AS audit_ok
+FROM events
+GROUP BY user_id % 4
+"""
+
+
 def events_csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CSV rescue path under the oracle gate: events re-staged as
     CSV plus a file of deliberately malformed lines (non-numeric keys,
@@ -756,12 +832,14 @@ EVENT_QUERIES = {
     "user_cohort_retention": user_cohort_retention,
     "events_gold_incremental": events_gold_incremental,
     "events_csv_malformed_audit": events_csv_malformed_audit,
+    "csv_audit_columns": csv_audit_columns,
     "events_sketch_verified": events_sketch_verified,
 }
 
 EVENT_ORACLES = {
     "events_csv_ingest_exactly_once": EVENTS_CSV_INGEST_SQL,
     "events_csv_malformed_audit": EVENTS_CSV_MALFORMED_AUDIT_SQL,
+    "csv_audit_columns": CSV_AUDIT_COLUMNS_SQL,
     "events_sketch_verified": EVENTS_SKETCH_VERIFIED_SQL,
     "events_user_profile_stateful": EVENTS_USER_PROFILE_STATEFUL_SQL,
     "events_hourly_by_type": EVENTS_HOURLY_SQL,
