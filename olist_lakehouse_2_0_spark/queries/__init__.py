@@ -138,10 +138,13 @@ _FIXED_RED = {
     "segment_spend_extremes", "jaccard_dups", "embedding_topk_bruteforce",
 }
 
-#: Queries first registered in round 4 — no driver row yet.
+#: Queries first registered in round 4 — no driver row yet. (Kept for
+#: the audit trail; the ordering logic derives "never checked" from
+#: the per-round checked sets, so these sort to the front anyway.)
 _NEW_IN_R4 = {
     "csv_audit_columns", "mv_csv_roundtrip",
-    "embedding_topk_ivf_indexed_recall",
+    "embedding_topk_ivf_indexed_recall", "scd2_validity_audit",
+    "events_stream_table_to_table",
 }
 
 #: Previously-green queries whose IMPLEMENTATION changed in round 4

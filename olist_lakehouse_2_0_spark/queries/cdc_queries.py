@@ -366,6 +366,73 @@ FROM snap s FULL OUTER JOIN cur c ON s.user_id = c.user_id
 """
 
 
+def scd2_validity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 validity SELF-JOIN check (J7, reference
+    docs/CDC_GUIDE.md:279-308 verification queries) as DATA under the
+    hash gate — previously pytest-only: over the engine's
+    ``scd2_history`` output, per user emit the version count, the
+    current-version count (must be 0 or 1), the closed-version count,
+    and the successive-link count from the validity self-join
+    (a.__end_at == b.__start_at). A gap or overlap in any user's
+    validity chain changes n_links vs the oracle's in-order rebuild
+    and fails the hash. The self-join is an equi-join on
+    (user_id, boundary seq) — linear shuffle at any scale."""
+    feed = _as_change_feed(spark, sf_dir)
+    hist = scd2_history(feed, EVENT_SPEC).select(
+        "user_id", "__start_at", "__end_at", "__is_current"
+    ).persist()
+    links = (
+        hist.alias("a")
+        .join(
+            hist.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.__end_at") == F.col("b.__start_at")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+    per_user = hist.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.col("__is_current").cast("int")).cast("long").alias("n_current"),
+        F.count(F.when(F.col("__end_at").isNotNull(), 1)).alias("n_closed"),
+    )
+    return (
+        per_user.join(links, "user_id", "left")
+        .fillna(0, ["n_links"])
+        .select("user_id", "n_versions", "n_current", "n_closed", "n_links")
+    )
+
+
+SCD2_VALIDITY_AUDIT_SQL = """
+WITH feed AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         CASE event_type WHEN 'signup' THEN 'INSERT'
+                         WHEN 'error' THEN 'DELETE'
+                         ELSE 'UPDATE' END AS op
+  FROM events
+), versioned AS (
+  SELECT user_id, op, event_id AS start_at,
+         LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS end_at
+  FROM feed
+), hist AS (
+  SELECT user_id, start_at, end_at FROM versioned WHERE op <> 'DELETE'
+), links AS (
+  SELECT a.user_id, COUNT(*) AS n_links
+  FROM hist a JOIN hist b
+    ON a.user_id = b.user_id AND a.end_at = b.start_at
+  GROUP BY a.user_id
+)
+SELECT h.user_id,
+       COUNT(*) AS n_versions,
+       CAST(SUM(CASE WHEN h.end_at IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_current,
+       COUNT(CASE WHEN h.end_at IS NOT NULL THEN 1 END) AS n_closed,
+       COALESCE(MAX(l.n_links), 0) AS n_links
+FROM hist h LEFT JOIN links l ON h.user_id = l.user_id
+GROUP BY h.user_id
+"""
+
+
 CDC_QUERIES = {
     "scd1_users": scd1_users,
     "scd2_users": scd2_users,
@@ -373,6 +440,7 @@ CDC_QUERIES = {
     "scd1_users_incremental": scd1_users_incremental,
     "scd2_track_history_subset": scd2_track_history_subset,
     "cdc_fanout_consistency": cdc_fanout_consistency,
+    "scd2_validity_audit": scd2_validity_audit,
 }
 CDC_ORACLES = {
     "scd1_users": SCD1_USERS_SQL,
@@ -381,4 +449,5 @@ CDC_ORACLES = {
     "scd1_users_incremental": SCD1_USERS_SQL,
     "scd2_track_history_subset": SCD2_TRACK_HISTORY_SUBSET_SQL,
     "cdc_fanout_consistency": CDC_FANOUT_CONSISTENCY_SQL,
+    "scd2_validity_audit": SCD2_VALIDITY_AUDIT_SQL,
 }

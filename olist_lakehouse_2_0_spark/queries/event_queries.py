@@ -728,6 +728,79 @@ GROUP BY user_id % 4
 """
 
 
+def events_stream_table_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming table-to-table scan under the hash gate (S3, reference
+    silver/orders.sql:62 ``FROM STREAM(bronze_orders)`` — previously
+    pytest-only): a two-node pipeline materializes a bronze events MV,
+    then a STREAMING silver node reads the bronze TABLE incrementally
+    through the Pipeline's own readStream-over-catalog-path code path
+    (plans/pipeline.py streaming_consumer branch) with its own
+    checkpoint, applying row-level cleansing (null-ts/value drop, date
+    derivation) in the stream. The returned per-day-per-type rollup of
+    the silver table must match the oracle's direct rebuild from
+    events — so a dropped, duplicated, or un-cleansed row anywhere in
+    the table-to-table hop fails the hash. Decimal sums keep the
+    aggregate order-independent."""
+    import os
+
+    from olist_lakehouse_2_0_spark.catalog import Catalog
+    from olist_lakehouse_2_0_spark.plans.pipeline import (
+        Materialization,
+        Pipeline,
+        TableDef,
+    )
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+
+    events = load(spark, sf_dir, "events", spread=True).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    root = staging_dir("s3_stream")
+    cat = Catalog(root=os.path.join(root, "warehouse"))
+
+    def silver_build(ins: dict) -> DataFrame:
+        df = ins["bronze_events"]  # a STREAMING DataFrame (S3)
+        return (
+            df.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+            .withColumn("event_date", F.to_date("ts"))
+            .withColumn("value", F.col("value").cast("decimal(10,2)"))
+        )
+
+    pipe = Pipeline(
+        "s3_roundtrip",
+        cat,
+        [
+            TableDef(
+                name="bronze_events",
+                inputs=("raw_events",),
+                build=lambda ins: ins["raw_events"],
+            ),
+            TableDef(
+                name="silver_events",
+                inputs=("bronze_events",),
+                build=silver_build,
+                materialization=Materialization.STREAMING_TABLE,
+            ),
+        ],
+    )
+    pipe.run(spark, external_inputs={"raw_events": events})
+    silver = cat.read(spark, "silver_events")
+    return silver.groupBy("event_date", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").cast("decimal(18,2)").alias("sum_value"),
+    )
+
+
+EVENTS_STREAM_TABLE_TO_TABLE_SQL = """
+SELECT CAST(ts AS DATE) AS event_date,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(18,2)) AS sum_value
+FROM events
+WHERE ts IS NOT NULL AND value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def events_csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CSV rescue path under the oracle gate: events re-staged as
     CSV plus a file of deliberately malformed lines (non-numeric keys,
@@ -833,6 +906,7 @@ EVENT_QUERIES = {
     "events_gold_incremental": events_gold_incremental,
     "events_csv_malformed_audit": events_csv_malformed_audit,
     "csv_audit_columns": csv_audit_columns,
+    "events_stream_table_to_table": events_stream_table_to_table,
     "events_sketch_verified": events_sketch_verified,
 }
 
@@ -840,6 +914,7 @@ EVENT_ORACLES = {
     "events_csv_ingest_exactly_once": EVENTS_CSV_INGEST_SQL,
     "events_csv_malformed_audit": EVENTS_CSV_MALFORMED_AUDIT_SQL,
     "csv_audit_columns": CSV_AUDIT_COLUMNS_SQL,
+    "events_stream_table_to_table": EVENTS_STREAM_TABLE_TO_TABLE_SQL,
     "events_sketch_verified": EVENTS_SKETCH_VERIFIED_SQL,
     "events_user_profile_stateful": EVENTS_USER_PROFILE_STATEFUL_SQL,
     "events_hourly_by_type": EVENTS_HOURLY_SQL,
