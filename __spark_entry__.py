@@ -28,5 +28,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL per query (omitted => rows-only check)."""
+    """DuckDB oracle SQL per query — every registered query has one
+    (the registry carries no rows-only entries as of round 4)."""
     return all_oracles()
