@@ -350,3 +350,41 @@ def test_cdc_sink_recovers_from_crashed_swap(spark, tmp_path):
     rows = {r["customer_id"]: r["city"] for r in
             spark.read.parquet(sink.path).collect()}
     assert rows == {"c1": "sp", "c2": "ba"}  # c1 survived the crash
+
+
+def test_cdc_sink_tombstone_replay_idempotent(spark, tmp_path):
+    """The append-only tombstone sidecar's crash contract: a batch that
+    crashed AFTER its tombstone append but before the checkpoint
+    commits is replayed in full — the duplicate appended tombstones
+    must not change the final state, and the orphan-delete guarantee
+    (delete arriving before its key's insert) must survive the
+    replay."""
+    from olist_lakehouse_2_0_spark.operators.cdc import CdcSink
+
+    sink = CdcSink(str(tmp_path / "t"), SPEC, scd_type=1)
+    # Batch 0 carries an ORPHAN delete for c9 (no prior row) + a row.
+    b0 = spark.createDataFrame(
+        [
+            (5, "DELETE", "t1", "c9", None, None),
+            (1, "INSERT", "t1", "c1", "sp", "SP"),
+        ],
+        SCHEMA,
+    )
+    sink(b0, 0)
+    # Replay the SAME batch (crash-after-append => duplicate tombstones
+    # in the log), then a later batch tries to resurrect c9 with a
+    # STALE (pre-delete) sequence.
+    sink(b0, 0)
+    sink(
+        spark.createDataFrame([(3, "INSERT", "t2", "c9", "rj", "RJ")], SCHEMA),
+        1,
+    )
+    rows = {
+        r["customer_id"]: r["city"]
+        for r in spark.read.parquet(sink.path).collect()
+    }
+    assert rows == {"c1": "sp"}  # c9's stale insert stays dead
+    # The log holds duplicates; the deduped view holds exactly one.
+    log = spark.read.parquet(sink.deletes_path)
+    assert log.count() >= 2
+    assert log.distinct().count() == 1
