@@ -374,19 +374,44 @@ class CdcSink:
         Hadoop-FS existence check, NOT an exception-driven probe: the
         failed ``spark.read`` logs a full FileNotFoundException WARN
         stack per missing path per batch, drowning the caller's logs
-        (VERDICT r3 next-step #2 — the bench stderr trace)."""
+        (VERDICT r3 next-step #2 — the bench stderr trace).
+
+        The read itself stays guarded: a crash during the FIRST write
+        (target was None, so no rename-aside protected it) can leave
+        the directory holding only an uncommitted ``_temporary/``
+        subtree. ``fs.exists`` is then True but the read raises
+        ``AnalysisException: Unable to infer schema`` — without the
+        guard the checkpoint replay of batch 0 would fail identically
+        forever (a permanent wedge). Treating that layout as "no
+        target yet" is exactly right: no committed footer means no
+        batch was ever absorbed, and the replay's ``mode("overwrite")``
+        clears the debris."""
+        from pyspark.errors import AnalysisException
+
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         if not fs.exists(hpath):
             return None
-        return spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force schema inference now, not at first action
+        except AnalysisException:
+            return None
+        return df
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from olist_lakehouse_2_0_spark.plans.pipeline import recover_swap
 
         spark = batch_df.sparkSession
         recover_swap(spark, self.path)
+        # The sidecar became append-only in round 4, but a PRE-change
+        # run could have crashed mid-_swap_write of the log, leaving it
+        # stranded at __deletes__old; without this restore the append
+        # below would silently start a fresh log, losing every earlier
+        # tombstone (and resurrecting orphan-deleted keys). No-op — one
+        # fs.exists — on every normal path.
+        recover_swap(spark, self.deletes_path)
         target = self._read_if_exists(spark, self.path)
         batch_deletes = batch_df.filter(self.spec.is_delete()).select(
             *self.spec.keys, self.spec.seq_expr().alias("__seq")

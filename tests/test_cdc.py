@@ -388,3 +388,47 @@ def test_cdc_sink_tombstone_replay_idempotent(spark, tmp_path):
     log = spark.read.parquet(sink.deletes_path)
     assert log.count() >= 2
     assert log.distinct().count() == 1
+
+
+def test_cdc_sink_recovers_uncommitted_first_write(spark, tmp_path):
+    """A crash DURING the very first target write (no rename-aside
+    protects batch 0) leaves the directory holding only an uncommitted
+    ``_temporary/`` subtree: fs.exists is True but there is no parquet
+    footer to infer a schema from. The replayed batch must treat that
+    debris as "no target yet" and overwrite it — not wedge every
+    restart on AnalysisException."""
+    import os
+
+    from olist_lakehouse_2_0_spark.operators.cdc import CdcSink
+
+    sink = CdcSink(str(tmp_path / "t"), SPEC, scd_type=1)
+    os.makedirs(os.path.join(sink.path, "_temporary", "0"))
+    sink(spark.createDataFrame([(1, "INSERT", "t1", "c1", "sp", "SP")], SCHEMA), 0)
+    rows = {r["customer_id"]: r["city"] for r in
+            spark.read.parquet(sink.path).collect()}
+    assert rows == {"c1": "sp"}
+
+
+def test_cdc_sink_restores_stranded_tombstone_log(spark, tmp_path):
+    """A pre-round-4 run could crash mid-swap of the DELETES sidecar,
+    leaving the whole log aside at __deletes__old. The append-only
+    path must restore it before appending — otherwise a fresh log
+    starts from this batch alone and earlier orphan tombstones are
+    silently lost, resurrecting deleted keys."""
+    import os
+    import shutil
+
+    from olist_lakehouse_2_0_spark.operators.cdc import CdcSink
+
+    sink = CdcSink(str(tmp_path / "t"), SPEC, scd_type=1)
+    # Batch 0: orphan delete for c9 lands in the tombstone log.
+    sink(spark.createDataFrame(
+        [(5, "DELETE", "t1", "c9", None, None)], SCHEMA), 0)
+    # Simulate the legacy crash layout: log stranded at __deletes__old.
+    shutil.move(sink.deletes_path, sink.deletes_path + "__old")
+    assert not os.path.exists(sink.deletes_path)
+    # Batch 1 carries c9's stale (pre-delete) insert; without the
+    # restore the fresh log would not know about the seq-5 tombstone.
+    sink(spark.createDataFrame(
+        [(3, "INSERT", "t2", "c9", "rj", "RJ")], SCHEMA), 1)
+    assert spark.read.parquet(sink.path).count() == 0  # c9 stays dead

@@ -193,3 +193,17 @@ def test_gate_report_decision_table_and_quoted_names(spark):
     assert rows["v's cap"] == ("fail", 5, True)
     assert rows["clean"] == ("fail", 0, False)
     assert rows["warn'd rule"] == ("warn", 1, False)
+
+
+def test_gate_report_empty_expectations(spark):
+    """gate_report on an empty rule list must return an empty decision
+    table with the standard schema, mirroring enforce()'s no-op
+    (ADVICE r3: df.agg() with zero exprs raised)."""
+    from pyspark.sql import functions as F
+
+    from olist_lakehouse_2_0_spark.operators.expectations import gate_report
+
+    df = spark.range(0, 3).select(F.col("id").alias("v"))
+    out = gate_report(df, [])
+    assert out.columns == ["rule", "action", "violations", "gate_blocks"]
+    assert out.count() == 0
