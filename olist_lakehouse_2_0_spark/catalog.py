@@ -110,6 +110,19 @@ class Catalog:
         only exists for tables, not raw paths). Read back with
         ``spark.table(name)``.
         """
+        spark = df.sparkSession
+        # mode=overwrite only replaces tables the CURRENT session's
+        # catalog knows about; a managed-table directory orphaned by an
+        # earlier session (in-memory catalog gone, warehouse dir still
+        # on disk) makes saveAsTable fail with LOCATION_ALREADY_EXISTS.
+        # Drop the catalog entry if any, then clear the stale location.
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        jvm = spark._jvm
+        loc = jvm.org.apache.hadoop.fs.Path(wh, name)
+        fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
         writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
         if sort_cols:
             writer = writer.sortBy(*sort_cols)

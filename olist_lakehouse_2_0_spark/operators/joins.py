@@ -113,3 +113,58 @@ def range_join(
         )
         .drop("__bucket")
     )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    metrics: dict[str, tuple[str, "F.Column | str"]],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: partial-aggregate on
+    ``keys + salt``, then merge the partials on ``keys`` alone.
+
+    The plan-level counterpart of :func:`salted_join` for GROUP BY
+    skew: a hot group key (one nation holding 30% of a 100 TB fact
+    table) funnels its entire reduce work into one task even with
+    map-side combine, because the final merge for that key is a single
+    shuffle partition. Salting splits each key's rows across ``salt``
+    partial groups first; the second aggregation then merges at most
+    ``salt`` pre-collapsed rows per key — O(|keys| x salt) input, never
+    fact-table sized. (Spark's map-side partial aggregation already
+    gives one partial per map TASK; salting bounds the REDUCE fan-in
+    per key, which is what a hot key overwhelms.)
+
+    ``metrics`` maps output alias -> (fn, column) with fn one of
+    ``sum`` / ``count`` / ``min`` / ``max`` — the algebraic aggregates
+    whose two-phase split is exact (count merges via sum). Non-algebraic
+    aggregates (exact distinct, medians) cannot be salted this way; use
+    the dedicated sketch/exact paths instead. The salt derives from
+    ``xxhash64`` of a per-row id, so a hot key's rows spread uniformly;
+    results are identical to the unsalted GROUP BY regardless of the
+    spread.
+    """
+    _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    _PARTIAL = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for alias, (fn, _) in metrics.items():
+        if fn not in _MERGE:
+            raise ValueError(f"{alias}: unsupported salted aggregate {fn!r}")
+    salt_col = F.pmod(
+        F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)
+    ).cast("int")
+    partial = (
+        df.withColumn("__salt", salt_col)
+        .groupBy(*keys, "__salt")
+        .agg(
+            *[
+                _PARTIAL[fn](col).alias(alias)
+                for alias, (fn, col) in metrics.items()
+            ]
+        )
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            _MERGE[fn](alias).alias(alias)
+            for alias, (fn, _) in metrics.items()
+        ]
+    )

@@ -145,6 +145,14 @@ _NEW_IN_R4 = {
     "csv_audit_columns", "mv_csv_roundtrip",
     "embedding_topk_ivf_indexed_recall", "scd2_validity_audit",
     "events_stream_table_to_table",
+    # Second r4 batch: previously pytest-only machinery put under the
+    # hash gate (salted two-phase agg, Z-order layout, bucketed join,
+    # mergeSchema evolution, SQL-UDF masks, stream-stream join).
+    "salted_priority_agg", "zorder_pruned_revenue",
+    "bucketed_segment_revenue", "schema_evolution_metrics",
+    "sql_udf_masked_customers", "events_stream_stream_join",
+    # Product-quantization ANN (new operator family this round).
+    "embedding_topk_pq_exact", "embedding_topk_pq_recall",
 }
 
 #: Previously-green queries whose IMPLEMENTATION changed in round 4

@@ -221,6 +221,69 @@ WHERE c.event_type = 'click' AND e.event_type = 'error'
 """
 
 
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join under the hash gate (previously
+    pytest-only): the click and error feeds are staged as two separate
+    parquet streams, joined with
+    :func:`~olist_lakehouse_2_0_spark.streaming.joins.stream_interval_join`
+    (watermarks on both sides + the event-time bound that lets Spark
+    size and evict the join state), drained through a checkpointed
+    parquet sink, and the materialized pairs are returned. The oracle
+    is the plain batch interval-join SQL — the driver hash proves the
+    streaming engine path (unified join operator + state store)
+    produces exactly the batch answer. The drain is one availableNow
+    batch, so no row can be late relative to the watermark and the
+    batch equivalence is exact; cross-micro-batch buffering and
+    watermark eviction are exercised in tests/test_streaming_join.py.
+    """
+    import os
+
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+    from olist_lakehouse_2_0_spark.streaming.ingest import run_to_parquet
+    from olist_lakehouse_2_0_spark.streaming.joins import stream_interval_join
+
+    events = load(spark, sf_dir, "events", spread=True).filter(
+        F.col("ts").isNotNull()
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_event_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    root = staging_dir("ss_join")
+    c_path, e_path = os.path.join(root, "clicks"), os.path.join(root, "errors")
+    clicks.write.parquet(c_path)
+    errors.write.parquet(e_path)
+    c_stream = spark.readStream.schema(clicks.schema).parquet(c_path)
+    e_stream = spark.readStream.schema(errors.schema).parquet(e_path)
+    joined = stream_interval_join(
+        c_stream, e_stream, key="user_id", left_ts="ts",
+        right_ts="error_ts", upper_seconds=300,
+    )
+    out = os.path.join(root, "pairs")
+    run_to_parquet(joined, out, os.path.join(root, "ckpt"))
+    # Explicit schema: a zero-pair drain leaves no data files to infer
+    # from (possible at tiny scale factors).
+    return spark.read.schema(joined.schema).parquet(out).select(
+        "event_id", "user_id", "ts", "error_event_id", "error_ts"
+    )
+
+
+EVENTS_STREAM_STREAM_JOIN_SQL = """
+SELECT c.event_id, c.user_id, c.ts,
+       e.event_id AS error_event_id,
+       e.ts AS error_ts
+FROM events c JOIN events e
+  ON c.user_id = e.user_id
+ AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL '300 seconds'
+WHERE c.event_type = 'click' AND e.event_type = 'error'
+  AND c.ts IS NOT NULL AND e.ts IS NOT NULL
+"""
+
+
 def events_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous-aggregate hierarchy: hourly partial
     states are computed ONCE from raw events, then daily and monthly
@@ -900,6 +963,7 @@ EVENT_QUERIES = {
     "events_props_by_type": events_props_by_type,
     "events_asof_purchase_view": events_asof_purchase_view,
     "events_error_after_click": events_error_after_click,
+    "events_stream_stream_join": events_stream_stream_join,
     "events_user_setops": events_user_setops,
     "events_rollup_hierarchy": events_rollup_hierarchy,
     # events_sketch_profile is deliberately NOT registered: its raw
@@ -930,6 +994,7 @@ EVENT_ORACLES = {
     "events_props_by_type": EVENTS_PROPS_SQL,
     "events_asof_purchase_view": EVENTS_ASOF_SQL,
     "events_error_after_click": EVENTS_ERROR_AFTER_CLICK_SQL,
+    "events_stream_stream_join": EVENTS_STREAM_STREAM_JOIN_SQL,
     "events_user_setops": EVENTS_SETOPS_SQL,
     "events_rollup_hierarchy": EVENTS_ROLLUP_HIERARCHY_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,

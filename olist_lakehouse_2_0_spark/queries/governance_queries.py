@@ -112,11 +112,52 @@ WHERE n_name IN ('BRAZIL', 'ARGENTINA', 'PERU', 'CANADA', 'UNITED STATES')
 """
 
 
+def sql_udf_masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-UDF mask surface under the hash gate (reference CREATE
+    FUNCTION masks, src/setup/pii_masking.sql:22-70 — previously
+    pytest-only): the same three masks, registered as catalog SQL UDFs
+    (``CREATE TEMPORARY FUNCTION ... RETURN <expr>``) and applied
+    through a plain ``spark.sql`` query over a view, must produce
+    exactly what the Column-expression path produces — the oracle is
+    the SAME DuckDB SQL that gates ``pii_masked_customers``, so any
+    divergence between the two registration surfaces fails the hash.
+    SQL UDFs inline as Catalyst expressions at plan time: no
+    serialization boundary, same whole-stage codegen."""
+    from olist_lakehouse_2_0_spark.functions.masking import register_sql_masks
+
+    register_sql_masks(spark)
+    load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "q_sqludf_customer"
+    )
+    return spark.sql(
+        """
+        WITH base AS (
+          SELECT c_custkey, c_name, c_mktsegment,
+                 CONCAT(LOWER(c_name), '@example.com') AS email,
+                 CONCAT('+55 (11) 9',
+                        LPAD(CAST(c_custkey % 10000 AS STRING), 4, '0'),
+                        '-',
+                        LPAD(CAST(c_custkey % 10000 AS STRING), 4, '0'))
+                   AS phone
+          FROM q_sqludf_customer
+        )
+        SELECT c_custkey AS customer_id,
+               mask_name(c_name) AS masked_name,
+               mask_email(email) AS masked_email,
+               mask_phone(phone) AS masked_phone,
+               c_mktsegment AS segment
+        FROM base
+        """
+    )
+
+
 GOVERNANCE_QUERIES = {
     "pii_masked_customers": pii_masked_customers,
     "region_filtered_customers": region_filtered_customers,
+    "sql_udf_masked_customers": sql_udf_masked_customers,
 }
 GOVERNANCE_ORACLES = {
     "pii_masked_customers": PII_MASKED_CUSTOMERS_SQL,
     "region_filtered_customers": REGION_FILTERED_CUSTOMERS_SQL,
+    "sql_udf_masked_customers": PII_MASKED_CUSTOMERS_SQL,
 }

@@ -522,9 +522,56 @@ GROUP BY c_nationkey
 """
 
 
+def salted_priority_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase GROUP BY under the oracle gate: per-priority
+    order metrics computed through
+    :func:`~olist_lakehouse_2_0_spark.operators.joins.salted_agg`
+    (each of the 5 hot priority keys split across 8 salted partial
+    groups, partials merged on the bare key). The oracle is the plain
+    GROUP BY — the driver hash-proves the split-merge is exact for the
+    algebraic aggregates (count merges via sum; sum/min/max merge with
+    themselves), which is the invariant that lets a 1000-executor job
+    survive one key holding 30% of the table."""
+    from olist_lakehouse_2_0_spark.operators.joins import salted_agg
+
+    orders = load(spark, sf_dir, "orders", spread=True)
+    out = salted_agg(
+        orders,
+        ["o_orderpriority"],
+        {
+            "n_orders": ("count", F.lit(1)),
+            "total_revenue": ("sum", F.col("o_totalprice").cast(MONEY)),
+            "max_price": ("max", F.col("o_totalprice").cast(MONEY)),
+            "first_date": ("min", F.col("o_orderdate")),
+        },
+        salt=8,
+    )
+    return out.select(
+        F.col("o_orderpriority").alias("priority"),
+        "n_orders",
+        F.col("total_revenue").cast(MONEY_SUM).alias("total_revenue"),
+        "max_price",
+        "first_date",
+    )
+
+
+SALTED_PRIORITY_AGG_SQL = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS total_revenue,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2))
+           AS max_price,
+       MIN(o_orderdate) AS first_date
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 JOIN_GROUPING_QUERIES = {
     "shipments_in_order_windows": shipments_in_order_windows,
     "salted_nation_revenue": salted_nation_revenue,
+    "salted_priority_agg": salted_priority_agg,
     "daily_channel_full_outer": daily_channel_full_outer,
     "priority_region_matrix": priority_region_matrix,
     "orders_cube": orders_cube,
@@ -537,6 +584,7 @@ JOIN_GROUPING_QUERIES = {
 JOIN_GROUPING_ORACLES = {
     "shipments_in_order_windows": SHIPMENTS_IN_ORDER_WINDOWS_SQL,
     "salted_nation_revenue": SALTED_NATION_REVENUE_SQL,
+    "salted_priority_agg": SALTED_PRIORITY_AGG_SQL,
     "daily_channel_full_outer": DAILY_CHANNEL_FULL_OUTER_SQL,
     "priority_region_matrix": PRIORITY_REGION_MATRIX_SQL,
     "orders_cube": ORDERS_CUBE_SQL,

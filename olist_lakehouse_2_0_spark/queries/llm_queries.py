@@ -672,6 +672,113 @@ WHERE vec_id % 50 = 0
 """
 
 
+def embedding_topk_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization under the hash gate, exact configuration:
+    :func:`~olist_lakehouse_2_0_spark.operators.similarity.pq_topk`
+    with ``candidates=None`` — every corpus row passes through the full
+    PQ pipeline (normalize -> per-subspace encode against the sampled
+    codebook -> per-query ADC table -> ADC score -> exact cosine
+    re-rank), and with no candidate cut the re-ranked result must
+    EQUAL brute force exactly (same fold order, same tie-break). The
+    oracle is the brute-force SQL, so a row dropped or corrupted
+    anywhere in the encode/score plumbing fails the hash;
+    ``embedding_topk_pq_recall`` gates the pruned production
+    configuration."""
+    from olist_lakehouse_2_0_spark.operators.similarity import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    topk = pq_topk(queries, corpus, k=10, m=8, ksub=16, candidates=None)
+    return topk.select(
+        "query_id",
+        "corpus_id",
+        F.col("cosine").cast("decimal(12,6)").alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def embedding_topk_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pruned PQ read path under the hash gate — ADC top-50
+    candidates re-ranked exactly to top-10 (the production shape:
+    m-byte codes + m table lookups per candidate instead of D floats +
+    a D-term dot product; see the PQ section of operators/similarity).
+    Judged against exhaustive brute force with deterministic invariants
+    the oracle emits as literals:
+
+    - ``self_hit_all``: every query (a corpus member) must rank ITSELF
+      first — it must survive the ADC candidate cut (its ADC distance
+      is its own quantization error, far below unrelated vectors') and
+      exact re-rank then pins it at cosine 1.
+    - ``mean_recall_ok`` / ``min_recall_ok``: mean recall@10 >= 0.25,
+      per-query min >= 0.1. Measured recall is deterministic (seedless
+      sampled codebook, sequential folds, id tie-breaks) and sits at
+      0.38-0.58 mean / 0.20-0.40 min across sf0.001/0.01/0.1, so the
+      bounds hold with >=1.5x margin while failing on any ADC
+      mis-ordering or encode data loss.
+
+    Counts (n_queries, k) are exact and oracled directly."""
+    from olist_lakehouse_2_0_spark.operators.similarity import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    approx = pq_topk(
+        queries, corpus, k=10, m=8, ksub=16, candidates=50
+    ).persist()
+    exact = cosine_topk(queries, corpus, k=10)
+    hits = exact.join(
+        approx.select("query_id", "corpus_id"),
+        ["query_id", "corpus_id"],
+        "left_semi",
+    )
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .fillna(0, ["n_hit"])
+        .select("query_id", (F.col("n_hit") / F.col("n_exact")).alias("recall"))
+    )
+    self_hits = approx.filter(
+        (F.col("rank") == 1) & (F.col("corpus_id") == F.col("query_id"))
+    )
+    return (
+        per_q.agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.lit(10).alias("k"),
+            F.mean("recall").alias("__mean_r"),
+            F.min("recall").alias("__min_r"),
+        )
+        .crossJoin(self_hits.agg(F.count(F.lit(1)).alias("__n_self")))
+        .select(
+            "n_queries",
+            "k",
+            (F.col("__n_self") == F.col("n_queries")).alias("self_hit_all"),
+            (F.col("__mean_r") >= 0.25).alias("mean_recall_ok"),
+            (F.col("__min_r") >= 0.1).alias("min_recall_ok"),
+        )
+    )
+
+
+EMBEDDING_TOPK_PQ_RECALL_SQL = """
+SELECT COUNT(*) AS n_queries,
+       10 AS k,
+       TRUE AS self_hit_all,
+       TRUE AS mean_recall_ok,
+       TRUE AS min_recall_ok
+FROM embeddings
+WHERE vec_id % 50 = 0
+"""
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via hyperplane LSH (rows-only).
 
@@ -2170,6 +2277,8 @@ LLM_QUERIES = {
     "embedding_topk_ivf_exhaustive": embedding_topk_ivf_exhaustive,
     "embedding_topk_ivf_indexed": embedding_topk_ivf_indexed,
     "embedding_topk_ivf_indexed_recall": embedding_topk_ivf_indexed_recall,
+    "embedding_topk_pq_exact": embedding_topk_pq_exact,
+    "embedding_topk_pq_recall": embedding_topk_pq_recall,
     "text_stats": text_stats,
     "doc_chunks": doc_chunks,
     "doc_quality_zscore": doc_quality_zscore,
@@ -2228,6 +2337,8 @@ LLM_ORACLES = {
     "embedding_topk_ivf_exhaustive": EMBEDDING_TOPK_SQL,
     "embedding_topk_ivf_indexed": EMBEDDING_TOPK_SQL,
     "embedding_topk_ivf_indexed_recall": EMBEDDING_TOPK_IVF_INDEXED_RECALL_SQL,
+    "embedding_topk_pq_exact": EMBEDDING_TOPK_SQL,
+    "embedding_topk_pq_recall": EMBEDDING_TOPK_PQ_RECALL_SQL,
     "embedding_topk_ivf_kmeans_exhaustive": EMBEDDING_TOPK_SQL,
     "text_stats": TEXT_STATS_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,

@@ -1073,6 +1073,150 @@ GROUP BY o_orderpriority
 """
 
 
+def zorder_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order clustered write under the hash gate (reference
+    zOrderCols table property, src/pipelines/bronze/orders.sql:14 —
+    previously pytest-only layout machinery): orders are rewritten
+    through ``Catalog.write_zordered`` on (o_custkey, o_totalprice) —
+    bit-interleaved Z-keys, contiguous Z-ranges per file — then read
+    back with a range predicate on EACH interleaved dimension and
+    aggregated. The oracle recomputes from the original table, so any
+    row the relayout dropped, duplicated, or mangled fails the hash;
+    the file-skipping behavior of the layout itself is asserted in
+    tests/test_compaction.py (point queries prune vs round-robin)."""
+    import os
+
+    from olist_lakehouse_2_0_spark.catalog import Catalog
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+
+    orders = load(spark, sf_dir, "orders")
+    root = staging_dir("zorder_q")
+    cat = Catalog(root=os.path.join(root, "warehouse"))
+    cat.write_zordered(
+        spark, orders, "orders_z", ["o_custkey", "o_totalprice"], num_files=8
+    )
+    z = cat.read(spark, "orders_z")
+    return (
+        z.filter((F.col("o_custkey") % 10 < 3) & (F.col("o_totalprice") < 150000))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money_sum("o_totalprice", "total_revenue"),
+        )
+    )
+
+
+ZORDER_PRUNED_REVENUE_SQL = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS total_revenue
+FROM orders
+WHERE o_custkey % 10 < 3 AND o_totalprice < 150000
+GROUP BY o_orderpriority
+"""
+
+
+def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join under the hash gate (previously
+    pytest-only): customer and orders are both written as tables
+    bucketed 8 ways on the customer key (``Catalog.write_bucketed`` —
+    pay the shuffle once at ingest), then joined on that key. With
+    matching bucket specs Spark plans the join with NO Exchange on
+    either side (asserted in tests/test_bucketing.py); the driver hash
+    proves the shuffle-free plan returns exactly the plain join's
+    answer. This is the 100 TB strategy for fact tables joined every
+    query: bucket at write time, never shuffle at read time."""
+    import os
+
+    from olist_lakehouse_2_0_spark.catalog import Catalog
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_totalprice").cast(MONEY).alias("price"),
+    )
+    root = staging_dir("bucket_q")
+    cat = Catalog(root=os.path.join(root, "warehouse"))
+    # saveAsTable writes under the session warehouse dir; unique names
+    # keep repeat runs isolated to mode=overwrite semantics.
+    cat.write_bucketed(customer, "q_bkt_customer", ["c_custkey"], num_buckets=8)
+    cat.write_bucketed(orders, "q_bkt_orders", ["c_custkey"], num_buckets=8)
+    joined = spark.table("q_bkt_orders").join(
+        spark.table("q_bkt_customer"), "c_custkey"
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").cast(MONEY_SUM).alias("revenue"),
+    )
+
+
+BUCKETED_SEGMENT_REVENUE_SQL = """
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def schema_evolution_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution merge read under the hash gate (previously
+    pytest-only): two generations of a bronze table — the original
+    schema and a later one with an added ``price_band`` column — land
+    as separate partition directories (``gen=v1`` / ``gen=v2``); a
+    ``mergeSchema`` read reconciles them, backfilling the missing
+    column as NULL for v1 files, and partition discovery types ``gen``
+    from the directory names. The aggregate exposes the backfill
+    (v1 rows land in the 'unbanded' bucket) so a wrong NULL-fill, a
+    dropped generation, or a mis-discovered partition all fail the
+    hash against the oracle's single-table re-derivation."""
+    import os
+
+    from olist_lakehouse_2_0_spark.sources.batch import read_parquet
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+
+    orders = load(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").cast(MONEY)
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast(MONEY),
+        F.when(F.col("o_totalprice") >= 200000, F.lit("high"))
+        .otherwise(F.lit("low"))
+        .alias("price_band"),
+    )
+    root = os.path.join(staging_dir("schema_evo"), "bronze")
+    v1.write.mode("overwrite").parquet(os.path.join(root, "gen=v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(root, "gen=v2"))
+    merged = read_parquet(spark, root, merge_schema=True)
+    return merged.groupBy(
+        F.col("gen"),
+        F.coalesce(F.col("price_band"), F.lit("unbanded")).alias("band"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").cast(MONEY_SUM).alias("total_revenue"),
+    )
+
+
+SCHEMA_EVOLUTION_METRICS_SQL = """
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'v1' ELSE 'v2' END AS gen,
+       CASE WHEN o_orderkey % 2 = 0 THEN 'unbanded'
+            WHEN o_totalprice >= 200000 THEN 'high' ELSE 'low' END AS band,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS total_revenue
+FROM orders
+GROUP BY 1, 2
+"""
+
+
 RELATIONAL_QUERIES = {
     "daily_orders": daily_orders,
     "monthly_orders_lag": monthly_orders_lag,
@@ -1091,6 +1235,9 @@ RELATIONAL_QUERIES = {
     "dq_fail_gate_violations": dq_fail_gate_violations,
     "top_revenue_orders": top_revenue_orders,
     "mv_csv_roundtrip": mv_csv_roundtrip,
+    "zorder_pruned_revenue": zorder_pruned_revenue,
+    "bucketed_segment_revenue": bucketed_segment_revenue,
+    "schema_evolution_metrics": schema_evolution_metrics,
 }
 
 RELATIONAL_ORACLES = {
@@ -1111,4 +1258,7 @@ RELATIONAL_ORACLES = {
     "dq_fail_gate_violations": DQ_FAIL_GATE_VIOLATIONS_SQL,
     "top_revenue_orders": TOP_REVENUE_ORDERS_SQL,
     "mv_csv_roundtrip": MV_CSV_ROUNDTRIP_SQL,
+    "zorder_pruned_revenue": ZORDER_PRUNED_REVENUE_SQL,
+    "bucketed_segment_revenue": BUCKETED_SEGMENT_REVENUE_SQL,
+    "schema_evolution_metrics": SCHEMA_EVOLUTION_METRICS_SQL,
 }

@@ -119,3 +119,52 @@ def test_range_join_fractional_values(spark):
     }
     assert (1, 7.2) in expected  # the regression case this test guards
     assert got == expected
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    """Two-phase salted aggregation must be invisible in the result:
+    identical to the plain GROUP BY for every supported algebraic
+    aggregate, including on a pathologically hot key."""
+    from pyspark.sql import functions as F
+
+    from olist_lakehouse_2_0_spark.operators.joins import salted_agg
+
+    # key 'hot' holds 90% of the rows; 'a'/'b' are normal.
+    rows = [("hot", i, float(i % 7)) for i in range(900)]
+    rows += [("a", i, float(i)) for i in range(60)]
+    rows += [("b", i, float(-i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, n long, v double")
+    metrics = {
+        "cnt": ("count", F.lit(1)),
+        "total": ("sum", F.col("n")),
+        "lo": ("min", F.col("v")),
+        "hi": ("max", F.col("v")),
+    }
+    got = {
+        r["k"]: (r["cnt"], r["total"], r["lo"], r["hi"])
+        for r in salted_agg(df, ["k"], metrics, salt=8).collect()
+    }
+    want = {
+        r["k"]: (r["cnt"], r["total"], r["lo"], r["hi"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n").alias("total"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_agg_rejects_non_algebraic(spark):
+    from pyspark.sql import functions as F
+
+    from olist_lakehouse_2_0_spark.operators.joins import salted_agg
+
+    df = spark.createDataFrame([("a", 1)], "k string, n long")
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported salted aggregate"):
+        salted_agg(df, ["k"], {"d": ("count_distinct", F.col("n"))})

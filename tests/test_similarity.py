@@ -147,3 +147,101 @@ def test_indexed_dynamic_prune_defers_collect(spark, tmp_path, monkeypatch):
     ivf_topk_indexed(queries, cat, nprobe=2, k=3, prune="dynamic")
     with pytest.raises(AssertionError, match="eager collect"):
         ivf_topk_indexed(queries, cat, nprobe=2, k=3, prune="static")
+
+
+def test_pq_rerank_all_equals_bruteforce(spark, sf_smoke):
+    """candidates=None re-ranks every encoded row: the PQ pipeline must
+    reproduce brute force exactly (tie-breaks included)."""
+    from pyspark.sql import functions as F
+
+    from olist_lakehouse_2_0_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    got = sorted(
+        map(
+            tuple,
+            pq_topk(queries, corpus, k=5, candidates=None)
+            .select("query_id", "corpus_id", "rank")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            cosine_topk(queries, corpus, k=5)
+            .select("query_id", "corpus_id", "rank")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_pq_codes_shape_and_determinism(spark, sf_smoke):
+    """Every encoded row carries exactly m codes in [0, ksub); encoding
+    the same corpus twice yields identical codes (seedless sampled
+    codebook + deterministic argmin tie-breaks)."""
+    from pyspark.sql import functions as F
+
+    from olist_lakehouse_2_0_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    m, ksub = 8, 16
+    corpus = (
+        spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+        .limit(200)
+        .select(F.col("vec_id").alias("corpus_id"), "embedding")
+    )
+    books = pq_codebook(corpus, m=m, ksub=ksub)
+    enc = pq_encode(corpus, books, m=m)
+    bad = enc.filter(
+        (F.size("__codes") != m)
+        | F.exists("__codes", lambda c: (c < 0) | (c >= ksub))
+    )
+    assert bad.count() == 0
+    a = {r["corpus_id"]: tuple(r["__codes"]) for r in enc.collect()}
+    b = {
+        r["corpus_id"]: tuple(r["__codes"])
+        for r in pq_encode(corpus, pq_codebook(corpus, m=m, ksub=ksub), m=m).collect()
+    }
+    assert a == b
+
+
+def test_pq_pruned_recall_bound(spark, sf_smoke):
+    """ADC top-50 candidates + exact re-rank: recall@10 vs brute force
+    stays above the registered invariant bounds, and every query finds
+    itself at rank 1."""
+    from pyspark.sql import functions as F
+
+    from olist_lakehouse_2_0_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    approx = pq_topk(queries, corpus, k=10, candidates=50).persist()
+    exact = cosine_topk(queries, corpus, k=10)
+    hits = exact.join(
+        approx.select("query_id", "corpus_id"),
+        ["query_id", "corpus_id"],
+        "left_semi",
+    )
+    n_q = queries.count()
+    recall = hits.count() / exact.count()
+    assert recall >= 0.25
+    self_hits = approx.filter(
+        (F.col("rank") == 1) & (F.col("corpus_id") == F.col("query_id"))
+    ).count()
+    assert self_hits == n_q
