@@ -153,6 +153,10 @@ _NEW_IN_R4 = {
     "sql_udf_masked_customers", "events_stream_stream_join",
     # Product-quantization ANN (new operator family this round).
     "embedding_topk_pq_exact", "embedding_topk_pq_recall",
+    # Third r4 batch: streaming dedup, partition-scoped gold refresh,
+    # small-file compaction roundtrip.
+    "events_streaming_dedup", "partition_overwrite_gold",
+    "compaction_roundtrip_metrics",
 }
 
 #: Previously-green queries whose IMPLEMENTATION changed in round 4

@@ -264,7 +264,19 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="error_ts", upper_seconds=300,
     )
     out = os.path.join(root, "pairs")
-    run_to_parquet(joined, out, os.path.join(root, "ckpt"))
+    # Stateful operators allocate one state store per shuffle
+    # partition, and the partition count is FROZEN into the stream's
+    # checkpoint at first run — Spark's own guidance is to size it
+    # deliberately per stateful job rather than inherit the session
+    # default (state-store setup dominated this drain: 22.5 s at 32
+    # partitions vs 4.6 s at 8 on the sf0.1 corpus). Scoped + restored:
+    # a real deployment sizes it to cluster parallelism instead.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_parquet(joined, out, os.path.join(root, "ckpt"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # Explicit schema: a zero-pair drain leaves no data files to infer
     # from (possible at tiny scale factors).
     return spark.read.schema(joined.schema).parquet(out).select(
@@ -281,6 +293,68 @@ FROM events c JOIN events e
  AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL '300 seconds'
 WHERE c.event_type = 'click' AND e.event_type = 'error'
   AND c.ts IS NOT NULL AND e.ts IS NOT NULL
+"""
+
+
+def events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup under the hash gate
+    (previously pytest-only): the event feed is re-staged with every
+    7th event DUPLICATED (the at-least-once redelivery shape), streamed
+    through
+    :func:`~olist_lakehouse_2_0_spark.streaming.windows.dedupe_stream`
+    (stateful dropDuplicates on event_id, state bounded by the
+    watermark) into a checkpointed sink, and the surviving rows are
+    rolled up per type. The oracle aggregates the ORIGINAL events
+    directly — one duplicate leaking through (or one original eaten)
+    shifts a count/sum and fails the hash. The drain is one
+    availableNow batch so no duplicate can arrive past the watermark
+    horizon; horizon eviction itself is pinned in
+    tests/test_streaming_windows.py."""
+    import os
+
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+    from olist_lakehouse_2_0_spark.streaming.ingest import run_to_parquet
+    from olist_lakehouse_2_0_spark.streaming.windows import dedupe_stream
+
+    events = (
+        load(spark, sf_dir, "events", spread=True)
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+    redelivered = events.unionByName(events.filter(F.col("event_id") % 7 == 0))
+    root = staging_dir("stream_dedup")
+    landing = os.path.join(root, "landing")
+    redelivered.write.parquet(landing)
+    stream = spark.readStream.schema(events.schema).parquet(landing)
+    deduped = dedupe_stream(stream, keys=("event_id",), ts_col="ts")
+    out = os.path.join(root, "deduped")
+    # Stateful dedup: one state store per shuffle partition, count
+    # frozen into the checkpoint — sized deliberately for the drain
+    # (see events_stream_stream_join for the measured rationale).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_parquet(deduped, out, os.path.join(root, "ckpt"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    back = spark.read.schema(deduped.schema).parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("sum_value"),
+    )
+
+
+EVENTS_STREAMING_DEDUP_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY event_type
 """
 
 
@@ -964,6 +1038,7 @@ EVENT_QUERIES = {
     "events_asof_purchase_view": events_asof_purchase_view,
     "events_error_after_click": events_error_after_click,
     "events_stream_stream_join": events_stream_stream_join,
+    "events_streaming_dedup": events_streaming_dedup,
     "events_user_setops": events_user_setops,
     "events_rollup_hierarchy": events_rollup_hierarchy,
     # events_sketch_profile is deliberately NOT registered: its raw
@@ -995,6 +1070,7 @@ EVENT_ORACLES = {
     "events_asof_purchase_view": EVENTS_ASOF_SQL,
     "events_error_after_click": EVENTS_ERROR_AFTER_CLICK_SQL,
     "events_stream_stream_join": EVENTS_STREAM_STREAM_JOIN_SQL,
+    "events_streaming_dedup": EVENTS_STREAMING_DEDUP_SQL,
     "events_user_setops": EVENTS_SETOPS_SQL,
     "events_rollup_hierarchy": EVENTS_ROLLUP_HIERARCHY_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,

@@ -1217,6 +1217,98 @@ GROUP BY 1, 2
 """
 
 
+def partition_overwrite_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite under the hash gate (previously
+    pytest-only; the partition-scoped gold-refresh pattern): a
+    per-priority revenue table is written partitioned by priority, then
+    TWO partitions are recomputed under a revised rule (high-value
+    orders only) and swapped in via
+    ``Catalog.overwrite_partitions`` — which must replace exactly the
+    partitions present in the incoming frame and leave the other three
+    byte-untouched. The read-back is hashed against the oracle's
+    re-derivation of that mixed final state, so an over-wide overwrite
+    (Spark's static mode truncates the whole table) or a missed refresh
+    both fail."""
+    import os
+
+    from olist_lakehouse_2_0_spark.catalog import Catalog
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+
+    orders = load(spark, sf_dir, "orders")
+    root = staging_dir("dyn_overwrite")
+    cat = Catalog(root=os.path.join(root, "warehouse"))
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money_sum("o_totalprice", "total_revenue"),
+        )
+
+    cat.write(rollup(orders), "priority_gold", partition_by=["priority"])
+    refreshed = rollup(
+        orders.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.col("o_totalprice") >= 50000)
+        )
+    )
+    cat.overwrite_partitions(refreshed, "priority_gold", ["priority"])
+    return cat.read(spark, "priority_gold").select(
+        "priority", "n_orders", "total_revenue"
+    )
+
+
+PARTITION_OVERWRITE_GOLD_SQL = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS total_revenue
+FROM orders
+WHERE CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN o_totalprice >= 50000 ELSE TRUE END
+GROUP BY o_orderpriority
+"""
+
+
+def compaction_roundtrip_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction under the hash gate (previously
+    pytest-only; the reference delegates this to auto-optimize): orders
+    are deliberately fragmented into 64 files (the streaming-ingest
+    small-file shape), compacted through ``Catalog.compact`` (coalesce
+    rewrite + crash-safe swap), and the compacted table is re-read and
+    rolled up. The oracle aggregates the original table — any row lost
+    or duplicated by the rewrite/swap fails the hash — and the
+    file-count collapse is exposed as an oracled boolean."""
+    import os
+
+    from olist_lakehouse_2_0_spark.catalog import Catalog
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    root = staging_dir("compact_q")
+    cat = Catalog(root=os.path.join(root, "warehouse"))
+    cat.write(orders.repartition(64), "orders_frag")
+    before, after = cat.compact(spark, "orders_frag")
+    frag = cat.read(spark, "orders_frag")
+    return frag.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _money_sum("o_totalprice", "total_revenue"),
+        F.lit(bool(after < before)).alias("files_reduced"),
+    )
+
+
+COMPACTION_ROUNDTRIP_SQL = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS total_revenue,
+       TRUE AS files_reduced
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 RELATIONAL_QUERIES = {
     "daily_orders": daily_orders,
     "monthly_orders_lag": monthly_orders_lag,
@@ -1238,6 +1330,8 @@ RELATIONAL_QUERIES = {
     "zorder_pruned_revenue": zorder_pruned_revenue,
     "bucketed_segment_revenue": bucketed_segment_revenue,
     "schema_evolution_metrics": schema_evolution_metrics,
+    "partition_overwrite_gold": partition_overwrite_gold,
+    "compaction_roundtrip_metrics": compaction_roundtrip_metrics,
 }
 
 RELATIONAL_ORACLES = {
@@ -1261,4 +1355,6 @@ RELATIONAL_ORACLES = {
     "zorder_pruned_revenue": ZORDER_PRUNED_REVENUE_SQL,
     "bucketed_segment_revenue": BUCKETED_SEGMENT_REVENUE_SQL,
     "schema_evolution_metrics": SCHEMA_EVOLUTION_METRICS_SQL,
+    "partition_overwrite_gold": PARTITION_OVERWRITE_GOLD_SQL,
+    "compaction_roundtrip_metrics": COMPACTION_ROUNDTRIP_SQL,
 }
