@@ -264,3 +264,42 @@ def enforce_aggregate(df: DataFrame, checks: dict[str, Column]) -> dict[str, boo
     if failed:
         raise ExpectationFailed(f"aggregate expectation violated: {failed}")
     return outcomes
+
+
+def aggregate_gate_report(
+    df: DataFrame, checks: dict[str, Column]
+) -> DataFrame:
+    """The aggregate FAIL gate's decision relation AS DATA: one row per
+    table-level check with its boolean outcome and whether it would
+    block the update (every aggregate check is FAIL-actioned — a
+    violated table invariant has no row to drop or warn on).
+
+    :func:`enforce_aggregate` surfaces outcomes only through its raise;
+    this returns them as a DataFrame so the gate's decision is
+    oracle-checkable, mirroring :func:`gate_report` for the row-level
+    ladder. One aggregation job (all checks in a single scan, map-side
+    partial aggregation), then a constant-width unpivot."""
+    if not checks:
+        return df.sparkSession.createDataFrame(
+            [], "rule string, passed boolean, gate_blocks boolean"
+        )
+    names = list(checks)
+    agg = df.agg(
+        *[
+            F.coalesce(checks[n], F.lit(False)).alias(f"c_{i}")
+            for i, n in enumerate(names)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("rule"), F.col(f"c_{i}").alias("passed")
+            )
+            for i, n in enumerate(names)
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("r"))
+        .select("r.rule", "r.passed")
+        .withColumn("gate_blocks", ~F.col("passed"))
+    )

@@ -637,3 +637,89 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication via embedding clusters (Abbas,
+# Tirumala, Simig, Ganguli, Morcos, "SemDeDup: Data-efficient learning
+# at web-scale through semantic deduplication", arXiv:2303.09540). The
+# web-scale trick is the CLUSTER SCOPE: pairwise cosine is computed
+# only WITHIN a k-means cluster, so the all-pairs n^2 collapses to
+# sum(|cluster|^2) — with k ~ sqrt(n) balanced clusters that is ~n^1.5
+# spread across an equi-join on centroid_id, never a cartesian product.
+# This complements the syntactic dedup family (MinHash/SimHash/winnow
+# catch near-identical TEXT; SemDeDup catches re-phrasings that only
+# the embedding space sees). Beyond-reference surface.
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_clusters: int = 16,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """Cluster-scoped semantic dedup. Returns ``(survivors, pairs)``:
+    ``pairs`` is every within-cluster pair with cosine >= ``threshold``
+    (columns ``id_a < id_b``, ``cosine``); ``survivors`` is the corpus
+    minus every row that has an above-threshold neighbor with a
+    smaller id (greedy keep-lowest-id — the paper keeps the member
+    closest to the centroid, but identical/near-identical vectors are
+    equidistant, so a total-order tie-break is needed either way and
+    the id makes the choice deterministic and join-free).
+
+    Plan shape: k-means centroids (persist-scoped Lloyd, see
+    :func:`kmeans_centroids`) -> map-side nearest-centroid assignment
+    against one broadcast packed codebook -> self-equi-join on
+    centroid_id with ``id_a < id_b`` -> JVM zip_with/aggregate cosine
+    -> left_anti of the drop set. No Python in any per-row path; the
+    only shuffles are the centroid_id self-join and the anti-join on
+    the id."""
+    centroids = kmeans_centroids(corpus, vec_col, num_clusters, seed, max_iter)
+    packed = _pack_centroids(centroids)
+    assigned = (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__vec"),
+            l2_norm(F.col(vec_col)).alias("__norm"),
+        )
+        .crossJoin(F.broadcast(packed))
+        .withColumn("centroid_id", _nearest_centroid(F.col("__vec")))
+        .select(id_col, "__vec", "__norm", "centroid_id")
+    )
+    a = assigned.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("id_a"),
+        F.col("__vec").alias("__va"),
+        F.col("__norm").alias("__na"),
+    )
+    b = assigned.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("id_b"),
+        F.col("__vec").alias("__vb"),
+        F.col("__norm").alias("__nb"),
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            dot(F.col("__va"), F.col("__vb"))
+            / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0)),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        # Both returned frames derive from the pair set (survivors
+        # anti-join the id_b side; callers typically also aggregate the
+        # pairs). Persist the bounded above-threshold output — three
+        # narrow columns, a tiny fraction of the corpus — so the heavy
+        # assignment + self-join pipeline runs ONCE, not once per
+        # consumer (the unpersisted plan recomputed it 3x).
+        .persist()
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = corpus.join(drops, id_col, "left_anti")
+    return survivors, pairs

@@ -157,6 +157,11 @@ _NEW_IN_R4 = {
     # small-file compaction roundtrip.
     "events_streaming_dedup", "partition_overwrite_gold",
     "compaction_roundtrip_metrics",
+    # Fourth r4 batch: SemDeDup (cluster-scoped semantic dedup, new
+    # operator family), stream-static broadcast enrichment, aggregate
+    # expectation gate, SQL entry point.
+    "semantic_dedup_survivors", "events_stream_static_enrich",
+    "dq_aggregate_gate", "sql_entry_revenue",
 }
 
 #: Previously-green queries whose IMPLEMENTATION changed in round 4

@@ -358,6 +358,63 @@ GROUP BY event_type
 """
 
 
+def events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment under the hash gate
+    (previously pytest-only): the event feed is streamed from a staged
+    landing directory and enriched per micro-batch against a STATIC
+    customer dimension via
+    :func:`~olist_lakehouse_2_0_spark.streaming.joins.stream_static_enrich`
+    (broadcast left join, no state). The dimension is deliberately
+    restricted to even customer keys so odd-user events MISS — the
+    left-join "misses kept as NULL attributes" contract is
+    load-bearing in the hash, not just asserted in tests. Stateless
+    per-batch join, so the drain needs no state-store sizing."""
+    import os
+
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+    from olist_lakehouse_2_0_spark.streaming.ingest import run_to_parquet
+    from olist_lakehouse_2_0_spark.streaming.joins import stream_static_enrich
+
+    events = load(spark, sf_dir, "events", spread=True).select(
+        "event_id", F.col("user_id").alias("c_custkey"), "event_type", "value"
+    )
+    dim = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    root = staging_dir("stream_enrich")
+    landing = os.path.join(root, "landing")
+    events.write.parquet(landing)
+    stream = spark.readStream.schema(events.schema).parquet(landing)
+    enriched = stream_static_enrich(stream, dim, key="c_custkey", how="left")
+    out = os.path.join(root, "enriched")
+    run_to_parquet(enriched, out, os.path.join(root, "ckpt"))
+    back = spark.read.schema(enriched.schema).parquet(out)
+    return back.groupBy(
+        F.coalesce(F.col("c_mktsegment"), F.lit("<miss>")).alias("segment"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("sum_value"),
+    )
+
+
+EVENTS_STREAM_STATIC_ENRICH_SQL = """
+SELECT COALESCE(c.c_mktsegment, '<miss>') AS segment,
+       e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+FROM events e
+LEFT JOIN (
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 0
+) c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 def events_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous-aggregate hierarchy: hourly partial
     states are computed ONCE from raw events, then daily and monthly
@@ -1039,6 +1096,7 @@ EVENT_QUERIES = {
     "events_error_after_click": events_error_after_click,
     "events_stream_stream_join": events_stream_stream_join,
     "events_streaming_dedup": events_streaming_dedup,
+    "events_stream_static_enrich": events_stream_static_enrich,
     "events_user_setops": events_user_setops,
     "events_rollup_hierarchy": events_rollup_hierarchy,
     # events_sketch_profile is deliberately NOT registered: its raw
@@ -1071,6 +1129,7 @@ EVENT_ORACLES = {
     "events_error_after_click": EVENTS_ERROR_AFTER_CLICK_SQL,
     "events_stream_stream_join": EVENTS_STREAM_STREAM_JOIN_SQL,
     "events_streaming_dedup": EVENTS_STREAMING_DEDUP_SQL,
+    "events_stream_static_enrich": EVENTS_STREAM_STATIC_ENRICH_SQL,
     "events_user_setops": EVENTS_SETOPS_SQL,
     "events_rollup_hierarchy": EVENTS_ROLLUP_HIERARCHY_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,

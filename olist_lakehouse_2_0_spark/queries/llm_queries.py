@@ -947,6 +947,81 @@ FROM keyed a JOIN keyed b ON a.norm = b.norm AND a.doc_id < b.doc_id
 SIMHASH_VERIFIED_DUPS_SQL = _NORM_EQUAL_PAIRS_SQL
 WINNOW_VERIFIED_DUPS_SQL = _NORM_EQUAL_PAIRS_SQL
 
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-scoped semantic dedup, arXiv:2303.09540) under
+    the hash gate: exact copies are planted for every EVEN vec_id, the
+    unioned corpus runs the full pipeline — k-means clustering,
+    within-cluster pairwise cosine, greedy keep-lowest-id drop — and
+    each survivor reports how many neighbors were dropped on its
+    account. Identical vectors are assigned to the same centroid
+    (nearest-centroid is a pure function of the vector), so every
+    planted pair is compared despite the cluster scoping, and the
+    remaining corpus is near-orthogonal with no incidental pairs at
+    cosine >= 0.999 (the same structural argument the driver already
+    hash-verified for ``embedding_neardup_verified``). The oracle
+    re-derives survivors and drop counts from the exhaustive
+    brute-force pair set — a cluster assignment that splits a planted
+    pair (missed drop) or an incidental within-cluster pair (false
+    drop) both shift rows and fail the hash."""
+    from olist_lakehouse_2_0_spark.operators.similarity import semdedup
+
+    emb = load(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", "embedding"
+    )
+    copies = emb.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    survivors, pairs = semdedup(
+        emb.unionByName(copies),
+        "vec_id",
+        "embedding",
+        threshold=0.999,
+        num_clusters=16,
+    )
+    dropped_per_keeper = pairs.groupBy("id_a").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        survivors.select("vec_id")
+        .join(
+            dropped_per_keeper,
+            F.col("vec_id") == F.col("id_a"),
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+SEMANTIC_DEDUP_SURVIVORS_SQL = """
+WITH u AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 2 = 0
+), n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM u
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(range(1, LEN(a.embedding)+1),
+                 i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+          / NULLIF(a.nrm * b.nrm, 0.0) >= 0.999
+), drops AS (
+  SELECT DISTINCT id_b FROM pairs
+), kept_counts AS (
+  SELECT id_a, COUNT(*) AS n FROM pairs GROUP BY id_a
+)
+SELECT u.vec_id, CAST(COALESCE(k.n, 0) AS BIGINT) AS n_dropped
+FROM u
+LEFT JOIN kept_counts k ON u.vec_id = k.id_a
+WHERE u.vec_id NOT IN (SELECT id_b FROM drops)
+"""
+
+
 EMBEDDING_NEARDUP_VERIFIED_SQL = """
 WITH u AS (
   SELECT vec_id, embedding FROM embeddings
@@ -2303,6 +2378,7 @@ LLM_QUERIES = {
     "simhash_verified_dups": simhash_verified_dups,
     "winnow_verified_dups": winnow_verified_dups,
     "embedding_neardup_verified": embedding_neardup_verified,
+    "semantic_dedup_survivors": semantic_dedup_survivors,
     "embedding_topk_bruteforce": embedding_topk_bruteforce,
     "image_metadata": image_metadata,
     "image_decode_stats": image_decode_stats,
@@ -2353,6 +2429,7 @@ LLM_ORACLES = {
     "simhash_verified_dups": SIMHASH_VERIFIED_DUPS_SQL,
     "winnow_verified_dups": WINNOW_VERIFIED_DUPS_SQL,
     "embedding_neardup_verified": EMBEDDING_NEARDUP_VERIFIED_SQL,
+    "semantic_dedup_survivors": SEMANTIC_DEDUP_SURVIVORS_SQL,
     "embedding_topk_bruteforce": EMBEDDING_TOPK_SQL,
     "image_metadata": IMAGE_METADATA_SQL,
     "image_decode_stats": IMAGE_DECODE_STATS_SQL,

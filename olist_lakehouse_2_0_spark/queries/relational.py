@@ -1309,6 +1309,100 @@ GROUP BY o_orderpriority
 """
 
 
+def dq_aggregate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level (aggregate) expectation gate under the hash gate
+    (previously pytest-only): row-count bounds, null share, domain
+    totals, and a value band evaluate in ONE aggregation job via
+    ``aggregate_gate_report``, returning the gate's decision relation.
+    The check mix guarantees both outcomes appear — the strict price
+    cap fails at every scale factor (the corpus has orders above
+    100k), so the blocking path is hash-verified alongside the clean
+    passes. pytest covers ``enforce_aggregate``'s raise; this covers
+    the decision table."""
+    from olist_lakehouse_2_0_spark.operators.expectations import (
+        aggregate_gate_report,
+    )
+
+    orders = load(spark, sf_dir, "orders", spread=True)
+    checks = {
+        "row_count_min": F.count(F.lit(1)) >= 1,
+        "orderkey_never_null": F.sum(F.col("o_orderkey").isNull().cast("int"))
+        == 0,
+        "status_in_domain": F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("int")
+        )
+        == 0,
+        "price_cap_strict": F.max("o_totalprice") <= 100000,
+        "avg_price_band": (F.avg("o_totalprice") >= 1000)
+        & (F.avg("o_totalprice") <= 500000),
+    }
+    return aggregate_gate_report(orders, checks)
+
+
+DQ_AGGREGATE_GATE_SQL = """
+WITH a AS (
+  SELECT COUNT(*) AS cnt,
+         SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nul,
+         SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS bad,
+         MAX(o_totalprice) AS maxp,
+         AVG(o_totalprice) AS avgp
+  FROM orders
+), checks AS (
+  SELECT 'row_count_min' AS rule, COALESCE(cnt >= 1, FALSE) AS passed FROM a
+  UNION ALL
+  SELECT 'orderkey_never_null', COALESCE(nul = 0, FALSE) FROM a
+  UNION ALL
+  SELECT 'status_in_domain', COALESCE(bad = 0, FALSE) FROM a
+  UNION ALL
+  SELECT 'price_cap_strict', COALESCE(maxp <= 100000, FALSE) FROM a
+  UNION ALL
+  SELECT 'avg_price_band',
+         COALESCE(avgp >= 1000 AND avgp <= 500000, FALSE) FROM a
+)
+SELECT rule, passed, NOT passed AS gate_blocks FROM checks
+"""
+
+
+#: One SQL text, two engines: the SQL ENTRY POINT (catalog.run_sql over
+#: registered views) is exercised by handing Spark the very string the
+#: DuckDB oracle runs — the query surface itself is the thing under
+#: test, so any divergence between the registered-view path and a
+#: native scan fails the hash. ANSI subset only (JOIN/GROUP BY/window
+#: ROW_NUMBER/decimal casts) so both engines parse it unmodified.
+SQL_ENTRY_REVENUE_SQL = """
+SELECT n_name, priority, n_orders, revenue, priority_rank
+FROM (
+  SELECT n.n_name AS n_name,
+         o.o_orderpriority AS priority,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+             AS revenue,
+         ROW_NUMBER() OVER (
+             PARTITION BY n.n_name
+             ORDER BY COUNT(*) DESC, o.o_orderpriority
+         ) AS priority_rank
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, o.o_orderpriority
+) ranked
+WHERE priority_rank <= 2
+"""
+
+
+def sql_entry_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point under the hash gate (previously pytest-only):
+    the exact oracle SQL text is executed through ``catalog.run_sql``
+    (register testdata views, ``spark.sql``), covering view
+    registration, the SQL parser surface, and window-over-aggregate
+    planning. Catalyst broadcast-joins both dims and computes
+    ROW_NUMBER over the aggregated relation — same plan the DataFrame
+    twin ``revenue_by_nation`` gets, reached through the SQL door."""
+    from olist_lakehouse_2_0_spark.catalog import run_sql
+
+    return run_sql(spark, sf_dir, SQL_ENTRY_REVENUE_SQL)
+
+
 RELATIONAL_QUERIES = {
     "daily_orders": daily_orders,
     "monthly_orders_lag": monthly_orders_lag,
@@ -1332,6 +1426,8 @@ RELATIONAL_QUERIES = {
     "schema_evolution_metrics": schema_evolution_metrics,
     "partition_overwrite_gold": partition_overwrite_gold,
     "compaction_roundtrip_metrics": compaction_roundtrip_metrics,
+    "dq_aggregate_gate": dq_aggregate_gate,
+    "sql_entry_revenue": sql_entry_revenue,
 }
 
 RELATIONAL_ORACLES = {
@@ -1357,4 +1453,6 @@ RELATIONAL_ORACLES = {
     "schema_evolution_metrics": SCHEMA_EVOLUTION_METRICS_SQL,
     "partition_overwrite_gold": PARTITION_OVERWRITE_GOLD_SQL,
     "compaction_roundtrip_metrics": COMPACTION_ROUNDTRIP_SQL,
+    "dq_aggregate_gate": DQ_AGGREGATE_GATE_SQL,
+    "sql_entry_revenue": SQL_ENTRY_REVENUE_SQL,
 }

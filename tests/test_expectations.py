@@ -207,3 +207,45 @@ def test_gate_report_empty_expectations(spark):
     out = gate_report(df, [])
     assert out.columns == ["rule", "action", "violations", "gate_blocks"]
     assert out.count() == 0
+
+
+def test_aggregate_gate_report_decision_table(spark):
+    """The aggregate gate's decision relation: one row per table-level
+    check, failures block, NULL-valued checks fail closed."""
+    from pyspark.sql import functions as F
+
+    from olist_lakehouse_2_0_spark.operators.expectations import (
+        aggregate_gate_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "id long, v double"
+    )
+    rep = {
+        r.rule: (r.passed, r.gate_blocks)
+        for r in aggregate_gate_report(
+            df,
+            {
+                "min_rows": F.count(F.lit(1)) >= 3,
+                "too_many_rows": F.count(F.lit(1)) >= 100,
+                # NULL aggregate (sum over no matching rows) -> fail closed
+                "null_agg": F.sum(F.when(F.col("id") > 99, F.col("v"))) > 0,
+            },
+        ).collect()
+    }
+    assert rep == {
+        "min_rows": (True, False),
+        "too_many_rows": (False, True),
+        "null_agg": (False, True),
+    }
+
+
+def test_aggregate_gate_report_empty_checks(spark):
+    from olist_lakehouse_2_0_spark.operators.expectations import (
+        aggregate_gate_report,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long")
+    out = aggregate_gate_report(df, {})
+    assert out.columns == ["rule", "passed", "gate_blocks"]
+    assert out.count() == 0

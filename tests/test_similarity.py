@@ -245,3 +245,58 @@ def test_pq_pruned_recall_bound(spark, sf_smoke):
         (F.col("rank") == 1) & (F.col("corpus_id") == F.col("query_id"))
     ).count()
     assert self_hits == n_q
+
+
+def test_semdedup_drops_planted_copies_keeps_rest(spark):
+    """Cluster-scoped SemDeDup on a corpus with planted exact copies:
+    every copy (larger id) is dropped, every original survives, and
+    the pair set equals the exhaustive brute-force pair set at the
+    same threshold (identical vectors co-cluster structurally; the
+    pseudo-random rest has no pairs at cosine >= 0.999)."""
+    from olist_lakehouse_2_0_spark.operators.similarity import semdedup
+
+    base = _corpus(spark, n=120, dim=8)
+    copies = base.filter(F.col("corpus_id") % 3 == 0).select(
+        (F.col("corpus_id") + 10000).alias("corpus_id"), "embedding"
+    )
+    u = base.unionByName(copies)
+    survivors, pairs = semdedup(
+        u, "corpus_id", "embedding", threshold=0.999, num_clusters=8
+    )
+    kept = {r.corpus_id for r in survivors.select("corpus_id").collect()}
+    assert kept == set(range(120))
+    got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got_pairs == {(i, i + 10000) for i in range(0, 120, 3)}
+
+
+def test_semdedup_pair_generation_is_equi_join(spark):
+    """The within-cluster pair stage must be an equi-join on
+    centroid_id — never a cartesian product of the corpus with
+    itself (the SemDeDup scale contract)."""
+    from olist_lakehouse_2_0_spark.operators.similarity import semdedup
+
+    u = _corpus(spark, n=60, dim=8)
+    _, pairs = semdedup(u, "corpus_id", "embedding", num_clusters=4)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_transitive_chain_keeps_only_lowest_id(spark):
+    """Three mutually-similar vectors (one value, three ids): the
+    greedy keep-lowest-id rule keeps exactly the smallest id and
+    drops both others, regardless of cluster assignment ties."""
+    from olist_lakehouse_2_0_spark.operators.similarity import semdedup
+
+    one = _corpus(spark, n=40, dim=8)
+    dup1 = one.filter(F.col("corpus_id") == 7).select(
+        F.lit(1007).alias("corpus_id"), "embedding"
+    )
+    dup2 = one.filter(F.col("corpus_id") == 7).select(
+        F.lit(2007).alias("corpus_id"), "embedding"
+    )
+    u = one.unionByName(dup1).unionByName(dup2)
+    survivors, _ = semdedup(
+        u, "corpus_id", "embedding", threshold=0.999, num_clusters=4
+    )
+    kept = {r.corpus_id for r in survivors.select("corpus_id").collect()}
+    assert 7 in kept and 1007 not in kept and 2007 not in kept
