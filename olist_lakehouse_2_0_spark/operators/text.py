@@ -691,3 +691,96 @@ def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_guess(t).alias("lang_guess"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson & Zaragoza, "The Probabilistic
+# Relevance Framework: BM25 and Beyond", FnTIR 2009). The lexical
+# complement to the embedding ANN family: similarity.py ranks by dense
+# cosine, this ranks by sparse term statistics — the two legs of the
+# standard hybrid-retrieval data pipeline (e.g. mining training pairs
+# or hard negatives at corpus scale).
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """Okapi BM25 top-k over a document corpus.
+
+    ``queries`` is one row per (query, term) — the already-tokenized
+    sparse query representation. Returns ``(query_id, id_col,
+    score_units, rank)`` for the ``k`` best-scoring documents per
+    query, where ``score_units`` is the BM25 score in integer 1e-6
+    units: each term's contribution ``idf * tf_saturation`` is
+    quantized to a BIGINT BEFORE the per-document sum, so the score is
+    an order-independent integer — no float-summation-order exposure
+    in the ranking or across engines (the bigram/unigram-LM
+    integer-log-units discipline).
+
+    Plan shape: ONE tokenize pass feeds tf, document length, document
+    frequency, and the corpus totals (persisted ``(doc, term, tf)``
+    frame); the query terms are broadcast into the tf relation, so the
+    only corpus-sized shuffles are the tf groupBy and the per-document
+    score aggregation. ``dl/avgdl`` is computed as ``(dl * n) / total``
+    from exact integers — no pre-rounded average intermediate."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__term")
+    )
+    tf = (
+        toks.groupBy(id_col, "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .persist()
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    stats = dl.agg(
+        F.sum("__dl").alias("__tot"), F.count(F.lit(1)).alias("__n")
+    )
+    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    terms = queries.select(F.col(query_id), F.col(term_col).alias("__term"))
+    # Document frequencies restricted to the query vocabulary: the
+    # full df relation is corpus-sized, but only |query terms| rows of
+    # it matter, so cut it down before broadcasting.
+    qdf = dfreq.join(F.broadcast(terms.select("__term").distinct()), "__term")
+    matched = (
+        tf.join(F.broadcast(terms), "__term")
+        .join(F.broadcast(qdf), "__term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("__n") - F.col("__df")).cast("double") + F.lit(0.5))
+        / (F.col("__df").cast("double") + F.lit(0.5))
+    )
+    rel_len = (F.col("__dl") * F.col("__n")).cast("double") / F.col(
+        "__tot"
+    ).cast("double")
+    sat = (F.col("__tf").cast("double") * (F.lit(k1) + F.lit(1.0))) / (
+        F.col("__tf").cast("double")
+        + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * rel_len)
+    )
+    contrib_units = F.floor(idf * sat * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (
+        matched.select(query_id, id_col, contrib_units.alias("__u"))
+        .groupBy(query_id, id_col)
+        .agg(F.sum("__u").alias("score_units"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(query_id).orderBy(
+        F.desc("score_units"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "score_units", "rank")
+    )

@@ -162,6 +162,8 @@ _NEW_IN_R4 = {
     # expectation gate, SQL entry point.
     "semantic_dedup_survivors", "events_stream_static_enrich",
     "dq_aggregate_gate", "sql_entry_revenue",
+    # BM25 ranked retrieval (lexical leg of the hybrid-retrieval pair).
+    "bm25_doc_ranking",
 }
 
 #: Previously-green queries whose IMPLEMENTATION changed in round 4

@@ -947,6 +947,73 @@ FROM keyed a JOIN keyed b ON a.norm = b.norm AND a.doc_id < b.doc_id
 SIMHASH_VERIFIED_DUPS_SQL = _NORM_EQUAL_PAIRS_SQL
 WINNOW_VERIFIED_DUPS_SQL = _NORM_EQUAL_PAIRS_SQL
 
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical top-k (operators/text.py::bm25_topk) for
+    three fixed multi-term queries over the documents corpus — the
+    sparse-retrieval leg beside the dense ANN family. Hash-stable by
+    construction: every term contribution is quantized to integer 1e-6
+    units BEFORE the per-document sum (order-independent integer
+    score), ranking ties break on doc_id, and the oracle mirrors the
+    arithmetic expression-for-expression (the only transcendental, the
+    idf LN, is quantized behind the same floor both engines compute)."""
+    docs = load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    q = spark.createDataFrame(
+        [
+            ("q_exec", "spark"),
+            ("q_exec", "join"),
+            ("q_exec", "fast"),
+            ("q_stream", "stream"),
+            ("q_stream", "window"),
+            ("q_stream", "batch"),
+            ("q_dim", "customer"),
+            ("q_dim", "vector"),
+        ],
+        "query_id string, term string",
+    )
+    return ops_text.bm25_topk(docs, q, k=10)
+
+
+BM25_DOC_RANKING_SQL = r"""
+WITH q(query_id, term) AS (
+  VALUES ('q_exec','spark'),('q_exec','join'),('q_exec','fast'),
+         ('q_stream','stream'),('q_stream','window'),('q_stream','batch'),
+         ('q_dim','customer'),('q_dim','vector')
+), toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS term
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT SUM(dl) AS tot, COUNT(*) AS n FROM dl
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(FLOOR(
+           LN(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+           * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * (1.0 - 0.75
+                          + 0.75 * (CAST(dl * n AS DOUBLE)
+                                    / CAST(tot AS DOUBLE)))))
+           * 1e6 + 0.5) AS BIGINT) AS u
+  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats
+), scored AS (
+  SELECT query_id, doc_id, CAST(SUM(u) AS BIGINT) AS score_units,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY SUM(u) DESC, doc_id
+         ) AS INT) AS rank
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score_units, rank FROM scored WHERE rank <= 10
+"""
+
+
 def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (cluster-scoped semantic dedup, arXiv:2303.09540) under
     the hash gate: exact copies are planted for every EVEN vec_id, the
@@ -2379,6 +2446,7 @@ LLM_QUERIES = {
     "winnow_verified_dups": winnow_verified_dups,
     "embedding_neardup_verified": embedding_neardup_verified,
     "semantic_dedup_survivors": semantic_dedup_survivors,
+    "bm25_doc_ranking": bm25_doc_ranking,
     "embedding_topk_bruteforce": embedding_topk_bruteforce,
     "image_metadata": image_metadata,
     "image_decode_stats": image_decode_stats,
@@ -2430,6 +2498,7 @@ LLM_ORACLES = {
     "winnow_verified_dups": WINNOW_VERIFIED_DUPS_SQL,
     "embedding_neardup_verified": EMBEDDING_NEARDUP_VERIFIED_SQL,
     "semantic_dedup_survivors": SEMANTIC_DEDUP_SURVIVORS_SQL,
+    "bm25_doc_ranking": BM25_DOC_RANKING_SQL,
     "embedding_topk_bruteforce": EMBEDDING_TOPK_SQL,
     "image_metadata": IMAGE_METADATA_SQL,
     "image_decode_stats": IMAGE_DECODE_STATS_SQL,

@@ -477,3 +477,62 @@ def test_token_pair_counts_orders_and_ties(spark):
         ("b c", 1, 3),
         ("b x", 1, 4),
     ]
+
+
+def test_bm25_topk_matches_reference_implementation(spark):
+    """bm25_topk pinned against an independent plain-Python Okapi BM25
+    (same k1/b, same integer 1e-6 quantization) on a tiny corpus."""
+    import math
+
+    from olist_lakehouse_2_0_spark.operators.text import bm25_topk
+
+    corpus = {
+        1: "apple banana apple",
+        2: "apple cherry",
+        3: "banana banana banana banana",
+        4: "cherry cherry durian",
+    }
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    queries = [("qa", "apple"), ("qa", "banana"), ("qb", "cherry")]
+    qdf = spark.createDataFrame(queries, "query_id string, term string")
+
+    # Independent reference
+    toks = {d: t.split() for d, t in corpus.items()}
+    n = len(toks)
+    tot = sum(len(v) for v in toks.values())
+    df = {}
+    for terms in toks.values():
+        for t in set(terms):
+            df[t] = df.get(t, 0) + 1
+    k1, b = 1.2, 0.75
+    expected = {}
+    for qid in {q for q, _ in queries}:
+        scores = {}
+        for d, terms in toks.items():
+            units = 0
+            hit = False
+            for _, t in [(q, t) for q, t in queries if q == qid]:
+                tf = terms.count(t)
+                if tf == 0:
+                    continue
+                hit = True
+                idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                rel = (len(terms) * n) / tot
+                sat = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * rel))
+                units += math.floor(idf * sat * 1e6 + 0.5)
+            if hit:
+                scores[d] = units
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        for r, (d, u) in enumerate(ranked, start=1):
+            expected[(qid, d)] = (u, r)
+
+    got = {
+        (r.query_id, r.doc_id): (r.score_units, r.rank)
+        for r in bm25_topk(docs, qdf, k=10).collect()
+    }
+    assert got == expected
+    # Sanity on the semantics the numbers encode: for the cherry query
+    # the short cherry-heavy doc 4 must outrank the longer mixed doc 2.
+    assert got[("qb", 4)][1] == 1 and got[("qb", 2)][1] == 2
