@@ -164,6 +164,10 @@ _NEW_IN_R4 = {
     "dq_aggregate_gate", "sql_entry_revenue",
     # BM25 ranked retrieval (lexical leg of the hybrid-retrieval pair).
     "bm25_doc_ranking",
+    # Fifth r4 batch: RRF fusion of the BM25 + dense legs, raw-text
+    # source roundtrip, pipeline event-log metrics audit.
+    "hybrid_rrf_retrieval", "text_source_roundtrip",
+    "pipeline_event_log_audit",
 }
 
 #: Previously-green queries whose IMPLEMENTATION changed in round 4

@@ -1014,6 +1014,201 @@ SELECT query_id, doc_id, score_units, rank FROM scored WHERE rank <= 10
 """
 
 
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher, SIGIR 2009) of the sparse BM25 leg and the dense
+    brute-force-cosine leg — the standard two-leg production retrieval
+    stack, composed entirely from this repo's operators. Each leg
+    contributes ``round(1e6 / (60 + rank))`` per retrieved doc,
+    computed with the exact half-up INTEGER idiom ``(2*1000000 +
+    (60+rank)) div (2*(60+rank))`` — the fused score is a pure-integer
+    sum with zero cross-engine float exposure (the dense leg's cosine
+    ORDERING is IEEE-identical sequential folds, already hash-proven
+    by ``embedding_topk_bruteforce``). doc_id and vec_id share an id
+    space in the testdata, standing in for a corpus with both text and
+    embedding columns."""
+    from olist_lakehouse_2_0_spark.operators.text import bm25_topk
+
+    docs = load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    emb = load(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", "embedding"
+    )
+    terms = spark.createDataFrame(
+        [
+            ("q_exec", "spark"),
+            ("q_exec", "join"),
+            ("q_exec", "fast"),
+            ("q_stream", "stream"),
+            ("q_stream", "window"),
+            ("q_stream", "batch"),
+            ("q_dim", "customer"),
+            ("q_dim", "vector"),
+        ],
+        "query_id string, term string",
+    )
+    anchors = spark.createDataFrame(
+        [("q_exec", 7), ("q_stream", 42), ("q_dim", 123)],
+        "query_id string, anchor_id long",
+    )
+    sparse = bm25_topk(docs, terms, k=20).select("query_id", "doc_id", "rank")
+    qvecs = anchors.join(
+        emb, anchors.anchor_id == emb.vec_id
+    ).select("query_id", "embedding")
+    dense = cosine_topk(
+        qvecs,
+        emb.select(F.col("vec_id").alias("corpus_id"), "embedding"),
+        k=20,
+    ).select("query_id", F.col("corpus_id").alias("doc_id"), "rank")
+    legs = sparse.unionByName(dense)
+    rrf_units = F.expr("(2*1000000 + (60 + rank)) div (2*(60 + rank))")
+    fused = (
+        legs.select("query_id", "doc_id", rrf_units.alias("__u"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("__u").cast("long").alias("rrf_units"),
+            F.count(F.lit(1)).alias("n_legs"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("rrf_units"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rrf_units", "n_legs", "rank")
+    )
+
+
+HYBRID_RRF_RETRIEVAL_SQL = r"""
+WITH qterms(query_id, term) AS (
+  VALUES ('q_exec','spark'),('q_exec','join'),('q_exec','fast'),
+         ('q_stream','stream'),('q_stream','window'),('q_stream','batch'),
+         ('q_dim','customer'),('q_dim','vector')
+), toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS term
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT SUM(dl) AS tot, COUNT(*) AS n FROM dl
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT qterms.query_id, tf.doc_id,
+         CAST(FLOOR(
+           LN(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+           * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * (1.0 - 0.75
+                          + 0.75 * (CAST(dl * n AS DOUBLE)
+                                    / CAST(tot AS DOUBLE)))))
+           * 1e6 + 0.5) AS BIGINT) AS u
+  FROM tf JOIN qterms USING (term) JOIN dfreq USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats
+), bm25 AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY SUM(u) DESC, doc_id
+         ) AS rank
+  FROM contrib GROUP BY query_id, doc_id
+  QUALIFY rank <= 20
+), anchors(query_id, anchor_id) AS (
+  VALUES ('q_exec', 7), ('q_stream', 42), ('q_dim', 123)
+), qv AS (
+  SELECT a.query_id, e.embedding AS qv,
+         sqrt(list_sum(list_transform(range(1, LEN(e.embedding) + 1),
+              i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) AS qn
+  FROM anchors a JOIN embeddings e ON e.vec_id = a.anchor_id
+), cv AS (
+  SELECT vec_id AS doc_id, embedding AS cv,
+         sqrt(list_sum(list_transform(range(1, LEN(embedding) + 1),
+              i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS cn
+  FROM embeddings
+), dense AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, doc_id
+         ) AS rank
+  FROM (
+    SELECT query_id, doc_id,
+           list_sum(list_transform(range(1, LEN(qv) + 1),
+                    i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+             / NULLIF(qn * cn, 0.0) AS cosine
+    FROM qv, cv
+  )
+  QUALIFY rank <= 20
+), legs AS (
+  SELECT query_id, doc_id, rank FROM bm25
+  UNION ALL
+  SELECT query_id, doc_id, rank FROM dense
+), fused AS (
+  SELECT query_id, doc_id,
+         CAST(SUM((2*1000000 + (60 + rank)) // (2*(60 + rank))) AS BIGINT)
+             AS rrf_units,
+         COUNT(*) AS n_legs
+  FROM legs GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf_units, n_legs,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY rrf_units DESC, doc_id
+       ) AS INT) AS rank
+FROM fused
+QUALIFY rank <= 10
+"""
+
+
+def text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-text source under the hash gate (previously
+    pytest-only): documents are re-staged as ``doc_id<TAB>text`` lines
+    (the classic one-record-per-line corpus drop), read back through
+    the engine's ``read_text`` source, re-parsed JVM-side
+    (two-field split, no UDF), and every document's exact character
+    and token counts must match the parquet original the oracle reads
+    — a value-level roundtrip on the line reader. The corpus
+    generator emits no newlines/tabs inside a document (verified at
+    every scale factor), which is the precondition line-oriented
+    corpora assume."""
+    import os
+
+    from olist_lakehouse_2_0_spark.sources.batch import read_text
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    root = staging_dir("text_source")
+    landing = os.path.join(root, "lines")
+    docs.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text"))
+    ).write.text(landing)
+    lines = read_text(spark, landing, audit=False)
+    parsed = lines.select(
+        F.split(F.col("value"), "\t", 2).alias("__kv")
+    ).select(
+        F.element_at("__kv", 1).cast("long").alias("doc_id"),
+        F.element_at("__kv", 2).alias("text"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        ops_text.token_count("text").cast("long").alias("n_tokens"),
+    )
+
+
+TEXT_SOURCE_ROUNDTRIP_SQL = r"""
+SELECT doc_id,
+       CAST(LENGTH(text) AS INT) AS n_chars,
+       CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                 ELSE LEN(regexp_split_to_array(TRIM(text), '\s+'))
+            END AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
 def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (cluster-scoped semantic dedup, arXiv:2303.09540) under
     the hash gate: exact copies are planted for every EVEN vec_id, the
@@ -2447,6 +2642,8 @@ LLM_QUERIES = {
     "embedding_neardup_verified": embedding_neardup_verified,
     "semantic_dedup_survivors": semantic_dedup_survivors,
     "bm25_doc_ranking": bm25_doc_ranking,
+    "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
+    "text_source_roundtrip": text_source_roundtrip,
     "embedding_topk_bruteforce": embedding_topk_bruteforce,
     "image_metadata": image_metadata,
     "image_decode_stats": image_decode_stats,
@@ -2499,6 +2696,8 @@ LLM_ORACLES = {
     "embedding_neardup_verified": EMBEDDING_NEARDUP_VERIFIED_SQL,
     "semantic_dedup_survivors": SEMANTIC_DEDUP_SURVIVORS_SQL,
     "bm25_doc_ranking": BM25_DOC_RANKING_SQL,
+    "hybrid_rrf_retrieval": HYBRID_RRF_RETRIEVAL_SQL,
+    "text_source_roundtrip": TEXT_SOURCE_ROUNDTRIP_SQL,
     "embedding_topk_bruteforce": EMBEDDING_TOPK_SQL,
     "image_metadata": IMAGE_METADATA_SQL,
     "image_decode_stats": IMAGE_DECODE_STATS_SQL,

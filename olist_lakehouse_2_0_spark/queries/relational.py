@@ -1403,6 +1403,93 @@ def sql_entry_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, SQL_ENTRY_REVENUE_SQL)
 
 
+def pipeline_event_log_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline event log under the hash gate (previously pytest-only;
+    the engine-side analogue of the reference platform's event log): a
+    two-node MV pipeline (silver projection with WARN + DROP
+    expectations, gold rollup) runs with ``event_log_path`` set, and
+    the log is read back projecting its DETERMINISTIC columns — node,
+    layer, materialization, status, and the per-rule violation counts
+    recorded in metrics_json. The oracle re-derives the silver WARN
+    count from orders directly, so the log's metrics payload is
+    value-verified, not just schema-checked (durations/timestamps are
+    projected out — wall-clock has no oracle form)."""
+    import os
+
+    from olist_lakehouse_2_0_spark.catalog import Catalog
+    from olist_lakehouse_2_0_spark.operators.expectations import (
+        expect,
+        expect_or_drop,
+    )
+    from olist_lakehouse_2_0_spark.plans.pipeline import Pipeline, TableDef
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+
+    orders = load(spark, sf_dir, "orders")
+    root = staging_dir("event_log_q")
+    log_path = os.path.join(root, "event_log")
+    nodes = [
+        TableDef(
+            name="silver_orders",
+            inputs=("orders_src",),
+            build=lambda ins: ins["orders_src"].select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            ),
+            expectations=[
+                expect("price_moderate", F.col("o_totalprice") <= 50000),
+                expect_or_drop(
+                    "status_known",
+                    F.col("o_orderstatus").isin("O", "F", "P"),
+                ),
+            ],
+            layer="silver",
+        ),
+        TableDef(
+            name="gold_order_counts",
+            inputs=("silver_orders",),
+            build=lambda ins: ins["silver_orders"]
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n")),
+            layer="gold",
+        ),
+    ]
+    pipe = Pipeline(
+        "event_log_audit", Catalog(root=os.path.join(root, "lake")), nodes
+    )
+    pipe.run(
+        spark,
+        external_inputs={"orders_src": orders},
+        event_log_path=log_path,
+    )
+    log = spark.read.parquet(log_path)
+    return log.select(
+        F.col("table").alias("node"),
+        "layer",
+        "materialization",
+        "status",
+        F.get_json_object("metrics_json", "$.price_moderate")
+        .cast("long")
+        .alias("warn_violations"),
+        F.get_json_object("metrics_json", "$.status_known")
+        .cast("long")
+        .alias("drop_violations"),
+    )
+
+
+PIPELINE_EVENT_LOG_AUDIT_SQL = """
+SELECT 'silver_orders' AS node, 'silver' AS layer,
+       'materialized_view' AS materialization, 'written' AS status,
+       (SELECT CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice <= 50000, FALSE)
+                             THEN 1 ELSE 0 END) AS BIGINT) FROM orders)
+           AS warn_violations,
+       (SELECT CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                             THEN 1 ELSE 0 END) AS BIGINT) FROM orders)
+           AS drop_violations
+UNION ALL
+SELECT 'gold_order_counts', 'gold', 'materialized_view', 'written',
+       NULL, NULL
+"""
+
+
 RELATIONAL_QUERIES = {
     "daily_orders": daily_orders,
     "monthly_orders_lag": monthly_orders_lag,
@@ -1428,6 +1515,7 @@ RELATIONAL_QUERIES = {
     "compaction_roundtrip_metrics": compaction_roundtrip_metrics,
     "dq_aggregate_gate": dq_aggregate_gate,
     "sql_entry_revenue": sql_entry_revenue,
+    "pipeline_event_log_audit": pipeline_event_log_audit,
 }
 
 RELATIONAL_ORACLES = {
@@ -1455,4 +1543,5 @@ RELATIONAL_ORACLES = {
     "compaction_roundtrip_metrics": COMPACTION_ROUNDTRIP_SQL,
     "dq_aggregate_gate": DQ_AGGREGATE_GATE_SQL,
     "sql_entry_revenue": SQL_ENTRY_REVENUE_SQL,
+    "pipeline_event_log_audit": PIPELINE_EVENT_LOG_AUDIT_SQL,
 }
