@@ -167,7 +167,7 @@ _NEW_IN_R4 = {
     # Fifth r4 batch: RRF fusion of the BM25 + dense legs, raw-text
     # source roundtrip, pipeline event-log metrics audit.
     "hybrid_rrf_retrieval", "text_source_roundtrip",
-    "pipeline_event_log_audit",
+    "pipeline_event_log_audit", "clustered_pruned_revenue",
 }
 
 #: Previously-green queries whose IMPLEMENTATION changed in round 4

@@ -1117,6 +1117,49 @@ GROUP BY o_orderpriority
 """
 
 
+def clustered_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The range-clustered write under the hash gate (the reference's
+    single-key CLUSTER BY shape, src/pipelines/gold/daily_orders.sql:19
+    — previously pytest-only layout machinery): orders are rewritten
+    through ``Catalog.write_clustered`` on o_totalprice
+    (repartitionByRange + sortWithinPartitions → disjoint per-file key
+    ranges, tight row-group stats), read back with a key-range
+    predicate, and aggregated. The oracle recomputes from the original
+    table — any row the relayout dropped or duplicated fails the hash;
+    the file-pruning behavior is asserted in tests/test_compaction.py."""
+    import os
+
+    from olist_lakehouse_2_0_spark.catalog import Catalog
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+
+    orders = load(spark, sf_dir, "orders")
+    root = staging_dir("clustered_q")
+    cat = Catalog(root=os.path.join(root, "warehouse"))
+    cat.write_clustered(orders, "orders_rc", ["o_totalprice"], num_files=8)
+    rc = cat.read(spark, "orders_rc")
+    return (
+        rc.filter(
+            (F.col("o_totalprice") >= 50000) & (F.col("o_totalprice") < 150000)
+        )
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money_sum("o_totalprice", "total_revenue"),
+        )
+    )
+
+
+CLUSTERED_PRUNED_REVENUE_SQL = """
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS total_revenue
+FROM orders
+WHERE o_totalprice >= 50000 AND o_totalprice < 150000
+GROUP BY o_orderstatus
+"""
+
+
 def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join under the hash gate (previously
     pytest-only): customer and orders are both written as tables
@@ -1509,6 +1552,7 @@ RELATIONAL_QUERIES = {
     "top_revenue_orders": top_revenue_orders,
     "mv_csv_roundtrip": mv_csv_roundtrip,
     "zorder_pruned_revenue": zorder_pruned_revenue,
+    "clustered_pruned_revenue": clustered_pruned_revenue,
     "bucketed_segment_revenue": bucketed_segment_revenue,
     "schema_evolution_metrics": schema_evolution_metrics,
     "partition_overwrite_gold": partition_overwrite_gold,
@@ -1537,6 +1581,7 @@ RELATIONAL_ORACLES = {
     "top_revenue_orders": TOP_REVENUE_ORDERS_SQL,
     "mv_csv_roundtrip": MV_CSV_ROUNDTRIP_SQL,
     "zorder_pruned_revenue": ZORDER_PRUNED_REVENUE_SQL,
+    "clustered_pruned_revenue": CLUSTERED_PRUNED_REVENUE_SQL,
     "bucketed_segment_revenue": BUCKETED_SEGMENT_REVENUE_SQL,
     "schema_evolution_metrics": SCHEMA_EVOLUTION_METRICS_SQL,
     "partition_overwrite_gold": PARTITION_OVERWRITE_GOLD_SQL,
