@@ -168,6 +168,8 @@ _NEW_IN_R4 = {
     # source roundtrip, pipeline event-log metrics audit.
     "hybrid_rrf_retrieval", "text_source_roundtrip",
     "pipeline_event_log_audit", "clustered_pruned_revenue",
+    # Per-document n-gram novelty profiling (memorization-risk audit).
+    "doc_novelty_profile",
 }
 
 #: Previously-green queries whose IMPLEMENTATION changed in round 4

@@ -1209,6 +1209,70 @@ FROM documents
 """
 
 
+def doc_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty profiling (the duplication-risk
+    score memorization audits run before training): for each document,
+    how many of its distinct 3-gram shingles also appear in ANY other
+    document. One explode + one df groupBy + one join back on the
+    64-bit shingle hash — the same linear shapes as the dedup family,
+    no pairwise work at all, so it scales where pair enumeration
+    can't. ``novelty_ppm`` is the exact half-up integer ratio
+    ``(n_shingles - n_shared) / n_shingles`` in 1e-6 units — no float
+    division either engine could round differently. The oracle
+    recomputes over raw string shingles; equality holds unless
+    xxhash64 collides (the jaccard_dups-established trust model)."""
+    sh = hashed_shingles(
+        load(spark, sf_dir, "documents", spread=True).select("doc_id", "text"),
+        "doc_id",
+        "text",
+        n=3,
+    )
+    ex = sh.select("doc_id", F.explode("__hs").alias("__h"))
+    dfreq = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        ex.join(dfreq, "__h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("__df") >= 2).cast("long")).alias("n_shared"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr(
+                "(2*(n_shingles - n_shared)*1000000 + n_shingles)"
+                " div (2*n_shingles)"
+            ),
+        )
+    )
+
+
+DOC_NOVELTY_PROFILE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(CASE WHEN LEN(t) >= 3
+                     THEN list_transform(range(0, LEN(t) - 2),
+                                         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                     ELSE [] END) AS shingle
+  FROM toks
+), dfreq AS (
+  SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle
+), per_doc AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM shingles s JOIN dfreq USING (shingle)
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_shingles, n_shared,
+       (2*(n_shingles - n_shared)*1000000 + n_shingles) // (2*n_shingles)
+           AS novelty_ppm
+FROM per_doc
+"""
+
+
 def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (cluster-scoped semantic dedup, arXiv:2303.09540) under
     the hash gate: exact copies are planted for every EVEN vec_id, the
@@ -2644,6 +2708,7 @@ LLM_QUERIES = {
     "bm25_doc_ranking": bm25_doc_ranking,
     "hybrid_rrf_retrieval": hybrid_rrf_retrieval,
     "text_source_roundtrip": text_source_roundtrip,
+    "doc_novelty_profile": doc_novelty_profile,
     "embedding_topk_bruteforce": embedding_topk_bruteforce,
     "image_metadata": image_metadata,
     "image_decode_stats": image_decode_stats,
@@ -2698,6 +2763,7 @@ LLM_ORACLES = {
     "bm25_doc_ranking": BM25_DOC_RANKING_SQL,
     "hybrid_rrf_retrieval": HYBRID_RRF_RETRIEVAL_SQL,
     "text_source_roundtrip": TEXT_SOURCE_ROUNDTRIP_SQL,
+    "doc_novelty_profile": DOC_NOVELTY_PROFILE_SQL,
     "embedding_topk_bruteforce": EMBEDDING_TOPK_SQL,
     "image_metadata": IMAGE_METADATA_SQL,
     "image_decode_stats": IMAGE_DECODE_STATS_SQL,
