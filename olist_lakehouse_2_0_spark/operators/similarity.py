@@ -658,7 +658,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    num_clusters: int = 16,
+    num_clusters: int | None = None,
     seed: int = 42,
     max_iter: int = 5,
 ) -> tuple[DataFrame, DataFrame]:
@@ -677,7 +677,16 @@ def semdedup(
     centroid_id with ``id_a < id_b`` -> JVM zip_with/aggregate cosine
     -> left_anti of the drop set. No Python in any per-row path; the
     only shuffles are the centroid_id self-join and the anti-join on
-    the id."""
+    the id.
+
+    ``num_clusters=None`` (the default) sizes the codebook to
+    ``default_num_centroids`` = max(16, √n): with k≈√n balanced
+    clusters the pairwise cost is ~n^1.5, the header's scale contract
+    — a FIXED k would leave it at n²/k. The sizing count is one
+    planning-time corpus scan, the same offline-step trade the IVF
+    index build makes (`build_ivf_index`)."""
+    if num_clusters is None:
+        num_clusters = default_num_centroids(corpus.count())
     centroids = kmeans_centroids(corpus, vec_col, num_clusters, seed, max_iter)
     packed = _pack_centroids(centroids)
     assigned = (

@@ -740,7 +740,11 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).alias("__tf"))
         .persist()
     )
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    # dl and the corpus totals derive from the PERSISTED tf frame, not
+    # from toks — sum(tf) per doc IS the document length, and reading
+    # the cached (doc, term, tf) rows avoids re-running the tokenize +
+    # explode scan once per downstream subtree.
+    dl = tf.groupBy(id_col).agg(F.sum("__tf").cast("long").alias("__dl"))
     stats = dl.agg(
         F.sum("__dl").alias("__tot"), F.count(F.lit(1)).alias("__n")
     )

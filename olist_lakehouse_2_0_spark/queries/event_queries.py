@@ -239,7 +239,10 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from olist_lakehouse_2_0_spark.staging import staging_dir
-    from olist_lakehouse_2_0_spark.streaming.ingest import run_to_parquet
+    from olist_lakehouse_2_0_spark.streaming.ingest import (
+        run_to_parquet,
+        scoped_shuffle_partitions,
+    )
     from olist_lakehouse_2_0_spark.streaming.joins import stream_interval_join
 
     events = load(spark, sf_dir, "events", spread=True).filter(
@@ -264,19 +267,10 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="error_ts", upper_seconds=300,
     )
     out = os.path.join(root, "pairs")
-    # Stateful operators allocate one state store per shuffle
-    # partition, and the partition count is FROZEN into the stream's
-    # checkpoint at first run — Spark's own guidance is to size it
-    # deliberately per stateful job rather than inherit the session
-    # default (state-store setup dominated this drain: 22.5 s at 32
-    # partitions vs 4.6 s at 8 on the sf0.1 corpus). Scoped + restored:
-    # a real deployment sizes it to cluster parallelism instead.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # Stateful drain: state-store count is frozen per shuffle partition
+    # (see scoped_shuffle_partitions for the measured rationale).
+    with scoped_shuffle_partitions(spark, 8):
         run_to_parquet(joined, out, os.path.join(root, "ckpt"))
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # Explicit schema: a zero-pair drain leaves no data files to infer
     # from (possible at tiny scale factors).
     return spark.read.schema(joined.schema).parquet(out).select(
@@ -313,7 +307,10 @@ def events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from olist_lakehouse_2_0_spark.staging import staging_dir
-    from olist_lakehouse_2_0_spark.streaming.ingest import run_to_parquet
+    from olist_lakehouse_2_0_spark.streaming.ingest import (
+        run_to_parquet,
+        scoped_shuffle_partitions,
+    )
     from olist_lakehouse_2_0_spark.streaming.windows import dedupe_stream
 
     events = (
@@ -328,15 +325,10 @@ def events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(events.schema).parquet(landing)
     deduped = dedupe_stream(stream, keys=("event_id",), ts_col="ts")
     out = os.path.join(root, "deduped")
-    # Stateful dedup: one state store per shuffle partition, count
-    # frozen into the checkpoint — sized deliberately for the drain
-    # (see events_stream_stream_join for the measured rationale).
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # Stateful drain: state-store count is frozen per shuffle partition
+    # (see scoped_shuffle_partitions for the measured rationale).
+    with scoped_shuffle_partitions(spark, 8):
         run_to_parquet(deduped, out, os.path.join(root, "ckpt"))
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     back = spark.read.schema(deduped.schema).parquet(out)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

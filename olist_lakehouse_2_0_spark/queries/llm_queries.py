@@ -947,36 +947,22 @@ FROM keyed a JOIN keyed b ON a.norm = b.norm AND a.doc_id < b.doc_id
 SIMHASH_VERIFIED_DUPS_SQL = _NORM_EQUAL_PAIRS_SQL
 WINNOW_VERIFIED_DUPS_SQL = _NORM_EQUAL_PAIRS_SQL
 
-def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 lexical top-k (operators/text.py::bm25_topk) for
-    three fixed multi-term queries over the documents corpus — the
-    sparse-retrieval leg beside the dense ANN family. Hash-stable by
-    construction: every term contribution is quantized to integer 1e-6
-    units BEFORE the per-document sum (order-independent integer
-    score), ranking ties break on doc_id, and the oracle mirrors the
-    arithmetic expression-for-expression (the only transcendental, the
-    idf LN, is quantized behind the same floor both engines compute)."""
-    docs = load(spark, sf_dir, "documents", spread=True).select(
-        "doc_id", "text"
-    )
-    q = spark.createDataFrame(
-        [
-            ("q_exec", "spark"),
-            ("q_exec", "join"),
-            ("q_exec", "fast"),
-            ("q_stream", "stream"),
-            ("q_stream", "window"),
-            ("q_stream", "batch"),
-            ("q_dim", "customer"),
-            ("q_dim", "vector"),
-        ],
-        "query_id string, term string",
-    )
-    return ops_text.bm25_topk(docs, q, k=10)
+#: The retrieval fixtures shared by ``bm25_doc_ranking`` and the BM25
+#: leg of ``hybrid_rrf_retrieval`` — one definition so tuning k1/b, the
+#: quantization, or a term list can never desynchronize the two oracles
+#: (the SIMHASH/WINNOW shared-fragment discipline).
+_RETRIEVAL_QUERY_TERMS = [
+    ("q_exec", "spark"),
+    ("q_exec", "join"),
+    ("q_exec", "fast"),
+    ("q_stream", "stream"),
+    ("q_stream", "window"),
+    ("q_stream", "batch"),
+    ("q_dim", "customer"),
+    ("q_dim", "vector"),
+]
 
-
-BM25_DOC_RANKING_SQL = r"""
-WITH q(query_id, term) AS (
+_BM25_CTE_SQL = r"""qterms(query_id, term) AS (
   VALUES ('q_exec','spark'),('q_exec','join'),('q_exec','fast'),
          ('q_stream','stream'),('q_stream','window'),('q_stream','batch'),
          ('q_dim','customer'),('q_dim','vector')
@@ -992,7 +978,7 @@ WITH q(query_id, term) AS (
 ), dfreq AS (
   SELECT term, COUNT(*) AS df FROM tf GROUP BY term
 ), contrib AS (
-  SELECT q.query_id, tf.doc_id,
+  SELECT qterms.query_id, tf.doc_id,
          CAST(FLOOR(
            LN(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
            * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
@@ -1001,9 +987,36 @@ WITH q(query_id, term) AS (
                           + 0.75 * (CAST(dl * n AS DOUBLE)
                                     / CAST(tot AS DOUBLE)))))
            * 1e6 + 0.5) AS BIGINT) AS u
-  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+  FROM tf JOIN qterms USING (term) JOIN dfreq USING (term)
        JOIN dl USING (doc_id) CROSS JOIN stats
-), scored AS (
+)"""
+
+
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical top-k (operators/text.py::bm25_topk) for
+    three fixed multi-term queries over the documents corpus — the
+    sparse-retrieval leg beside the dense ANN family. Every term
+    contribution is quantized to integer 1e-6 units BEFORE the
+    per-document sum (order-independent integer score), ranking ties
+    break on doc_id, and the oracle mirrors the arithmetic
+    expression-for-expression. Residual cross-engine exposure: the idf
+    LN is libm-dependent, so a 1-ulp divergence landing within ~1e-10
+    of the floor boundary could shift one unit — the same accepted
+    risk as the 1e6-quantized LM logprobs (bigram/unigram), guarded by
+    the tri-scale sweep rather than eliminated."""
+    docs = load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    q = spark.createDataFrame(
+        _RETRIEVAL_QUERY_TERMS, "query_id string, term string"
+    )
+    return ops_text.bm25_topk(docs, q, k=10)
+
+
+BM25_DOC_RANKING_SQL = (
+    "WITH "
+    + _BM25_CTE_SQL
+    + """, scored AS (
   SELECT query_id, doc_id, CAST(SUM(u) AS BIGINT) AS score_units,
          CAST(ROW_NUMBER() OVER (
            PARTITION BY query_id ORDER BY SUM(u) DESC, doc_id
@@ -1012,6 +1025,7 @@ WITH q(query_id, term) AS (
 )
 SELECT query_id, doc_id, score_units, rank FROM scored WHERE rank <= 10
 """
+)
 
 
 def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1036,17 +1050,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     terms = spark.createDataFrame(
-        [
-            ("q_exec", "spark"),
-            ("q_exec", "join"),
-            ("q_exec", "fast"),
-            ("q_stream", "stream"),
-            ("q_stream", "window"),
-            ("q_stream", "batch"),
-            ("q_dim", "customer"),
-            ("q_dim", "vector"),
-        ],
-        "query_id string, term string",
+        _RETRIEVAL_QUERY_TERMS, "query_id string, term string"
     )
     anchors = spark.createDataFrame(
         [("q_exec", 7), ("q_stream", 42), ("q_dim", 123)],
@@ -1083,35 +1087,10 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-HYBRID_RRF_RETRIEVAL_SQL = r"""
-WITH qterms(query_id, term) AS (
-  VALUES ('q_exec','spark'),('q_exec','join'),('q_exec','fast'),
-         ('q_stream','stream'),('q_stream','window'),('q_stream','batch'),
-         ('q_dim','customer'),('q_dim','vector')
-), toks AS (
-  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS term
-  FROM documents WHERE LENGTH(TRIM(text)) > 0
-), tf AS (
-  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
-), dl AS (
-  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
-), stats AS (
-  SELECT SUM(dl) AS tot, COUNT(*) AS n FROM dl
-), dfreq AS (
-  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
-), contrib AS (
-  SELECT qterms.query_id, tf.doc_id,
-         CAST(FLOOR(
-           LN(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-           * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
-              / (CAST(tf AS DOUBLE)
-                 + 1.2 * (1.0 - 0.75
-                          + 0.75 * (CAST(dl * n AS DOUBLE)
-                                    / CAST(tot AS DOUBLE)))))
-           * 1e6 + 0.5) AS BIGINT) AS u
-  FROM tf JOIN qterms USING (term) JOIN dfreq USING (term)
-       JOIN dl USING (doc_id) CROSS JOIN stats
-), bm25 AS (
+HYBRID_RRF_RETRIEVAL_SQL = (
+    "WITH "
+    + _BM25_CTE_SQL
+    + """, bm25 AS (
   SELECT query_id, doc_id,
          ROW_NUMBER() OVER (
            PARTITION BY query_id ORDER BY SUM(u) DESC, doc_id
@@ -1161,6 +1140,7 @@ SELECT query_id, doc_id, rrf_units, n_legs,
 FROM fused
 QUALIFY rank <= 10
 """
+)
 
 
 def text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1302,7 +1282,6 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         threshold=0.999,
-        num_clusters=16,
     )
     dropped_per_keeper = pairs.groupBy("id_a").agg(
         F.count(F.lit(1)).alias("__n")

@@ -1332,7 +1332,14 @@ def compaction_roundtrip_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = staging_dir("compact_q")
     cat = Catalog(root=os.path.join(root, "warehouse"))
     cat.write(orders.repartition(64), "orders_frag")
-    before, after = cat.compact(spark, "orders_frag")
+    # 8 GiB target (not the 128 MiB default): the oracle asserts
+    # files_reduced=TRUE, and compact() legitimately no-ops once
+    # ceil(total_bytes/target) >= 64 — at 128 MiB that is an ~8 GB
+    # staged table, reachable by a large-sf sweep; at 8 GiB the no-op
+    # needs a ~512 GB staging copy, beyond any sweep this repo runs.
+    before, after = cat.compact(
+        spark, "orders_frag", target_file_bytes=8 << 30
+    )
     frag = cat.read(spark, "orders_frag")
     return frag.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).alias("n_orders"),

@@ -17,6 +17,7 @@ read the bronze output as their own stream, checkpointed independently
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import os
 from collections.abc import Callable
 
@@ -97,3 +98,23 @@ def full_refresh_reset(*paths: str) -> None:
     for p in paths:
         if os.path.exists(p):
             shutil.rmtree(p)
+
+
+@_contextlib.contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily size ``spark.sql.shuffle.partitions`` for a stateful
+    streaming drain, restoring the session default afterwards.
+
+    Stateful operators (dropDuplicates, stream-stream joins) allocate
+    one state store per shuffle partition, and the partition count is
+    FROZEN into the stream's checkpoint at first run — Spark's own
+    guidance is to size it deliberately per stateful job rather than
+    inherit the session default (state-store setup dominated a 32-
+    partition drain: 22.5 s vs 4.6 s at 8 on the sf0.1 corpus). A real
+    deployment sizes it to cluster parallelism instead."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
