@@ -224,3 +224,21 @@ def test_dedupe_stream_drops_redelivery(spark, tmp_path):
     got = spark.read.parquet(str(out))
     assert got.count() == 3  # events 1, 2, 3 — re-delivery dropped
     assert got.select("event_id").distinct().count() == 3
+
+
+def test_scoped_shuffle_partitions_restores_on_exception(spark):
+    """The stateful-drain partition scoping must restore the session
+    default even when the drain raises (a leaked override would
+    silently resize every later shuffle in the session)."""
+    import pytest
+
+    from olist_lakehouse_2_0_spark.streaming.ingest import (
+        scoped_shuffle_partitions,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with pytest.raises(RuntimeError):
+        with scoped_shuffle_partitions(spark, 3):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+            raise RuntimeError("drain failed")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
