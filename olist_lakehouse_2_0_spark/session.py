@@ -60,4 +60,25 @@ def get_spark(
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Two known-benign WARN sources would otherwise dominate stderr
+    # (the driver's bench tail capture is 2,000 chars): FileStreamSink
+    # logs a full FileNotFoundException stack trace whenever a BATCH
+    # read resolves a glob path (it probes for a streaming-sink
+    # _spark_metadata dir first), and WindowExec warns on every
+    # global-order window — a pattern this repo uses only on tiny
+    # already-aggregated frames (months, rule lists), each audited in
+    # docs/PLANS.md. Both stay at ERROR; real failures still surface.
+    try:
+        configurator = (
+            spark.sparkContext._jvm.org.apache.logging.log4j.core.config
+            .Configurator
+        )
+        error_level = spark.sparkContext._jvm.org.apache.logging.log4j.Level.ERROR
+        for noisy in (
+            "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+            "org.apache.spark.sql.execution.window.WindowExec",
+        ):
+            configurator.setLevel(noisy, error_level)
+    except Exception:
+        pass  # non-log4j2 deployments: keep default verbosity
     return spark
