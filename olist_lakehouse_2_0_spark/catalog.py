@@ -115,14 +115,20 @@ class Catalog:
         # catalog knows about; a managed-table directory orphaned by an
         # earlier session (in-memory catalog gone, warehouse dir still
         # on disk) makes saveAsTable fail with LOCATION_ALREADY_EXISTS.
-        # Drop the catalog entry if any, then clear the stale location.
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        wh = spark.conf.get("spark.sql.warehouse.dir")
-        jvm = spark._jvm
-        loc = jvm.org.apache.hadoop.fs.Path(wh, name)
-        fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(loc):
-            fs.delete(loc, True)
+        # The destructive cleanup is scoped to overwrite ONLY — for
+        # append/ignore/error the existing table IS the point, and an
+        # unconditional drop would erase it before the mode was ever
+        # consulted. The orphan path assumes the default database and
+        # Spark's lowercased managed-table directory naming (this
+        # repo's sessions never USE another database).
+        if mode == "overwrite":
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            wh = spark.conf.get("spark.sql.warehouse.dir")
+            jvm = spark._jvm
+            loc = jvm.org.apache.hadoop.fs.Path(wh, name.lower())
+            fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(loc):
+                fs.delete(loc, True)
         writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
         if sort_cols:
             writer = writer.sortBy(*sort_cols)

@@ -473,8 +473,25 @@ def _unit(v: Column) -> Column:
 
 def _dsub(nv: Column, m: int) -> Column:
     """Per-subspace width as a column (dim/m) — avoids needing the
-    embedding dimension as a Python-side parameter."""
-    return (F.size(nv) / F.lit(m)).cast("int")
+    embedding dimension as a Python-side parameter.
+
+    The dimension must divide evenly by ``m``: a silent truncation
+    (e.g. 64-dim at m=12 → width 5, last 4 components excluded from
+    every code and ADC table) or an m>dim zero-width slice would
+    quietly collapse recall, so the divisibility is asserted JVM-side
+    at scoring time (``assert_true`` raises on the first bad row)."""
+    ok = F.assert_true(
+        F.size(nv) % F.lit(m) == F.lit(0),
+        F.concat(
+            F.lit(f"PQ requires embedding dim divisible by m={m}; got dim="),
+            F.size(nv).cast("string"),
+        ),
+    )
+    # assert_true yields NULL on success; fold it in as +0 so the
+    # check rides the same expression without changing the value.
+    return (F.size(nv) / F.lit(m)).cast("int") + F.coalesce(
+        ok.cast("int"), F.lit(0)
+    )
 
 
 def pq_codebook(
@@ -588,7 +605,10 @@ def pq_topk(
     exact sub-distances computed once map-side and carried with the
     broadcast query row; candidate cost is O(m) lookups against the
     m-byte codes instead of O(D) multiplies against D floats."""
-    books = pq_codebook(corpus, corpus_id, vec_col, m, ksub)
+    # The codebook subtree (corpus-wide hash + TakeOrdered sample)
+    # feeds BOTH the encode side and the per-query ADC tables; without
+    # a persist each action would run that corpus scan twice.
+    books = pq_codebook(corpus, corpus_id, vec_col, m, ksub).persist()
     enc = pq_encode(corpus, books, corpus_id, vec_col, m)
     q = queries.select(
         F.col(query_id),

@@ -1170,10 +1170,7 @@ def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the shuffle-free plan returns exactly the plain join's
     answer. This is the 100 TB strategy for fact tables joined every
     query: bucket at write time, never shuffle at read time."""
-    import os
-
     from olist_lakehouse_2_0_spark.catalog import Catalog
-    from olist_lakehouse_2_0_spark.staging import staging_dir
 
     customer = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
@@ -1182,10 +1179,11 @@ def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c_custkey"),
         F.col("o_totalprice").cast(MONEY).alias("price"),
     )
-    root = staging_dir("bucket_q")
-    cat = Catalog(root=os.path.join(root, "warehouse"))
-    # saveAsTable writes under the session warehouse dir; unique names
-    # keep repeat runs isolated to mode=overwrite semantics.
+    # Bucketed tables live in the SESSION warehouse dir (saveAsTable —
+    # bucket metadata only exists for catalog tables, not raw paths),
+    # so no staging root is involved; unique names + mode=overwrite
+    # keep repeat runs isolated.
+    cat = Catalog(root=spark.conf.get("spark.sql.warehouse.dir"))
     cat.write_bucketed(customer, "q_bkt_customer", ["c_custkey"], num_buckets=8)
     cat.write_bucketed(orders, "q_bkt_orders", ["c_custkey"], num_buckets=8)
     joined = spark.table("q_bkt_orders").join(

@@ -65,3 +65,21 @@ def test_unbucketed_join_does_shuffle(spark, bucketed_tables):
         assert "Exchange" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_write_bucketed_append_preserves_existing_rows(spark):
+    """The orphan-cleanup (drop + warehouse delete) must be scoped to
+    mode=overwrite: an append to an existing bucketed table previously
+    erased it before the mode was consulted."""
+    from olist_lakehouse_2_0_spark.catalog import Catalog
+
+    cat = Catalog(root=spark.conf.get("spark.sql.warehouse.dir"))
+    df1 = spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v")
+    df2 = spark.range(10, 15).selectExpr("id AS k", "id * 2 AS v")
+    cat.write_bucketed(df1, "bkt_append_t", ["k"], num_buckets=4)
+    cat.write_bucketed(df2, "bkt_append_t", ["k"], num_buckets=4, mode="append")
+    assert spark.table("bkt_append_t").count() == 15
+    # overwrite still replaces wholesale (and clears any orphan dir)
+    cat.write_bucketed(df2, "bkt_append_t", ["k"], num_buckets=4)
+    assert spark.table("bkt_append_t").count() == 5
+    spark.sql("DROP TABLE IF EXISTS bkt_append_t")
