@@ -235,7 +235,7 @@ _R3_CHECKED = {
 
 
 def _ordered_for_window(
-    queries: dict[str, QueryFn], oracles: dict[str, str]
+    queries: dict[str, QueryFn],
 ) -> list[tuple[str, QueryFn]]:
     """Order registration for the driver's bounded correctness window
     (~50 rows in registration order). Round-4 goal (VERDICT r3
@@ -289,7 +289,7 @@ def all_queries() -> dict[str, QueryFn]:
     queries.update(CDC_QUERIES)
     queries.update(LLM_QUERIES)
     queries.update(EVENT_QUERIES)
-    ordered = _ordered_for_window(queries, all_oracles())
+    ordered = _ordered_for_window(queries)
     return {name: _stabilized(fn) for name, fn in ordered}
 
 
