@@ -1361,7 +1361,9 @@ def dq_aggregate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-level (aggregate) expectation gate under the hash gate
     (previously pytest-only): row-count bounds, null share, domain
     totals, and a value band evaluate in ONE aggregation job via
-    ``aggregate_gate_report``, returning the gate's decision relation.
+    ``aggregate_gate_report``, returning the gate's decision relation
+    (the table-level extension of the reference's ON VIOLATION FAIL
+    UPDATE ladder, reference docs/ARCHITECTURE.md:137-141).
     The check mix guarantees both outcomes appear — the strict price
     cap fails at every scale factor (the corpus has orders above
     100k), so the blocking path is hash-verified alongside the clean
