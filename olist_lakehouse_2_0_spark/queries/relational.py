@@ -1455,7 +1455,9 @@ def sql_entry_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pipeline_event_log_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline event log under the hash gate (previously pytest-only;
-    the engine-side analogue of the reference platform's event log): a
+    the engine-side analogue of the reference platform's
+    ``event_log(TABLE(...))`` relation, reference
+    docs/DEPLOYMENT.md:185-195 and ORCHESTRATION_GUIDE.md:414): a
     two-node MV pipeline (silver projection with WARN + DROP
     expectations, gold rollup) runs with ``event_log_path`` set, and
     the log is read back projecting its DETERMINISTIC columns — node,
