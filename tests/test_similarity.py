@@ -300,3 +300,31 @@ def test_semdedup_transitive_chain_keeps_only_lowest_id(spark):
     )
     kept = {r.corpus_id for r in survivors.select("corpus_id").collect()}
     assert 7 in kept and 1007 not in kept and 2007 not in kept
+
+
+def test_semdedup_partitions_corpus_and_drops_have_smaller_keeper(spark):
+    """Structural invariants, any corpus: survivors ∪ dropped is a
+    partition of the input ids, and every dropped id has at least one
+    above-threshold pair with a SMALLER id (the greedy rule's
+    definition — nothing is dropped without a retained justification
+    in the pair relation)."""
+    from olist_lakehouse_2_0_spark.operators.similarity import semdedup
+
+    base = _corpus(spark, n=90, dim=8)
+    copies = base.filter(F.col("corpus_id") % 4 == 0).select(
+        (F.col("corpus_id") + 5000).alias("corpus_id"), "embedding"
+    )
+    u = base.unionByName(copies)
+    survivors, pairs = semdedup(
+        u, "corpus_id", "embedding", threshold=0.999, num_clusters=6
+    )
+    all_ids = {r.corpus_id for r in u.select("corpus_id").collect()}
+    kept = {r.corpus_id for r in survivors.select("corpus_id").collect()}
+    pair_rows = [(r.id_a, r.id_b) for r in pairs.collect()]
+    dropped = all_ids - kept
+    assert kept | dropped == all_ids and not (kept & dropped)
+    assert all(a < b for a, b in pair_rows)
+    # the drop set IS the id_b side of the pair relation — no id is
+    # dropped without a pair justifying it, and every larger-id pair
+    # member is dropped
+    assert dropped == {b for _, b in pair_rows}
