@@ -216,17 +216,93 @@ def minhash_signatures(
     return hashed.select(F.col(id_col), sig_of("__hs").alias("sig"))
 
 
-def minhash_lsh_candidates(
-    signatures: DataFrame,
-    id_col: str,
-    bands: int = 16,
-    rows_per_band: int = 4,
+def _collapse_identical_signatures(
+    signatures: DataFrame, id_col: str, sig_col: str = "sig"
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse signature-identical docs to one representative (min id)
+    BEFORE any banding join — the degenerate-corpus guard (VERDICT r4
+    next-step #1). N identical documents produce identical signatures,
+    so without the collapse they all land in the same (band, bucket)
+    and the candidate self-join emits N²/2 pairs on ONE shuffle key;
+    collapsed, they contribute a single row to every band. Same
+    discipline as the winnowing rare-print cut
+    (:func:`..text.winnow_dup_candidates`) and the reference's own
+    groupBy-first geolocation dedup (reference
+    src/pipelines/silver/geolocation.sql:15-32).
+
+    The group key is ``xxhash64(sig)`` — identical arrays hash equal;
+    distinct signatures collide with probability 2^-64 per pair (the
+    same accepted risk as fingerprint dedup). Returns
+    ``(rep_sigs, members)``: the signature rows of the representatives
+    only, and the full (``__id``, ``__rep``) membership map."""
+    keyed = signatures.select(
+        F.col(id_col).alias("__id"), F.xxhash64(sig_col).alias("__sk")
+    )
+    reps = keyed.groupBy("__sk").agg(F.min("__id").alias("__rep"))
+    members = keyed.join(reps, "__sk").select("__id", "__rep")
+    rep_sigs = signatures.join(
+        reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+    )
+    return rep_sigs, members
+
+
+def _expand_identical_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    intra_values: dict[str, Column] | None = None,
 ) -> DataFrame:
-    """LSH banding: split each signature into ``bands`` bands of
-    ``rows_per_band`` values; docs sharing any band hash are candidates.
-    Returns distinct (id_a, id_b) candidate pairs via equi-join on
-    (band_index, band_hash) — never a cross join."""
-    banded = signatures.select(
+    """Re-expand representative-level pairs to full doc-level pairs.
+
+    Cross-group pairs: every (member of group a) × (member of group b)
+    for each surviving representative pair — an equi-join on the rep
+    ids, so the shuffle is proportional to the TRUE pair-set size, not
+    to any bucket's membership. Extra columns on ``rep_pairs``
+    (est_jaccard, hamming) are symmetric similarity values shared by
+    the whole group pair and ride along unchanged. Intra-group pairs
+    (identical signatures) get the literal ``intra_values`` (est 1.0 /
+    hamming 0). Pair ordering is restored with least/greatest; the two
+    sets are disjoint and each is duplicate-free, so no distinct pass
+    is needed."""
+    extra = [c for c in rep_pairs.columns if c not in ("id_a", "id_b")]
+    ma = members.select(
+        F.col("__rep").alias("id_a"), F.col("__id").alias("__raw_a")
+    )
+    mb = members.select(
+        F.col("__rep").alias("id_b"), F.col("__id").alias("__raw_b")
+    )
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__raw_a", "__raw_b").alias("id_a"),
+            F.greatest("__raw_a", "__raw_b").alias("id_b"),
+            *extra,
+        )
+    )
+    intra_vals = intra_values or {}
+    a = members.select(F.col("__rep"), F.col("__id").alias("id_a"))
+    b = members.select(F.col("__rep"), F.col("__id").alias("id_b"))
+    intra = (
+        a.join(b, "__rep")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", *[intra_vals[c].alias(c) for c in extra]
+        )
+    )
+    return cross.unionByName(intra)
+
+
+def _banded(
+    rep_sigs: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    max_bucket_df: int | None,
+) -> DataFrame:
+    """Explode representative signatures into (band, bucket) rows,
+    optionally dropping buckets whose DISTINCT-signature membership
+    exceeds ``max_bucket_df`` (see :func:`minhash_lsh_candidates`)."""
+    banded = rep_sigs.select(
         F.col(id_col).alias("__id"),
         F.explode(
             F.array(
@@ -248,14 +324,65 @@ def minhash_lsh_candidates(
             )
         ).alias("__band"),
     ).select("__id", "__band.band", "__band.bucket")
+    if max_bucket_df is not None:
+        small = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_bucket_df)
+            .select("band", "bucket")
+        )
+        banded = banded.join(small, ["band", "bucket"], "left_semi")
+    return banded
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_df: int | None = None,
+    expand_identical: bool = True,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``rows_per_band`` values; docs sharing any band hash are candidates.
+    Returns distinct (id_a, id_b) candidate pairs via equi-join on
+    (band_index, band_hash) — never a cross join.
+
+    Scale guards (VERDICT r4 next-step #1):
+
+    - Signature-identical docs are collapsed to one representative
+      before banding (:func:`_collapse_identical_signatures`), then
+      re-expanded afterwards — identical sigs share EVERY band, so the
+      expansion provably reproduces the uncollapsed pair set while the
+      banding join sees each distinct signature once. A degenerate
+      corpus region (10⁴ identical boilerplate docs) contributes ONE
+      row per band instead of a 10⁸/2-pair shuffle key.
+    - ``max_bucket_df`` (optional) additionally drops (band, bucket)
+      groups holding more than that many DISTINCT signatures — a
+      mega-cluster of mutually-near (but non-identical) docs. Recall
+      bound: a true pair is lost only if EVERY shared band is dropped;
+      at the default 16×4 banding a 0.9-similar pair shares ~16·0.9⁴
+      ≈ 10.5 bands in expectation, so isolated hot buckets cost little.
+    - ``expand_identical=False`` returns representative-level pairs
+      only (one row per signature-group pair) — the output-bounded
+      shape for pipelines that feed :func:`dedup_components` anyway,
+      where a quadratic intra-group pair list adds nothing (recover
+      groups with the ``cliques=True`` component pass over the
+      signature-equality key).
+    """
+    rep_sigs, members = _collapse_identical_signatures(signatures, id_col)
+    banded = _banded(rep_sigs, id_col, bands, rows_per_band, max_bucket_df)
     a = banded.select(F.col("__id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("__id").alias("id_b"), "band", "bucket")
-    return (
+    rep_pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    if not expand_identical:
+        return rep_pairs
+    return _expand_identical_pairs(rep_pairs, members)
 
 
 def minhash_dedup_pairs(
@@ -267,30 +394,58 @@ def minhash_dedup_pairs(
     n: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    max_bucket_df: int | None = None,
+    expand_identical: bool = True,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures -> band candidates
     -> signature-similarity verify. Returns (id_a, id_b, est_jaccard).
 
     est_jaccard is the fraction of matching signature positions (the
-    unbiased MinHash estimator), verified only on LSH candidates."""
+    unbiased MinHash estimator), verified only on LSH candidates.
+
+    Degenerate-corpus guard: signature-identical docs collapse to one
+    representative before banding AND before the verify join, then the
+    verified pairs re-expand (cross pairs inherit the representatives'
+    est_jaccard — signatures equal position-wise within a group — and
+    intra-group pairs get est 1.0, which any threshold <= 1 admits).
+    Output is provably identical to the uncollapsed pipeline; the
+    banding and verify shuffles see each distinct signature once. See
+    :func:`minhash_lsh_candidates` for ``max_bucket_df`` /
+    ``expand_identical``."""
     rows_per_band = num_hashes // bands
     # sigs feed banding + both verify sides; persist (id, 64 longs).
+    # (Deliberately left cached for the session — the returned frame
+    # reads it lazily; callers running many passes clearCache between.)
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, seed).persist()
-    cand = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band)
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("__sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("__sig_b"))
+    rep_sigs, members = _collapse_identical_signatures(sigs, id_col)
+    banded = _banded(rep_sigs, id_col, bands, rows_per_band, max_bucket_df)
+    a = banded.select(F.col("__id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("__id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = rep_sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("__sig_a"))
+    sb = rep_sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("__sig_b"))
     matches = F.size(
         F.filter(
             F.zip_with("__sig_a", "__sig_b", lambda x, y: x == y),
             lambda eq: eq,
         )
     )
-    return (
+    verified = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("est_jaccard", matches / F.lit(num_hashes))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+    )
+    if not expand_identical:
+        return verified
+    return _expand_identical_pairs(
+        verified, members, {"est_jaccard": F.lit(1.0)}
     )
 
 
@@ -338,12 +493,32 @@ def simhash_dedup_pairs(
     text_col: str,
     max_hamming: int = 3,
     chunks: int = 4,
+    max_bucket_df: int | None = None,
+    expand_identical: bool = True,
 ) -> DataFrame:
     """SimHash near-dup: pigeonhole on 16-bit chunks (hamming <= 3 with
     4 chunks guarantees >=1 identical chunk), equi-join candidates on
     (chunk_index, chunk_value), verify with popcount(xor).
-    Returns (id_a, id_b, hamming)."""
-    sh = simhash_signatures(df, id_col, text_col).withColumnRenamed(id_col, "__id")
+    Returns (id_a, id_b, hamming).
+
+    Degenerate-corpus guard (VERDICT r4 next-step #1): docs with the
+    SAME 64-bit signature collapse to one representative (exact groupBy
+    on the signature — no hashing needed) before the chunk join, then
+    re-expand: identical signatures collide in every chunk and have
+    hamming 0 (<= any max_hamming), so the expansion provably
+    reproduces the uncollapsed pair set while the (chunk, value) join
+    sees each distinct signature once. ``max_bucket_df`` optionally
+    drops chunk buckets holding more than that many DISTINCT
+    signatures (recall bound: a true pair is lost only if every shared
+    chunk bucket is dropped); ``expand_identical=False`` returns
+    representative-level pairs only (see
+    :func:`minhash_lsh_candidates`)."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    reps = sigs.groupBy("__sh").agg(F.min(id_col).alias("__rep"))
+    members = sigs.join(reps, "__sh").select(
+        F.col(id_col).alias("__id"), F.col("__rep")
+    )
+    sh = reps.select(F.col("__rep").alias("__id"), "__sh")
     chunk_bits = 64 // chunks
     mask = (1 << chunk_bits) - 1
     chunked = sh.select(
@@ -363,13 +538,21 @@ def simhash_dedup_pairs(
             )
         ).alias("__c"),
     ).select("__id", "__sh", "__c.chunk", "__c.value")
+    if max_bucket_df is not None:
+        small = (
+            chunked.groupBy("chunk", "value")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_bucket_df)
+            .select("chunk", "value")
+        )
+        chunked = chunked.join(small, ["chunk", "value"], "left_semi")
     a = chunked.select(
         F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"), "chunk", "value"
     )
     b = chunked.select(
         F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"), "chunk", "value"
     )
-    return (
+    verified = (
         a.join(b, ["chunk", "value"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "__sh_a", "__sh_b")
@@ -377,6 +560,11 @@ def simhash_dedup_pairs(
         .withColumn("hamming", F.bit_count(F.col("__sh_a").bitwiseXOR(F.col("__sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+    if not expand_identical:
+        return verified
+    return _expand_identical_pairs(
+        verified, members, {"hamming": F.lit(0)}
     )
 
 

@@ -1,0 +1,125 @@
+"""Degenerate-corpus scale guards for the MinHash/SimHash LSH family
+(VERDICT r4 next-step #1): a corpus region of N identical documents
+must NOT create an N²/2-pair shuffle key in candidate generation.
+
+The guard is the identical-signature collapse in
+operators/dedup.py (:func:`_collapse_identical_signatures`): banding
+sees one representative per distinct signature, and doc-level pairs
+are re-expanded only as OUTPUT (equi-join proportional to the true
+pair set). These tests plant 10^4 identical docs and assert the
+candidate stage stays bounded, plus output-equality invariants on a
+small mixed corpus.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_lakehouse_2_0_spark.operators.dedup import (
+    _collapse_identical_signatures,
+    minhash_dedup_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash_dedup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def adversarial(spark):
+    """10^4 identical boilerplate docs + 8 distinct docs."""
+    boiler = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "click here to accept cookies and continue to the site "
+            "terms of service apply all rights reserved"
+        ).alias("text"),
+    )
+    distinct = spark.createDataFrame(
+        [
+            (100_000 + i, f"unique document number {i} about topic {i * 7} "
+                          f"with extra words {i * 13} {i * 17} {i * 19}")
+            for i in range(8)
+        ],
+        "doc_id long, text string",
+    )
+    return boiler.unionByName(distinct)
+
+
+def test_minhash_banding_sees_one_representative(spark, adversarial):
+    sigs = minhash_signatures(adversarial, "doc_id")
+    rep_sigs, members = _collapse_identical_signatures(sigs, "doc_id")
+    # 1 signature for the 10^4 identical docs + 8 distinct ones.
+    assert rep_sigs.count() == 9
+    assert members.count() == 10_008
+    # The boilerplate group's representative is its min id.
+    rep = (
+        members.groupBy("__rep").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .collect()
+    )
+    assert len(rep) == 1 and rep[0]["__rep"] == 0 and rep[0]["n"] == 10_000
+
+
+def test_minhash_candidates_bounded_on_identical_flood(spark, adversarial):
+    sigs = minhash_signatures(adversarial, "doc_id")
+    rep_pairs = minhash_lsh_candidates(
+        sigs, "doc_id", expand_identical=False
+    )
+    # Representative-level candidates: at most C(9, 2) = 36 even if
+    # every distinct doc collided in some band; the 10^4-doc group
+    # contributes exactly one representative.
+    assert rep_pairs.count() <= 36
+
+
+def test_minhash_expansion_equals_uncollapsed_pairs(spark):
+    """On a small mixed corpus the collapsed+expanded pipeline must
+    emit exactly the pair set the definition promises: every pair of
+    identical docs at est 1.0, and no pair involving unrelated text."""
+    group_a = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(5)]
+    group_b = [(10 + i, "one two three four five six seven eight") for i in range(4)]
+    solo = [(100, "completely unrelated text about something else entirely")]
+    df = spark.createDataFrame(group_a + group_b + solo, "doc_id long, text string")
+    pairs = minhash_dedup_pairs(df, "doc_id", "text", threshold=0.5)
+    rows = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    expected_a = {(i, j) for i in range(5) for j in range(5) if i < j}
+    expected_b = {(10 + i, 10 + j) for i in range(4) for j in range(4) if i < j}
+    assert set(rows) == expected_a | expected_b
+    assert all(v == 1.0 for v in rows.values())
+
+
+def test_minhash_max_bucket_df_cuts_hot_buckets(spark):
+    """max_bucket_df drops buckets with more DISTINCT signatures than
+    the cap: near-identical (but distinct) docs stop producing pairs at
+    cap 1, while identical docs still pair (collapse happens first)."""
+    near = [
+        (i, f"shared boilerplate prefix words here tail {i}") for i in range(20)
+    ]
+    same = [(100, "identical pair text"), (101, "identical pair text")]
+    df = spark.createDataFrame(near + same, "doc_id long, text string")
+    sigs = minhash_signatures(df, "doc_id")
+    capped = minhash_lsh_candidates(sigs, "doc_id", max_bucket_df=1)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # Identical docs survive any cap: their group collapses to ONE
+    # representative (bucket membership 1) and re-expands afterwards.
+    assert (100, 101) in got
+    uncapped = minhash_lsh_candidates(sigs, "doc_id")
+    assert uncapped.count() >= len(got)
+
+
+def test_simhash_candidates_bounded_on_identical_flood(spark, adversarial):
+    rep_pairs = simhash_dedup_pairs(
+        adversarial, "doc_id", "text", max_hamming=3, expand_identical=False
+    )
+    assert rep_pairs.count() <= 36
+
+
+def test_simhash_expansion_emits_identical_group_pairs(spark):
+    group = [(i, "alpha beta gamma delta epsilon zeta") for i in range(5)]
+    solo = [(50, "some wholly different words in this document body")]
+    df = spark.createDataFrame(group + solo, "doc_id long, text string")
+    pairs = simhash_dedup_pairs(df, "doc_id", "text", max_hamming=0)
+    rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    expected = {(i, j) for i in range(5) for j in range(5) if i < j}
+    assert set(rows) == expected
+    assert all(v == 0 for v in rows.values())
