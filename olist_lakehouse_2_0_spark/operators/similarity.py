@@ -143,6 +143,7 @@ def build_ivf_index(
     corpus_id: str = "corpus_id",
     vec_col: str = "embedding",
     num_centroids: int | None = 16,
+    n_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Assign every corpus vector to its nearest centroid.
 
@@ -155,7 +156,8 @@ def build_ivf_index(
     (:func:`default_num_centroids`). That needs one ``count()`` action
     here at build time — index construction is an offline batch step
     that materializes results anyway (see :func:`write_ivf_index`),
-    not a lazily-composed query path.
+    not a lazily-composed query path; pass ``n_rows`` (e.g. from
+    catalog statistics) to skip the count entirely.
 
     At 100 TB the centroid table stays tiny; it is packed into a
     one-row array and broadcast, so assignment is a pure map-side
@@ -164,7 +166,9 @@ def build_ivf_index(
     centroid_id so probes prune partitions).
     """
     if num_centroids is None:
-        num_centroids = default_num_centroids(corpus.count())
+        num_centroids = default_num_centroids(
+            corpus.count() if n_rows is None else n_rows
+        )
     sample = (
         corpus.select(F.col(corpus_id), F.col(vec_col))
         .withColumn("__r", F.xxhash64(F.col(corpus_id).cast("string")))
@@ -238,6 +242,7 @@ def write_ivf_index(
     corpus_id: str = "corpus_id",
     vec_col: str = "embedding",
     num_centroids: int | None = None,
+    n_rows: int | None = None,
 ) -> int:
     """Materialize the IVF index on disk: the postings (assigned corpus
     vectors + norms) are written PARTITIONED BY ``centroid_id``, and
@@ -249,10 +254,13 @@ def write_ivf_index(
     in tests/test_similarity.py by asserting PartitionFilters in the
     probe scan), instead of re-scanning the full corpus per query
     batch. Returns the centroid count (``None`` → ~sqrt(n), see
-    :func:`default_num_centroids`).
+    :func:`default_num_centroids`; ``n_rows`` skips the sizing count
+    when the caller already knows the cardinality).
     """
     if num_centroids is None:
-        num_centroids = default_num_centroids(corpus.count())
+        num_centroids = default_num_centroids(
+            corpus.count() if n_rows is None else n_rows
+        )
     centroids, assigned = build_ivf_index(
         corpus, corpus_id, vec_col, num_centroids
     )
@@ -494,25 +502,21 @@ def _dsub(nv: Column, m: int) -> Column:
     )
 
 
-def pq_codebook(
-    corpus: DataFrame,
-    corpus_id: str = "corpus_id",
-    vec_col: str = "embedding",
-    m: int = 8,
-    ksub: int = 16,
+def _pq_books(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    ksub: int,
 ) -> DataFrame:
-    """Train the m per-subspace codebooks from a deterministic corpus
-    sample (the ``ksub`` vectors with the smallest xxhash64(id) — same
-    seedless scheme as :func:`build_ivf_index`; the sampled vectors'
-    sub-vectors become the codes). Returns ONE row holding
-    ``__books``: array[m] of array[ksub] of struct(code_id, vec),
-    each inner array sorted by code_id so ADC can address codes by
-    position — the broadcast-scalar shape the encode/score stages
-    consume map-side. The codebook is m*ksub*(D/m) doubles — constant
-    planning-scale data regardless of corpus size."""
+    """Codebook over an ALREADY-PREPARED vector space (unit vectors for
+    plain PQ, residuals for IVF-PQ): sample the ``ksub`` vectors with
+    the smallest xxhash64(id) (deterministic, seedless, uniform) and
+    slice each into the m sub-vector codes. See :func:`pq_codebook`
+    for the returned ``__books`` shape."""
     sample = (
-        corpus.select(
-            F.col(corpus_id).alias("__id"), _unit(F.col(vec_col)).alias("__nv")
+        vectors.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__nv")
         )
         .withColumn("__r", F.xxhash64(F.col("__id").cast("string")))
         .orderBy("__r")
@@ -537,6 +541,28 @@ def pq_codebook(
     return books.agg(
         F.array_sort(F.collect_list(F.struct("j", "bk"))).alias("__jb")
     ).select(F.transform(F.col("__jb"), lambda s: s["bk"]).alias("__books"))
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+) -> DataFrame:
+    """Train the m per-subspace codebooks from a deterministic corpus
+    sample (the ``ksub`` vectors with the smallest xxhash64(id) — same
+    seedless scheme as :func:`build_ivf_index`; the sampled vectors'
+    sub-vectors become the codes). Returns ONE row holding
+    ``__books``: array[m] of array[ksub] of struct(code_id, vec),
+    each inner array sorted by code_id so ADC can address codes by
+    position — the broadcast-scalar shape the encode/score stages
+    consume map-side. The codebook is m*ksub*(D/m) doubles — constant
+    planning-scale data regardless of corpus size."""
+    unit = corpus.select(
+        F.col(corpus_id), _unit(F.col(vec_col)).alias("__nv")
+    )
+    return _pq_books(unit, corpus_id, "__nv", m, ksub)
 
 
 def pq_encode(
@@ -607,7 +633,10 @@ def pq_topk(
     m-byte codes instead of O(D) multiplies against D floats."""
     # The codebook subtree (corpus-wide hash + TakeOrdered sample)
     # feeds BOTH the encode side and the per-query ADC tables; without
-    # a persist each action would run that corpus scan twice.
+    # a persist each action would run that corpus scan twice. The one
+    # row stays cached for the session (the returned frame reads it
+    # lazily, so there is no safe unpersist point here); long-lived
+    # sessions clearCache between passes, as bench.py does.
     books = pq_codebook(corpus, corpus_id, vec_col, m, ksub).persist()
     enc = pq_encode(corpus, books, corpus_id, vec_col, m)
     q = queries.select(
@@ -659,6 +688,193 @@ def pq_topk(
     )
 
 
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    num_centroids: int | None = None,
+    nprobe: int | None = 8,
+    m: int = 8,
+    ksub: int = 64,
+    candidates: int | None = 100,
+    seed: int = 42,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """IVF-PQ: the composed production ANN operating point (Jegou et
+    al. TPAMI 2011, §V "IVFADC") — IVF prunes WHICH vectors are scored
+    (only the ``nprobe`` probed partitions), PQ-on-RESIDUALS shrinks
+    what scoring a vector costs (m table lookups against m small codes),
+    and an exact cosine re-rank of the best ``candidates`` per query
+    restores precision. This is the answer to plain :func:`pq_topk`'s
+    weak pruned-path recall (VERDICT r4 next-step #3): quantizing the
+    RESIDUAL (vector minus its centroid) spends the codebook's bits on
+    the within-cluster detail instead of re-encoding coarse position,
+    and the ADC scan never touches unprobed partitions.
+
+    Plan shape (all JVM array intrinsics, no Python anywhere):
+    k-means centroids on the unit-normalized corpus -> one broadcast
+    packed codebook -> map-side assignment + residual computation over
+    the corpus scan -> residual PQ codebook (deterministic sample) ->
+    map-side encode. Query side: map-side probe of the ``nprobe``
+    nearest centroids, per-(query, probe) residual ADC table; the
+    scoring join is a BROADCAST hash join on centroid_id (queries x
+    nprobe rows, each carrying an m x ksub table), so the corpus side
+    never shuffles — at 100 TB with the postings written PARTITIONED BY
+    centroid_id (:func:`write_ivf_index` layout), the probed-partition
+    scan is also the only IO.
+
+    ``num_centroids=None`` sizes the coarse codebook ~sqrt(n)
+    (``n_rows`` skips the planning-time count when the caller knows the
+    cardinality). ``nprobe=None`` probes every partition and
+    ``candidates=None`` re-ranks every probed row — together they make
+    the result EQUAL brute force through the full IVF-PQ machinery (the
+    hash-gate twin). Returns (query_id, corpus_id, cosine, rank) with
+    the same tie-breaks as :func:`cosine_topk`."""
+    if num_centroids is None:
+        num_centroids = default_num_centroids(
+            corpus.count() if n_rows is None else n_rows
+        )
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cnorm"),
+        _unit(F.col(vec_col)).alias("__nv"),
+    )
+    centroids = kmeans_centroids(c, "__nv", num_centroids, seed)
+    packed = _pack_centroids(centroids)
+    # Assignment carries the winning centroid's VECTOR through the
+    # argmax struct so the residual needs no second lookup pass; the
+    # (sim, -id) prefix is unique, so the array tail never drives the
+    # comparison.
+    best = F.array_max(
+        F.transform(
+            F.col("__cents"),
+            lambda ct: F.struct(
+                dot(ct["__centroid_vec"], F.col("__nv")).alias("sim"),
+                (-ct["centroid_id"]).alias("nid"),
+                ct["__centroid_vec"].alias("cvec"),
+            ),
+        )
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(packed))
+        .withColumn("__best", best)
+        .select(
+            corpus_id,
+            "__cvec",
+            "__cnorm",
+            (-F.col("__best.nid")).cast("int").alias("centroid_id"),
+            F.zip_with(
+                "__nv", F.col("__best.cvec"), lambda x, y: x - y
+            ).alias("__res"),
+        )
+    )
+    # Residual codebook + map-side encode. The books subtree feeds the
+    # encode AND every per-query ADC table; persist so its corpus scan
+    # runs once. (Deliberately left cached for the session — the
+    # returned frame reads it lazily; long-lived sessions running many
+    # builds should clearCache between, as bench.py does.)
+    books = _pq_books(assigned, corpus_id, "__res", m, ksub).persist()
+    d = _dsub(F.col("__res"), m)
+    codes = F.transform(
+        F.col("__books"),
+        lambda bk, j: F.array_min(
+            F.transform(
+                bk,
+                lambda cd: F.struct(
+                    _l2sq(
+                        F.slice(F.col("__res"), j * d + 1, d), cd["vec"]
+                    ).alias("d"),
+                    cd["code_id"].alias("cid"),
+                ),
+            )
+        )["cid"],
+    )
+    enc = (
+        assigned.crossJoin(F.broadcast(books))
+        .withColumn("__codes", codes)
+        .select(corpus_id, "centroid_id", "__cvec", "__cnorm", "__codes")
+    )
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qnorm"),
+        _unit(F.col(vec_col)).alias("__qnv"),
+    )
+    # Probe structs keep the centroid vector for the query residual;
+    # (nsim, cid) is unique before the array tail.
+    probe_structs = F.array_sort(
+        F.transform(
+            F.col("__cents"),
+            lambda ct: F.struct(
+                (-dot(ct["__centroid_vec"], F.col("__qnv"))).alias("nsim"),
+                ct["centroid_id"].alias("cid"),
+                ct["__centroid_vec"].alias("cvec"),
+            ),
+        )
+    )
+    if nprobe is not None:
+        probe_structs = F.slice(probe_structs, 1, nprobe)
+    probes = (
+        q.crossJoin(F.broadcast(packed))
+        .withColumn("__p", F.explode(probe_structs))
+        .select(
+            query_id,
+            "__qvec",
+            "__qnorm",
+            F.col("__p.cid").alias("centroid_id"),
+            F.zip_with(
+                "__qnv", F.col("__p.cvec"), lambda x, y: x - y
+            ).alias("__qres"),
+        )
+    )
+    dq = _dsub(F.col("__qres"), m)
+    qtab = F.transform(
+        F.col("__books"),
+        lambda bk, j: F.transform(
+            bk,
+            lambda cd: _l2sq(F.slice(F.col("__qres"), j * dq + 1, dq), cd["vec"]),
+        ),
+    )
+    qt = (
+        probes.crossJoin(F.broadcast(books))
+        .withColumn("__qtab", qtab)
+        .select(query_id, "__qvec", "__qnorm", "centroid_id", "__qtab")
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("__codes"),
+            F.col("__qtab"),
+            lambda cd, tab: F.element_at(tab, cd + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = F.broadcast(qt).join(enc, "centroid_id").withColumn("__adc", adc)
+    shortlist = scored
+    if candidates is not None:
+        w_adc = W.partitionBy(query_id).orderBy(
+            F.asc("__adc"), F.asc(corpus_id)
+        )
+        shortlist = scored.withColumn(
+            "__adc_rank", F.row_number().over(w_adc)
+        ).filter(F.col("__adc_rank") <= candidates)
+    reranked = shortlist.withColumn(
+        "cosine",
+        dot(F.col("__qvec"), F.col("__cvec"))
+        / F.nullif(F.col("__qnorm") * F.col("__cnorm"), F.lit(0.0)),
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup — semantic deduplication via embedding clusters (Abbas,
 # Tirumala, Simig, Ganguli, Morcos, "SemDeDup: Data-efficient learning
@@ -681,6 +897,7 @@ def semdedup(
     num_clusters: int | None = None,
     seed: int = 42,
     max_iter: int = 5,
+    n_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Cluster-scoped semantic dedup. Returns ``(survivors, pairs)``:
     ``pairs`` is every within-cluster pair with cosine >= ``threshold``
@@ -704,9 +921,17 @@ def semdedup(
     clusters the pairwise cost is ~n^1.5, the header's scale contract
     — a FIXED k would leave it at n²/k. The sizing count is one
     planning-time corpus scan, the same offline-step trade the IVF
-    index build makes (`build_ivf_index`)."""
+    index build makes (`build_ivf_index`); pass ``n_rows`` (e.g. from
+    catalog statistics) to skip it.
+
+    The returned ``pairs`` frame is persisted (both outputs derive
+    from it) and deliberately left cached for the session — callers
+    running many passes should ``spark.catalog.clearCache()`` between
+    them, as bench.py does."""
     if num_clusters is None:
-        num_clusters = default_num_centroids(corpus.count())
+        num_clusters = default_num_centroids(
+            corpus.count() if n_rows is None else n_rows
+        )
     centroids = kmeans_centroids(corpus, vec_col, num_clusters, seed, max_iter)
     packed = _pack_centroids(centroids)
     assigned = (

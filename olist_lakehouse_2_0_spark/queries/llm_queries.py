@@ -712,12 +712,16 @@ def embedding_topk_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       first — it must survive the ADC candidate cut (its ADC distance
       is its own quantization error, far below unrelated vectors') and
       exact re-rank then pins it at cosine 1.
-    - ``mean_recall_ok`` / ``min_recall_ok``: mean recall@10 >= 0.25,
-      per-query min >= 0.1. Measured recall is deterministic (seedless
+    - ``mean_recall_ok`` / ``min_recall_ok``: mean recall@10 >= 0.5,
+      per-query min >= 0.2. Measured recall is deterministic (seedless
       sampled codebook, sequential folds, id tie-breaks) and sits at
-      0.38-0.58 mean / 0.20-0.40 min across sf0.001/0.01/0.1, so the
-      bounds hold with >=1.5x margin while failing on any ADC
-      mis-ordering or encode data loss.
+      0.70-0.94 mean / 0.30-0.80 min across sf0.001/0.01/0.1 at the
+      round-5 operating point (ksub=64 codes, 100-candidate re-rank —
+      raised from r4's ksub=16/50, which measured 0.38-0.58 mean;
+      VERDICT r4 next-step #3), so the bounds hold with >=1.4x margin
+      while failing on any ADC mis-ordering or encode data loss. The
+      composed IVF-PQ path (``embedding_topk_ivfpq_recall``) is the
+      production operating point at mean >= 0.8.
 
     Counts (n_queries, k) are exact and oracled directly."""
     from olist_lakehouse_2_0_spark.operators.similarity import pq_topk
@@ -728,7 +732,7 @@ def embedding_topk_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
     approx = pq_topk(
-        queries, corpus, k=10, m=8, ksub=16, candidates=50
+        queries, corpus, k=10, m=8, ksub=64, candidates=100
     ).persist()
     exact = cosine_topk(queries, corpus, k=10)
     hits = exact.join(
@@ -762,8 +766,8 @@ def embedding_topk_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_queries",
             "k",
             (F.col("__n_self") == F.col("n_queries")).alias("self_hit_all"),
-            (F.col("__mean_r") >= 0.25).alias("mean_recall_ok"),
-            (F.col("__min_r") >= 0.1).alias("min_recall_ok"),
+            (F.col("__mean_r") >= 0.5).alias("mean_recall_ok"),
+            (F.col("__min_r") >= 0.2).alias("min_recall_ok"),
         )
     )
 
@@ -777,6 +781,108 @@ SELECT COUNT(*) AS n_queries,
 FROM embeddings
 WHERE vec_id % 50 = 0
 """
+
+
+def embedding_topk_ivfpq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ under the hash gate, exact configuration:
+    :func:`~olist_lakehouse_2_0_spark.operators.similarity.ivf_pq_topk`
+    with ``nprobe=None`` (probe every coarse partition) and
+    ``candidates=None`` (re-rank every probed row) — every corpus row
+    flows through the FULL composed machinery (unit-normalize ->
+    k-means coarse assignment -> residual computation -> residual PQ
+    encode -> per-(query, probe) residual ADC table -> exact cosine
+    re-rank) and the result must EQUAL brute force exactly. The oracle
+    is the brute-force SQL, so a row lost or corrupted anywhere in the
+    assignment/residual/encode plumbing fails the hash;
+    ``embedding_topk_ivfpq_recall`` gates the pruned production
+    operating point."""
+    from olist_lakehouse_2_0_spark.operators.similarity import ivf_pq_topk
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    topk = ivf_pq_topk(
+        queries, corpus, k=10, nprobe=None, m=8, ksub=64, candidates=None
+    )
+    return topk.select(
+        "query_id",
+        "corpus_id",
+        F.col("cosine").cast("decimal(12,6)").alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def embedding_topk_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRUNED IVF-PQ read path under the hash gate — the answer to
+    VERDICT r4 next-step #3 ("raise the PQ pruned-path operating point
+    to a usable recall"): coarse k-means partitioning prunes WHICH rows
+    are scored (nprobe=24 partitions of the ~sqrt(n) codebook),
+    residual PQ codes shrink what scoring costs (m=8 lookups against
+    ksub=128 codebooks trained on centroid RESIDUALS — the bits encode
+    within-cluster detail instead of coarse position, which is where
+    r4's plain-PQ recall went missing), and the best 200 ADC candidates
+    per query re-rank exactly. Judged against exhaustive brute force
+    with deterministic invariants the oracle emits as literals:
+
+    - ``self_hit_all``: every query (a corpus member) must rank ITSELF
+      first — its own partition is always its top probe and its ADC
+      distance is its own quantization error.
+    - ``mean_recall_ok`` / ``min_recall_ok``: mean recall@10 >= 0.8,
+      per-query min >= 0.4. Measured (deterministic: seeded k-means,
+      seedless residual sample, sequential folds, id tie-breaks):
+      mean 0.872-1.000 / min 0.600-1.000 across sf0.001/0.01/0.1 —
+      recorded in BASELINE.md; the r4 plain-PQ point measured
+      0.38-0.58 mean.
+
+    Counts (n_queries, k) are exact and oracled directly."""
+    from olist_lakehouse_2_0_spark.operators.similarity import ivf_pq_topk
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    approx = ivf_pq_topk(
+        queries, corpus, k=10, nprobe=24, m=8, ksub=128, candidates=200
+    ).persist()
+    exact = cosine_topk(queries, corpus, k=10)
+    hits = exact.join(
+        approx.select("query_id", "corpus_id"),
+        ["query_id", "corpus_id"],
+        "left_semi",
+    )
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .fillna(0, ["n_hit"])
+        .select("query_id", (F.col("n_hit") / F.col("n_exact")).alias("recall"))
+    )
+    self_hits = approx.filter(
+        (F.col("rank") == 1) & (F.col("corpus_id") == F.col("query_id"))
+    )
+    return (
+        per_q.agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.lit(10).alias("k"),
+            F.mean("recall").alias("__mean_r"),
+            F.min("recall").alias("__min_r"),
+        )
+        .crossJoin(self_hits.agg(F.count(F.lit(1)).alias("__n_self")))
+        .select(
+            "n_queries",
+            "k",
+            (F.col("__n_self") == F.col("n_queries")).alias("self_hit_all"),
+            (F.col("__mean_r") >= 0.8).alias("mean_recall_ok"),
+            (F.col("__min_r") >= 0.4).alias("min_recall_ok"),
+        )
+    )
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2659,6 +2765,8 @@ LLM_QUERIES = {
     "embedding_topk_ivf_indexed_recall": embedding_topk_ivf_indexed_recall,
     "embedding_topk_pq_exact": embedding_topk_pq_exact,
     "embedding_topk_pq_recall": embedding_topk_pq_recall,
+    "embedding_topk_ivfpq_exact": embedding_topk_ivfpq_exact,
+    "embedding_topk_ivfpq_recall": embedding_topk_ivfpq_recall,
     "text_stats": text_stats,
     "doc_chunks": doc_chunks,
     "doc_quality_zscore": doc_quality_zscore,
@@ -2724,6 +2832,8 @@ LLM_ORACLES = {
     "embedding_topk_ivf_indexed_recall": EMBEDDING_TOPK_IVF_INDEXED_RECALL_SQL,
     "embedding_topk_pq_exact": EMBEDDING_TOPK_SQL,
     "embedding_topk_pq_recall": EMBEDDING_TOPK_PQ_RECALL_SQL,
+    "embedding_topk_ivfpq_exact": EMBEDDING_TOPK_SQL,
+    "embedding_topk_ivfpq_recall": EMBEDDING_TOPK_PQ_RECALL_SQL,
     "embedding_topk_ivf_kmeans_exhaustive": EMBEDDING_TOPK_SQL,
     "text_stats": TEXT_STATS_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,

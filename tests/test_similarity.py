@@ -328,3 +328,100 @@ def test_semdedup_partitions_corpus_and_drops_have_smaller_keeper(spark):
     # dropped without a pair justifying it, and every larger-id pair
     # member is dropped
     assert dropped == {b for _, b in pair_rows}
+
+
+def test_ivfpq_exact_twin_equals_bruteforce(spark, sf_smoke):
+    """nprobe=None + candidates=None pushes every corpus row through
+    the full IVF-PQ machinery (k-means assignment, residual encode,
+    residual ADC, exact re-rank) and must reproduce brute force
+    exactly, tie-breaks included."""
+    from pyspark.sql import functions as F
+
+    from olist_lakehouse_2_0_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    got = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(queries, corpus, k=5, nprobe=None, candidates=None)
+            .select("query_id", "corpus_id", "rank")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            cosine_topk(queries, corpus, k=5)
+            .select("query_id", "corpus_id", "rank")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_ivfpq_pruned_recall_above_plain_pq_bounds(spark, sf_smoke):
+    """The registered IVF-PQ operating point (nprobe=24, ksub=128
+    residual codes, 200-candidate re-rank): recall@10 >= 0.8 mean and
+    every query finds itself at rank 1 — the usable-ANN bar plain PQ
+    missed in round 4 (VERDICT r4 next-step #3)."""
+    from pyspark.sql import functions as F
+
+    from olist_lakehouse_2_0_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    approx = ivf_pq_topk(
+        queries, corpus, k=10, nprobe=24, m=8, ksub=128, candidates=200
+    ).persist()
+    exact = cosine_topk(queries, corpus, k=10)
+    hits = exact.join(
+        approx.select("query_id", "corpus_id"),
+        ["query_id", "corpus_id"],
+        "left_semi",
+    )
+    n_q = queries.count()
+    recall = hits.count() / exact.count()
+    assert recall >= 0.8, f"ivf-pq mean recall {recall}"
+    self_hits = approx.filter(
+        (F.col("rank") == 1) & (F.col("corpus_id") == F.col("query_id"))
+    ).count()
+    assert self_hits == n_q
+
+
+def test_ivfpq_n_rows_hint_skips_count(spark, sf_smoke, monkeypatch):
+    """The n_rows hint must bypass the planning-time corpus.count()
+    (VERDICT r4 next-step #7) and still produce the same codebook
+    sizing as the counted path."""
+    from pyspark.sql import functions as F
+
+    from olist_lakehouse_2_0_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    n = corpus.count()
+    calls = {"count": 0}
+    orig = type(corpus).count
+
+    def counting(self):
+        calls["count"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(type(corpus), "count", counting)
+    centroids, _ = sim.build_ivf_index(
+        corpus, num_centroids=None, n_rows=n
+    )
+    assert calls["count"] == 0
+    assert centroids.count() == sim.default_num_centroids(n)
