@@ -195,7 +195,10 @@ def gen_cdc_changes(
     )
 
 
-def write_landing_csv(df: DataFrame, path: str) -> None:
+def write_landing_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Land an entity as a CSV directory — the bronze ingestion input
-    (reference S7 writer shape: header, overwrite)."""
-    df.write.mode("overwrite").option("header", "true").csv(path)
+    (reference S7 writer shape: header, overwrite). ``mode="append"``
+    lands an additional batch as new files in the same directory — the
+    daily-job incremental shape, where the streaming checkpoint picks
+    up only the unseen files (run.py)."""
+    df.write.mode(mode).option("header", "true").csv(path)

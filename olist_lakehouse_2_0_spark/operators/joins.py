@@ -27,23 +27,30 @@ def salted_join(
     on: str,
     salt: int = 16,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join with the ``skewed`` side salted across ``salt``
     sub-keys and ``other`` replicated to match.
 
-    Uniform salting without an RNG: the salt derives from ``xxhash64``
-    of the join key + ``monotonically_increasing_id``, so rows of a hot
-    key spread evenly. (Not stable across runs — the id depends on
-    partition layout; join RESULTS are identical regardless, since
-    every salt replica exists on the other side.) Semantics match
-    ``skewed.join(other, on, how)`` for ``inner``/``left`` joins
-    (each skewed row still matches exactly the same ``other`` rows —
-    one replica).
+    Deterministic salting without an RNG: the salt derives from
+    ``xxhash64`` over the skewed ROW'S OWN CONTENT (``salt_cols``,
+    default every column), so a row maps to the same salt group on
+    every evaluation — including a shuffle-fetch-failure recompute of
+    one map task on a real cluster, where a
+    ``monotonically_increasing_id``-derived salt could reassign rows
+    between the partial and merge stages (the SPARK-23207 hazard class;
+    ADVICE r4). Join results are identical to
+    ``skewed.join(other, on, how)`` for ``inner``/``left`` (each
+    skewed row still matches exactly the same ``other`` rows — one
+    replica). Caveat: byte-identical duplicate rows share a salt
+    group; pass a high-cardinality ``salt_cols`` subset (e.g. a line
+    id) if the hot key's rows are themselves duplicates.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how}")
+    cols = salt_cols if salt_cols is not None else skewed.columns
     salt_col = F.pmod(
-        F.xxhash64(F.col(on), F.monotonically_increasing_id()), F.lit(salt)
+        F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt)
     ).cast("int")
     s = skewed.withColumn("__salt", salt_col)
     o = other.withColumn(
@@ -120,6 +127,7 @@ def salted_agg(
     keys: list[str],
     metrics: dict[str, tuple[str, "F.Column | str"]],
     salt: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation: partial-aggregate on
     ``keys + salt``, then merge the partials on ``keys`` alone.
@@ -139,18 +147,29 @@ def salted_agg(
     ``sum`` / ``count`` / ``min`` / ``max`` — the algebraic aggregates
     whose two-phase split is exact (count merges via sum). Non-algebraic
     aggregates (exact distinct, medians) cannot be salted this way; use
-    the dedicated sketch/exact paths instead. The salt derives from
-    ``xxhash64`` of a per-row id, so a hot key's rows spread uniformly;
-    results are identical to the unsalted GROUP BY regardless of the
-    spread.
+    the dedicated sketch/exact paths instead.
+
+    The salt derives from ``xxhash64`` over the ROW'S OWN CONTENT
+    (``salt_cols``, default every column), so a row maps to the same
+    partial group on every evaluation — a
+    ``monotonically_increasing_id`` salt would be non-deterministic
+    under a shuffle-fetch-failure recompute (rows could move between
+    salt groups between the partial and merge stages: the SPARK-23207
+    hazard class; ADVICE r4). Results are identical to the unsalted
+    GROUP BY under any spread because the merge re-combines every
+    partial; determinism matters for the EXECUTION (retry-safe task
+    outputs), not the result values. Byte-identical duplicate rows
+    share a salt group — pass a high-cardinality ``salt_cols`` (e.g. a
+    line id) when a hot key's rows are themselves duplicates.
     """
     _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     _PARTIAL = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
     for alias, (fn, _) in metrics.items():
         if fn not in _MERGE:
             raise ValueError(f"{alias}: unsupported salted aggregate {fn!r}")
+    cols = salt_cols if salt_cols is not None else df.columns
     salt_col = F.pmod(
-        F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)
+        F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt)
     ).cast("int")
     partial = (
         df.withColumn("__salt", salt_col)
