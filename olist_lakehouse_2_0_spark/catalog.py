@@ -64,8 +64,17 @@ class Catalog:
                 # through spark.table so bucket metadata survives —
                 # reading the files directly would silently drop it.
                 return spark.table(ref.path)
+            if ref.format == "versioned":
+                return spark.read.parquet(
+                    _latest_version(spark, ref.path)
+                )
             return spark.read.format(ref.format).load(ref.path)
-        return spark.read.parquet(self.path_for(name, layer))
+        # Unregistered names: resolve a versioned layout if one exists
+        # on disk (a previous process's write_versioned), else the
+        # plain parquet path.
+        path = self.path_for(name, layer)
+        latest = _latest_version_or_none(spark, path)
+        return spark.read.parquet(latest if latest else path)
 
     def _register_written(self, name: str, layer: str | None, path: str) -> str:
         key = f"{layer}.{name}" if layer else name
@@ -87,6 +96,69 @@ class Catalog:
         writer.parquet(path)
         return self._register_written(name, layer, path)
 
+
+    def stage_version(
+        self, df: DataFrame, name: str, layer: str | None = None
+    ) -> str:
+        """Phase 1 of a versioned write: materialize ``df`` into an
+        UNCOMMITTED staging directory under the table root. Readers
+        never see it — :func:`_latest_version` only considers
+        ``v<number>`` directories. Callers run their post-write gates
+        (FAIL-expectation metrics) against the staged files, then call
+        :meth:`promote_version`."""
+        root = self.path_for(name, layer)
+        staging = os.path.join(root, "_staging")
+        df.write.mode("overwrite").parquet(staging)
+        return staging
+
+    def promote_version(
+        self,
+        spark: SparkSession,
+        name: str,
+        layer: str | None = None,
+        keep: int = 2,
+    ) -> str:
+        """Phase 2: atomically promote the staged directory to the next
+        version (one Hadoop rename — the snapshot-isolation point) and
+        register the table as ``versioned``. The previous ``keep - 1``
+        versions are retained so a reader that resolved the old version
+        BEFORE the promote keeps reading files that still exist; only
+        versions older than that are deleted. This is the cheap
+        version-directory answer to the MV swap's concurrent-reader
+        window (VERDICT r4 next-step #6): a reader sees the old version
+        or the new one, never FileNotFound — within the retention
+        window (a reader outliving ``keep`` subsequent refreshes is
+        still outside the contract; that is Delta/Iceberg territory,
+        SURVEY §1.2)."""
+        root = self.path_for(name, layer)
+        staging = os.path.join(root, "_staging")
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        fs = HPath(root).getFileSystem(conf)
+        versions = _list_versions(fs, HPath, root)
+        n = (versions[-1][0] + 1) if versions else 1
+        final = os.path.join(root, f"v{n:09d}")
+        if not fs.rename(HPath(staging), HPath(final)):
+            raise IOError(f"version promote rename failed: {final}")
+        for vn, vpath in versions[: max(0, len(versions) - (keep - 1))]:
+            fs.delete(HPath(vpath), True)
+        key = f"{layer}.{name}" if layer else name
+        self.tables[key] = TableRef(name=key, path=root, format="versioned")
+        return final
+
+    def write_versioned(
+        self,
+        df: DataFrame,
+        spark: SparkSession,
+        name: str,
+        layer: str | None = None,
+        keep: int = 2,
+    ) -> str:
+        """Versioned overwrite: stage + promote in one call (use the
+        two-phase methods when a gate must run between them)."""
+        self.stage_version(df, name, layer)
+        return self.promote_version(spark, name, layer, keep)
 
     def write_bucketed(
         self,
@@ -111,28 +183,46 @@ class Catalog:
         ``spark.table(name)``.
         """
         spark = df.sparkSession
-        # mode=overwrite only replaces tables the CURRENT session's
-        # catalog knows about; a managed-table directory orphaned by an
-        # earlier session (in-memory catalog gone, warehouse dir still
-        # on disk) makes saveAsTable fail with LOCATION_ALREADY_EXISTS.
-        # The destructive cleanup is scoped to overwrite ONLY — for
-        # append/ignore/error the existing table IS the point, and an
-        # unconditional drop would erase it before the mode was ever
-        # consulted. The orphan path assumes the default database and
-        # Spark's lowercased managed-table directory naming (this
-        # repo's sessions never USE another database).
-        if mode == "overwrite":
-            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+        def _delete_orphan_dir(table: str) -> None:
+            # A managed-table directory orphaned by an earlier session
+            # (in-memory catalog gone, warehouse dir still on disk)
+            # makes saveAsTable/RENAME fail with
+            # LOCATION_ALREADY_EXISTS. Assumes the default database and
+            # Spark's lowercased managed-table directory naming (this
+            # repo's sessions never USE another database).
             wh = spark.conf.get("spark.sql.warehouse.dir")
             jvm = spark._jvm
-            loc = jvm.org.apache.hadoop.fs.Path(wh, name.lower())
+            loc = jvm.org.apache.hadoop.fs.Path(wh, table.lower())
             fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
             if fs.exists(loc):
                 fs.delete(loc, True)
-        writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
-        if sort_cols:
-            writer = writer.sortBy(*sort_cols)
-        writer.saveAsTable(name)
+
+        if mode == "overwrite":
+            # Write the replacement FIRST (to a staging table), swap
+            # after it succeeds: a crash or failed write never loses
+            # the previous table (ADVICE r4 — the old sequence dropped
+            # the target before the new write began). The staging
+            # table name is cleaned of any earlier crashed attempt;
+            # the destructive steps against the REAL name run only
+            # after the staging write has fully succeeded.
+            staging = f"{name}__staging"
+            spark.sql(f"DROP TABLE IF EXISTS `{staging}`")
+            _delete_orphan_dir(staging)
+            writer = df.write.mode("errorifexists").bucketBy(
+                num_buckets, *bucket_cols
+            )
+            if sort_cols:
+                writer = writer.sortBy(*sort_cols)
+            writer.saveAsTable(staging)
+            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+            _delete_orphan_dir(name)
+            spark.sql(f"ALTER TABLE `{staging}` RENAME TO `{name}`")
+        else:
+            writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+            if sort_cols:
+                writer = writer.sortBy(*sort_cols)
+            writer.saveAsTable(name)
         self.tables[name] = TableRef(name=name, path=name, format="table")
         return name
 
@@ -348,6 +438,40 @@ class Catalog:
             if f.endswith(".parquet")
         )
         return (len(files), after)
+
+
+def _list_versions(fs, HPath, root: str) -> list[tuple[int, str]]:
+    """Committed version directories under ``root``, ascending.
+    Commit = the atomic staging->vN rename, so every ``v<number>``
+    directory is complete by construction; crashed writers only ever
+    leave ``_staging`` behind, which the next stage overwrites."""
+    import re
+
+    p = HPath(root)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        nm = st.getPath().getName()
+        m = re.fullmatch(r"v(\d+)", nm)
+        if m and st.isDirectory():
+            out.append((int(m.group(1)), os.path.join(root, nm)))
+    return sorted(out)
+
+
+def _latest_version_or_none(spark: SparkSession, root: str) -> str | None:
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(root).getFileSystem(spark._jsc.hadoopConfiguration())
+    versions = _list_versions(fs, HPath, root)
+    return versions[-1][1] if versions else None
+
+
+def _latest_version(spark: SparkSession, root: str) -> str:
+    latest = _latest_version_or_none(spark, root)
+    if latest is None:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    return latest
 
 
 def _testdata_path(sf_dir: str, name: str) -> str:

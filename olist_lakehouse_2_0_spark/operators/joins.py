@@ -7,12 +7,24 @@ handful of keys holding a double-digit percentage of a 100 TB fact
 table — where even a split partition leaves one task per hot key
 chain. Salting spreads EACH key across ``salt`` tasks.
 
-Cost model: the skewed side adds a uniform random salt (splits each
+Cost model: the skewed side adds a content-derived salt (splits each
 key's rows across ``salt`` buckets); the other side is replicated
 ``salt`` times via a literal-range explode. Use only when the
 replicated side is small-ish per key (dimension or pre-aggregated) and
 the skew is known; for broadcast-able sides, ``F.broadcast`` is always
 cheaper.
+
+Measured guidance (scripts/bench_skew.py, BASELINE.md round-5 table):
+on a 38M-row fixture with a 33%-hot key and a 150k-row dimension,
+plain sort-merge (with or without AQE) beat ``salted_join`` ~1.7x and
+plain groupBy beat ``salted_agg`` ~5x — dimension replication costs
+half a fact scan, and map-side partial aggregation already collapses
+hot keys for algebraic metrics. PREFER AQE skew-split by default.
+Salting earns its cost only when a hot task exceeds single-task
+limits rather than merely running longer: >2 GB shuffle blocks or
+multi-minute stragglers (one key = double-digit % of a 100 TB fact),
+plans AQE cannot re-split (foreachBatch micro-batches), or
+non-combinable aggregation states (collect_list-style partials).
 """
 
 from __future__ import annotations

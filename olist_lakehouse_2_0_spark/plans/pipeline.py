@@ -74,9 +74,21 @@ class RunResult:
 class Pipeline:
     """A named DAG of TableDefs over a Catalog."""
 
-    def __init__(self, name: str, catalog: Catalog, tables: list[TableDef]):
+    def __init__(
+        self,
+        name: str,
+        catalog: Catalog,
+        tables: list[TableDef],
+        versioned_mvs: bool = False,
+    ):
+        """``versioned_mvs=True`` stores materialized views as version
+        directories (Catalog.stage_version/promote_version) instead of
+        the rename-aside swap: concurrent readers see the previous or
+        the new version, never a FileNotFound window — see
+        docs/SCALE.md "MV refresh and concurrent readers"."""
         self.name = name
         self.catalog = catalog
+        self.versioned_mvs = versioned_mvs
         self.tables = {t.name: t for t in tables}
         if len(self.tables) != len(tables):
             raise ValueError("duplicate table names in pipeline")
@@ -193,9 +205,12 @@ class Pipeline:
             # itself, then checked before the table is promoted.
             enforced = enforce(df, node.expectations, fail_strategy="defer")
             target = self.catalog.path_for(name, node.layer)
-            tmp = target + "__staging"
             try:
-                enforced.df.write.mode("overwrite").parquet(tmp)
+                if self.versioned_mvs:
+                    self.catalog.stage_version(enforced.df, name, node.layer)
+                else:
+                    tmp = target + "__staging"
+                    enforced.df.write.mode("overwrite").parquet(tmp)
                 check_fail_metrics(enforced, node.expectations)  # may raise
             except Exception:
                 try:
@@ -205,10 +220,15 @@ class Pipeline:
                 log_event(name, node, "failed", t0)
                 raise
             result.metrics[name] = enforced.metrics()
-            _swap_dirs(spark, tmp, target)
-            self.catalog.register(
-                f"{node.layer}.{name}" if node.layer else name, target
-            )
+            if self.versioned_mvs:
+                # Atomic promote: readers resolve the previous version
+                # until the rename lands; the prior version is retained.
+                self.catalog.promote_version(spark, name, node.layer)
+            else:
+                _swap_dirs(spark, tmp, target)
+                self.catalog.register(
+                    f"{node.layer}.{name}" if node.layer else name, target
+                )
             result.written[name] = target
             log_event(name, node, "written", t0)
         return result

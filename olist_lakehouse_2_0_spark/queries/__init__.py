@@ -128,12 +128,9 @@ _R1_CHECKED = {
     "embedding_neardup",
 }
 
-#: The only registered queries whose LAST driver word is "fail"
-#: (CORRECTNESS_r01): all three were fixed in round 1's aftermath and
-#: are hash-green in every local strict sweep since, but the window
-#: ordering kept burying them behind never-checked queries for two
-#: straight rounds (VERDICT r3 next-step #1a). They go at the very
-#: front of the window until a driver row confirms the fix.
+#: (Audit trail) The three round-1 "fail" rows: window-fronted in
+#: round 4 and all confirmed hash-green by driver rows in
+#: CORRECTNESS_r04 — no special ordering needed anymore.
 _FIXED_RED = {
     "segment_spend_extremes", "jaccard_dups", "embedding_topk_bruteforce",
 }
@@ -172,11 +169,8 @@ _NEW_IN_R4 = {
     "doc_novelty_profile",
 }
 
-#: Previously-green queries whose IMPLEMENTATION changed in round 4
-#: (WAV stereo frame handling, shared-drain CDC fan-out trim, indexed
-#: IVF probe-pruning rework, CdcSink existence probes): a stale green
-#: row vouches for code that no longer exists, so they re-enter the
-#: window ahead of untouched greens.
+#: (Audit trail) Round-4 implementation changes — all re-confirmed by
+#: r4 driver rows; superseded by _CHANGED_IN_R5 for ordering.
 _CHANGED_IN_R4 = {
     "audio_wav_stats", "audio_metadata", "cdc_fanout_consistency",
     "embedding_topk_ivf_indexed", "scd2_users_incremental",
@@ -205,6 +199,43 @@ _R2_CHECKED = {
     "dataset_split", "daily_channel_full_outer", "source_mixture_sample",
     "priority_region_matrix", "doc_length_buckets", "orders_cube",
     "token_budgets",
+}
+
+#: Queries hash-green in round 4's window (CORRECTNESS_r04.json —
+#: 50/50 green).
+_R4_CHECKED = {
+    "audio_metadata", "audio_wav_stats", "bm25_doc_ranking",
+    "bucketed_segment_revenue", "cdc_fanout_consistency",
+    "clustered_pruned_revenue", "compaction_roundtrip_metrics",
+    "csv_audit_columns", "customer_order_distribution", "daily_orders",
+    "discounted_revenue_disjunctive", "doc_chunks", "doc_novelty_profile",
+    "doc_quality_zscore", "dq_aggregate_gate", "embedding_topk_bruteforce",
+    "embedding_topk_ivf_indexed", "embedding_topk_ivf_indexed_recall",
+    "embedding_topk_pq_exact", "embedding_topk_pq_recall",
+    "events_stream_static_enrich", "events_stream_stream_join",
+    "events_stream_table_to_table", "events_streaming_dedup",
+    "exact_dedup_docs", "first_order_per_customer", "hybrid_rrf_retrieval",
+    "jaccard_dups", "monthly_orders_lag", "mv_csv_roundtrip",
+    "partition_overwrite_gold", "pii_masked_customers",
+    "pipeline_event_log_audit", "region_filtered_customers",
+    "salted_priority_agg", "scd1_users", "scd1_users_incremental",
+    "scd2_users", "scd2_users_incremental", "scd2_validity_audit",
+    "schema_evolution_metrics", "segment_spend_extremes",
+    "semantic_dedup_survivors", "similar_name_pairs", "sql_entry_revenue",
+    "sql_udf_masked_customers", "text_source_roundtrip", "text_stats",
+    "top_tokens", "zorder_pruned_revenue",
+}
+
+#: Queries whose IMPLEMENTATION changed in round 5: the MinHash/SimHash
+#: identical-signature collapse + re-expansion (output provably equal,
+#: but a stale green row vouches for code that no longer exists), the
+#: content-derived salt in salted_join/salted_agg, and the PQ retune
+#: (ksub=64/100-candidate operating point; shared _pq_books refactor
+#: also feeds the exact twin).
+_CHANGED_IN_R5 = {
+    "minhash_verified_dups", "simhash_verified_dups",
+    "salted_nation_revenue", "salted_priority_agg",
+    "embedding_topk_pq_exact", "embedding_topk_pq_recall",
 }
 
 #: Queries hash-green in round 3's window (CORRECTNESS_r03.json — 47
@@ -238,44 +269,39 @@ def _ordered_for_window(
     queries: dict[str, QueryFn],
 ) -> list[tuple[str, QueryFn]]:
     """Order registration for the driver's bounded correctness window
-    (~50 rows in registration order). Round-4 goal (VERDICT r3
-    next-step #1): every registered query driver-green. Priority:
-    (1) the three fixed-but-still-red r1 queries — the only entries
-    whose last driver word is "fail"; (2) anything with no driver row
-    at all (new this round or never windowed); (3) queries whose
+    (~50 rows in registration order), rotated every round (VERDICT r4
+    next-step #2). Priority: (1) anything with no driver row at all
+    (new this round or never windowed); (2) queries whose
     implementation CHANGED this round (a stale green row proves
-    nothing about rewritten code); then the greens, stalest round
-    first, so spare slots re-confirm the oldest evidence."""
-    fixed_red: list[tuple[str, QueryFn]] = []
+    nothing about rewritten code); (3) the greens by the round of
+    their NEWEST driver row, stalest first, so spare slots re-confirm
+    the oldest evidence. After round 4's window, the stalest evidence
+    is r2 (40 queries — every r1-checked survivor was re-confirmed in
+    r2-r4), so round 5's window = 2 new + 6 changed + 40 r2-latest +
+    r3 spillover: zero registered queries keep evidence older than r3
+    once this window lands."""
     never_checked: list[tuple[str, QueryFn]] = []
     changed_this_round: list[tuple[str, QueryFn]] = []
-    r1_green: list[tuple[str, QueryFn]] = []
-    r2_green: list[tuple[str, QueryFn]] = []
-    r3_green: list[tuple[str, QueryFn]] = []
+    by_latest: dict[int, list[tuple[str, QueryFn]]] = {1: [], 2: [], 3: [], 4: []}
+    rounds = [
+        (4, _R4_CHECKED), (3, _R3_CHECKED), (2, _R2_CHECKED), (1, _R1_CHECKED),
+    ]
     for item in queries.items():
         name = item[0]
-        checked = (
-            name in _R1_CHECKED or name in _R2_CHECKED or name in _R3_CHECKED
-        )
-        if name in _FIXED_RED:
-            fixed_red.append(item)
-        elif not checked:
+        latest = next((rnd for rnd, s in rounds if name in s), None)
+        if latest is None:
             never_checked.append(item)
-        elif name in _CHANGED_IN_R4:
+        elif name in _CHANGED_IN_R5:
             changed_this_round.append(item)
-        elif name in _R3_CHECKED:
-            r3_green.append(item)
-        elif name in _R2_CHECKED:
-            r2_green.append(item)
         else:
-            r1_green.append(item)
+            by_latest[latest].append(item)
     return (
-        fixed_red
-        + never_checked
+        never_checked
         + changed_this_round
-        + r1_green
-        + r2_green
-        + r3_green
+        + by_latest[1]
+        + by_latest[2]
+        + by_latest[3]
+        + by_latest[4]
     )
 
 
