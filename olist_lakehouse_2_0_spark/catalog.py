@@ -98,18 +98,120 @@ class Catalog:
 
 
     def stage_version(
-        self, df: DataFrame, name: str, layer: str | None = None
+        self,
+        df: DataFrame,
+        name: str,
+        layer: str | None = None,
+        enforce_schema: bool = False,
+        allow_new_columns: bool = True,
     ) -> str:
         """Phase 1 of a versioned write: materialize ``df`` into an
         UNCOMMITTED staging directory under the table root. Readers
         never see it — :func:`_latest_version` only considers
         ``v<number>`` directories. Callers run their post-write gates
         (FAIL-expectation metrics) against the staged files, then call
-        :meth:`promote_version`."""
+        :meth:`promote_version`.
+
+        ``enforce_schema=True`` adds the Delta-style write contract
+        (reference README.md:302-308 — schema enforcement is one of
+        the ACID-format features the parquet layout lacks by default):
+        before any data is written, the incoming schema is checked
+        against the current version's — a dropped column or a changed
+        type for an existing column raises; brand-new columns are
+        allowed unless ``allow_new_columns=False``."""
         root = self.path_for(name, layer)
+        if enforce_schema:
+            spark = df.sparkSession
+            latest = _latest_version_or_none(spark, root)
+            if latest is not None:
+                current = {
+                    f.name: f.dataType for f in spark.read.parquet(latest).schema
+                }
+                incoming = {f.name: f.dataType for f in df.schema}
+                missing = sorted(set(current) - set(incoming))
+                if missing:
+                    raise ValueError(
+                        f"{name}: schema enforcement — incoming write "
+                        f"drops columns {missing}"
+                    )
+                changed = sorted(
+                    c for c in current if incoming[c] != current[c]
+                )
+                if changed:
+                    raise ValueError(
+                        f"{name}: schema enforcement — incompatible type "
+                        f"change for {changed}"
+                    )
+                if not allow_new_columns:
+                    extra = sorted(set(incoming) - set(current))
+                    if extra:
+                        raise ValueError(
+                            f"{name}: schema enforcement — new columns "
+                            f"{extra} not allowed"
+                        )
         staging = os.path.join(root, "_staging")
         df.write.mode("overwrite").parquet(staging)
         return staging
+
+    def read_version(
+        self,
+        spark: SparkSession,
+        name: str,
+        version: int,
+        layer: str | None = None,
+    ) -> DataFrame:
+        """Time travel within the retention window: read a SPECIFIC
+        committed version of a versioned table (the parquet-layout
+        slice of Delta's ``VERSION AS OF``). History depth is bounded
+        by the ``keep`` passed to :meth:`promote_version` — raise it
+        on tables that need deeper audit trails; unbounded history
+        plus concurrent writers is Delta/Iceberg territory (SURVEY
+        §1.2)."""
+        root = self.path_for(name, layer)
+        target = os.path.join(root, f"v{version:09d}")
+        jvm = spark._jvm
+        HPath = jvm.org.apache.hadoop.fs.Path
+        fs = HPath(root).getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(HPath(target)):
+            retained = [v for v, _ in _list_versions(fs, HPath, root)]
+            raise FileNotFoundError(
+                f"{name} version {version} not retained; available: {retained}"
+            )
+        return spark.read.parquet(target)
+
+    def version_history(
+        self, spark: SparkSession, name: str, layer: str | None = None
+    ) -> DataFrame:
+        """Retained version metadata, newest first: (version, path,
+        n_files, bytes, modified_at) — the DESCRIBE HISTORY analogue
+        for the versioned layout."""
+        root = self.path_for(name, layer)
+        jvm = spark._jvm
+        HPath = jvm.org.apache.hadoop.fs.Path
+        fs = HPath(root).getFileSystem(spark._jsc.hadoopConfiguration())
+        rows = []
+        for version, vpath in _list_versions(fs, HPath, root):
+            files = [
+                st
+                for st in fs.listStatus(HPath(vpath))
+                if st.isFile() and st.getPath().getName().endswith(".parquet")
+            ]
+            rows.append(
+                (
+                    version,
+                    vpath,
+                    len(files),
+                    sum(st.getLen() for st in files),
+                    max(
+                        (st.getModificationTime() for st in files), default=0
+                    ),
+                )
+            )
+        return spark.createDataFrame(
+            sorted(rows, reverse=True),
+            "version int, path string, n_files int, bytes long, "
+            "modified_at_ms long",
+        )
 
     def promote_version(
         self,
@@ -154,10 +256,12 @@ class Catalog:
         name: str,
         layer: str | None = None,
         keep: int = 2,
+        enforce_schema: bool = False,
+        allow_new_columns: bool = True,
     ) -> str:
         """Versioned overwrite: stage + promote in one call (use the
         two-phase methods when a gate must run between them)."""
-        self.stage_version(df, name, layer)
+        self.stage_version(df, name, layer, enforce_schema, allow_new_columns)
         return self.promote_version(spark, name, layer, keep)
 
     def write_bucketed(

@@ -269,6 +269,48 @@ def write_ivf_index(
     return num_centroids
 
 
+def append_ivf_index(
+    new_vectors: DataFrame,
+    catalog,
+    table: str = "ivf",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: append new corpus vectors to an
+    existing on-disk IVF index WITHOUT a rebuild — the daily-arrival
+    path for a growing 100 TB corpus, where re-assigning every historic
+    vector per batch would dwarf the batch itself.
+
+    The stored codebook is read once, broadcast packed, and the new
+    vectors are assigned map-side exactly like the original build; the
+    postings append lands only in the touched ``centroid_id=``
+    partition directories (partitioned append), so probe-side partition
+    pruning keeps working unchanged. The codebook is FROZEN — standard
+    IVF maintenance: appended vectors can only make posting lists
+    longer, never lose recall; rebuild (``write_ivf_index``) when
+    drift makes lists unbalanced. Duplicate ids are NOT checked (same
+    contract as the original build)."""
+    spark = new_vectors.sparkSession
+    centroids = catalog.read(spark, f"{table}_centroids")
+    packed = _pack_centroids(centroids)
+    c = new_vectors.select(
+        F.col(corpus_id),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cnorm"),
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(packed))
+        .withColumn("centroid_id", _nearest_centroid(F.col("__cvec")))
+        .select(corpus_id, "__cvec", "__cnorm", "centroid_id")
+    )
+    catalog.write(
+        assigned,
+        f"{table}_postings",
+        mode="append",
+        partition_by=["centroid_id"],
+    )
+
+
 def ivf_topk_indexed(
     queries: DataFrame,
     catalog,

@@ -594,6 +594,43 @@ def embedding_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_topk_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance under the hash gate (round 5):
+    the on-disk index is built from HALF the corpus (even vec_ids),
+    the other half is appended through
+    :func:`~olist_lakehouse_2_0_spark.operators.similarity.append_ivf_index`
+    (frozen codebook, map-side assignment, partitioned append into the
+    touched centroid directories — no rebuild), and an exhaustive
+    probe (nprobe=None) over the maintained index must EQUAL brute
+    force over the FULL corpus. A vector lost, duplicated, or
+    mis-assigned by the append path fails the hash."""
+    from olist_lakehouse_2_0_spark.catalog import Catalog
+    from olist_lakehouse_2_0_spark.operators.similarity import (
+        append_ivf_index,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    cat = Catalog(root=staging_dir("ivf_append_q"))
+    write_ivf_index(
+        corpus.filter(F.col("corpus_id") % 2 == 0), cat, num_centroids=None
+    )
+    append_ivf_index(corpus.filter(F.col("corpus_id") % 2 == 1), cat)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = ivf_topk_indexed(queries, cat, nprobe=None, k=10)
+    return topk.select(
+        "query_id",
+        "corpus_id",
+        F.col("cosine").cast("decimal(12,6)").alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def embedding_topk_ivf_indexed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRUNED on-disk IVF read path under the hash gate (VERDICT r3
     next-step #6): ``embedding_topk_ivf_indexed`` gates the indexed
@@ -2766,6 +2803,7 @@ LLM_QUERIES = {
     "embedding_topk_pq_exact": embedding_topk_pq_exact,
     "embedding_topk_pq_recall": embedding_topk_pq_recall,
     "embedding_topk_ivfpq_exact": embedding_topk_ivfpq_exact,
+    "embedding_topk_ivf_appended": embedding_topk_ivf_appended,
     "embedding_topk_ivfpq_recall": embedding_topk_ivfpq_recall,
     "text_stats": text_stats,
     "doc_chunks": doc_chunks,
@@ -2833,6 +2871,7 @@ LLM_ORACLES = {
     "embedding_topk_pq_exact": EMBEDDING_TOPK_SQL,
     "embedding_topk_pq_recall": EMBEDDING_TOPK_PQ_RECALL_SQL,
     "embedding_topk_ivfpq_exact": EMBEDDING_TOPK_SQL,
+    "embedding_topk_ivf_appended": EMBEDDING_TOPK_SQL,
     "embedding_topk_ivfpq_recall": EMBEDDING_TOPK_PQ_RECALL_SQL,
     "embedding_topk_ivf_kmeans_exhaustive": EMBEDDING_TOPK_SQL,
     "text_stats": TEXT_STATS_SQL,

@@ -425,3 +425,51 @@ def test_ivfpq_n_rows_hint_skips_count(spark, sf_smoke, monkeypatch):
     )
     assert calls["count"] == 0
     assert centroids.count() == sim.default_num_centroids(n)
+
+
+def test_append_ivf_index_maintains_index_without_rebuild(spark, tmp_path):
+    """Half-built index + appended other half == full index for an
+    exhaustive probe; the append lands inside the partitioned layout
+    (centroid_id= directories), so probe pruning keeps working."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from olist_lakehouse_2_0_spark.operators.similarity import (
+        append_ivf_index,
+        cosine_topk,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    corpus = _corpus(spark, 400)
+    cat = Catalog(root=str(tmp_path))
+    write_ivf_index(
+        corpus.filter(F.col("corpus_id") % 2 == 0), cat, num_centroids=16
+    )
+    append_ivf_index(corpus.filter(F.col("corpus_id") % 2 == 1), cat)
+    postings_root = cat.path_for("ivf_postings")
+    assert cat.read(spark, "ivf_postings").count() == 400
+    assert any(
+        d.startswith("centroid_id=") for d in os.listdir(postings_root)
+    )
+    queries = corpus.filter(F.col("corpus_id") % 100 == 0).select(
+        F.col("corpus_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        map(
+            tuple,
+            ivf_topk_indexed(queries, cat, nprobe=None, k=5)
+            .select("query_id", "corpus_id", "rank")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            cosine_topk(queries, corpus, k=5)
+            .select("query_id", "corpus_id", "rank")
+            .collect(),
+        )
+    )
+    assert got == want

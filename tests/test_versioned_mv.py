@@ -114,3 +114,65 @@ def test_pipeline_versioned_mvs_promote_and_fail_gate(spark, tmp_path):
     assert sorted(d for d in os.listdir(root) if d.startswith("v")) == [
         "v000000001"
     ]
+
+
+def test_time_travel_reads_retained_versions(spark, tmp_path):
+    cat = Catalog(root=str(tmp_path))
+    for n in (10, 20, 30):
+        cat.write_versioned(spark.range(n), spark, "t", keep=3)
+    assert cat.read_version(spark, "t", 1).count() == 10
+    assert cat.read_version(spark, "t", 2).count() == 20
+    assert cat.read_version(spark, "t", 3).count() == 30
+    hist = cat.version_history(spark, "t")
+    rows = {r["version"]: r for r in hist.collect()}
+    assert sorted(rows) == [1, 2, 3]
+    assert all(r["n_files"] >= 1 and r["bytes"] > 0 for r in rows.values())
+    # Version 1 falls out of the keep=2 retention window...
+    cat.write_versioned(spark.range(40), spark, "t", keep=2)
+    try:
+        cat.read_version(spark, "t", 1)
+        raise AssertionError("expected retention error")
+    except FileNotFoundError as e:
+        assert "available" in str(e)
+    # ...but the retained ones still time-travel.
+    assert cat.read_version(spark, "t", 3).count() == 30
+
+
+def test_schema_enforcement_on_versioned_write(spark, tmp_path):
+    cat = Catalog(root=str(tmp_path))
+    base = spark.range(5).select(
+        F.col("id"), F.col("id").cast("string").alias("name")
+    )
+    cat.write_versioned(base, spark, "t", enforce_schema=True)
+    # New column: allowed by default (additive evolution).
+    widened = base.withColumn("extra", F.lit(1))
+    cat.write_versioned(widened, spark, "t", enforce_schema=True)
+    assert "extra" in cat.read(spark, "t").columns
+    # Dropped column: rejected BEFORE any data is staged.
+    try:
+        cat.write_versioned(
+            spark.range(5).select("id"), spark, "t", enforce_schema=True
+        )
+        raise AssertionError("expected drop-column rejection")
+    except ValueError as e:
+        assert "drops columns" in str(e)
+    # Type change on an existing column: rejected.
+    try:
+        cat.write_versioned(
+            widened.withColumn("name", F.lit(7)), spark, "t",
+            enforce_schema=True,
+        )
+        raise AssertionError("expected type-change rejection")
+    except ValueError as e:
+        assert "incompatible type" in str(e)
+    # Strict mode: even new columns rejected.
+    try:
+        cat.write_versioned(
+            widened.withColumn("extra2", F.lit(2)), spark, "t",
+            enforce_schema=True, allow_new_columns=False,
+        )
+        raise AssertionError("expected new-column rejection")
+    except ValueError as e:
+        assert "new columns" in str(e)
+    # The failed writes left the table intact and current.
+    assert cat.read(spark, "t").count() == 5
