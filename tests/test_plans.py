@@ -200,3 +200,22 @@ def test_dedup_components_cliques_path_has_no_iterative_jobs(spark):
         assert len(tracker.getJobIdsForGroup("cliques-probe") or []) > 0
     finally:
         sc.setJobGroup("", "")
+
+
+def test_ivf_pq_scoring_join_broadcasts_queries_not_corpus(spark):
+    """The IVF-PQ scoring join must be a broadcast hash join (query/ADC
+    tables broadcast, corpus side streamed map-side) — a sort-merge
+    join here would shuffle the encoded corpus per query batch."""
+    from pyspark.sql import functions as F
+
+    from olist_lakehouse_2_0_spark.catalog import load
+    from olist_lakehouse_2_0_spark.operators.similarity import ivf_pq_topk
+
+    emb = load(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    plan = _formatted_plan(ivf_pq_topk(q, c, k=10, nprobe=8, candidates=50))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
