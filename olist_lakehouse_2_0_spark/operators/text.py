@@ -738,6 +738,10 @@ def bm25_topk(
     tf = (
         toks.groupBy(id_col, "__term")
         .agg(F.count(F.lit(1)).alias("__tf"))
+        # Deliberately left cached for the session — the returned
+        # (lazy) ranking reads it on every downstream action, so there
+        # is no safe unpersist point inside this function; long-lived
+        # sessions clearCache between passes, as bench.py does.
         .persist()
     )
     # dl and the corpus totals derive from the PERSISTED tf frame, not
