@@ -311,6 +311,39 @@ def append_ivf_index(
     )
 
 
+def stream_append_ivf_index(
+    stream_vectors: DataFrame,
+    catalog,
+    checkpoint_path: str,
+    table: str = "ivf",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Streaming index maintenance: drain a stream of new embedding
+    rows into the on-disk IVF index via :func:`append_ivf_index`, one
+    partitioned append per micro-batch (foreachBatch + checkpoint,
+    availableNow trigger — the engine's standard triggered-pipeline
+    shape). Each batch is assigned map-side against the frozen stored
+    codebook, so the per-batch cost is one scan of the batch.
+
+    Delivery contract: the checkpoint commits after each batch, so a
+    crash MID-batch replays it — at-least-once into an append sink
+    (same contract as any foreachBatch parquet append). Searches
+    tolerate a replayed batch (duplicate postings only duplicate a
+    candidate, and rank ties break by id); exact-once readers should
+    dedup on ``corpus_id`` or rebuild the index at the next
+    maintenance window."""
+    from olist_lakehouse_2_0_spark.streaming.ingest import run_foreach_batch
+
+    run_foreach_batch(
+        stream_vectors,
+        lambda batch, _id: append_ivf_index(
+            batch, catalog, table, corpus_id, vec_col
+        ),
+        checkpoint_path,
+    )
+
+
 def ivf_topk_indexed(
     queries: DataFrame,
     catalog,

@@ -473,3 +473,34 @@ def test_append_ivf_index_maintains_index_without_rebuild(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_stream_append_ivf_index_drains_batches(spark, tmp_path):
+    """Streaming IVF maintenance: new embedding files arriving in a
+    directory are drained through foreachBatch appends into the
+    partitioned index; a second drain with no new files appends
+    nothing (checkpointed exactly-once per file)."""
+    from pyspark.sql import functions as F
+
+    from olist_lakehouse_2_0_spark.operators.similarity import (
+        stream_append_ivf_index,
+        write_ivf_index,
+    )
+
+    corpus = _corpus(spark, 300)
+    cat = Catalog(root=str(tmp_path / "wh"))
+    write_ivf_index(
+        corpus.filter(F.col("corpus_id") < 200), cat, num_centroids=16
+    )
+    landing = str(tmp_path / "landing")
+    corpus.filter(F.col("corpus_id") >= 200).write.parquet(landing)
+    schema = corpus.schema
+    checkpoint = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(schema).parquet(landing)
+    stream_append_ivf_index(stream, cat, checkpoint)
+    assert cat.read(spark, "ivf_postings").count() == 300
+    # Re-drain: checkpoint remembers the processed files — no growth.
+    stream_append_ivf_index(
+        spark.readStream.schema(schema).parquet(landing), cat, checkpoint
+    )
+    assert cat.read(spark, "ivf_postings").count() == 300
