@@ -415,6 +415,119 @@ def token_pair_counts(df: DataFrame, text_col: str, top_n: int = 20) -> DataFram
     )
 
 
+def _merge_pair(syms: Column, left: Column, right: Column) -> Column:
+    """Replace every adjacent (left, right) occurrence in a symbol
+    array with the concatenated symbol — one BPE merge applied to one
+    row, as a pure JVM fold (no Python, no shuffle).
+
+    ``aggregate`` carries (out, pending): each element either completes
+    a pending match (emit merged, clear), rolls the pending symbol out,
+    or becomes the new pending; the finish lambda flushes the tail.
+    Left-to-right, non-overlapping — the same greedy order reference
+    BPE implementations use (so "aaa" with merge (a,a) -> ["aa","a"]).
+    """
+    empty = F.array().cast("array<string>")
+    acc0 = F.struct(
+        empty.alias("out"), F.lit(None).cast("string").alias("pending")
+    )
+    return F.aggregate(
+        syms,
+        acc0,
+        lambda acc, x: F.when(
+            acc["pending"].isNull(),
+            F.struct(acc["out"].alias("out"), x.alias("pending")),
+        )
+        .when(
+            (acc["pending"] == left) & (x == right),
+            F.struct(
+                F.concat(
+                    acc["out"], F.array(F.concat(left, right))
+                ).alias("out"),
+                F.lit(None).cast("string").alias("pending"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(acc["pending"])).alias("out"),
+                x.alias("pending"),
+            )
+        ),
+        lambda acc: F.when(
+            acc["pending"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["pending"]))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 10,
+    min_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Distributed BPE training (Sennrich et al., ACL'16): the full
+    iterative merge loop, not just the single counting step
+    (:func:`token_pair_counts`). Documents start as character-symbol
+    arrays (whitespace-tokenized words, characters within a word, the
+    word-boundary marker ``▁`` prefixed to each word); each round
+    counts every adjacent symbol pair across the corpus, picks the
+    most frequent (ties: lexicographic), and applies the merge to
+    every document map-side. Returns the learned merge table
+    ``[(left, right, count), ...]`` in merge order.
+
+    Scale shape per round: pair counting is a per-row JVM zip + one
+    hash aggregate with map-side combine over a vocabulary-bounded key
+    space; the winning pair is ONE driver-side row (a planning
+    decision, same class as AQE statistics — never corpus data); the
+    merge apply is a narrow per-row fold (:func:`_merge_pair`) with no
+    shuffle. The evolving symbol table is persisted each round and the
+    previous round's cache dropped after the next is materialized —
+    the same O(rounds) lineage discipline as
+    :func:`~olist_lakehouse_2_0_spark.operators.dedup.dedup_components`.
+    Stops early when no pair reaches ``min_count``."""
+    syms = df.select(
+        F.flatten(
+            F.transform(
+                tokens(F.col(text_col)),
+                lambda w: F.concat(
+                    F.array(F.lit("▁")),
+                    # one array element per character (split on the
+                    # zero-width regex leaves a leading "" in Spark)
+                    F.regexp_extract_all(w, F.lit("."), 0),
+                ),
+            )
+        ).alias("__syms")
+    ).persist()
+    merges: list[tuple[str, str, int]] = []
+    prev = syms
+    for _ in range(n_merges):
+        pairs = F.arrays_zip(
+            F.slice(F.col("__syms"), 1, F.greatest(F.size("__syms") - 1, F.lit(0))),
+            F.slice(F.col("__syms"), 2, F.greatest(F.size("__syms") - 1, F.lit(0))),
+        )
+        top = (
+            syms.select(F.explode(pairs).alias("__p"))
+            .select(F.col("__p.0").alias("l"), F.col("__p.1").alias("r"))
+            .groupBy("l", "r")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .first()
+        )
+        if top is None or top["n"] < min_count:
+            break
+        merges.append((top["l"], top["r"], top["n"]))
+        merged = syms.select(
+            _merge_pair(
+                F.col("__syms"), F.lit(top["l"]), F.lit(top["r"])
+            ).alias("__syms")
+        ).persist()
+        merged.count()  # materialize before dropping the parent cache
+        prev.unpersist()
+        syms = merged
+        prev = merged
+    prev.unpersist()
+    return merges
+
+
 def winnow_fingerprints(
     text: Column | str, k: int = 8, window: int = 4, normalized: bool = False
 ) -> Column:

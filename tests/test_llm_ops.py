@@ -536,3 +536,56 @@ def test_bm25_topk_matches_reference_implementation(spark):
     # Sanity on the semantics the numbers encode: for the cherry query
     # the short cherry-heavy doc 4 must outrank the longer mixed doc 2.
     assert got[("qb", 4)][1] == 1 and got[("qb", 2)][1] == 2
+
+
+def test_bpe_train_matches_plain_python_reference(spark):
+    """The full iterative BPE loop (SentencePiece-style: flattened
+    symbol stream with the ▁ word marker, merges may span the marker)
+    must learn the same merge table as an independent plain-Python
+    implementation, ties broken lexicographically."""
+    from olist_lakehouse_2_0_spark.operators.text import bpe_train
+
+    texts = [
+        "low lower lowest",
+        "new newer newest",
+        "low low new new",
+        "wider wide wide",
+    ]
+
+    def ref_bpe(texts, n_merges, min_count=2):
+        docs = [
+            [s for w in t.split() for s in ["▁", *list(w)]] for t in texts
+        ]
+        merges = []
+        for _ in range(n_merges):
+            counts = {}
+            for d in docs:
+                for a, b in zip(d, d[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + 1
+            if not counts:
+                break
+            (l, r), n = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if n < min_count:
+                break
+            merges.append((l, r, n))
+            new_docs = []
+            for d in docs:
+                out, i = [], 0
+                while i < len(d):
+                    if i + 1 < len(d) and d[i] == l and d[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(d[i])
+                        i += 1
+                new_docs.append(out)
+            docs = new_docs
+        return merges
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_train(df, "text", n_merges=8)
+    want = ref_bpe(texts, 8)
+    assert got == want
+    assert len(got) == 8  # this corpus supports all 8 merges
