@@ -208,3 +208,64 @@ class TestCodecProperties:
         for y in range(th):
             for x in range(tw):
                 assert (out[y, x] == arr[(y * h) // th, (x * w) // tw]).all()
+
+
+# Corpora built from a tiny word pool force identical-text groups and
+# shared shingles constantly — exactly the collisions the collapse
+# machinery must be transparent to.
+corpus_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["red", "blue", "fox", "dog", "run", "sit"]),
+        min_size=0,
+        max_size=6,
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(docs=corpus_strategy)
+def test_collapsed_lsh_candidates_equal_naive_banding(spark, docs):
+    """The identical-signature collapse + re-expansion must emit
+    EXACTLY the pair set of the naive (uncollapsed) banding join, on
+    ANY corpus shape — the structural claim behind the degenerate-
+    corpus guard (VERDICT r4 next-step #1), checked against an
+    independent plain-Python banding implementation."""
+    import pyspark.sql.functions as F
+
+    from olist_lakehouse_2_0_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string") if rows else None
+    if df is None:
+        return
+    sigs = minhash_signatures(df, "doc_id", num_hashes=16, n=2)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            sigs, "doc_id", bands=4, rows_per_band=4
+        ).collect()
+    }
+    # Naive reference: band every doc's signature, pair any two docs
+    # sharing a (band, bucket) — no collapse, pure Python.
+    sig_rows = {r["doc_id"]: tuple(r["sig"]) for r in sigs.collect()}
+    buckets: dict[tuple, set] = {}
+    for doc, sig in sig_rows.items():
+        for b in range(4):
+            buckets.setdefault((b, sig[b * 4 : (b + 1) * 4]), set()).add(doc)
+    want = {
+        (a, b)
+        for members in buckets.values()
+        for a in members
+        for b in members
+        if a < b
+    }
+    assert got == want
