@@ -56,6 +56,28 @@ def split_assignment(
     )
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    cluster_col: str,
+    train: float = 0.8,
+    val: float = 0.1,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the md5 hash key is the
+    CLUSTER representative (the canonical id from a dedup pass — exact
+    fingerprint group or connected component), not the row id, so every
+    member of a duplicate cluster lands in the SAME split. Splitting on
+    the row id instead silently places near-duplicates of training
+    documents into val/test — the classic contamination that inflates
+    held-out metrics (the reason dedup papers re-split after
+    clustering). Same stable/portable/shuffle-free properties as
+    :func:`split_assignment`; the only added cost is whatever join
+    attached the cluster id."""
+    return df.withColumn(
+        out_col, split_assignment(F.col(cluster_col), train, val)
+    )
+
+
 def sample_by_rate(
     df: DataFrame, key_col: str, rate: float
 ) -> DataFrame:

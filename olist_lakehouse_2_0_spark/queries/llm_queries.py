@@ -1804,6 +1804,69 @@ GROUP BY split
 """
 
 
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 split under the hash gate (round 5):
+    duplicate clusters travel TOGETHER across train/val/test. The
+    corpus gets planted whitespace-perturbed copies; exact-fingerprint
+    groups (the clique components of equality-keyed dedup) pick a
+    canonical min-id representative, and
+    :func:`~olist_lakehouse_2_0_spark.operators.sampling.cluster_safe_split`
+    hashes THAT id — so a perturbed copy of a training document can
+    never land in test (split on raw doc_id, the planted copy pairs
+    split apart ~30% of the time). Output per split: docs, distinct
+    clusters, token totals; the oracle re-derives the groups from
+    normalized text and the split from the same md5 thresholds."""
+    from olist_lakehouse_2_0_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    docs = _with_duplicates(load(spark, sf_dir, "documents", spread=True))
+    fp = docs.select(
+        "doc_id",
+        ops_text.fingerprint("text").alias("__fp"),
+        ops_text.token_count("text").alias("n_tokens"),
+    )
+    reps = fp.groupBy("__fp").agg(F.min("doc_id").alias("__rep"))
+    assigned = cluster_safe_split(fp.join(reps, "__fp"), "__rep")
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("__rep").alias("n_clusters"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+LEAKAGE_SAFE_SPLIT_SQL = """
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, '  ' || text || ' ' FROM documents
+), norm AS (
+  SELECT doc_id,
+         REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS ntext,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END
+             AS n_tokens
+  FROM unioned
+), reps AS (
+  SELECT ntext, MIN(doc_id) AS rep FROM norm GROUP BY ntext
+), assigned AS (
+  SELECT n.n_tokens, r.rep,
+         CASE WHEN SUBSTRING(MD5(CAST(r.rep AS VARCHAR)), 1, 4) < 'cccc'
+                  THEN 'train'
+              WHEN SUBSTRING(MD5(CAST(r.rep AS VARCHAR)), 1, 4) < 'e666'
+                  THEN 'val'
+              ELSE 'test' END AS split
+  FROM norm n JOIN reps r USING (ntext)
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT rep) AS n_clusters,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM assigned
+GROUP BY split
+"""
+
+
 def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture sampling: each source keeps its configured fraction
     (web 50%, books 100%, code 25%), selected by md5 prefix — no join,
@@ -2854,6 +2917,7 @@ LLM_QUERIES = {
     "image_resize": image_resize,
     "video_frame_sample": video_frame_sample,
     "dataset_split": dataset_split,
+    "leakage_safe_split": leakage_safe_split,
     "source_mixture_sample": source_mixture_sample,
     "doc_length_buckets": doc_length_buckets,
     "token_budgets": token_budgets,
@@ -2912,6 +2976,7 @@ LLM_ORACLES = {
     "image_resize": IMAGE_RESIZE_SQL,
     "video_frame_sample": VIDEO_FRAME_SAMPLE_SQL,
     "dataset_split": DATASET_SPLIT_SQL,
+    "leakage_safe_split": LEAKAGE_SAFE_SPLIT_SQL,
     "source_mixture_sample": SOURCE_MIXTURE_SAMPLE_SQL,
     "doc_length_buckets": DOC_LENGTH_BUCKETS_SQL,
     "token_budgets": TOKEN_BUDGETS_SQL,

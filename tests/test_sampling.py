@@ -90,3 +90,34 @@ def test_epoch_oversample_rates(spark):
     # Determinism across evaluations.
     again = epoch_oversample(df, "k", "source", {"books": 2.5, "web": 0.5})
     assert out.exceptAll(again).count() == 0
+
+
+def test_cluster_safe_split_keeps_duplicate_clusters_together(spark):
+    """Every member of a cluster gets the cluster representative's
+    split — no duplicate of a training row can land in val/test."""
+    from pyspark.sql import functions as F
+
+    from olist_lakehouse_2_0_spark.operators.sampling import (
+        cluster_safe_split,
+        split_assignment,
+    )
+
+    rows = [(i, i % 7) for i in range(200)]  # 7 clusters of ~29 docs
+    df = spark.createDataFrame(rows, "doc_id long, rep long")
+    out = cluster_safe_split(df, "rep")
+    per_cluster = (
+        out.groupBy("rep")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_cluster)
+    # ...and the split IS the representative's own assignment.
+    want = {
+        r["rep"]: r["split"]
+        for r in df.select("rep")
+        .distinct()
+        .withColumn("split", split_assignment(F.col("rep")))
+        .collect()
+    }
+    got = {r["rep"]: r["split"] for r in out.select("rep", "split").distinct().collect()}
+    assert got == want
