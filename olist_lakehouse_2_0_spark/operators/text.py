@@ -528,6 +528,39 @@ def bpe_train(
     return merges
 
 
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple],
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned BPE merge table (from :func:`bpe_train`) to a
+    corpus: texts become SentencePiece-style symbol arrays (the same
+    ▁-marker symbolization training used), then each merge is applied
+    in learned order as a JVM fold (:func:`_merge_pair`) — the whole
+    encode is ONE narrow per-row projection, no shuffle, no Python.
+    Returns ``df`` plus ``out_col: array<string>``.
+
+    The merges compose into one nested expression tree (depth ∝
+    |merges|); for production-sized merge tables (10k+), checkpoint
+    the column every few hundred merges (``df.withColumn(...).persist()``)
+    to bound Catalyst's expression depth — the per-row cost is the
+    same either way."""
+    syms = F.flatten(
+        F.transform(
+            tokens(F.col(text_col)),
+            lambda w: F.concat(
+                F.array(F.lit("▁")),
+                F.regexp_extract_all(w, F.lit("."), 0),
+            ),
+        )
+    )
+    for m in merges:
+        left, right = m[0], m[1]
+        syms = _merge_pair(syms, F.lit(left), F.lit(right))
+    return df.withColumn(out_col, syms)
+
+
 def winnow_fingerprints(
     text: Column | str, k: int = 8, window: int = 4, normalized: bool = False
 ) -> Column:

@@ -589,3 +589,42 @@ def test_bpe_train_matches_plain_python_reference(spark):
     want = ref_bpe(texts, 8)
     assert got == want
     assert len(got) == 8  # this corpus supports all 8 merges
+
+
+def test_bpe_encode_applies_learned_merges_in_order(spark):
+    """Encoding with the trained merge table reproduces the reference
+    implementation's final symbol sequences (same greedy left-to-right
+    application, same order), and strictly shortens token streams."""
+    from pyspark.sql import functions as F
+
+    from olist_lakehouse_2_0_spark.operators.text import bpe_encode, bpe_train
+
+    texts = ["low lower lowest", "new newer newest", "low low new new"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    merges = bpe_train(df, "text", n_merges=6)
+    assert len(merges) == 6
+
+    def ref_encode(t):
+        d = [s for w in t.split() for s in ["▁", *list(w)]]
+        for l, r, _ in merges:
+            out, i = [], 0
+            while i < len(d):
+                if i + 1 < len(d) and d[i] == l and d[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(d[i])
+                    i += 1
+            d = out
+        return d
+
+    got = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_encode(df, "text", merges).collect()
+    }
+    want = {i: ref_encode(t) for i, t in enumerate(texts)}
+    assert got == want
+    raw_lens = {i: len([s for w in t.split() for s in ["▁", *list(w)]])
+                for i, t in enumerate(texts)}
+    assert all(len(got[i]) < raw_lens[i] for i in got)
