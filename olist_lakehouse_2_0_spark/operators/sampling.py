@@ -69,8 +69,10 @@ def cluster_safe_split(
     member of a duplicate cluster lands in the SAME split. Splitting on
     the row id instead silently places near-duplicates of training
     documents into val/test — the classic contamination that inflates
-    held-out metrics (the reason dedup papers re-split after
-    clustering). Same stable/portable/shuffle-free properties as
+    held-out metrics (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL'22, measured train/validation overlap
+    in standard corpora precisely because splits ignored duplicate
+    structure). Same stable/portable/shuffle-free properties as
     :func:`split_assignment`; the only added cost is whatever join
     attached the cluster id."""
     return df.withColumn(
