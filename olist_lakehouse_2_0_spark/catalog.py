@@ -36,6 +36,15 @@ class TableRef:
     format: str = "parquet"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed a version between this writer's read
+    and its promote (the optimistic-concurrency conflict Delta raises
+    as ConcurrentAppendException — reference README.md:302-308 lists
+    ACID/concurrent-writer safety among the Delta properties the
+    lakehouse relies on). Catch-and-retry by re-reading the new latest
+    version and recomputing (``Catalog.merge_into`` does this)."""
+
+
 @dataclass
 class Catalog:
     """name -> TableRef registry with bronze/silver/gold layer conventions."""
@@ -104,6 +113,7 @@ class Catalog:
         layer: str | None = None,
         enforce_schema: bool = False,
         allow_new_columns: bool = True,
+        token: str | None = None,
     ) -> str:
         """Phase 1 of a versioned write: materialize ``df`` into an
         UNCOMMITTED staging directory under the table root. Readers
@@ -111,6 +121,12 @@ class Catalog:
         ``v<number>`` directories. Callers run their post-write gates
         (FAIL-expectation metrics) against the staged files, then call
         :meth:`promote_version`.
+
+        ``token`` gives the staging directory a per-writer suffix so
+        CONCURRENT writers never clobber each other's staged files —
+        required for the optimistic-concurrency path (pass the same
+        token to :meth:`promote_version`). Without a token the shared
+        ``_staging`` directory assumes one writer at a time.
 
         ``enforce_schema=True`` adds the Delta-style write contract
         (reference README.md:302-308 — schema enforcement is one of
@@ -149,7 +165,9 @@ class Catalog:
                             f"{name}: schema enforcement — new columns "
                             f"{extra} not allowed"
                         )
-        staging = os.path.join(root, "_staging")
+        staging = os.path.join(
+            root, "_staging" if token is None else f"_staging-{token}"
+        )
         df.write.mode("overwrite").parquet(staging)
         return staging
 
@@ -219,6 +237,8 @@ class Catalog:
         name: str,
         layer: str | None = None,
         keep: int = 2,
+        expected_version: int | None = None,
+        token: str | None = None,
     ) -> str:
         """Phase 2: atomically promote the staged directory to the next
         version (one Hadoop rename — the snapshot-isolation point) and
@@ -231,23 +251,126 @@ class Catalog:
         or the new one, never FileNotFound — within the retention
         window (a reader outliving ``keep`` subsequent refreshes is
         still outside the contract; that is Delta/Iceberg territory,
-        SURVEY §1.2)."""
+        SURVEY §1.2).
+
+        ``expected_version`` turns the promote into a compare-and-swap
+        (Delta-style optimistic concurrency): the new version number is
+        ``expected_version + 1`` computed from what THIS writer read,
+        not from a fresh listing, and the atomic rename onto that fixed
+        name is the arbiter — Hadoop ``rename`` fails when the
+        destination exists, so if a concurrent writer committed
+        ``v(expected+1)`` first, the rename loses and
+        :class:`ConcurrentWriteError` is raised (staging cleaned up).
+        There is no check-then-act window: the rename itself is the
+        test-and-set. Without ``expected_version`` the legacy
+        last-writer-wins behavior applies (next number from a fresh
+        listing — fine for a single refresher, loses updates under
+        concurrency)."""
         root = self.path_for(name, layer)
-        staging = os.path.join(root, "_staging")
+        staging = os.path.join(
+            root, "_staging" if token is None else f"_staging-{token}"
+        )
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
         HPath = jvm.org.apache.hadoop.fs.Path
         fs = HPath(root).getFileSystem(conf)
         versions = _list_versions(fs, HPath, root)
-        n = (versions[-1][0] + 1) if versions else 1
+        if expected_version is None:
+            n = (versions[-1][0] + 1) if versions else 1
+        else:
+            n = expected_version + 1
         final = os.path.join(root, f"v{n:09d}")
+
+        def _conflict() -> ConcurrentWriteError:
+            fs.delete(HPath(staging), True)
+            return ConcurrentWriteError(
+                f"{name}: version {n} was committed by a concurrent "
+                f"writer after this writer read version "
+                f"{expected_version}; re-read and retry"
+            )
+
         if not fs.rename(HPath(staging), HPath(final)):
+            if expected_version is not None and fs.exists(HPath(final)):
+                raise _conflict()
             raise IOError(f"version promote rename failed: {final}")
-        for vn, vpath in versions[: max(0, len(versions) - (keep - 1))]:
+        # HDFS rename is atomic fail-if-exists (the real CAS), but
+        # Hadoop's LOCAL filesystem emulates POSIX mv: renaming onto an
+        # existing directory nests the source INSIDE it and returns
+        # true (verified empirically — see tests/test_merge.py). Detect
+        # the nest, undo it, and report the loss as the conflict it is.
+        nested = HPath(final, os.path.basename(staging))
+        if expected_version is not None and fs.exists(nested):
+            fs.rename(nested, HPath(staging))
+            raise _conflict()
+        survivors = [v for v in versions if v[0] < n]
+        for vn, vpath in survivors[: max(0, len(survivors) - (keep - 1))]:
             fs.delete(HPath(vpath), True)
         key = f"{layer}.{name}" if layer else name
         self.tables[key] = TableRef(name=key, path=root, format="versioned")
         return final
+
+    def latest_version_number(
+        self, spark: SparkSession, name: str, layer: str | None = None
+    ) -> int:
+        """Newest committed version number, 0 when the table has none
+        (the ``expected_version`` a first writer passes)."""
+        root = self.path_for(name, layer)
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        fs = HPath(root).getFileSystem(conf)
+        versions = _list_versions(fs, HPath, root)
+        return versions[-1][0] if versions else 0
+
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        name: str,
+        on: list[str],
+        layer: str | None = None,
+        keep: int = 2,
+        max_retries: int = 2,
+        writer_id: str | None = None,
+        **merge_kwargs,
+    ) -> str:
+        """Delta-style ``MERGE INTO`` a versioned table with optimistic
+        concurrency: read the latest version, compute the post-merge
+        relation (:func:`~olist_lakehouse_2_0_spark.operators.merge.
+        merge_frames` — clause kwargs pass through), stage under a
+        per-writer token, CAS-promote against the version that was
+        read. On :class:`ConcurrentWriteError` the merge is recomputed
+        against the NEW latest version and retried (``max_retries``
+        times) — the lost-update prevention a plain overwrite lacks.
+        """
+        import uuid
+
+        from olist_lakehouse_2_0_spark.operators.merge import merge_frames
+
+        token = writer_id or uuid.uuid4().hex[:12]
+        last_err: ConcurrentWriteError | None = None
+        for attempt in range(max_retries + 1):
+            base = self.latest_version_number(spark, name, layer)
+            if base == 0:
+                raise ValueError(
+                    f"merge_into target {name!r} has no committed "
+                    "version; create it with write_versioned first"
+                )
+            target = self.read_version(spark, name, base, layer=layer)
+            merged = merge_frames(target, source, on, **merge_kwargs)
+            self.stage_version(merged, name, layer, token=f"{token}-{attempt}")
+            try:
+                return self.promote_version(
+                    spark,
+                    name,
+                    layer,
+                    keep,
+                    expected_version=base,
+                    token=f"{token}-{attempt}",
+                )
+            except ConcurrentWriteError as err:
+                last_err = err
+        raise last_err
 
     def write_versioned(
         self,

@@ -1,0 +1,181 @@
+"""MERGE INTO + optimistic concurrency over the versioned layout.
+
+Delta's flagship write primitive (reference README.md:302-308 — the
+reference's storage layer is Delta; its AUTO CDC flows compile to MERGE
+under DLT) re-expressed Spark-first: ``merge_frames`` computes the
+post-merge relation in one full-outer-join plan; ``Catalog.merge_into``
+persists it with compare-and-swap promotion so a concurrent writer's
+commit is detected, not silently overwritten (the lost-update anomaly).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from olist_lakehouse_2_0_spark.catalog import Catalog, ConcurrentWriteError
+from olist_lakehouse_2_0_spark.operators.merge import merge_frames
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id int, tag string, amount double",
+    )
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_merge_update_insert_defaults(spark):
+    # Default clauses: matched -> update all shared non-key cols from
+    # the source; not matched -> insert.
+    source = spark.createDataFrame(
+        [(2, "B", 200.0), (5, "e", 50.0)], "id int, tag string, amount double"
+    )
+    out = merge_frames(_target(spark), source, ["id"])
+    assert _rows(out) == {
+        (1, "a", 10.0),
+        (2, "B", 200.0),
+        (3, "c", 30.0),
+        (4, "d", 40.0),
+        (5, "e", 50.0),
+    }
+
+
+def test_merge_clause_ladder(spark):
+    # delete-when-matched wins over update (Delta clause order when the
+    # delete clause is listed first); conditional update leaves
+    # non-qualifying matches untouched; conditional insert filters.
+    source = spark.createDataFrame(
+        [(1, "DEL", 0.0), (2, "upd", 999.0), (3, "skip", 1.0), (9, "new", 90.0),
+         (10, "reject", 100.0)],
+        "id int, tag string, amount double",
+    )
+    out = merge_frames(
+        _target(spark),
+        source,
+        ["id"],
+        matched_delete_condition=F.col("s.tag") == "DEL",
+        matched_update_condition=F.col("s.amount") > 100,
+        update_set={"amount": F.col("s.amount")},
+        not_matched_insert_condition=F.col("s.amount") < 95,
+    )
+    assert _rows(out) == {
+        # id=1 deleted; id=2 updated (amount only — tag kept);
+        # id=3 matched but condition false -> unchanged; id=4 untouched;
+        # id=9 inserted; id=10 insert condition false -> dropped.
+        (2, "b", 999.0),
+        (3, "c", 30.0),
+        (4, "d", 40.0),
+        (9, "new", 90.0),
+    }
+
+
+def test_merge_not_matched_by_source_delete(spark):
+    # Delta's WHEN NOT MATCHED BY SOURCE THEN DELETE: target rows the
+    # source doesn't mention are purged when the condition holds
+    # (full-sync semantics).
+    source = spark.createDataFrame([(2, "b2", 2.0)], "id int, tag string, amount double")
+    out = merge_frames(
+        _target(spark),
+        source,
+        ["id"],
+        delete_when_not_matched_by_source=F.col("t.amount") > 25,
+    )
+    assert _rows(out) == {(1, "a", 10.0), (2, "b2", 2.0)}
+
+
+def test_merge_null_keys_never_match(spark):
+    # ANSI MERGE: NULL keys fall through to the not-matched clause.
+    source = spark.createDataFrame(
+        [(None, "n", 1.0)], "id int, tag string, amount double"
+    )
+    out = merge_frames(_target(spark), source, ["id"])
+    assert out.count() == 5
+    assert out.filter(F.col("id").isNull()).count() == 1
+
+
+def test_merge_missing_source_column_inserts_null(spark):
+    source = spark.createDataFrame([(7, "g")], "id int, tag string")
+    out = merge_frames(_target(spark), source, ["id"])
+    row = out.filter(F.col("id") == 7).collect()[0]
+    assert (row.tag, row.amount) == ("g", None)
+
+
+def test_merge_duplicate_source_keys_validated(spark):
+    source = spark.createDataFrame(
+        [(2, "x", 1.0), (2, "y", 2.0)], "id int, tag string, amount double"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_frames(_target(spark), source, ["id"], validate_unique_source=True)
+
+
+def test_catalog_merge_into_and_time_travel(spark, tmp_path):
+    cat = Catalog(root=str(tmp_path))
+    cat.write_versioned(_target(spark), spark, "t", layer="gold")
+    source = spark.createDataFrame(
+        [(1, "A", 100.0), (8, "h", 80.0)], "id int, tag string, amount double"
+    )
+    cat.merge_into(spark, source, "t", ["id"], layer="gold")
+    after = cat.read(spark, "t", layer="gold")
+    assert _rows(after.filter(F.col("id").isin(1, 8))) == {
+        (1, "A", 100.0),
+        (8, "h", 80.0),
+    }
+    # Snapshot isolation: the pre-merge version is still readable.
+    before = cat.read_version(spark, "t", 1, layer="gold")
+    assert _rows(before.filter(F.col("id") == 1)) == {(1, "a", 10.0)}
+
+
+def test_cas_promote_detects_concurrent_commit(spark, tmp_path):
+    # Two writers read version 1; B commits first; A's CAS promote
+    # must raise, not overwrite or nest (Hadoop local-FS rename onto an
+    # existing directory nests the source inside it and returns true —
+    # promote_version detects and undoes the nest).
+    cat = Catalog(root=str(tmp_path))
+    cat.write_versioned(spark.range(10), spark, "t")
+    base = cat.latest_version_number(spark, "t")
+    cat.stage_version(spark.range(20), "t", token="a")
+    cat.stage_version(spark.range(30), "t", token="b")
+    cat.promote_version(spark, "t", expected_version=base, token="b")
+    with pytest.raises(ConcurrentWriteError):
+        cat.promote_version(spark, "t", expected_version=base, token="a")
+    # B's commit is intact — no nested directory, right row count.
+    assert cat.read(spark, "t").count() == 30
+    assert cat.latest_version_number(spark, "t") == 2
+
+
+def test_merge_into_retries_after_conflict_no_lost_update(spark, tmp_path):
+    # The classic lost-update test: writer A reads v1, writer B merges
+    # (v2), then A merges with a stale read. A must retry against v2 so
+    # BOTH updates survive.
+    cat = Catalog(root=str(tmp_path))
+    cat.write_versioned(_target(spark), spark, "t")
+    b_src = spark.createDataFrame([(2, "fromB", 2.0)], "id int, tag string, amount double")
+    a_src = spark.createDataFrame([(3, "fromA", 3.0)], "id int, tag string, amount double")
+
+    # Simulate A's stale read deterministically: stage A's merge
+    # against v1, let B commit v2, then drive A through merge_into,
+    # whose first CAS attempt conflicts and whose retry recomputes.
+    base = cat.latest_version_number(spark, "t")
+    target_v1 = cat.read_version(spark, "t", base)
+    stale_merged = merge_frames(target_v1, a_src, ["id"])
+    cat.stage_version(stale_merged, "t", token="stale-a")
+    cat.merge_into(spark, b_src, "t", ["id"])  # B wins the race
+    with pytest.raises(ConcurrentWriteError):
+        cat.promote_version(spark, "t", expected_version=base, token="stale-a")
+    cat.merge_into(spark, a_src, "t", ["id"])  # A retries properly
+    final = cat.read(spark, "t")
+    assert _rows(final.filter(F.col("id").isin(2, 3))) == {
+        (2, "fromB", 2.0),
+        (3, "fromA", 3.0),
+    }
+
+
+def test_merge_into_requires_existing_table(spark, tmp_path):
+    cat = Catalog(root=str(tmp_path))
+    src = spark.createDataFrame([(1, "a", 1.0)], "id int, tag string, amount double")
+    with pytest.raises(ValueError, match="no committed version"):
+        cat.merge_into(spark, src, "missing", ["id"])
