@@ -389,6 +389,37 @@ def segment_dedup_stats(
     )
 
 
+def dedup_segments_within_doc(
+    text: Column | str, seg_tokens: int = 2
+) -> Column:
+    """WITHIN-document repetition removal — the intra-doc half of the
+    CCNet / RefinedWeb repetition discipline (the cross-doc half is
+    :func:`segment_dedup_stats`): cut the document into non-overlapping
+    ``seg_tokens``-token segments and keep only the FIRST occurrence of
+    each distinct segment, reassembling the cleaned text in original
+    order. Boilerplate paragraphs repeated inside one page, templated
+    headers/footers, and stutter loops from scraped markup all collapse
+    to their first occurrence.
+
+    Scale design (100 TB): a pure per-row JVM map — tokenize, slice
+    into segments (``sequence``/``transform``/``slice``), dedup with
+    ``array_distinct`` (which preserves first-occurrence order), and
+    rejoin. ZERO shuffle, no explode, no Python; whole-stage codegen
+    end to end, so it composes into any ingest projection for free.
+    """
+    toks = tokens(text)
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segs = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
+            ),
+        )
+    )
+    return F.array_join(F.array_distinct(segs), " ")
+
+
 def token_pair_counts(df: DataFrame, text_col: str, top_n: int = 20) -> DataFrame:
     """Global adjacent-token-pair frequencies, top ``top_n`` — one
     distributed iteration of the BPE merge-selection step (count every

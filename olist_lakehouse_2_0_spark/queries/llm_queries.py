@@ -2867,8 +2867,319 @@ SELECT pair, occurrences, rank FROM (
 """
 
 
+def intra_doc_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition removal under the hash gate (round 5;
+    the intra-doc half of the CCNet/RefinedWeb repetition discipline —
+    ``segment_dedup`` covers the cross-doc half): every document is cut
+    into non-overlapping 2-token segments, repeated segments collapse
+    to their first occurrence, and the per-source rollup compares the
+    original vs cleaned token mass. The cleaning is a ZERO-shuffle
+    per-row JVM map (tokenize → slice → array_distinct → rejoin); the
+    only shuffle is the final rollup. The oracle re-derives the cleaned
+    text in pure SQL (unnest + first-occurrence group + ordered
+    string_agg), so a segment kept twice, dropped wrongly, or
+    reassembled out of order anywhere fails the hash."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    cleaned = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        ops_text.dedup_segments_within_doc("text", seg_tokens=2).alias(
+            "clean_text"
+        ),
+    )
+    return (
+        cleaned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(ops_text.tokens("text"))).alias("orig_tokens"),
+            F.sum(F.size(ops_text.tokens("clean_text"))).alias("clean_tokens"),
+            F.count(F.when(F.col("clean_text") != F.col("text"), 1)).alias(
+                "n_docs_changed"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+INTRA_DOC_REPETITION_SQL = r"""
+WITH base AS (
+  SELECT doc_id, source, text, regexp_split_to_array(TRIM(text), '\s+') AS w
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), segs AS (
+  SELECT doc_id, source, text, i,
+         array_to_string(w[(i*2+1):(i*2+2)], ' ') AS seg
+  FROM base, UNNEST(range(CAST(CEIL(LEN(w) / 2.0) AS BIGINT))) AS t(i)
+), firsts AS (
+  SELECT doc_id, source, text, seg, MIN(i) AS fi
+  FROM segs GROUP BY doc_id, source, text, seg
+), clean AS (
+  SELECT doc_id, source, text,
+         string_agg(seg, ' ' ORDER BY fi) AS clean_text
+  FROM firsts GROUP BY doc_id, source, text
+), empties AS (
+  SELECT doc_id, source, text, '' AS clean_text
+  FROM documents WHERE LENGTH(TRIM(text)) = 0
+), u AS (
+  SELECT * FROM clean UNION ALL SELECT * FROM empties
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END)
+         AS BIGINT) AS orig_tokens,
+       CAST(SUM(CASE WHEN LENGTH(TRIM(clean_text)) = 0 THEN 0
+                ELSE LEN(regexp_split_to_array(TRIM(clean_text), '\s+')) END)
+         AS BIGINT) AS clean_tokens,
+       COUNT(*) FILTER (WHERE clean_text <> text) AS n_docs_changed
+FROM u
+GROUP BY source
+ORDER BY source
+"""
+
+
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020: rank
+    each language's documents by LM score and split into head/middle/
+    tail terciles — the standard corpus-quality stratification before
+    sampling). A corpus-trained unigram LM scores every document
+    (integer 1e-6-unit log-probs — the repo's order-independence
+    discipline, see ``unigram_logprob``); within each language,
+    ``ntile(3)`` over (avg logprob DESC, doc_id) assigns buckets, and
+    the rollup exposes per-(lang, bucket) document/token mass and the
+    exact-integer bucket-level average logprob.
+
+    Scale: tf aggregates per (doc, token) before the vocab join (one
+    row per distinct token per doc); the ntile window shuffles once on
+    lang; every sum that crosses partitions is integer. The per-doc
+    ordering metric is a single IEEE division of two integers — bit-
+    equal on any engine, so bucket assignment is deterministic."""
+    docs = load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "lang", "text"
+    )
+    tf = (
+        docs.select("doc_id", F.explode(ops_text.tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    counts = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    total = counts.agg(F.sum("c").alias("n"))
+    logp = counts.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.floor(
+            (
+                F.log(F.col("c").cast("double"))
+                - F.log(F.col("n").cast("double"))
+            )
+            * 1e6
+            + 0.5
+        ).alias("logp_q"),
+    )
+    scored = (
+        tf.join(logp, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("logp_q")).alias("sum_logp_q"),
+        )
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn(
+            "metric",
+            F.col("sum_logp_q").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.col("metric").desc(), F.col("doc_id")
+    )
+    bucketed = scored.withColumn("bucket", F.ntile(3).over(w))
+    out = (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            (
+                F.sum("sum_logp_q").cast("double")
+                / (F.sum("n_tokens").cast("double") * F.lit(1e6))
+            ).alias("bucket_avg_logprob"),
+        )
+        .orderBy("lang", "bucket")
+    )
+    tf.unpersist()
+    return out
+
+
+CCNET_PERPLEXITY_BUCKETS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS token
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), counts AS (
+  SELECT token, SUM(tf) AS c FROM tf GROUP BY token
+), total AS (
+  SELECT SUM(c) AS n FROM counts
+), logp AS (
+  SELECT token,
+         FLOOR((LN(CAST(c AS DOUBLE)) - LN(CAST(n AS DOUBLE))) * 1e6 + 0.5)
+           AS logp_q
+  FROM counts, total
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(tf.tf * logp.logp_q) AS BIGINT) AS sum_logp_q
+  FROM tf JOIN logp USING (token)
+  GROUP BY tf.doc_id
+), with_lang AS (
+  SELECT s.doc_id, d.lang, s.n_tokens, s.sum_logp_q,
+         CAST(s.sum_logp_q AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) AS metric
+  FROM scored s JOIN documents d USING (doc_id)
+), bucketed AS (
+  SELECT *, NTILE(3) OVER (PARTITION BY lang ORDER BY metric DESC, doc_id)
+      AS bucket
+  FROM with_lang
+)
+SELECT lang, bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(sum_logp_q) AS DOUBLE) / (CAST(SUM(n_tokens) AS DOUBLE) * 1e6)
+         AS bucket_avg_logprob
+FROM bucketed
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023 "Data Selection
+    for Language Models via Importance Resampling"): estimate a TARGET
+    unigram LM from a small high-quality slice (here: ``source =
+    'src0'``) and a RAW LM from the rest, add-1 smooth both over the
+    shared vocabulary, and score every raw document by its importance
+    log-weight ``sum tf * (log p_target - log p_raw)``. The top 25
+    raw documents (weight DESC, doc_id tiebreak) are the ones
+    importance resampling would pull toward the target distribution.
+
+    Log-probs quantize to integer 1e-6 units (the repo discipline), so
+    per-doc weights are exact integer sums — order-independent at any
+    parallelism; the final /1e6 exposes a deterministic double. Vocab
+    size and corpus totals reach the plan as broadcast scalars; no
+    driver collect."""
+    docs = load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "source", "text"
+    )
+    tf = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(ops_text.tokens("text")).alias("token"),
+        )
+        .groupBy("doc_id", "source", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    is_target = F.col("source") == "src0"
+    by_token = tf.groupBy("token").agg(
+        F.sum(F.when(is_target, F.col("tf")).otherwise(F.lit(0))).alias("c_t"),
+        F.sum(F.when(~is_target, F.col("tf")).otherwise(F.lit(0))).alias("c_r"),
+    )
+    totals = by_token.agg(
+        F.sum("c_t").alias("n_t"),
+        F.sum("c_r").alias("n_r"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    # Add-1 smoothing over the shared vocab keeps both models finite on
+    # tokens one side never saw.
+    ratio_q = by_token.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.floor(
+            (
+                F.log((F.col("c_t") + 1).cast("double"))
+                - F.log((F.col("n_t") + F.col("v")).cast("double"))
+                - F.log((F.col("c_r") + 1).cast("double"))
+                + F.log((F.col("n_r") + F.col("v")).cast("double"))
+            )
+            * 1e6
+            + 0.5
+        ).alias("ratio_q"),
+    )
+    raw_scored = (
+        tf.filter(~is_target)
+        .join(ratio_q, "token")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("ratio_q")).alias("sum_ratio_q"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("sum_ratio_q").desc(), F.col("doc_id"))
+    out = (
+        raw_scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 25)
+        .select(
+            "rank",
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.col("sum_ratio_q").cast("double") / F.lit(1e6)).alias(
+                "log_importance"
+            ),
+        )
+        .orderBy("rank")
+    )
+    tf.unpersist()
+    return out
+
+
+DSIR_IMPORTANCE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS token
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), tf AS (
+  SELECT doc_id, source, token, COUNT(*) AS tf
+  FROM toks GROUP BY doc_id, source, token
+), by_token AS (
+  SELECT token,
+         SUM(CASE WHEN source = 'src0' THEN tf ELSE 0 END) AS c_t,
+         SUM(CASE WHEN source <> 'src0' THEN tf ELSE 0 END) AS c_r
+  FROM tf GROUP BY token
+), totals AS (
+  SELECT SUM(c_t) AS n_t, SUM(c_r) AS n_r, COUNT(*) AS v FROM by_token
+), ratio AS (
+  SELECT token,
+         FLOOR((LN(CAST(c_t + 1 AS DOUBLE)) - LN(CAST(n_t + v AS DOUBLE))
+              - LN(CAST(c_r + 1 AS DOUBLE)) + LN(CAST(n_r + v AS DOUBLE)))
+               * 1e6 + 0.5) AS ratio_q
+  FROM by_token, totals
+), raw_scored AS (
+  SELECT tf.doc_id, tf.source,
+         CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(tf.tf * ratio.ratio_q) AS BIGINT) AS sum_ratio_q
+  FROM tf JOIN ratio USING (token)
+  WHERE tf.source <> 'src0'
+  GROUP BY tf.doc_id, tf.source
+)
+SELECT rank, doc_id, source, n_tokens,
+       CAST(sum_ratio_q AS DOUBLE) / 1e6 AS log_importance
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY sum_ratio_q DESC, doc_id) AS rank
+  FROM raw_scored
+)
+WHERE rank <= 25
+ORDER BY rank
+"""
+
+
 LLM_QUERIES = {
     "segment_dedup": segment_dedup,
+    "intra_doc_repetition_removal": intra_doc_repetition_removal,
+    "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
+    "dsir_importance_weights": dsir_importance_weights,
     "bigram_logprob": bigram_logprob,
     "domain_capped_corpus": domain_capped_corpus,
     "bpe_pair_counts": bpe_pair_counts,
@@ -2938,6 +3249,9 @@ LLM_QUERIES = {
 
 LLM_ORACLES = {
     "segment_dedup": SEGMENT_DEDUP_SQL,
+    "intra_doc_repetition_removal": INTRA_DOC_REPETITION_SQL,
+    "ccnet_perplexity_buckets": CCNET_PERPLEXITY_BUCKETS_SQL,
+    "dsir_importance_weights": DSIR_IMPORTANCE_SQL,
     "bigram_logprob": BIGRAM_LOGPROB_SQL,
     "domain_capped_corpus": DOMAIN_CAPPED_CORPUS_SQL,
     "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,

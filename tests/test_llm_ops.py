@@ -628,3 +628,35 @@ def test_bpe_encode_applies_learned_merges_in_order(spark):
     raw_lens = {i: len([s for w in t.split() for s in ["▁", *list(w)]])
                 for i, t in enumerate(texts)}
     assert all(len(got[i]) < raw_lens[i] for i in got)
+
+
+def test_dedup_segments_within_doc_keeps_first_occurrence(spark):
+    from olist_lakehouse_2_0_spark.operators.text import (
+        dedup_segments_within_doc,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # "a b" repeats (segments: "a b","c d","a b","e") -> drop 2nd
+            (1, "a b c d a b e"),
+            # no repeats
+            (2, "x y z w"),
+            # whole doc is one repeated segment
+            (3, "p q p q p q"),
+            # empty and whitespace-only stay empty
+            (4, ""),
+            (5, "   "),
+        ],
+        "id int, text string",
+    )
+    out = {
+        r.id: r.clean
+        for r in df.select(
+            "id", dedup_segments_within_doc("text", 2).alias("clean")
+        ).collect()
+    }
+    assert out[1] == "a b c d e"
+    assert out[2] == "x y z w"
+    assert out[3] == "p q"
+    assert out[4] == ""
+    assert out[5] == ""
