@@ -372,6 +372,133 @@ class Catalog:
                 last_err = err
         raise last_err
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        name: str,
+        condition,
+        layer: str | None = None,
+        keep: int = 2,
+        max_retries: int = 2,
+    ) -> str:
+        """Delta ``DELETE FROM t WHERE cond``: copy-on-write rewrite of
+        the versioned table without matching rows, committed through
+        the same optimistic CAS loop as :meth:`merge_into` (a crash
+        mid-write leaves the previous version current; a concurrent
+        commit triggers recompute-and-retry)."""
+        return self._rewrite_versioned(
+            spark, name, lambda df: df.filter(~condition), layer, keep,
+            max_retries,
+        )
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        name: str,
+        condition,
+        set_exprs: dict,
+        layer: str | None = None,
+        keep: int = 2,
+        max_retries: int = 2,
+    ) -> str:
+        """Delta ``UPDATE t SET ... WHERE cond``: copy-on-write rewrite
+        applying ``set_exprs`` (col -> Column) to matching rows, CAS-
+        committed like :meth:`delete_where`."""
+        from pyspark.sql import functions as F
+
+        def apply(df: DataFrame) -> DataFrame:
+            cols = []
+            for c in df.columns:
+                if c in set_exprs:
+                    cols.append(
+                        F.when(condition, set_exprs[c].cast(df.schema[c].dataType))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                    )
+                else:
+                    cols.append(F.col(c))
+            return df.select(*cols)
+
+        return self._rewrite_versioned(
+            spark, name, apply, layer, keep, max_retries
+        )
+
+    def _rewrite_versioned(
+        self, spark, name, transform, layer, keep, max_retries
+    ) -> str:
+        import uuid
+
+        token = uuid.uuid4().hex[:12]
+        last_err: ConcurrentWriteError | None = None
+        for attempt in range(max_retries + 1):
+            base = self.latest_version_number(spark, name, layer)
+            if base == 0:
+                raise ValueError(f"{name!r} has no committed version")
+            rewritten = transform(self.read_version(spark, name, base, layer=layer))
+            self.stage_version(rewritten, name, layer, token=f"{token}-{attempt}")
+            try:
+                return self.promote_version(
+                    spark, name, layer, keep,
+                    expected_version=base, token=f"{token}-{attempt}",
+                )
+            except ConcurrentWriteError as err:
+                last_err = err
+        raise last_err
+
+    def table_changes(
+        self,
+        spark: SparkSession,
+        name: str,
+        from_version: int,
+        to_version: int,
+        layer: str | None = None,
+    ) -> DataFrame:
+        """Change-data-feed analogue (Delta ``table_changes``): the
+        multiset row diff between two retained versions, one row per
+        net inserted/deleted copy with ``_change_type`` ('insert' /
+        'delete'). An updated row surfaces as a delete of the old image
+        plus an insert of the new one — exactly Delta CDF's
+        update_preimage/postimage pair, minus the pairing.
+
+        Computed as a full-column groupBy count on each side joined on
+        the row image (one shuffle per side, map-side combinable; no
+        row-level state kept between versions — the versions themselves
+        are the log). Rows identical in both versions never leave the
+        aggregation."""
+        from pyspark.sql import functions as F
+
+        old = self.read_version(spark, name, from_version, layer=layer)
+        new = self.read_version(spark, name, to_version, layer=layer)
+        cols = old.columns
+        if cols != new.columns:
+            raise ValueError(
+                f"{name}: column sets differ between v{from_version} "
+                f"and v{to_version}; diff on the shared projection"
+            )
+        oc = old.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n_old"))
+        nc = new.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n_new"))
+        diff = (
+            oc.join(nc, cols, "full_outer")
+            .select(
+                *cols,
+                (
+                    F.coalesce(F.col("__n_new"), F.lit(0))
+                    - F.coalesce(F.col("__n_old"), F.lit(0))
+                ).alias("__delta"),
+            )
+            .filter(F.col("__delta") != 0)
+        )
+        per_copy = diff.select(
+            *cols,
+            F.explode(
+                F.sequence(F.lit(1), F.abs(F.col("__delta")).cast("int"))
+            ).alias("__i"),
+            F.when(F.col("__delta") > 0, F.lit("insert"))
+            .otherwise(F.lit("delete"))
+            .alias("_change_type"),
+        )
+        return per_copy.drop("__i")
+
     def write_versioned(
         self,
         df: DataFrame,

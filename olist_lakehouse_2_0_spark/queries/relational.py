@@ -1790,6 +1790,74 @@ ORDER BY c_mktsegment
 """
 
 
+def cdf_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed analogue under the hash gate (round 5; Delta's
+    ``table_changes`` — the reference's Delta storage exposes CDF,
+    reference README.md:302-308): a versioned gold table goes through
+    an ``UPDATE ... WHERE`` (every 'O' order's price +10, CAS-committed
+    copy-on-write) then a ``DELETE ... WHERE`` (orderkey % 10 == 3),
+    and ``Catalog.table_changes(v1 -> v3)`` reconstructs the net row
+    diff — updates surfacing as delete-preimage + insert-postimage
+    pairs, deletes as bare deletes, untouched rows absent. The oracle
+    re-derives the expected change set straight from ``orders``; any
+    phantom/missing/misclassified change row shifts a (change_type,
+    status) count or price mass and fails the hash."""
+    import os
+
+    from olist_lakehouse_2_0_spark.catalog import Catalog
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast(MONEY).alias("price"),
+    )
+    cat = Catalog(root=os.path.join(staging_dir("cdf_q"), "warehouse"))
+    cat.write_versioned(base, spark, "t", layer="gold", keep=3)
+    cat.update_where(
+        spark, "t",
+        F.col("o_orderstatus") == "O",
+        {"price": F.col("price") + 10},
+        layer="gold", keep=3,
+    )
+    cat.delete_where(
+        spark, "t", F.col("o_orderkey") % 10 == 3, layer="gold", keep=3
+    )
+    changes = cat.table_changes(spark, "t", 1, 3, layer="gold")
+    return (
+        changes.groupBy("_change_type", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").cast(MONEY_SUM).alias("price_mass"),
+        )
+        .orderBy("_change_type", "o_orderstatus")
+    )
+
+
+CDF_TABLE_CHANGES_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders
+), changes AS (
+  SELECT o_orderkey, o_orderstatus, price, 'delete' AS _change_type
+  FROM base WHERE o_orderstatus = 'O' OR o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus,
+         CAST(price + 10 AS DECIMAL(12,2)) AS price,
+         'insert' AS _change_type
+  FROM base WHERE o_orderstatus = 'O' AND o_orderkey % 10 <> 3
+)
+SELECT _change_type, o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(price) AS DECIMAL(18,2)) AS price_mass
+FROM changes
+GROUP BY _change_type, o_orderstatus
+ORDER BY _change_type, o_orderstatus
+"""
+
+
 RELATIONAL_QUERIES = {
     "daily_orders": daily_orders,
     "monthly_orders_lag": monthly_orders_lag,
@@ -1820,6 +1888,7 @@ RELATIONAL_QUERIES = {
     "pipeline_event_log_audit": pipeline_event_log_audit,
     "merge_upsert_orders": merge_upsert_orders,
     "merge_concurrent_writers": merge_concurrent_writers,
+    "cdf_table_changes": cdf_table_changes,
 }
 
 
@@ -1853,4 +1922,5 @@ RELATIONAL_ORACLES = {
     "pipeline_event_log_audit": PIPELINE_EVENT_LOG_AUDIT_SQL,
     "merge_upsert_orders": MERGE_UPSERT_ORDERS_SQL,
     "merge_concurrent_writers": MERGE_CONCURRENT_WRITERS_SQL,
+    "cdf_table_changes": CDF_TABLE_CHANGES_SQL,
 }

@@ -179,3 +179,52 @@ def test_merge_into_requires_existing_table(spark, tmp_path):
     src = spark.createDataFrame([(1, "a", 1.0)], "id int, tag string, amount double")
     with pytest.raises(ValueError, match="no committed version"):
         cat.merge_into(spark, src, "missing", ["id"])
+
+
+def test_delete_where_and_update_where(spark, tmp_path):
+    cat = Catalog(root=str(tmp_path))
+    cat.write_versioned(_target(spark), spark, "t")
+    cat.update_where(
+        spark, "t", F.col("tag") == "b", {"amount": F.col("amount") * 10}
+    )
+    cat.delete_where(spark, "t", F.col("id") == 4)
+    final = cat.read(spark, "t")
+    assert _rows(final) == {(1, "a", 10.0), (2, "b", 200.0), (3, "c", 30.0)}
+
+
+def test_table_changes_multiset_diff(spark, tmp_path):
+    cat = Catalog(root=str(tmp_path))
+    # v1 has a duplicate row (2 copies of id=1); v2 drops one copy,
+    # updates id=2, inserts id=9.
+    v1 = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (3, "c")], "id int, tag string"
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c"), (9, "z")], "id int, tag string"
+    )
+    cat.write_versioned(v1, spark, "t")
+    cat.write_versioned(v2, spark, "t")
+    changes = {
+        (r.id, r.tag, r._change_type)
+        for r in cat.table_changes(spark, "t", 1, 2).collect()
+    }
+    assert changes == {
+        (1, "a", "delete"),   # net one copy removed (multiset)
+        (2, "b", "delete"),
+        (2, "B", "insert"),   # update = delete preimage + insert postimage
+        (9, "z", "insert"),
+    }
+    # Unchanged rows (id=3, one surviving id=1 copy) never appear.
+    assert cat.table_changes(spark, "t", 1, 2).count() == 4
+
+
+def test_table_changes_counts_net_copies(spark, tmp_path):
+    cat = Catalog(root=str(tmp_path))
+    one = spark.createDataFrame([(1, "a")], "id int, tag string")
+    three = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "a")], "id int, tag string"
+    )
+    cat.write_versioned(one, spark, "t")
+    cat.write_versioned(three, spark, "t")
+    rows = cat.table_changes(spark, "t", 1, 2).collect()
+    assert len(rows) == 2 and all(r._change_type == "insert" for r in rows)
