@@ -30,6 +30,7 @@ from __future__ import annotations
 import enum
 import graphlib
 import os
+import threading
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -37,6 +38,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from olist_lakehouse_2_0_spark.catalog import Catalog
+
+#: Serializes parquet APPENDs to a shared event-log directory across
+#: pipelines running in parallel driver threads (run.py's daily
+#: main ∥ cdc). Two concurrent Spark write jobs targeting the SAME
+#: output directory share its ``_temporary/0`` staging dir, and the
+#: first job to commit deletes it recursively — losing or failing the
+#: other job's pending task files (timing-dependent; seen as a rare
+#: test_run_cli failure under full-suite load). Audit rows are tiny
+#: driver-side metadata, so a process-level lock costs nothing.
+#: Cross-PROCESS writers remain out of contract (the scheduler runs
+#: one job instance at a time, reference olist_jobs.yml).
+EVENT_LOG_LOCK = threading.Lock()
 from olist_lakehouse_2_0_spark.operators.expectations import (
     Expectation,
     check_fail_metrics,
@@ -142,14 +155,15 @@ class Pipeline:
             }
             result.events.append(event)
             if event_log_path:
-                spark.createDataFrame(
-                    [tuple(event.values())],
-                    "pipeline string, table string, layer string, "
-                    "materialization string, status string, "
-                    "duration_s double, metrics_json string",
-                ).withColumn(
-                    "logged_at", F.current_timestamp()
-                ).write.mode("append").parquet(event_log_path)
+                with EVENT_LOG_LOCK:
+                    spark.createDataFrame(
+                        [tuple(event.values())],
+                        "pipeline string, table string, layer string, "
+                        "materialization string, status string, "
+                        "duration_s double, metrics_json string",
+                    ).withColumn(
+                        "logged_at", F.current_timestamp()
+                    ).write.mode("append").parquet(event_log_path)
 
         for name in self.topo_order():
             node = self.tables[name]

@@ -54,6 +54,7 @@ from olist_lakehouse_2_0_spark.operators.expectations import (  # noqa: E402
     expect_or_drop,
 )
 from olist_lakehouse_2_0_spark.plans.pipeline import (  # noqa: E402
+    EVENT_LOG_LOCK,
     Materialization,
     Pipeline,
     TableDef,
@@ -201,7 +202,7 @@ def run_cdc(
     path = catalog.write(snapshot, "customers_scd1", layer="silver")
     # Same row shape as Pipeline.run's log_event, so one event log
     # serves both tasks (and pipeline_event_log_audit's reader).
-    spark.createDataFrame(
+    _row_df = spark.createDataFrame(
         [(
             "daily_cdc", "customers_scd1", "silver", "materialized_view",
             "written", float(round(time.perf_counter() - t0, 3)),
@@ -210,9 +211,12 @@ def run_cdc(
         "pipeline string, table string, layer string, "
         "materialization string, status string, duration_s double, "
         "metrics_json string",
-    ).withColumn("logged_at", F.current_timestamp()).write.mode(
-        "append"
-    ).parquet(event_log)
+    ).withColumn("logged_at", F.current_timestamp())
+    # Same lock as Pipeline.run's log_event: the daily mode runs this
+    # task in parallel with the main pipeline, and concurrent parquet
+    # appends to one directory race on its shared _temporary dir.
+    with EVENT_LOG_LOCK:
+        _row_df.write.mode("append").parquet(event_log)
     return {"customers_scd1": path}
 
 
