@@ -420,6 +420,61 @@ def dedup_segments_within_doc(
     return F.array_join(F.array_distinct(segs), " ")
 
 
+#: Fixed demonstration weights for :func:`model_quality_score` — a
+#: stand-in for a trained quality classifier's parameters (fasttext /
+#: logistic-regression style). Order: (distinct_ratio, stopword_frac,
+#: mean_token_len, log1p_n_tokens), then bias.
+QUALITY_MODEL_WEIGHTS = (2.0, -1.0, -0.25, 0.5)
+QUALITY_MODEL_BIAS = -1.0
+
+
+def model_quality_score(
+    distinct_ratio: Column,
+    stopword_frac: Column,
+    mean_token_len: Column,
+    log1p_n_tokens: Column,
+) -> Column:
+    """Vectorized MODEL INFERENCE over feature columns: a fixed-weight
+    logistic regression scored in an Arrow-batched pandas UDF,
+    returning the sigmoid quantized to integer 1e-6 units (the repo's
+    order-independence discipline). This is the batch-classifier seam
+    of a training-data pipeline (quality/toxicity/language models run
+    over the whole corpus) made concrete: features are computed
+    JVM-side as exact ratios, inference crosses to Python ONCE per
+    Arrow batch (zero per-row overhead), and the output is an exact
+    integer the rest of the plan can aggregate deterministically.
+
+    A real model swaps the weight constants for loaded parameters (or
+    the numpy expression for an ONNX/sklearn ``predict_proba`` call) —
+    the Spark-side plumbing (columnar batches in, quantized scores
+    out, no shuffle) is identical. The sigmoid's ``exp`` is evaluated
+    by numpy's libm vs the oracle's (DuckDB) libm: a 1-ulp input
+    difference can flip the 1e-6 quantization with probability ~1e-9
+    per doc — the same measure-zero cross-libm risk the quantized
+    ``log`` scores accept (queries/__init__.py docstring).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    w0, w1, w2, w3 = QUALITY_MODEL_WEIGHTS
+    b = QUALITY_MODEL_BIAS
+
+    @pandas_udf("long")
+    def score(
+        dr: pd.Series, sf: pd.Series, mtl: pd.Series, lnt: pd.Series
+    ) -> pd.Series:
+        # Accumulation order matches the SQL oracle's left-to-right
+        # addition exactly: (((b + w0*x0) + w1*x1) + w2*x2) + w3*x3.
+        z = b + w0 * dr.to_numpy()
+        z = z + w1 * sf.to_numpy()
+        z = z + w2 * mtl.to_numpy()
+        z = z + w3 * lnt.to_numpy()
+        s = 1.0 / (1.0 + np.exp(-z))
+        return pd.Series(np.floor(s * 1e6 + 0.5).astype("int64"))
+
+    return score(distinct_ratio, stopword_frac, mean_token_len, log1p_n_tokens)
+
+
 def token_pair_counts(df: DataFrame, text_col: str, top_n: int = 20) -> DataFrame:
     """Global adjacent-token-pair frequencies, top ``top_n`` — one
     distributed iteration of the BPE merge-selection step (count every

@@ -3175,11 +3175,180 @@ ORDER BY rank
 """
 
 
+def model_scored_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch classifier inference under the hash gate (round 5): the
+    quality-model seam every training-data pipeline has (fasttext /
+    logistic quality, toxicity, LID models scored over the whole
+    corpus). Features are exact JVM-side ratios (distinct-token ratio,
+    stopword fraction, mean token length, log1p token count); the
+    fixed-weight logistic (``operators/text.py::model_quality_score``)
+    runs as an Arrow-batched pandas UDF returning integer 1e-6-unit
+    sigmoids; the rollup buckets scores per source. Inference is a
+    zero-shuffle map — the plan's only exchange is the final rollup.
+    The oracle recomputes the identical model in SQL (same
+    accumulation order; cross-libm exp risk documented at the
+    operator)."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    toks = ops_text.tokens("text")
+    stop_arr = F.array(*[F.lit(s) for s in ops_text.EN_STOPWORDS])
+    feats = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+            F.size(
+                F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+            ).alias("n_stop"),
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            ).alias("char_mass"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+                "distinct_ratio"
+            ),
+            (F.col("n_stop").cast("double") / F.col("n_tokens")).alias(
+                "stop_frac"
+            ),
+            (F.col("char_mass").cast("double") / F.col("n_tokens")).alias(
+                "mean_len"
+            ),
+            F.log1p(F.col("n_tokens").cast("double")).alias("log1p_n"),
+        )
+    )
+    scored = feats.withColumn(
+        "score_q",
+        ops_text.model_quality_score(
+            F.col("distinct_ratio"),
+            F.col("stop_frac"),
+            F.col("mean_len"),
+            F.col("log1p_n"),
+        ),
+    )
+    return (
+        scored.groupBy(
+            "source",
+            F.floor(F.col("score_q") / 100000).cast("int").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("score_q").alias("score_mass_q"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+MODEL_SCORED_QUALITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS token
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), feats AS (
+  SELECT doc_id, source,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*) AS distinct_ratio,
+         CAST(SUM(CASE WHEN token IN
+             ('the','a','an','of','and','or','is','are','to','in')
+           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stop_frac,
+         CAST(SUM(LENGTH(token)) AS DOUBLE) / COUNT(*) AS mean_len,
+         LN(1 + CAST(COUNT(*) AS DOUBLE)) AS log1p_n
+  FROM toks GROUP BY doc_id, source
+), scored AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(FLOOR(1.0 / (1.0 + EXP(-(
+             (((-1.0 + 2.0 * distinct_ratio)
+               + (-1.0) * stop_frac)
+               + (-0.25) * mean_len)
+               + 0.5 * log1p_n
+         ))) * 1e6 + 0.5) AS BIGINT) AS score_q
+  FROM feats
+)
+SELECT source,
+       CAST(FLOOR(score_q / 100000.0) AS INT) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(score_q) AS BIGINT) AS score_mass_q,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM scored
+GROUP BY source, CAST(FLOOR(score_q / 100000.0) AS INT)
+ORDER BY source, bucket
+"""
+
+
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced output sharding under the hash gate (round 5) — the
+    last mile of a training-data pipeline: assign documents to N
+    output shards with near-equal TOKEN mass (pure hash sharding
+    balances doc counts, not token mass; length-sorted round-robin is
+    the standard cheap fix). Shard = (rank by token count DESC, doc_id
+    tiebreak) mod 8; manifest = per-shard doc count, token mass, and
+    size extremes.
+
+    Scale note: the global rank runs over the doc-LENGTH projection
+    (doc_id + n_tokens), not the text — at 100 TB that metadata
+    relation is ~16 GB/10⁹ docs. A single-partition window over it is
+    the local-mode expression; the cluster path is the two-pass
+    range-partitioned rank (repartitionByRange on n_tokens + per-
+    partition offsets, docs/SCALE.md global-order section) with
+    identical output."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    from pyspark.sql.window import Window
+
+    lengths = docs.select(
+        "doc_id", F.size(ops_text.tokens("text")).alias("n_tokens")
+    )
+    w = Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+    sharded = lengths.withColumn(
+        "shard", ((F.row_number().over(w) - 1) % 8).cast("int")
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("token_mass"),
+            F.min("n_tokens").alias("min_doc_tokens"),
+            F.max("n_tokens").alias("max_doc_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+TRAINING_SHARD_MANIFEST_SQL = r"""
+WITH lengths AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END
+           AS n_tokens
+  FROM documents
+), sharded AS (
+  SELECT doc_id, n_tokens,
+         CAST((ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1) % 8
+              AS INT) AS shard
+  FROM lengths
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS token_mass,
+       MIN(n_tokens) AS min_doc_tokens,
+       MAX(n_tokens) AS max_doc_tokens
+FROM sharded
+GROUP BY shard
+ORDER BY shard
+"""
+
+
 LLM_QUERIES = {
     "segment_dedup": segment_dedup,
     "intra_doc_repetition_removal": intra_doc_repetition_removal,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "dsir_importance_weights": dsir_importance_weights,
+    "model_scored_quality": model_scored_quality,
+    "training_shard_manifest": training_shard_manifest,
     "bigram_logprob": bigram_logprob,
     "domain_capped_corpus": domain_capped_corpus,
     "bpe_pair_counts": bpe_pair_counts,
@@ -3252,6 +3421,8 @@ LLM_ORACLES = {
     "intra_doc_repetition_removal": INTRA_DOC_REPETITION_SQL,
     "ccnet_perplexity_buckets": CCNET_PERPLEXITY_BUCKETS_SQL,
     "dsir_importance_weights": DSIR_IMPORTANCE_SQL,
+    "model_scored_quality": MODEL_SCORED_QUALITY_SQL,
+    "training_shard_manifest": TRAINING_SHARD_MANIFEST_SQL,
     "bigram_logprob": BIGRAM_LOGPROB_SQL,
     "domain_capped_corpus": DOMAIN_CAPPED_CORPUS_SQL,
     "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
