@@ -137,6 +137,7 @@ def dedupe_stream(
     keys: tuple[str, ...] = ("event_id",),
     ts_col: str = "ts",
     watermark: str = "1 hour",
+    restamped: bool = False,
 ) -> DataFrame:
     """Exactly-once event dedup for at-least-once sources: drop repeat
     deliveries of the same key(s) within the watermark horizon.
@@ -148,5 +149,20 @@ def dedupe_stream(
     DataFrame degrades to a plain dropDuplicates (batch/stream
     unification). At scale, state is hash-partitioned by key across
     executors; per-key state is just the key + timestamp.
-    """
-    return events.withWatermark(ts_col, watermark).dropDuplicates(list(keys))
+
+    ``restamped=True`` switches to ``dropDuplicatesWithinWatermark``
+    (Spark 3.5+) for sources that RE-STAMP the event time on redelivery
+    (broker retries, producer re-sends with a new ingest timestamp).
+    Plain dropDuplicates keys its state eviction off the FIRST-seen
+    event time, so a redelivery restamped later than the horizon slips
+    through; the WithinWatermark variant instead guarantees dedup of
+    any two copies whose event times lie within the watermark delay of
+    each other, and evicts state as the watermark passes — bounded
+    state with the redelivery-window guarantee made explicit. Batch
+    DataFrames don't support it (streaming-only API), so batch mode
+    falls back to plain dropDuplicates (same result: batch has no
+    late arrivals)."""
+    wm = events.withWatermark(ts_col, watermark)
+    if restamped and events.isStreaming:
+        return wm.dropDuplicatesWithinWatermark(list(keys))
+    return wm.dropDuplicates(list(keys))

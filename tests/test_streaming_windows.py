@@ -226,6 +226,59 @@ def test_dedupe_stream_drops_redelivery(spark, tmp_path):
     assert got.select("event_id").distinct().count() == 3
 
 
+def test_dedupe_stream_restamped_redelivery(spark, tmp_path):
+    """dropDuplicatesWithinWatermark (restamped=True): a redelivery
+    whose event time was RE-STAMPED minutes later (broker retry) still
+    dedups, because the guarantee is keyed on the two copies being
+    within the watermark delay of each other, not on exact-timestamp
+    state like plain dropDuplicates."""
+    import datetime as dt
+
+    from olist_lakehouse_2_0_spark.streaming.windows import dedupe_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    schema = "event_id long, ts timestamp, value double"
+    base = dt.datetime(2024, 1, 1, 12, 0)
+
+    b1 = [(1, base, 1.0), (2, base + dt.timedelta(minutes=1), 2.0)]
+    # redelivery of event 1 arrives RESTAMPED 5 minutes later
+    b2 = [(1, base + dt.timedelta(minutes=5), 1.0),
+          (3, base + dt.timedelta(minutes=2), 3.0)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(landing / "b1")
+    )
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        str(landing / "b2")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing) + "/*")
+    )
+    deduped = dedupe_stream(
+        stream, keys=("event_id",), watermark="1 hour", restamped=True
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == 3
+    assert got.select("event_id").distinct().count() == 3
+    # Batch fallback: same call on a batch frame degrades to plain
+    # dropDuplicates (the WithinWatermark API is streaming-only).
+    batch = spark.createDataFrame(b1 + b2, schema)
+    assert dedupe_stream(
+        batch, keys=("event_id",), watermark="1 hour", restamped=True
+    ).count() == 3
+
+
 def test_scoped_shuffle_partitions_restores_on_exception(spark):
     """The stateful-drain partition scoping must restore the session
     default even when the drain raises (a leaked override would
