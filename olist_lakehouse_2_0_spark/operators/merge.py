@@ -5,9 +5,12 @@ TBLPROPERTIES in src/pipelines/bronze/orders.sql:9-15), whose flagship
 write primitive is ``MERGE INTO`` — the reference's AUTO CDC flows
 compile to exactly that under Databricks DLT (reference
 docs/ARCHITECTURE.md CDC section). This module is the Spark-first
-equivalent over the repo's versioned tables: a single full-outer-join
-plan (one shuffle on the merge keys, Catalyst/AQE free to broadcast a
-small source) computes the post-merge relation, and the two-phase
+equivalent over the repo's versioned tables: ONE join computes the
+post-merge relation — full-outer when an INSERT clause needs
+source-only rows (a shuffle on the merge keys; no Spark strategy can
+broadcast a full outer join), degrading to a left join when inserts
+are disabled so a small source broadcasts and the merge becomes a
+map-only pass over the target — and the two-phase
 stage/CAS-promote in ``catalog.py`` gives it Delta-style optimistic
 concurrency — a concurrent writer's commit between our read and our
 promote raises :class:`~olist_lakehouse_2_0_spark.catalog.
@@ -110,7 +113,14 @@ def merge_frames(
     for k in keys:
         c = F.col(f"t.{k}") == F.col(f"s.{k}")
         cond = c if cond is None else (cond & c)
-    joined = t.join(s, cond, "full_outer")
+    # Join type follows the clause set: only an INSERT clause needs
+    # source-only rows. Without it a LEFT join suffices — and unlike
+    # FULL OUTER (which no Spark strategy can broadcast; always a
+    # shuffle+sort of BOTH sides), a left join lets Catalyst/AQE
+    # broadcast a small source, turning update/delete-only merges into
+    # a map-only pass over the target (tests/test_plans.py pins this).
+    join_type = "full_outer" if insert_when_not_matched else "left_outer"
+    joined = t.join(s, cond, join_type)
 
     matched = F.col("__t_present").isNotNull() & F.col("__s_present").isNotNull()
     source_only = F.col("__t_present").isNull()

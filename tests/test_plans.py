@@ -219,3 +219,44 @@ def test_ivf_pq_scoring_join_broadcasts_queries_not_corpus(spark):
     plan = _formatted_plan(ivf_pq_topk(q, c, k=10, nprobe=8, candidates=50))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_merge_without_insert_broadcasts_small_source(spark):
+    """Clause-driven join-type selection in merge_frames: an
+    update/delete-only merge (no INSERT clause) must plan a LEFT join
+    so the small source broadcasts — full outer joins cannot use
+    BroadcastHashJoin, so getting this wrong costs a shuffle+sort of
+    the whole target at any scale."""
+    from pyspark.sql import functions as F
+
+    from olist_lakehouse_2_0_spark.catalog import load
+    from olist_lakehouse_2_0_spark.operators.merge import merge_frames
+
+    target = load(spark, SF, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    source = (
+        load(spark, SF, "orders")
+        .filter(F.col("o_orderkey") % 1000 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice"))
+    )
+    no_insert = merge_frames(
+        target,
+        source,
+        ["o_orderkey"],
+        update_set={"o_totalprice": F.col("s.o_totalprice")},
+        insert_when_not_matched=False,
+    )
+    plan = _formatted_plan(no_insert)
+    assert "BroadcastHashJoin" in plan
+    assert "FullOuter" not in plan
+    # With an INSERT clause the full outer join is semantically
+    # required and cannot broadcast.
+    with_insert = merge_frames(
+        target,
+        source.withColumn("o_orderstatus", F.lit("N")),
+        ["o_orderkey"],
+        update_set={"o_totalprice": F.col("s.o_totalprice")},
+    )
+    plan2 = _formatted_plan(with_insert)
+    assert "FullOuter" in plan2
