@@ -445,6 +445,33 @@ class Catalog:
                 last_err = err
         raise last_err
 
+    def vacuum_staging(
+        self, spark: SparkSession, name: str, layer: str | None = None
+    ) -> int:
+        """Delete orphaned ``_staging*`` directories under a versioned
+        table root — the leftovers of writers that crashed between
+        stage and promote (the slice of Delta's VACUUM this layout
+        needs; committed ``v<n>`` directories are never touched, and
+        uncommitted staging is invisible to readers, so this is pure
+        space reclamation). Returns the number of directories removed.
+        Run it only when no writer is mid-commit (e.g. the weekly
+        full-refresh job)."""
+        root = self.path_for(name, layer)
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        fs = HPath(root).getFileSystem(conf)
+        p = HPath(root)
+        if not fs.exists(p):
+            return 0
+        removed = 0
+        for st in fs.listStatus(p):
+            nm = st.getPath().getName()
+            if st.isDirectory() and nm.startswith("_staging"):
+                fs.delete(st.getPath(), True)
+                removed += 1
+        return removed
+
     def table_changes(
         self,
         spark: SparkSession,

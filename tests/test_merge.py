@@ -228,3 +228,15 @@ def test_table_changes_counts_net_copies(spark, tmp_path):
     cat.write_versioned(three, spark, "t")
     rows = cat.table_changes(spark, "t", 1, 2).collect()
     assert len(rows) == 2 and all(r._change_type == "insert" for r in rows)
+
+
+def test_vacuum_staging_reclaims_crashed_writers_only(spark, tmp_path):
+    cat = Catalog(root=str(tmp_path))
+    cat.write_versioned(_target(spark), spark, "t")
+    # Two crashed writers left staging behind; one committed version.
+    cat.stage_version(spark.range(5), "t", token="crashed-1")
+    cat.stage_version(spark.range(6), "t", token="crashed-2")
+    assert cat.vacuum_staging(spark, "t") == 2
+    assert cat.vacuum_staging(spark, "t") == 0  # idempotent
+    assert cat.read(spark, "t").count() == 4  # committed data intact
+    assert cat.vacuum_staging(spark, "missing") == 0
