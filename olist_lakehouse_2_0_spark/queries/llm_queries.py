@@ -3290,21 +3290,25 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     size extremes.
 
     Scale note: the global rank runs over the doc-LENGTH projection
-    (doc_id + n_tokens), not the text — at 100 TB that metadata
-    relation is ~16 GB/10⁹ docs. A single-partition window over it is
-    the local-mode expression; the cluster path is the two-pass
-    range-partitioned rank (repartitionByRange on n_tokens + per-
-    partition offsets, docs/SCALE.md global-order section) with
-    identical output."""
-    docs = load(spark, sf_dir, "documents", spread=True)
-    from pyspark.sql.window import Window
+    (doc_id + n_tokens), not the text, AND through
+    :func:`~olist_lakehouse_2_0_spark.operators.ranking.
+    distributed_row_number` — the two-pass range-partitioned rank
+    (value-identical to the single-partition window, pinned in
+    tests/test_ranking.py) — so no step funnels the corpus metadata
+    through one task even at 10⁹+ documents."""
+    from olist_lakehouse_2_0_spark.operators.ranking import (
+        distributed_row_number,
+    )
 
+    docs = load(spark, sf_dir, "documents", spread=True)
     lengths = docs.select(
         "doc_id", F.size(ops_text.tokens("text")).alias("n_tokens")
     )
-    w = Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
-    sharded = lengths.withColumn(
-        "shard", ((F.row_number().over(w) - 1) % 8).cast("int")
+    ranked = distributed_row_number(
+        lengths, [F.col("n_tokens").desc(), F.col("doc_id")], col_name="__rn"
+    )
+    sharded = ranked.withColumn(
+        "shard", ((F.col("__rn") - 1) % 8).cast("int")
     )
     return (
         sharded.groupBy("shard")
