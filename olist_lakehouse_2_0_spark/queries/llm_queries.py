@@ -2950,8 +2950,10 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer bucket-level average logprob.
 
     Scale: tf aggregates per (doc, token) before the vocab join (one
-    row per distinct token per doc); the ntile window shuffles once on
-    lang; every sum that crosses partitions is integer. The per-doc
+    row per distinct token per doc); bucket assignment replicates
+    NTILE's arithmetic over the distributed two-pass rank — no
+    per-lang window funnel (a language partition is corpus/|langs|
+    rows); every sum that crosses partitions is integer. The per-doc
     ordering metric is a single IEEE division of two integers — bit-
     equal on any engine, so bucket assignment is deterministic."""
     docs = load(spark, sf_dir, "documents", spread=True).select(
@@ -2989,12 +2991,37 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_logp_q").cast("double") / F.col("n_tokens").cast("double"),
         )
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("lang").orderBy(
-        F.col("metric").desc(), F.col("doc_id")
+    # Exact NTILE(3) arithmetic over the distributed two-pass rank
+    # (operators/ranking.py) instead of a per-lang window: a language
+    # partition is corpus/|langs| rows — still a single-task funnel at
+    # 100 TB. Global rank ordered by (lang, metric DESC, doc_id) minus
+    # the lang's first rank gives the per-lang rank; the standard NTILE
+    # rule (first n mod k buckets get ceil(n/k) rows) is then two
+    # integer branches, bit-identical to the oracle's NTILE.
+    from olist_lakehouse_2_0_spark.operators.ranking import (
+        distributed_row_number,
     )
-    bucketed = scored.withColumn("bucket", F.ntile(3).over(w))
+
+    ranked = distributed_row_number(
+        scored,
+        [F.col("lang"), F.col("metric").desc(), F.col("doc_id")],
+        col_name="__grn",
+    )
+    lang_stats = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("__n"), F.min("__grn").alias("__first")
+    )
+    r = F.col("__grn") - F.col("__first") + 1
+    rem = F.col("__n") % 3
+    big = F.floor(F.col("__n") / 3) + 1
+    small = F.floor(F.col("__n") / 3)
+    bucket = (
+        F.when(r <= rem * big, F.floor((r - 1) / big) + 1)
+        .otherwise(rem + F.floor((r - rem * big - 1) / small) + 1)
+        .cast("int")
+    )
+    bucketed = ranked.join(F.broadcast(lang_stats), "lang").withColumn(
+        "bucket", bucket
+    )
     out = (
         bucketed.groupBy("lang", "bucket")
         .agg(
@@ -3116,10 +3143,17 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
+    # Distributed top-k, then rank the 25 survivors: orderBy+limit
+    # plans TakeOrderedAndProject (per-partition top-25 + driver-side
+    # merge of 25-row heads), so no corpus-sized single-partition
+    # window exists anywhere in this path; the row_number window runs
+    # over 25 rows.
+    top = raw_scored.orderBy(
+        F.col("sum_ratio_q").desc(), F.col("doc_id")
+    ).limit(25)
     w = Window.orderBy(F.col("sum_ratio_q").desc(), F.col("doc_id"))
     out = (
-        raw_scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 25)
+        top.withColumn("rank", F.row_number().over(w))
         .select(
             "rank",
             "doc_id",
