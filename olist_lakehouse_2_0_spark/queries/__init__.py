@@ -240,6 +240,9 @@ _CHANGED_IN_R5 = {
     "minhash_verified_dups", "simhash_verified_dups",
     "salted_nation_revenue", "salted_priority_agg",
     "embedding_topk_pq_recall",
+    # late round 5: dedupe_stream gained the restamped variant (default
+    # path re-verified but the operator changed under the query)
+    "events_streaming_dedup",
 }
 
 #: Queries hash-green in round 3's window (CORRECTNESS_r03.json — 47
