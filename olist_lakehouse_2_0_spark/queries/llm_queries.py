@@ -3380,6 +3380,78 @@ ORDER BY shard
 """
 
 
+def exact_substring_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring benchmark decontamination under the hash gate
+    (round 5; the EXACT-match complement to ``decontamination``'s
+    n-gram-overlap pass — Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better" uses exact substring matching for
+    eval-set leakage): a small needle set (5-token spans lifted from
+    every 50th document, standing in for benchmark strings) is
+    BROADCAST against the corpus and matched with a plain substring
+    scan; the rollup reports contaminated docs and hit counts per
+    source. Each needle matches its own source document by
+    construction, so the query self-verifies the scan finds planted
+    strings.
+
+    Scale: eval benchmarks are KB–MB — always broadcast; the scan is a
+    map-only pass over the corpus (no shuffle until the rollup). Per-
+    row cost is O(|text| x n_needles); for thousands of needles the
+    next step is a single-pass multi-pattern matcher (Aho-Corasick in
+    a pandas UDF) behind the same columnar contract."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    toks = ops_text.tokens("text")
+    needles = (
+        docs.filter(F.col("doc_id") % 50 == 7)
+        .select(
+            F.col("doc_id").alias("needle_id"),
+            F.array_join(F.slice(toks, 11, 5), " ").alias("needle"),
+            F.size(toks).alias("__nt"),
+        )
+        .filter(F.col("__nt") >= 15)
+        .drop("__nt")
+    )
+    hits = (
+        docs.select("doc_id", "source", "text")
+        .join(
+            F.broadcast(needles),
+            F.instr(F.col("text"), F.col("needle")) > 0,
+        )
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("contaminated_docs"),
+            F.count(F.lit(1)).alias("n_hits"),
+            F.count_distinct("needle_id").alias("needles_seen"),
+        )
+        .orderBy("source")
+    )
+
+
+EXACT_SUBSTRING_DECONTAMINATION_SQL = r"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         regexp_split_to_array(TRIM(text), '\s+') AS w
+  FROM documents
+), needles AS (
+  SELECT doc_id AS needle_id,
+         array_to_string(w[11:15], ' ') AS needle
+  FROM base
+  WHERE doc_id % 50 = 7 AND LEN(w) >= 15
+), hits AS (
+  SELECT b.doc_id, b.source, n.needle_id
+  FROM base b JOIN needles n ON POSITION(n.needle IN b.text) > 0
+)
+SELECT source,
+       COUNT(DISTINCT doc_id) AS contaminated_docs,
+       COUNT(*) AS n_hits,
+       COUNT(DISTINCT needle_id) AS needles_seen
+FROM hits
+GROUP BY source
+ORDER BY source
+"""
+
+
 LLM_QUERIES = {
     "segment_dedup": segment_dedup,
     "intra_doc_repetition_removal": intra_doc_repetition_removal,
@@ -3387,6 +3459,7 @@ LLM_QUERIES = {
     "dsir_importance_weights": dsir_importance_weights,
     "model_scored_quality": model_scored_quality,
     "training_shard_manifest": training_shard_manifest,
+    "exact_substring_decontamination": exact_substring_decontamination,
     "bigram_logprob": bigram_logprob,
     "domain_capped_corpus": domain_capped_corpus,
     "bpe_pair_counts": bpe_pair_counts,
@@ -3461,6 +3534,7 @@ LLM_ORACLES = {
     "dsir_importance_weights": DSIR_IMPORTANCE_SQL,
     "model_scored_quality": MODEL_SCORED_QUALITY_SQL,
     "training_shard_manifest": TRAINING_SHARD_MANIFEST_SQL,
+    "exact_substring_decontamination": EXACT_SUBSTRING_DECONTAMINATION_SQL,
     "bigram_logprob": BIGRAM_LOGPROB_SQL,
     "domain_capped_corpus": DOMAIN_CAPPED_CORPUS_SQL,
     "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
