@@ -475,6 +475,100 @@ def model_quality_score(
     return score(distinct_ratio, stopword_frac, mean_token_len, log1p_n_tokens)
 
 
+def build_aho_corasick(needles: dict[int, str]):
+    """Build an Aho-Corasick automaton (dict-trie + BFS failure links)
+    over ``needles`` (id -> pattern). Pure stdlib; returns (goto,
+    fail, output) where goto is a list of dict[char -> state], fail a
+    list of ints, output a list of frozenset(needle ids ending here).
+    """
+    goto: list[dict[str, int]] = [{}]
+    out: list[set[int]] = [set()]
+    for nid, pat in needles.items():
+        state = 0
+        for ch in pat:
+            nxt = goto[state].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append(set())
+                nxt = len(goto) - 1
+                goto[state][ch] = nxt
+            state = nxt
+        out[state].add(nid)
+    fail = [0] * len(goto)
+    from collections import deque
+
+    queue = deque(goto[0].values())
+    while queue:
+        state = queue.popleft()
+        for ch, nxt in goto[state].items():
+            queue.append(nxt)
+            f = fail[state]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[nxt] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != nxt else 0
+            out[nxt] |= out[fail[nxt]]
+    return goto, fail, [frozenset(s) for s in out]
+
+
+def multi_pattern_hits(
+    df: DataFrame,
+    needles: dict[int, str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Single-pass multi-pattern substring matching — the scale path
+    for exact-substring decontamination once the needle set outgrows
+    the per-needle ``instr`` join (which is O(|text| x n_needles) per
+    row): one Aho-Corasick automaton finds ALL needle occurrences in
+    O(|text| + hits) per document regardless of needle count.
+
+    Returns one row per (document, matched needle id) pair — identical
+    to ``docs JOIN needles ON instr(text, needle) > 0``
+    (tests/test_llm_ops.py pins the equality; the driver gate runs the
+    AC-backed query against the same SQL oracle as the instr version).
+
+    Scale design: ``needles`` is eval-benchmark-sized (KB–MB) and
+    ships to executors inside the mapInPandas closure — the broadcast
+    analogue; the scan is a map-only Arrow-batched pass with ZERO
+    shuffle; the automaton builds once per executor task, amortized
+    over the batch."""
+    import pandas as pd  # noqa: F811 (module-level import shadows fine)
+
+    schema = ", ".join(
+        [f"{id_col} long"]
+        + [f"{c} string" for c in extra_cols]
+        + ["needle_id long"]
+    )
+    cols = [id_col, *extra_cols, text_col]
+    src = df.select(*cols)
+
+    def scan(batches):
+        goto, fail, out = build_aho_corasick(needles)
+        for pdf in batches:
+            rows = {c: [] for c in (id_col, *extra_cols, "needle_id")}
+            for tup in pdf.itertuples(index=False):
+                text = tup[-1]
+                if not text:
+                    continue
+                state = 0
+                found: set[int] = set()
+                for ch in text:
+                    while state and ch not in goto[state]:
+                        state = fail[state]
+                    state = goto[state].get(ch, 0)
+                    if out[state]:
+                        found |= out[state]
+                for nid in sorted(found):
+                    rows[id_col].append(tup[0])
+                    for i, c in enumerate(extra_cols):
+                        rows[c].append(tup[1 + i])
+                    rows["needle_id"].append(nid)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(scan, schema)
+
+
 def token_pair_counts(df: DataFrame, text_col: str, top_n: int = 20) -> DataFrame:
     """Global adjacent-token-pair frequencies, top ``top_n`` — one
     distributed iteration of the BPE merge-selection step (count every

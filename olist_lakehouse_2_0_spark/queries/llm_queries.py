@@ -3452,6 +3452,45 @@ ORDER BY source
 """
 
 
+def exact_substring_decontamination_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Aho-Corasick twin of ``exact_substring_decontamination``:
+    identical needle construction and rollup, but the corpus scan runs
+    through :func:`~olist_lakehouse_2_0_spark.operators.text.
+    multi_pattern_hits` — ONE automaton pass per document
+    (O(|text| + hits) regardless of needle count) instead of the
+    per-needle ``instr`` join. Shares the instr version's SQL oracle,
+    so the driver gate hash-verifies the automaton against an
+    independent engine. The needle collect is bounded by the
+    eval-benchmark size (the same planning-sized-action contract as
+    the IVF probe-id collect, similarity.py)."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    toks = ops_text.tokens("text")
+    needles_df = (
+        docs.filter(F.col("doc_id") % 50 == 7)
+        .select(
+            F.col("doc_id").alias("needle_id"),
+            F.array_join(F.slice(toks, 11, 5), " ").alias("needle"),
+            F.size(toks).alias("__nt"),
+        )
+        .filter(F.col("__nt") >= 15)
+    )
+    needles = {r["needle_id"]: r["needle"] for r in needles_df.collect()}
+    hits = ops_text.multi_pattern_hits(
+        docs.select("doc_id", "source", "text"),
+        needles,
+        extra_cols=("source",),
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("contaminated_docs"),
+            F.count(F.lit(1)).alias("n_hits"),
+            F.count_distinct("needle_id").alias("needles_seen"),
+        )
+        .orderBy("source")
+    )
+
+
 LLM_QUERIES = {
     "segment_dedup": segment_dedup,
     "intra_doc_repetition_removal": intra_doc_repetition_removal,
@@ -3460,6 +3499,7 @@ LLM_QUERIES = {
     "model_scored_quality": model_scored_quality,
     "training_shard_manifest": training_shard_manifest,
     "exact_substring_decontamination": exact_substring_decontamination,
+    "exact_substring_decontamination_ac": exact_substring_decontamination_ac,
     "bigram_logprob": bigram_logprob,
     "domain_capped_corpus": domain_capped_corpus,
     "bpe_pair_counts": bpe_pair_counts,
@@ -3535,6 +3575,7 @@ LLM_ORACLES = {
     "model_scored_quality": MODEL_SCORED_QUALITY_SQL,
     "training_shard_manifest": TRAINING_SHARD_MANIFEST_SQL,
     "exact_substring_decontamination": EXACT_SUBSTRING_DECONTAMINATION_SQL,
+    "exact_substring_decontamination_ac": EXACT_SUBSTRING_DECONTAMINATION_SQL,
     "bigram_logprob": BIGRAM_LOGPROB_SQL,
     "domain_capped_corpus": DOMAIN_CAPPED_CORPUS_SQL,
     "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,

@@ -660,3 +660,36 @@ def test_dedup_segments_within_doc_keeps_first_occurrence(spark):
     assert out[3] == "p q"
     assert out[4] == ""
     assert out[5] == ""
+
+
+def test_multi_pattern_hits_equals_instr_join(spark, sf_correctness):
+    """The Aho-Corasick scan must produce exactly the (doc, needle)
+    pairs of the per-needle instr join — including overlapping needles
+    and needles that are substrings of each other."""
+    from olist_lakehouse_2_0_spark.operators.text import multi_pattern_hits
+
+    docs = spark.read.parquet(f"{sf_correctness}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sample = {
+        r.doc_id: r.text for r in docs.filter(F.col("doc_id") < 40).collect()
+    }
+    some_text = next(t for t in sample.values() if len(t) > 60)
+    needles = {
+        1: some_text[10:35],          # planted: must hit its source
+        2: "query",                   # frequent token
+        3: "que",                     # prefix of needle 2 (overlap case)
+        4: "zzz-never-present-zzz",   # must hit nothing
+    }
+    got = {
+        (r.doc_id, r.needle_id)
+        for r in multi_pattern_hits(docs, needles).collect()
+    }
+    want = set()
+    for r in docs.collect():
+        for nid, pat in needles.items():
+            if r.text and pat in r.text:
+                want.add((r.doc_id, nid))
+    assert got == want
+    assert any(nid == 1 for _, nid in got)
+    assert not any(nid == 4 for _, nid in got)
