@@ -3452,6 +3452,115 @@ ORDER BY source
 """
 
 
+def embedding_topk_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncated ANN under the hash gate
+    (round 5; Kusupati et al. NeurIPS'22 — MRL embeddings let retrieval
+    run candidate generation on a PREFIX of the vector): candidates by
+    cosine over the first 16 of 64 dims (4x cheaper dot products and a
+    4x smaller scan footprint), top-100 pool, exact full-dimension
+    rerank, recall@10 judged against full-dim brute force with the
+    registry's deterministic-invariant idiom (self-hit structural, and
+    mean >= 0.2 / min >= 0.05 bounds with >=2.3x margin under the
+    measured 0.47-0.7 mean / 0.2-0.3 min across sf0.001-0.1 — the
+    synthetic embeddings are NOT Matryoshka-trained, so prefix dims
+    carry only ~16/64 of the information; trained MRL prefixes
+    concentrate variance up front and sit far higher). Same two-stage
+    scale shape as IVF/PQ: cheap candidates bound the expensive exact
+    stage to pool-size per query."""
+    from olist_lakehouse_2_0_spark.operators.similarity import (
+        cosine_topk,
+        dot,
+        l2_norm,
+    )
+    from pyspark.sql import Window as W
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    tq = queries.select(
+        "query_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    tc = corpus.select(
+        "corpus_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    cands = cosine_topk(tq, tc, k=100).select("query_id", "corpus_id")
+    q_full = queries.select(
+        "query_id",
+        F.col("embedding").alias("__qvec"),
+        l2_norm(F.col("embedding")).alias("__qnorm"),
+    )
+    c_full = corpus.select(
+        "corpus_id",
+        F.col("embedding").alias("__cvec"),
+        l2_norm(F.col("embedding")).alias("__cnorm"),
+    )
+    rerank = (
+        cands.join(F.broadcast(q_full), "query_id")
+        .join(c_full, "corpus_id")
+        .withColumn(
+            "cosine",
+            dot(F.col("__qvec"), F.col("__cvec"))
+            / F.nullif(F.col("__qnorm") * F.col("__cnorm"), F.lit(0.0)),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    approx = (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "corpus_id", "rank")
+        .persist()
+    )
+    exact = cosine_topk(queries, corpus, k=10)
+    hits = exact.join(
+        approx.select("query_id", "corpus_id"),
+        ["query_id", "corpus_id"],
+        "left_semi",
+    )
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .fillna(0, ["n_hit"])
+        .select("query_id", (F.col("n_hit") / F.col("n_exact")).alias("recall"))
+    )
+    self_hits = approx.filter(
+        (F.col("rank") == 1) & (F.col("corpus_id") == F.col("query_id"))
+    )
+    return (
+        per_q.agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.lit(10).alias("k"),
+            F.mean("recall").alias("__mean_r"),
+            F.min("recall").alias("__min_r"),
+        )
+        .crossJoin(self_hits.agg(F.count(F.lit(1)).alias("__n_self")))
+        .select(
+            "n_queries",
+            "k",
+            (F.col("__n_self") == F.col("n_queries")).alias("self_hit_all"),
+            (F.col("__mean_r") >= 0.2).alias("mean_recall_ok"),
+            (F.col("__min_r") >= 0.05).alias("min_recall_ok"),
+        )
+    )
+
+
+EMBEDDING_TOPK_MRL_RECALL_SQL = """
+SELECT COUNT(*) AS n_queries,
+       10 AS k,
+       TRUE AS self_hit_all,
+       TRUE AS mean_recall_ok,
+       TRUE AS min_recall_ok
+FROM embeddings
+WHERE vec_id % 50 = 0
+"""
+
+
 def exact_substring_decontamination_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Aho-Corasick twin of ``exact_substring_decontamination``:
     identical needle construction and rollup, but the corpus scan runs
@@ -3500,6 +3609,7 @@ LLM_QUERIES = {
     "training_shard_manifest": training_shard_manifest,
     "exact_substring_decontamination": exact_substring_decontamination,
     "exact_substring_decontamination_ac": exact_substring_decontamination_ac,
+    "embedding_topk_mrl_recall": embedding_topk_mrl_recall,
     "bigram_logprob": bigram_logprob,
     "domain_capped_corpus": domain_capped_corpus,
     "bpe_pair_counts": bpe_pair_counts,
@@ -3576,6 +3686,7 @@ LLM_ORACLES = {
     "training_shard_manifest": TRAINING_SHARD_MANIFEST_SQL,
     "exact_substring_decontamination": EXACT_SUBSTRING_DECONTAMINATION_SQL,
     "exact_substring_decontamination_ac": EXACT_SUBSTRING_DECONTAMINATION_SQL,
+    "embedding_topk_mrl_recall": EMBEDDING_TOPK_MRL_RECALL_SQL,
     "bigram_logprob": BIGRAM_LOGPROB_SQL,
     "domain_capped_corpus": DOMAIN_CAPPED_CORPUS_SQL,
     "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
