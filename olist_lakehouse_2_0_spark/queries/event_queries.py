@@ -1078,6 +1078,73 @@ SELECT '__corrupt__', 3, 0, CAST(NULL AS BIGINT)
 """
 
 
+def events_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE upsert under the hash gate (round 5; the Delta
+    ``foreachBatch + MERGE INTO`` streaming-upsert pattern over the
+    versioned layout): the event feed is staged as multiple files,
+    streamed one file per micro-batch (maxFilesPerTrigger=1, so keys
+    recur ACROSS batches in arbitrary order), and each batch upserts
+    into a versioned per-user-latest table through
+    :class:`~olist_lakehouse_2_0_spark.streaming.upsert.
+    VersionedMergeSink` — same-batch duplicates collapse to the max
+    event_id, the cross-batch sequence guard (s.event_id > t.event_id)
+    makes out-of-order arrivals and checkpoint replays no-ops, and
+    every commit is a CAS promote. The final table must equal the
+    oracle's global latest-event-per-user — a row lost to a clobbered
+    merge, a stale update let through, or a batch applied twice all
+    shift it."""
+    import os
+
+    from olist_lakehouse_2_0_spark.catalog import Catalog
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+    from olist_lakehouse_2_0_spark.streaming.ingest import (
+        run_foreach_batch,
+        scoped_shuffle_partitions,
+    )
+    from olist_lakehouse_2_0_spark.streaming.upsert import VersionedMergeSink
+
+    events = load(spark, sf_dir, "events", spread=True).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    root = staging_dir("stream_merge")
+    landing = os.path.join(root, "landing")
+    events.repartition(4).write.parquet(landing)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    cat = Catalog(root=os.path.join(root, "warehouse"))
+    sink = VersionedMergeSink(
+        cat, "user_latest", keys=("user_id",), sequence_col="event_id"
+    )
+    with scoped_shuffle_partitions(spark, 8):
+        run_foreach_batch(stream, sink, os.path.join(root, "ckpt"))
+    final = cat.read(spark, "user_latest")
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        "value",
+    )
+
+
+EVENTS_STREAM_MERGE_UPSERT_SQL = """
+SELECT user_id,
+       event_id AS last_event_id,
+       ts AS last_ts,
+       event_type AS last_event_type,
+       value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
 EVENT_QUERIES = {
     "events_csv_ingest_exactly_once": events_csv_ingest_exactly_once,
     "events_hourly_by_type": events_hourly_by_type,
@@ -1088,6 +1155,7 @@ EVENT_QUERIES = {
     "events_error_after_click": events_error_after_click,
     "events_stream_stream_join": events_stream_stream_join,
     "events_streaming_dedup": events_streaming_dedup,
+    "events_stream_merge_upsert": events_stream_merge_upsert,
     "events_stream_static_enrich": events_stream_static_enrich,
     "events_user_setops": events_user_setops,
     "events_rollup_hierarchy": events_rollup_hierarchy,
@@ -1121,6 +1189,7 @@ EVENT_ORACLES = {
     "events_error_after_click": EVENTS_ERROR_AFTER_CLICK_SQL,
     "events_stream_stream_join": EVENTS_STREAM_STREAM_JOIN_SQL,
     "events_streaming_dedup": EVENTS_STREAMING_DEDUP_SQL,
+    "events_stream_merge_upsert": EVENTS_STREAM_MERGE_UPSERT_SQL,
     "events_stream_static_enrich": EVENTS_STREAM_STATIC_ENRICH_SQL,
     "events_user_setops": EVENTS_SETOPS_SQL,
     "events_rollup_hierarchy": EVENTS_ROLLUP_HIERARCHY_SQL,

@@ -240,3 +240,26 @@ def test_vacuum_staging_reclaims_crashed_writers_only(spark, tmp_path):
     assert cat.vacuum_staging(spark, "t") == 0  # idempotent
     assert cat.read(spark, "t").count() == 4  # committed data intact
     assert cat.vacuum_staging(spark, "missing") == 0
+
+
+def test_versioned_merge_sink_out_of_order_and_replay(spark, tmp_path):
+    """The streaming upsert sink's sequence guard: out-of-order batches
+    are no-ops for stale keys, and replaying a batch (at-least-once
+    delivery) leaves the table unchanged."""
+    from olist_lakehouse_2_0_spark.streaming.upsert import VersionedMergeSink
+
+    cat = Catalog(root=str(tmp_path))
+    sink = VersionedMergeSink(cat, "t", keys=("k",), sequence_col="seq")
+    b1 = spark.createDataFrame(
+        [(1, 10, "a"), (1, 12, "b"), (2, 5, "x")], "k int, seq int, v string"
+    )
+    b2 = spark.createDataFrame(
+        [(1, 11, "stale"), (2, 6, "y"), (3, 1, "new")],
+        "k int, seq int, v string",
+    )
+    sink(b1, 0)
+    sink(b2, 1)
+    want = {(1, 12, "b"), (2, 6, "y"), (3, 1, "new")}
+    assert _rows(cat.read(spark, "t")) == want
+    sink(b2, 1)  # replay: every row stale or equal-seq -> no-op
+    assert _rows(cat.read(spark, "t")) == want
