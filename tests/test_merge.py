@@ -263,3 +263,34 @@ def test_versioned_merge_sink_out_of_order_and_replay(spark, tmp_path):
     assert _rows(cat.read(spark, "t")) == want
     sink(b2, 1)  # replay: every row stale or equal-seq -> no-op
     assert _rows(cat.read(spark, "t")) == want
+
+
+def test_merge_into_true_thread_concurrency(spark, tmp_path):
+    """Two driver threads merge_into the same table CONCURRENTLY (real
+    race, not a scripted interleaving): whichever CAS loses must retry
+    and recompute, so both updates land and exactly two commits happen
+    regardless of timing."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    cat = Catalog(root=str(tmp_path))
+    cat.write_versioned(_target(spark), spark, "t")
+    a_src = spark.createDataFrame(
+        [(1, "A", 111.0)], "id int, tag string, amount double"
+    )
+    b_src = spark.createDataFrame(
+        [(4, "B", 444.0)], "id int, tag string, amount double"
+    )
+
+    def do(src):
+        return cat.merge_into(spark, src, "t", ["id"], max_retries=5)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa, fb = pool.submit(do, a_src), pool.submit(do, b_src)
+        fa.result(), fb.result()
+
+    final = cat.read(spark, "t")
+    assert _rows(final.filter(F.col("id").isin(1, 4))) == {
+        (1, "A", 111.0),
+        (4, "B", 444.0),
+    }
+    assert cat.latest_version_number(spark, "t") == 3
