@@ -324,6 +324,55 @@ def synthesize_bmp_column(
     return df.mapInPandas(synth, schema)
 
 
+def dhash_images(
+    df: DataFrame, id_col: str, payload_col: str = "image"
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) of real image payloads — the
+    standard cheap near-duplicate signature for images (resize-robust,
+    brightness-shift-robust): decode, integer-average the channels to
+    grayscale, nearest-resize to a 9x8 grid, and emit one bit per
+    horizontally-adjacent pixel pair (``g[y][x+1] > g[y][x]``, 64
+    bits). Near-duplicate images differ in FEW bits, so candidate
+    pairs come from pigeonhole banding on 16-bit chunks (like SimHash)
+    and verification is one XOR + bit_count — never a pixel-space
+    comparison.
+
+    Returned as TWO 32-bit halves (``dhash_hi``/``dhash_lo`` longs) so
+    both this engine and a SQL oracle can pack bits without signed
+    2^63 overflow. Arrow-batched mapInPandas; only ids + two longs come
+    back out — payload bytes never re-cross to the JVM."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("dhash_hi", T.LongType()),
+            T.StructField("dhash_lo", T.LongType()),
+        ]
+    )
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = decode_image(bytes(payload))
+                gray = (
+                    arr[:, :, 0].astype(np.int64)
+                    + arr[:, :, 1]
+                    + arr[:, :, 2]
+                ) // 3
+                g = resize_nearest(gray, (9, 8))  # 8 rows x 9 cols
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.uint64)  # 8x8
+                idx = np.arange(64, dtype=np.uint64).reshape(8, 8)
+                packed = int((bits << idx).sum(dtype=np.uint64))
+                rows.append((i, packed >> 32, packed & 0xFFFFFFFF))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "dhash_hi", "dhash_lo"]
+            )
+
+    return df.mapInPandas(hashes, schema)
+
+
 def decode_image_stats(
     df: DataFrame, id_col: str, payload_col: str = "image"
 ) -> DataFrame:

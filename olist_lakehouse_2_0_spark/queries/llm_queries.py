@@ -3452,6 +3452,156 @@ ORDER BY source
 """
 
 
+def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-duplication under the hash gate
+    (round 5): real BMP payloads (closed-form pixel law) are decoded
+    and dHashed (:func:`~olist_lakehouse_2_0_spark.operators.
+    multimodal.dhash_images`), candidate pairs come from pigeonhole
+    banding on the four 16-bit chunks (hamming <= 3 with 4 chunks
+    guarantees a shared chunk — full recall, zero pixel-space
+    comparisons), and verification is XOR + bit_count. The oracle
+    re-derives every dHash bit in pure SQL from the pixel law
+    (grayscale == the law because all channels are equal; the 9x8
+    nearest resize is the same integer index arithmetic) and takes
+    verified pairs by brute-force cross join — so a wrong bit, a
+    candidate band that loses a pair, or a miscounted hamming distance
+    all fail the hash.
+
+    Scale: hashing is a map-only decode pass, and the candidate stage
+    applies the round-5 degenerate-corpus discipline from the start —
+    identical hashes COLLAPSE to one (hash, count) group BEFORE
+    banding (this very corpus is the degenerate shape: 500-5,000
+    images share ~17-64 distinct dHashes, so banding raw ids would
+    push ~n²/2 pairs through a handful of chunk keys), pairs between
+    hash groups are verified once, and the id-level pair counts
+    re-expand arithmetically (|A|·|B| cross-group, C(|A|,2)
+    within-group at hamming 0) — never materializing an id-level pair
+    relation."""
+    from olist_lakehouse_2_0_spark.operators.multimodal import (
+        dhash_images,
+        synthesize_bmp_column,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id")
+    hashes = dhash_images(synthesize_bmp_column(docs, "doc_id"), "doc_id")
+    groups = (
+        hashes.groupBy("dhash_hi", "dhash_lo")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    chunks = groups.select(
+        "dhash_hi",
+        "dhash_lo",
+        "cnt",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("ci"), (F.col("dhash_lo").bitwiseAND(F.lit(0xFFFF))).alias("cv")),
+                F.struct(F.lit(1).alias("ci"), (F.shiftright("dhash_lo", 16).bitwiseAND(F.lit(0xFFFF))).alias("cv")),
+                F.struct(F.lit(2).alias("ci"), (F.col("dhash_hi").bitwiseAND(F.lit(0xFFFF))).alias("cv")),
+                F.struct(F.lit(3).alias("ci"), (F.shiftright("dhash_hi", 16).bitwiseAND(F.lit(0xFFFF))).alias("cv")),
+            )
+        ).alias("c"),
+    ).select("dhash_hi", "dhash_lo", "cnt", "c.ci", "c.cv")
+    # Deterministic group ordering for the a<b dedup of (group, group)
+    # candidate pairs: lexicographic on (hi, lo) — the halves are
+    # compared as a tuple rather than re-packed (hi << 32 | lo would
+    # overflow signed 64-bit for hashes with bit 63 set).
+    a_lt_b = (F.col("a.dhash_hi") < F.col("b.dhash_hi")) | (
+        (F.col("a.dhash_hi") == F.col("b.dhash_hi"))
+        & (F.col("a.dhash_lo") < F.col("b.dhash_lo"))
+    )
+    cross = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & a_lt_b,
+        )
+        .select(
+            F.col("a.dhash_hi").alias("hi_a"),
+            F.col("a.dhash_lo").alias("lo_a"),
+            F.col("a.cnt").alias("cnt_a"),
+            F.col("b.dhash_hi").alias("hi_b"),
+            F.col("b.dhash_lo").alias("lo_b"),
+            F.col("b.cnt").alias("cnt_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select(
+            (F.col("cnt_a") * F.col("cnt_b")).alias("pairs"),
+            "hamming",
+        )
+    )
+    within = groups.select(
+        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long").alias("pairs"),
+        F.lit(0).alias("hamming"),
+    ).filter(F.col("pairs") > 0)
+    verified = cross.unionByName(within)
+    return (
+        groups.agg(
+            F.sum("cnt").alias("n_images"),
+            F.count(F.lit(1)).alias("n_distinct_hashes"),
+        )
+        .crossJoin(
+            verified.agg(
+                F.coalesce(F.sum("pairs"), F.lit(0)).alias("n_neardup_pairs"),
+                F.coalesce(
+                    F.sum(F.when(F.col("hamming") == 0, F.col("pairs"))),
+                    F.lit(0),
+                ).alias("n_exact_pairs"),
+                F.coalesce(
+                    F.sum(F.col("hamming") * F.col("pairs")), F.lit(0)
+                ).alias("sum_hamming"),
+            )
+        )
+    )
+
+
+IMAGE_DHASH_NEARDUP_SQL = """
+WITH dims AS (
+  SELECT doc_id, doc_id % 8 + 4 AS w, (doc_id * 3) % 8 + 4 AS h
+  FROM documents
+), grids AS (
+  SELECT doc_id,
+         list_transform(range(0, 8), y ->
+           list_transform(range(0, 9), x ->
+             (doc_id + ((x * w) // 9) + ((y * h) // 8)) % 256)) AS g
+  FROM dims
+), hashes AS (
+  SELECT doc_id,
+         CAST(list_sum(flatten(list_transform(range(4, 8), y ->
+           list_transform(range(0, 8), x ->
+             CASE WHEN g[y+1][x+2] > g[y+1][x+1]
+                  THEN CAST(1 AS BIGINT) << (y*8 + x - 32) ELSE 0 END))))
+           AS BIGINT) AS hi,
+         CAST(list_sum(flatten(list_transform(range(0, 4), y ->
+           list_transform(range(0, 8), x ->
+             CASE WHEN g[y+1][x+2] > g[y+1][x+1]
+                  THEN CAST(1 AS BIGINT) << (y*8 + x) ELSE 0 END))))
+           AS BIGINT) AS lo
+  FROM grids
+), pairs AS (
+  SELECT a.doc_id AS i, b.doc_id AS j,
+         bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+), verified AS (
+  SELECT * FROM pairs WHERE hamming <= 3
+)
+SELECT (SELECT COUNT(*) FROM hashes) AS n_images,
+       (SELECT COUNT(DISTINCT (hi, lo)) FROM hashes) AS n_distinct_hashes,
+       COUNT(*) AS n_neardup_pairs,
+       COUNT(*) FILTER (WHERE hamming = 0) AS n_exact_pairs,
+       CAST(COALESCE(SUM(hamming), 0) AS BIGINT) AS sum_hamming
+FROM verified
+"""
+
+
 def embedding_topk_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style dimension-truncated ANN under the hash gate
     (round 5; Kusupati et al. NeurIPS'22 — MRL embeddings let retrieval
@@ -3610,6 +3760,7 @@ LLM_QUERIES = {
     "exact_substring_decontamination": exact_substring_decontamination,
     "exact_substring_decontamination_ac": exact_substring_decontamination_ac,
     "embedding_topk_mrl_recall": embedding_topk_mrl_recall,
+    "image_dhash_neardup": image_dhash_neardup,
     "bigram_logprob": bigram_logprob,
     "domain_capped_corpus": domain_capped_corpus,
     "bpe_pair_counts": bpe_pair_counts,
@@ -3687,6 +3838,7 @@ LLM_ORACLES = {
     "exact_substring_decontamination": EXACT_SUBSTRING_DECONTAMINATION_SQL,
     "exact_substring_decontamination_ac": EXACT_SUBSTRING_DECONTAMINATION_SQL,
     "embedding_topk_mrl_recall": EMBEDDING_TOPK_MRL_RECALL_SQL,
+    "image_dhash_neardup": IMAGE_DHASH_NEARDUP_SQL,
     "bigram_logprob": BIGRAM_LOGPROB_SQL,
     "domain_capped_corpus": DOMAIN_CAPPED_CORPUS_SQL,
     "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
