@@ -278,6 +278,13 @@ class Catalog:
         if expected_version is None:
             n = (versions[-1][0] + 1) if versions else 1
         else:
+            if keep < 2:
+                raise ValueError(
+                    "CAS promote requires keep >= 2: with keep=1 a "
+                    "concurrent writer's retention pass can delete the "
+                    "contended v(expected+1) slot, letting a stale "
+                    "rename silently reuse the number"
+                )
             n = expected_version + 1
         final = os.path.join(root, f"v{n:09d}")
 
@@ -289,6 +296,19 @@ class Catalog:
                 f"{expected_version}; re-read and retry"
             )
 
+        # Fresh-listing check BEFORE the rename: if anything committed
+        # since this writer's read, conflict now. Without it, a stale
+        # writer whose v(expected+1) slot was later vacuumed by
+        # retention could rename onto the REUSED number and "commit" a
+        # non-latest version readers never resolve (a silent lost
+        # update). With this check plus keep>=2, reusing the slot
+        # requires >= keep intervening commits to land entirely inside
+        # the listing->rename instant — and the rename-onto-existing
+        # failure catches every single-commit race within it.
+        if expected_version is not None and versions and (
+            versions[-1][0] != expected_version
+        ):
+            raise _conflict()
         if not fs.rename(HPath(staging), HPath(final)):
             if expected_version is not None and fs.exists(HPath(final)):
                 raise _conflict()
@@ -331,7 +351,6 @@ class Catalog:
         layer: str | None = None,
         keep: int = 2,
         max_retries: int = 2,
-        writer_id: str | None = None,
         **merge_kwargs,
     ) -> str:
         """Delta-style ``MERGE INTO`` a versioned table with optimistic
@@ -342,35 +361,28 @@ class Catalog:
         read. On :class:`ConcurrentWriteError` the merge is recomputed
         against the NEW latest version and retried (``max_retries``
         times) — the lost-update prevention a plain overwrite lacks.
-        """
-        import uuid
 
+        ``validate_unique_source`` defaults to TRUE here (Delta MERGE
+        always raises on multiple source rows matching one target row;
+        silently duplicating target rows corrupts the key invariant
+        every later merge assumes). Callers that already deduplicated
+        the source (the streaming sink's per-batch collapse) pass
+        False to skip the validation pass.
+
+        Delegates the stage/CAS-promote/retry protocol to
+        :meth:`_rewrite_versioned` — one implementation for every
+        row-level write path."""
         from olist_lakehouse_2_0_spark.operators.merge import merge_frames
 
-        token = writer_id or uuid.uuid4().hex[:12]
-        last_err: ConcurrentWriteError | None = None
-        for attempt in range(max_retries + 1):
-            base = self.latest_version_number(spark, name, layer)
-            if base == 0:
-                raise ValueError(
-                    f"merge_into target {name!r} has no committed "
-                    "version; create it with write_versioned first"
-                )
-            target = self.read_version(spark, name, base, layer=layer)
-            merged = merge_frames(target, source, on, **merge_kwargs)
-            self.stage_version(merged, name, layer, token=f"{token}-{attempt}")
-            try:
-                return self.promote_version(
-                    spark,
-                    name,
-                    layer,
-                    keep,
-                    expected_version=base,
-                    token=f"{token}-{attempt}",
-                )
-            except ConcurrentWriteError as err:
-                last_err = err
-        raise last_err
+        merge_kwargs.setdefault("validate_unique_source", True)
+        return self._rewrite_versioned(
+            spark,
+            name,
+            lambda df: merge_frames(df, source, on, **merge_kwargs),
+            layer,
+            keep,
+            max_retries,
+        )
 
     def delete_where(
         self,

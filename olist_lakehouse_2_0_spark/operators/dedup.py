@@ -397,17 +397,25 @@ def minhash_lsh_candidates(
     """
     rep_sigs, members = _collapse_identical_signatures(signatures, id_col)
     banded = _banded(rep_sigs, id_col, bands, rows_per_band, max_bucket_df)
+    rep_pairs = _rep_candidate_pairs(banded)
+    if not expand_identical:
+        return rep_pairs
+    return _expand_identical_pairs(rep_pairs, members)
+
+
+def _rep_candidate_pairs(banded: DataFrame) -> DataFrame:
+    """Distinct ordered representative pairs from a banded relation:
+    equi-join on (band, bucket), id_a < id_b tie-break, distinct. One
+    implementation for the candidate semantics every LSH family shares
+    (a fix to the tie-break/distinct applies everywhere at once)."""
     a = banded.select(F.col("__id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("__id").alias("id_b"), "band", "bucket")
-    rep_pairs = (
+    return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    if not expand_identical:
-        return rep_pairs
-    return _expand_identical_pairs(rep_pairs, members)
 
 
 def minhash_dedup_pairs(
@@ -444,14 +452,7 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, seed).persist()
     rep_sigs, members = _collapse_identical_signatures(sigs, id_col)
     banded = _banded(rep_sigs, id_col, bands, rows_per_band, max_bucket_df)
-    a = banded.select(F.col("__id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("__id").alias("id_b"), "band", "bucket")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = _rep_candidate_pairs(banded)
     sa = rep_sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("__sig_a"))
     sb = rep_sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("__sig_b"))
     matches = F.size(

@@ -69,4 +69,7 @@ class VersionedMergeSink:
             keep=self.keep,
             matched_update_condition=F.col(f"s.{self.sequence_col}")
             > F.col(f"t.{self.sequence_col}"),
+            # The window above just collapsed the batch to one row per
+            # key — skip merge_into's duplicate-source validation pass.
+            validate_unique_source=False,
         )

@@ -193,6 +193,7 @@ def run_cdc(
     'incremental' daily run and the weekly full refresh converge."""
     t0 = time.perf_counter()
     staged = spark.read.csv(raw_cdc, schema=CDC_SCHEMA, header=True)
+    n_staged = staged.count()
     violations = validate_changes(staged, CDC_SPEC).count()
     if violations:
         raise ValueError(
@@ -206,7 +207,7 @@ def run_cdc(
         [(
             "daily_cdc", "customers_scd1", "silver", "materialized_view",
             "written", float(round(time.perf_counter() - t0, 3)),
-            json.dumps({"validated_rows": 0}),
+            json.dumps({"validated_rows": n_staged}),
         )],
         "pipeline string, table string, layer string, "
         "materialization string, status string, duration_s double, "
