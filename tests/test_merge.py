@@ -294,3 +294,31 @@ def test_merge_into_true_thread_concurrency(spark, tmp_path):
         (4, "B", 444.0),
     }
     assert cat.latest_version_number(spark, "t") == 3
+
+
+def test_cas_conflicts_even_when_contended_slot_was_vacuumed(spark, tmp_path):
+    """The retention-hole regression: a stale writer whose v(expected+1)
+    slot was deleted by later writers' retention must still CONFLICT —
+    before the fresh-listing check, its rename onto the reused number
+    SUCCEEDED and silently committed a version readers never resolve."""
+    cat = Catalog(root=str(tmp_path))
+    cat.write_versioned(spark.range(10), spark, "t")          # v1
+    base = cat.latest_version_number(spark, "t")
+    cat.stage_version(spark.range(99), "t", token="stale")
+    for n in (20, 30, 40):                                    # v2..v4
+        cat.write_versioned(spark.range(n), spark, "t")       # keep=2
+    # v2 (the slot the stale writer would claim) is now vacuumed.
+    import os
+    assert not os.path.exists(str(tmp_path / "t" / "v000000002"))
+    with pytest.raises(ConcurrentWriteError):
+        cat.promote_version(spark, "t", expected_version=base, token="stale")
+    assert cat.read(spark, "t").count() == 40  # latest untouched
+    assert cat.latest_version_number(spark, "t") == 4
+
+
+def test_cas_promote_rejects_keep_below_two(spark, tmp_path):
+    cat = Catalog(root=str(tmp_path))
+    cat.write_versioned(spark.range(5), spark, "t")
+    cat.stage_version(spark.range(6), "t", token="x")
+    with pytest.raises(ValueError, match="keep >= 2"):
+        cat.promote_version(spark, "t", keep=1, expected_version=1, token="x")
