@@ -49,6 +49,8 @@ def merge_frames(
     insert_when_not_matched: bool = True,
     not_matched_insert_condition: Column | None = None,
     delete_when_not_matched_by_source: Column | None = None,
+    not_matched_by_source_update_set: dict[str, Column] | None = None,
+    not_matched_by_source_update_condition: Column | None = None,
     validate_unique_source: bool = False,
 ) -> DataFrame:
     """Pure-DataFrame MERGE: returns the post-merge relation with the
@@ -72,7 +74,11 @@ def merge_frames(
       NULL for target columns the source lacks.
     - target-only -> kept, unless ``delete_when_not_matched_by_source``
       (Delta's WHEN NOT MATCHED BY SOURCE THEN DELETE) evaluates true
-      over the target row.
+      over the target row, or ``not_matched_by_source_update_set``
+      (Delta's ... THEN UPDATE — e.g. mark rows the source stopped
+      mentioning as stale) applies; its expressions may reference only
+      ``t.*`` columns (there is no source row). Delete is evaluated
+      before update, mirroring the matched ladder.
 
     ``validate_unique_source=True`` adds Delta's runtime check that no
     two source rows match the same target key (a planning-time
@@ -142,6 +148,15 @@ def merge_frames(
         if delete_when_not_matched_by_source is None
         else delete_when_not_matched_by_source
     )
+    nbs_upd = (
+        F.lit(False)
+        if not_matched_by_source_update_set is None
+        else (
+            F.lit(True)
+            if not_matched_by_source_update_condition is None
+            else not_matched_by_source_update_condition
+        )
+    )
 
     # One action column, one filter, one projection: the whole clause
     # ladder stays inside a single whole-stage-codegen span after the
@@ -153,6 +168,7 @@ def merge_frames(
         .when(source_only & ins_cond, F.lit("I"))
         .when(source_only, F.lit("D"))
         .when(target_only & nbs_del, F.lit("D"))
+        .when(target_only & nbs_upd, F.lit("V"))
         .otherwise(F.lit("K"))
     )
 
@@ -175,9 +191,13 @@ def merge_frames(
             update_val = update_set.get(c, t_ref).cast(
                 target.schema[c].dataType
             )
+            nbs_val = (not_matched_by_source_update_set or {}).get(
+                c, t_ref
+            ).cast(target.schema[c].dataType)
             expr = (
                 F.when(F.col("__action") == "U", update_val)
                 .when(F.col("__action") == "I", insert_val)
+                .when(F.col("__action") == "V", nbs_val)
                 .otherwise(t_ref)
             )
         out_cols.append(expr.alias(c))

@@ -322,3 +322,27 @@ def test_cas_promote_rejects_keep_below_two(spark, tmp_path):
     cat.stage_version(spark.range(6), "t", token="x")
     with pytest.raises(ValueError, match="keep >= 2"):
         cat.promote_version(spark, "t", keep=1, expected_version=1, token="x")
+
+
+def test_merge_not_matched_by_source_update(spark):
+    """Delta's WHEN NOT MATCHED BY SOURCE THEN UPDATE: target rows the
+    source stopped mentioning get marked (expressions see t.* only);
+    the NBS delete clause still wins over the NBS update when both
+    fire."""
+    source = spark.createDataFrame(
+        [(2, "b2", 2.0)], "id int, tag string, amount double"
+    )
+    out = merge_frames(
+        _target(spark),
+        source,
+        ["id"],
+        not_matched_by_source_update_set={"tag": F.lit("stale")},
+        not_matched_by_source_update_condition=F.col("t.amount") < 35,
+        delete_when_not_matched_by_source=F.col("t.amount") > 35,
+    )
+    assert _rows(out) == {
+        (1, "stale", 10.0),   # NBS update fires
+        (2, "b2", 2.0),       # matched update
+        (3, "stale", 30.0),   # NBS update fires
+        # id=4 (amount 40): NBS delete wins
+    }
