@@ -420,6 +420,114 @@ def dedup_segments_within_doc(
     return F.array_join(F.array_distinct(segs), " ")
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """CROSS-document duplicate-SPAN removal — the exact-substring
+    dedup of Lee et al. '22 ("Deduplicating Training Data Makes
+    Language Models Better"), the span-level discipline doc-level
+    dedup can't express: a boilerplate paragraph shared by thousands
+    of otherwise-distinct pages survives doc-level MinHash forever,
+    but every occurrence after the FIRST is cut here while the rest of
+    each document is kept.
+
+    Semantics: tokenize on whitespace; every ``k``-token window whose
+    exact token sequence occurs anywhere else in the corpus (or
+    earlier in the same document) — i.e. every occurrence except the
+    globally first in ``(id, position)`` order — marks its ``k`` token
+    positions for removal. Overlapping duplicated windows merge
+    naturally (a shared run of ``m >= k`` tokens is ``m-k+1`` flagged
+    windows covering exactly those ``m`` tokens), so maximal
+    duplicated spans are removed without ever materializing them. The
+    first occurrence of every span is kept verbatim; documents shorter
+    than ``k`` tokens are untouched.
+
+    Returns ``(id_col, orig_tokens int, removed_tokens int, out_col
+    string)`` — one row per input document, cleaned text reassembled
+    in original token order (empty string when everything was cut).
+
+    Scale design (100 TB): occurrences are ``(id, pos, xxhash64 of the
+    k-gram)`` rows — one narrow posexplode, ~tokens-per-doc rows per
+    doc. First-occurrence detection is a ``groupBy(hash)`` computing
+    ``min(struct(id, pos))`` + ``count`` — map-side partial combine
+    absorbs hot shingles (a boilerplate k-gram with 10^9 occurrences
+    contributes one partial row per task, not a single-reducer
+    straggler) — joined back on the hash, where AQE's skew-join split
+    handles the re-expansion side. Deliberately a groupBy+join rather
+    than a ``row_number`` window: a window over the hash cannot be
+    skew-split, the join can. Per-doc reassembly is one
+    ``groupBy(id)`` of flagged starts (bounded by doc length) and a
+    JVM higher-order ``filter`` over token indices — no Python
+    anywhere. Total: 3 shuffles (hash agg+join share one exchange
+    pair, flagged-starts agg, join back to docs), each on a key with
+    per-group cardinality bounded by doc length or absorbed by
+    partial aggregation. No pair enumeration exists in this plan at
+    all — corpus-degenerate regions (N identical docs) cost N·tokens
+    rows, never N².
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    grams = F.when(
+        F.size("__t") < k, F.array().cast("array<bigint>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size("__t") - k),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__t", i + 1, k))),
+        )
+    )
+    occ = base.select(
+        F.col(id_col), F.posexplode(grams).alias("__pos", "__h")
+    )
+    firsts = occ.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__first"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    flagged = (
+        occ.join(firsts, "__h")
+        .filter(
+            (F.col("__cnt") >= 2)
+            & ~(
+                (F.col(id_col) == F.col("__first")[id_col])
+                & (F.col("__pos") == F.col("__first.__pos"))
+            )
+        )
+        .select(id_col, "__pos")
+    )
+    starts = flagged.groupBy(id_col).agg(
+        F.collect_list("__pos").alias("__starts")
+    )
+    return (
+        base.join(starts, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__t"),
+            F.coalesce("__starts", F.array().cast("array<int>")).alias("__s"),
+        )
+        .select(
+            F.col(id_col),
+            F.size("__t").alias("orig_tokens"),
+            F.filter(
+                "__t",
+                lambda _tok, i: ~F.exists(
+                    "__s", lambda p: (p <= i) & (i < p + F.lit(k))
+                ),
+            ).alias("__kept"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("orig_tokens"),
+            (F.col("orig_tokens") - F.size("__kept"))
+            .cast("int")
+            .alias("removed_tokens"),
+            F.array_join("__kept", " ").alias(out_col),
+        )
+    )
+
+
 #: Fixed demonstration weights for :func:`model_quality_score` — a
 #: stand-in for a trained quality classifier's parameters (fasttext /
 #: logistic-regression style). Order: (distinct_ratio, stopword_frac,

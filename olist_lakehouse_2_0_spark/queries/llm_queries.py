@@ -2938,6 +2938,71 @@ ORDER BY source
 """
 
 
+def cross_doc_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document duplicate-span removal under the hash gate (Lee
+    et al. '22 exact-substring dedup — the span-level discipline the
+    doc-level dedup family can't express): every 8-token window whose
+    exact token sequence occurs anywhere else in the corpus keeps only
+    its globally FIRST occurrence (by ``(doc_id, position)``); all
+    later occurrences have their tokens cut and each document's text
+    is reassembled in order. The corpus' planted near-duplicate docs
+    make this bite: their shared runs are removed from the later copy
+    while the earlier doc survives verbatim. The oracle re-derives the
+    full per-token removal mask in pure SQL over RAW string 8-grams
+    (no hashing — the jaccard_dups trust model covers xxhash64), so a
+    span kept twice, a first occurrence wrongly cut, an off-by-one in
+    window coverage, or tokens reassembled out of order all fail the
+    hash. Plan shape: no pair enumeration anywhere — one groupBy on
+    the 64-bit gram hash (map-side combinable min+count, hot
+    boilerplate grams absorbed by partial aggregation), one AQE-skew-
+    splittable join back, one per-doc rollup; see
+    ``operators/text.py::remove_duplicate_spans``."""
+    docs = load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    return ops_text.remove_duplicate_spans(docs, "doc_id", "text", k=8)
+
+
+CROSS_DOC_SPAN_REMOVAL_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(TRIM(text), '\s+') END AS t
+  FROM documents
+), occ AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(t[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ') AS sh
+  FROM toks, LATERAL UNNEST(range(0, GREATEST(LEN(t) - 7, 0))) AS u(i)
+), flagged AS (
+  SELECT doc_id, pos
+  FROM (SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn
+        FROM occ)
+  WHERE rn > 1
+), tokpos AS (
+  SELECT doc_id, CAST(i AS INT) AS tpos, t[CAST(i + 1 AS INT)] AS tok
+  FROM toks, LATERAL UNNEST(range(0, LEN(t))) AS u(i)
+), kept AS (
+  SELECT tp.doc_id, tp.tpos, tp.tok
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM flagged f
+    WHERE f.doc_id = tp.doc_id
+      AND f.pos <= tp.tpos AND tp.tpos < f.pos + 8
+  )
+), rebuilt AS (
+  SELECT doc_id, COUNT(*) AS kc,
+         string_agg(tok, ' ' ORDER BY tpos) AS ctext
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(LEN(d.t) AS INT) AS orig_tokens,
+       CAST(LEN(d.t) - COALESCE(r.kc, 0) AS INT) AS removed_tokens,
+       COALESCE(r.ctext, '') AS clean_text
+FROM toks d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020: rank
     each language's documents by LM score and split into head/middle/
@@ -3753,6 +3818,7 @@ def exact_substring_decontamination_ac(spark: SparkSession, sf_dir: str) -> Data
 LLM_QUERIES = {
     "segment_dedup": segment_dedup,
     "intra_doc_repetition_removal": intra_doc_repetition_removal,
+    "cross_doc_span_removal": cross_doc_span_removal,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "dsir_importance_weights": dsir_importance_weights,
     "model_scored_quality": model_scored_quality,
@@ -3831,6 +3897,7 @@ LLM_QUERIES = {
 LLM_ORACLES = {
     "segment_dedup": SEGMENT_DEDUP_SQL,
     "intra_doc_repetition_removal": INTRA_DOC_REPETITION_SQL,
+    "cross_doc_span_removal": CROSS_DOC_SPAN_REMOVAL_SQL,
     "ccnet_perplexity_buckets": CCNET_PERPLEXITY_BUCKETS_SQL,
     "dsir_importance_weights": DSIR_IMPORTANCE_SQL,
     "model_scored_quality": MODEL_SCORED_QUALITY_SQL,

@@ -662,6 +662,80 @@ def test_dedup_segments_within_doc_keeps_first_occurrence(spark):
     assert out[5] == ""
 
 
+def test_remove_duplicate_spans_cross_doc_keep_first(spark):
+    """Lee et al. '22 exact-substring semantics: every occurrence of a
+    duplicated k-token span EXCEPT the globally first (by (id, pos))
+    is cut; maximal shared runs longer than k are removed whole; docs
+    shorter than k and unique text are untouched."""
+    from olist_lakehouse_2_0_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    shared = "s1 s2 s3 s4"  # 4-token run duplicated across docs 1..3
+    df = spark.createDataFrame(
+        [
+            # first occurrence of the shared run: kept verbatim
+            (1, f"a b {shared} c d"),
+            # later occurrence embedded in different context: run cut
+            (2, f"x y z {shared} w v u t"),
+            # exact whole-doc copy of doc 2: everything duplicated
+            (3, f"x y z {shared} w v u t"),
+            # unique doc: untouched
+            (4, "q r s t u v w x"),
+            # shorter than k: untouched even though it repeats itself
+            (5, "m m m"),
+            (6, ""),
+        ],
+        "id int, text string",
+    )
+    out = {
+        r.id: (r.orig_tokens, r.removed_tokens, r.clean_text)
+        for r in remove_duplicate_spans(df, "id", "text", k=4).collect()
+    }
+    assert out[1] == (8, 0, f"a b {shared} c d")
+    # doc 2: only windows fully inside the shared run duplicate doc 1
+    # ("x y z s1" etc. also appear in doc 3, but doc 2 precedes doc 3,
+    # so doc 2 keeps them) -- the 4 shared-run tokens are cut.
+    assert out[2] == (11, 4, "x y z w v u t")
+    # doc 3: every window duplicates doc 2 -> whole doc removed
+    assert out[3] == (11, 11, "")
+    assert out[4] == (8, 0, "q r s t u v w x")
+    assert out[5] == (3, 0, "m m m")
+    assert out[6] == (0, 0, "")
+
+
+def test_remove_duplicate_spans_intra_doc_and_overlap_merge(spark):
+    """A span repeated WITHIN one document keeps its first occurrence;
+    overlapping duplicated windows merge into one maximal cut (an
+    m-token shared run removes exactly m tokens, not m-k+1 windows
+    times k)."""
+    from olist_lakehouse_2_0_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    # "p1 p2 p3" appears at pos 0 and again at pos 5 (k=3).
+    df = spark.createDataFrame(
+        [(1, "p1 p2 p3 a b p1 p2 p3 c")],
+        "id int, text string",
+    )
+    (row,) = remove_duplicate_spans(df, "id", "text", k=3).collect()
+    assert (row.orig_tokens, row.removed_tokens) == (9, 3)
+    assert row.clean_text == "p1 p2 p3 a b c"
+
+    # 6-token run shared between two docs with k=3: doc 2 loses all 6
+    # tokens (4 overlapping windows merge), keeps its unique suffix.
+    df2 = spark.createDataFrame(
+        [(1, "r1 r2 r3 r4 r5 r6"), (2, "r1 r2 r3 r4 r5 r6 zz yy xx")],
+        "id int, text string",
+    )
+    out = {
+        r.id: (r.removed_tokens, r.clean_text)
+        for r in remove_duplicate_spans(df2, "id", "text", k=3).collect()
+    }
+    assert out[1] == (0, "r1 r2 r3 r4 r5 r6")
+    assert out[2] == (6, "zz yy xx")
+
+
 def test_multi_pattern_hits_equals_instr_join(spark, sf_correctness):
     """The Aho-Corasick scan must produce exactly the (doc, needle)
     pairs of the per-needle instr join — including overlapping needles
