@@ -158,6 +158,57 @@ FROM g
 """
 
 
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's native VARIANT type (the
+    open-format counterpart of get_json_object string probing):
+    ``parse_json`` converts each props payload ONCE into VARIANT's
+    binary encoding, ``variant_get`` does typed path extraction, and
+    ``try_variant_get`` probes an absent path without erroring — the
+    parse-once/extract-many contract that matters when a payload is
+    probed for many fields (get_json_object re-parses the string per
+    call). All JVM-intrinsic, no UDF, whole-stage codegen. The oracle
+    re-derives every figure with DuckDB's JSON extraction, so a typed
+    extraction that disagrees with plain JSON semantics fails the
+    hash."""
+    ev = load(spark, sf_dir, "events", spread=True).select(
+        "event_type", F.parse_json("props").alias("__v")
+    )
+    k = F.variant_get("__v", "$.k", "int")
+    absent = F.try_variant_get("__v", "$.absent", "int")
+    return (
+        ev.select("event_type", k.alias("__k"), absent.alias("__m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("__k").alias("n_with_k"),
+            F.sum((F.col("__k") > 50).cast("long")).alias("n_k_gt_50"),
+            F.sum("__k").cast("long").alias("sum_k"),
+            F.min("__k").alias("min_k"),
+            F.max("__k").alias("max_k"),
+            F.count("__m").alias("n_absent_hits"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_PROPS_VARIANT_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+       CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_k_gt_50,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+           AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+       COUNT(CAST(json_extract_string(props, '$.absent') AS INTEGER))
+           AS n_absent_hits
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def events_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's most recent view
     at-or-before the purchase time (operators/asof.py union-merge
@@ -1151,6 +1202,7 @@ EVENT_QUERIES = {
     "events_sliding_halfhour": events_sliding_halfhour,
     "events_sessionized": events_sessionized,
     "events_props_by_type": events_props_by_type,
+    "events_props_variant": events_props_variant,
     "events_asof_purchase_view": events_asof_purchase_view,
     "events_error_after_click": events_error_after_click,
     "events_stream_stream_join": events_stream_stream_join,
@@ -1185,6 +1237,7 @@ EVENT_ORACLES = {
     "events_sliding_halfhour": EVENTS_SLIDING_SQL,
     "events_sessionized": EVENTS_SESSIONS_SQL,
     "events_props_by_type": EVENTS_PROPS_SQL,
+    "events_props_variant": EVENTS_PROPS_VARIANT_SQL,
     "events_asof_purchase_view": EVENTS_ASOF_SQL,
     "events_error_after_click": EVENTS_ERROR_AFTER_CLICK_SQL,
     "events_stream_stream_join": EVENTS_STREAM_STREAM_JOIN_SQL,

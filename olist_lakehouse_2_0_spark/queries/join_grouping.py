@@ -568,6 +568,165 @@ GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: semi-join + anti-join against the SAME fact self-scan
+# (suppliers who were the sole late shipper on multi-supplier orders).
+# The reference has nothing like this; a complete engine needs the
+# EXISTS/NOT-EXISTS pair over one self-joined fact — the classic
+# "blame exactly one participant" decorrelation.
+# ---------------------------------------------------------------------------
+def waiting_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For finished ('F') orders with lineitems from MORE than one
+    supplier where EXACTLY one supplier shipped late (> 60 days after
+    the order date), count per supplier how many orders they alone
+    held up — TPC-H Q21's shape on this schema (no commit/receipt
+    dates here, so lateness is ship-vs-order date).
+
+    Plan: the late-lineitem base (one join orders⋈lineitem on the
+    order key) feeds a LEFT SEMI self-join (some OTHER supplier on the
+    order exists) and a LEFT ANTI self-join (no OTHER supplier was
+    ALSO late — the anti condition carries the order date from the
+    left side, so no second orders join). All three lineitem legs
+    shuffle on the same order key and reuse one exchange layout; the
+    supplier dimension broadcasts; the final count is a tiny groupBy.
+    At 100 TB the fact is never joined to itself on anything but the
+    order key — per-order group sizes are bounded by order width, so
+    no skew beyond AQE's reach."""
+    li = load(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders_f = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = F.col("t.l_shipdate") > F.expr("t.o_orderdate + INTERVAL 60 DAYS")
+    l1 = (
+        li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+        .alias("t")
+        .filter(late)
+    )
+    others_exist = l1.join(
+        li.alias("x"),
+        (F.col("t.l_orderkey") == F.col("x.l_orderkey"))
+        & (F.col("t.l_suppkey") != F.col("x.l_suppkey")),
+        "left_semi",
+    )
+    sole_late = others_exist.alias("t").join(
+        li.alias("y"),
+        (F.col("t.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("t.l_suppkey") != F.col("y.l_suppkey"))
+        & (
+            F.col("y.l_shipdate")
+            > F.expr("t.o_orderdate + INTERVAL 60 DAYS")
+        ),
+        "left_anti",
+    )
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.select("l_suppkey")
+        .join(
+            F.broadcast(supplier),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+    )
+
+
+WAITING_SOLE_LATE_SUPPLIER_SQL = """
+WITH l1 AS (
+  SELECT l.l_orderkey, l.l_suppkey, o.o_orderdate
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+FROM l1 t
+JOIN supplier s ON t.l_suppkey = s.s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem x
+    WHERE x.l_orderkey = t.l_orderkey AND x.l_suppkey <> t.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem y
+    WHERE y.l_orderkey = t.l_orderkey AND y.l_suppkey <> t.l_suppkey
+      AND y.l_shipdate > t.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s.s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: scalar aggregate subquery as a comparison threshold
+# + anti-join (rich customers with no urgent orders). Exercises the
+# "compare every row against a global aggregate" decorrelation.
+# ---------------------------------------------------------------------------
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose balance exceeds the average POSITIVE balance and
+    who never placed a '1-URGENT' order, rolled up per market segment
+    — TPC-H Q22's shape (scalar-subquery threshold + NOT EXISTS).
+
+    Exactness discipline: the above-average predicate is CROSS-
+    MULTIPLIED (``balance·n_pos > sum_pos`` in decimal) instead of
+    comparing against a float average — IEEE summation order differs
+    between engines and a boundary customer would flip the hash;
+    decimal products and sums are exact and order-independent. Plan:
+    the one-row aggregate broadcasts (no single-partition window, same
+    as ``nation_revenue_share``), the urgent-order keys anti-join on
+    the customer key, and the rollup groups five segments."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast(MONEY).alias("__bal")
+    )
+    pos = cust.filter(F.col("__bal") > 0).agg(
+        F.sum("__bal").cast(MONEY_SUM).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    rich = cust.crossJoin(F.broadcast(pos)).filter(
+        F.col("__bal") * F.col("__n") > F.col("__s")
+    )
+    urgent = (
+        load(spark, sf_dir, "orders", spread=True)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    idle = rich.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("__bal").cast(MONEY_SUM).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+IDLE_RICH_CUSTOMERS_SQL = """
+WITH pos AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS s,
+         COUNT(*) AS n
+  FROM customer WHERE CAST(c_acctbal AS DECIMAL(12,2)) > 0
+)
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS totacctbal
+FROM customer c, pos
+WHERE CAST(c_acctbal AS DECIMAL(12,2)) * pos.n > pos.s
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 JOIN_GROUPING_QUERIES = {
     "shipments_in_order_windows": shipments_in_order_windows,
     "salted_nation_revenue": salted_nation_revenue,
@@ -579,6 +738,8 @@ JOIN_GROUPING_QUERIES = {
     "similar_name_pairs": similar_name_pairs,
     "customer_order_distribution": customer_order_distribution,
     "first_order_per_customer": first_order_per_customer,
+    "waiting_sole_late_supplier": waiting_sole_late_supplier,
+    "idle_rich_customers": idle_rich_customers,
 }
 
 JOIN_GROUPING_ORACLES = {
@@ -592,4 +753,6 @@ JOIN_GROUPING_ORACLES = {
     "similar_name_pairs": SIMILAR_NAME_PAIRS_SQL,
     "customer_order_distribution": CUSTOMER_ORDER_DISTRIBUTION_SQL,
     "first_order_per_customer": FIRST_ORDER_PER_CUSTOMER_SQL,
+    "waiting_sole_late_supplier": WAITING_SOLE_LATE_SUPPLIER_SQL,
+    "idle_rich_customers": IDLE_RICH_CUSTOMERS_SQL,
 }
