@@ -341,6 +341,103 @@ WHERE c.event_type = 'click' AND e.event_type = 'error'
 """
 
 
+def events_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join under the hash gate —
+    the state-EVICTION half of the streaming join matrix (the inner
+    twin above only ever emits matches; outer correctness additionally
+    requires the engine to prove a row can no longer match and emit
+    its null row exactly once). Clicks left-join errors within
+    [ts, ts+300s]: matched pairs emit as both watermarks pass; each
+    unmatched click emits ONE null-error row only when the watermark
+    passes ``ts + 300s``. A triggered drain never advances the
+    watermark past its own final batch, so the query drains twice —
+    the second drain carries a far-future sentinel row on BOTH feeds
+    (global watermark is the min across inputs), which pushes the
+    watermark past every real row and flushes every pending null-match.
+    Sentinels are filtered from the result; the oracle is the plain
+    batch LEFT JOIN, so a null row dropped (eviction missed), emitted
+    twice (replayed across drains), or emitted for a matched click all
+    fail the hash."""
+    import os
+
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+    from olist_lakehouse_2_0_spark.streaming.ingest import (
+        run_to_parquet,
+        scoped_shuffle_partitions,
+    )
+    from olist_lakehouse_2_0_spark.streaming.joins import stream_interval_join
+
+    events = load(spark, sf_dir, "events", spread=True).filter(
+        F.col("ts").isNotNull()
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_event_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    root = staging_dir("ss_left_join")
+    c_path, e_path = os.path.join(root, "clicks"), os.path.join(root, "errors")
+    clicks.write.parquet(c_path)
+    errors.write.parquet(e_path)
+    out, ckpt = os.path.join(root, "pairs"), os.path.join(root, "ckpt")
+
+    def drain() -> None:
+        c_stream = spark.readStream.schema(clicks.schema).parquet(c_path)
+        e_stream = spark.readStream.schema(errors.schema).parquet(e_path)
+        joined = stream_interval_join(
+            c_stream, e_stream, key="user_id", left_ts="ts",
+            right_ts="error_ts", upper_seconds=300, how="leftOuter",
+        )
+        with scoped_shuffle_partitions(spark, 8):
+            run_to_parquet(joined, out, ckpt)
+
+    drain()  # data batch: matches emit, unmatched clicks stay buffered
+    # Far-future sentinel on BOTH feeds: the second drain's watermark
+    # (min across inputs, computed from the previous batch's max event
+    # time) passes every real row's eviction horizon and the buffered
+    # null-matches flush. The matching sentinel pair joins itself, so
+    # no sentinel state lingers either.
+    sentinel_ts = F.lit("2100-01-01 00:00:00").cast("timestamp")
+    spark.range(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(-1).cast("long").alias("user_id"),
+        sentinel_ts.alias("ts"),
+    ).write.mode("append").parquet(c_path)
+    spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(-1).cast("long").alias("error_event_id"),
+        sentinel_ts.alias("error_ts"),
+    ).write.mode("append").parquet(e_path)
+    drain()  # sentinel batch: watermark jumps, null-matches emit
+
+    schema = (
+        "event_id long, user_id long, ts timestamp,"
+        " error_event_id long, error_ts timestamp"
+    )
+    return (
+        spark.read.schema(schema)
+        .parquet(out)
+        .filter(F.col("event_id") >= 0)
+        .select("event_id", "user_id", "ts", "error_event_id", "error_ts")
+    )
+
+
+EVENTS_STREAM_STREAM_LEFT_JOIN_SQL = """
+SELECT c.event_id, c.user_id, c.ts,
+       e.event_id AS error_event_id,
+       e.ts AS error_ts
+FROM (SELECT * FROM events
+      WHERE event_type = 'click' AND ts IS NOT NULL) c
+LEFT JOIN (SELECT * FROM events
+           WHERE event_type = 'error' AND ts IS NOT NULL) e
+  ON c.user_id = e.user_id
+ AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL '300 seconds'
+"""
+
+
 def events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-bounded streaming dedup under the hash gate
     (previously pytest-only): the event feed is re-staged with every
@@ -1206,6 +1303,7 @@ EVENT_QUERIES = {
     "events_asof_purchase_view": events_asof_purchase_view,
     "events_error_after_click": events_error_after_click,
     "events_stream_stream_join": events_stream_stream_join,
+    "events_stream_stream_left_join": events_stream_stream_left_join,
     "events_streaming_dedup": events_streaming_dedup,
     "events_stream_merge_upsert": events_stream_merge_upsert,
     "events_stream_static_enrich": events_stream_static_enrich,
@@ -1241,6 +1339,7 @@ EVENT_ORACLES = {
     "events_asof_purchase_view": EVENTS_ASOF_SQL,
     "events_error_after_click": EVENTS_ERROR_AFTER_CLICK_SQL,
     "events_stream_stream_join": EVENTS_STREAM_STREAM_JOIN_SQL,
+    "events_stream_stream_left_join": EVENTS_STREAM_STREAM_LEFT_JOIN_SQL,
     "events_streaming_dedup": EVENTS_STREAMING_DEDUP_SQL,
     "events_stream_merge_upsert": EVENTS_STREAM_MERGE_UPSERT_SQL,
     "events_stream_static_enrich": EVENTS_STREAM_STATIC_ENRICH_SQL,

@@ -33,9 +33,23 @@ def stream_interval_join(
     right_ts: str = "right_ts",
     upper_seconds: int = 300,
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two event streams on ``key`` where the right event
-    lands inside ``[left_ts, left_ts + upper_seconds]``.
+    """Join two event streams on ``key`` where the right event lands
+    inside ``[left_ts, left_ts + upper_seconds]``.
+
+    ``how`` is ``"inner"`` (matches only) or ``"leftOuter"`` (every
+    left row eventually emits; unmatched ones with NULL right columns).
+    Outer semantics are WATERMARK-DRIVEN: a left row's null-match is
+    emitted only once the watermark passes ``left_ts + upper_seconds``
+    — the engine can't know "no match will come" any earlier. In a
+    triggered (availableNow) drain the watermark advances BETWEEN
+    micro-batches, so the final batch's unmatched rows stay buffered
+    until a later drain advances the watermark past them (the
+    ``events_stream_stream_left_join`` query flushes them with a
+    far-future sentinel row; a continuous deployment just keeps
+    running). Spark requires the time bound for exactly this reason —
+    it is also what bounds the outer state.
 
     Column names other than ``key`` must be disjoint between the two
     inputs (pre-alias as needed). Watermarks are applied to both sides;
@@ -54,7 +68,7 @@ def stream_interval_join(
             <= F.col(left_ts) + F.expr(f"interval {int(upper_seconds)} seconds")
         )
     )
-    return lw.join(rw, cond, "inner").drop("__rkey")
+    return lw.join(rw, cond, how).drop("__rkey")
 
 
 def stream_static_enrich(
