@@ -528,6 +528,42 @@ def remove_duplicate_spans(
     )
 
 
+def word_window_udtf():
+    """Python UDTF (table function) seam — the one Python modality the
+    engine's UDF matrix otherwise lacks (Column exprs, SQL UDFs,
+    pandas UDFs, mapInPandas, applyInPandasWithState are all covered
+    elsewhere): ONE input row expanding to N output rows from
+    imperative Python. Registered via ``spark.udtf.register`` and
+    invoked with SQL ``LATERAL``; ``useArrow=True`` batches the
+    column transfer.
+
+    The demo logic — non-overlapping ``size``-token windows with an
+    id, text, and token count — is deliberately SQL-mirrorable so the
+    driver can hash-gate the plumbing (``doc_chunks_udtf``). When the
+    per-row expansion IS expressible as JVM ``sequence``/``slice``/
+    ``posexplode`` (as this one is), prefer that path
+    (:func:`token_chunks` — whole-stage codegen, no Python): the UDTF
+    seam is for expansions that genuinely need Python per row — real
+    sentence segmenters, grammar parsers, model-generated multi-row
+    outputs — where ``eval`` runs once per input row (Arrow batches
+    the transport, not the loop). Returns the decorated class, ready
+    for ``spark.udtf.register``."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="chunk_id int, chunk string, n_tokens int",
+        useArrow=True,
+    )
+    class WordWindows:
+        def eval(self, text: str, size: int):
+            toks = text.split() if text and text.strip() else []
+            for i in range(0, len(toks), size):
+                win = toks[i : i + size]
+                yield i // size, " ".join(win), len(win)
+
+    return WordWindows
+
+
 #: Fixed demonstration weights for :func:`model_quality_score` — a
 #: stand-in for a trained quality classifier's parameters (fasttext /
 #: logistic-regression style). Order: (distinct_ratio, stopword_frac,

@@ -3003,6 +3003,64 @@ FROM toks d LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python UDTF (table function) surface under the hash gate:
+    non-overlapping 16-token windows expanded by
+    ``operators/text.py::word_window_udtf`` through SQL ``LATERAL``
+    (one input row → N output rows from imperative Python,
+    Arrow-batched transport), rolled up per source. The logic twins
+    the JVM ``token_chunks`` path (``doc_chunks``) on purpose: the
+    oracle re-derives every window in SQL, so the UDTF plumbing —
+    registration, lateral correlation, arrow serialization, empty-doc
+    zero-expansion — is value-verified, and the docstring contract
+    ("prefer the JVM path when expressible") stays honest because the
+    twin query IS that path."""
+    from olist_lakehouse_2_0_spark.operators.text import word_window_udtf
+
+    spark.udtf.register("word_windows", word_window_udtf())
+    load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "source", "text"
+    ).createOrReplaceTempView("__docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.source,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(w.n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(SUM(CASE WHEN w.n_tokens < 16 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_partial,
+               CAST(SUM(LENGTH(w.chunk)) AS BIGINT) AS sum_chunk_chars
+        FROM __docs_for_udtf d, LATERAL word_windows(d.text, 16) w
+        GROUP BY d.source
+        ORDER BY d.source
+        """
+    )
+
+
+DOC_CHUNKS_UDTF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(TRIM(text), '\s+') AS t
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), wins AS (
+  SELECT source,
+         CAST(LEAST(16, LEN(t) - i * 16) AS INT) AS n_tokens,
+         LENGTH(array_to_string(
+           t[CAST(i * 16 + 1 AS INT):CAST(LEAST((i + 1) * 16, LEN(t)) AS INT)],
+           ' ')) AS chunk_chars
+  FROM toks,
+       LATERAL UNNEST(range(0, CAST(CEIL(LEN(t) / 16.0) AS BIGINT))) AS u(i)
+)
+SELECT source,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(CASE WHEN n_tokens < 16 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_partial,
+       CAST(SUM(chunk_chars) AS BIGINT) AS sum_chunk_chars
+FROM wins
+GROUP BY source
+ORDER BY source
+"""
+
+
 def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020: rank
     each language's documents by LM score and split into head/middle/
@@ -3819,6 +3877,7 @@ LLM_QUERIES = {
     "segment_dedup": segment_dedup,
     "intra_doc_repetition_removal": intra_doc_repetition_removal,
     "cross_doc_span_removal": cross_doc_span_removal,
+    "doc_chunks_udtf": doc_chunks_udtf,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "dsir_importance_weights": dsir_importance_weights,
     "model_scored_quality": model_scored_quality,
@@ -3898,6 +3957,7 @@ LLM_ORACLES = {
     "segment_dedup": SEGMENT_DEDUP_SQL,
     "intra_doc_repetition_removal": INTRA_DOC_REPETITION_SQL,
     "cross_doc_span_removal": CROSS_DOC_SPAN_REMOVAL_SQL,
+    "doc_chunks_udtf": DOC_CHUNKS_UDTF_SQL,
     "ccnet_perplexity_buckets": CCNET_PERPLEXITY_BUCKETS_SQL,
     "dsir_importance_weights": DSIR_IMPORTANCE_SQL,
     "model_scored_quality": MODEL_SCORED_QUALITY_SQL,

@@ -767,3 +767,38 @@ def test_multi_pattern_hits_equals_instr_join(spark, sf_correctness):
     assert got == want
     assert any(nid == 1 for _, nid in got)
     assert not any(nid == 4 for _, nid in got)
+
+
+def test_word_window_udtf_matches_jvm_chunking(spark, sf_correctness):
+    """The Python UDTF expansion must produce exactly the chunks of the
+    JVM token_chunks path at the same window/stride (stride == window:
+    non-overlapping), including zero rows for empty documents."""
+    from olist_lakehouse_2_0_spark.operators.text import (
+        token_chunks,
+        word_window_udtf,
+    )
+
+    docs = spark.read.parquet(f"{sf_correctness}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    spark.udtf.register("word_windows_test", word_window_udtf())
+    docs.createOrReplaceTempView("__docs_udtf_test")
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.chunk)
+        for r in spark.sql(
+            "SELECT d.doc_id, w.chunk_id, w.chunk"
+            " FROM __docs_udtf_test d, LATERAL word_windows_test(d.text, 16) w"
+        ).collect()
+    )
+    jvm = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.posexplode(token_chunks("text", window=16, stride=16)).alias(
+                "chunk_id", "toks"
+            ),
+        )
+        .select("doc_id", "chunk_id", F.array_join("toks", " ").alias("chunk"))
+    )
+    expected = sorted((r.doc_id, r.chunk_id, r.chunk) for r in jvm.collect())
+    assert got == expected and len(got) > 0
