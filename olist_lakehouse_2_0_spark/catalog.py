@@ -553,6 +553,34 @@ class Catalog:
         self.stage_version(df, name, layer, enforce_schema, allow_new_columns)
         return self.promote_version(spark, name, layer, keep)
 
+    @staticmethod
+    def analyze(
+        spark: SparkSession,
+        table: str,
+        columns: list[str] | None = None,
+    ) -> None:
+        """Collect table (and optionally column) statistics for the
+        cost-based optimizer — the post-ingest discipline that makes
+        CBO work at 100 TB. Without column stats Spark sizes a join
+        side by its RAW bytes, so a selective filter over a large
+        table is still planned as a sort-merge join; with min/max/NDV
+        stats the optimizer estimates the post-filter cardinality and
+        broadcasts the genuinely-small side instead (the measured flip
+        is pinned in tests/test_plans.py::
+        test_analyze_statistics_flip_join_to_broadcast). Session-
+        catalog tables only (statistics live in table metadata, not on
+        raw paths) — the bucketed/saved tables this catalog writes via
+        ``saveAsTable``. Run it after every large write, the way a
+        warehouse schedules ANALYZE after ingest; the scan is one
+        pass, column stats piggyback on it."""
+        quoted = f"`{table}`"
+        if columns:
+            cols = ", ".join(f"`{c}`" for c in columns)
+            spark.sql(
+                f"ANALYZE TABLE {quoted} COMPUTE STATISTICS FOR COLUMNS {cols}"
+            )
+        spark.sql(f"ANALYZE TABLE {quoted} COMPUTE STATISTICS")
+
     def write_bucketed(
         self,
         df: DataFrame,

@@ -260,3 +260,55 @@ def test_merge_without_insert_broadcasts_small_source(spark):
     )
     plan2 = _formatted_plan(with_insert)
     assert "FullOuter" in plan2
+
+
+def test_analyze_statistics_flip_join_to_broadcast(spark):
+    """Catalog.analyze makes CBO estimate POST-FILTER cardinality: the
+    same filtered-dim join plans as SortMergeJoin on raw table size
+    before ANALYZE and as BroadcastHashJoin after column stats land."""
+    from pyspark.sql import functions as F
+
+    from olist_lakehouse_2_0_spark.catalog import Catalog
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    spark.sql("DROP TABLE IF EXISTS cbo_fact_t")
+    spark.sql("DROP TABLE IF EXISTS cbo_dim_t")
+    orders.write.saveAsTable("cbo_fact_t")
+    orders.write.saveAsTable("cbo_dim_t")
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    # threshold between the filtered estimate and the raw table size
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024))
+    try:
+
+        def executed_plan() -> str:
+            fact = spark.table("cbo_fact_t")
+            dim = (
+                spark.table("cbo_dim_t")
+                .filter(F.col("o_totalprice") < 5000)  # ~0.5% of rows
+                .select(F.col("o_orderkey").alias("dk"), "o_totalprice")
+            )
+            joined = fact.join(dim, fact.o_orderkey == dim.dk)
+            return joined._jdf.queryExecution().executedPlan().toString()
+
+        before = executed_plan()
+        assert "SortMergeJoin" in before and "BroadcastHashJoin" not in before
+        Catalog.analyze(
+            spark, "cbo_dim_t", columns=["o_totalprice", "o_orderkey"]
+        )
+        after = executed_plan()
+        assert "BroadcastHashJoin" in after and "SortMergeJoin" not in after
+        # the filter is selective but NOT empty — the estimate is real
+        n = spark.table("cbo_dim_t").filter("o_totalprice < 5000").count()
+        assert n > 0
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS cbo_fact_t")
+        spark.sql("DROP TABLE IF EXISTS cbo_dim_t")
