@@ -123,3 +123,30 @@ def test_simhash_expansion_emits_identical_group_pairs(spark):
     expected = {(i, j) for i in range(5) for j in range(5) if i < j}
     assert set(rows) == expected
     assert all(v == 0 for v in rows.values())
+
+
+def test_span_removal_linear_on_identical_flood(spark, adversarial):
+    """Cross-doc span removal on 10^4 identical docs: the plan stays
+    linear (occurrence rows = docs x windows, one min+count group per
+    gram hash — never a pair blowup) and the semantics hold: the
+    (doc_id-)first copy survives verbatim, every other copy is cut to
+    empty, and the 8 distinct docs are untouched."""
+    from olist_lakehouse_2_0_spark.operators.text import (
+        remove_duplicate_spans,
+    )
+
+    out = remove_duplicate_spans(adversarial, "doc_id", "text", k=8)
+    agg = out.agg(
+        F.sum((F.col("removed_tokens") == 0).cast("long")).alias("kept"),
+        F.sum(
+            ((F.col("doc_id") < 100_000) & (F.col("clean_text") == "")).cast(
+                "long"
+            )
+        ).alias("emptied"),
+        F.sum("removed_tokens").alias("total_removed"),
+    ).first()
+    # doc 0 survives; docs 1..9999 are emptied; 8 distinct docs with no
+    # duplicated 8-gram keep all tokens (their windows are unique).
+    assert agg.kept == 1 + 8
+    assert agg.emptied == 10_000 - 1
+    assert agg.total_removed == (10_000 - 1) * 17  # 17 tokens each
