@@ -269,3 +269,63 @@ def test_collapsed_lsh_candidates_equal_naive_banding(spark, docs):
         if a < b
     }
     assert got == want
+
+
+def _span_removal_expected(docs: list[list[str]], k: int):
+    """Plain-Python reference for remove_duplicate_spans: flag every
+    k-window occurrence that is not the globally (doc, pos)-first of
+    its token sequence, cut covered tokens, reassemble in order."""
+    first: dict[tuple, tuple] = {}
+    for i, toks in enumerate(docs):
+        for p in range(0, len(toks) - k + 1):
+            key = tuple(toks[p : p + k])
+            if key not in first:
+                first[key] = (i, p)
+    out = {}
+    for i, toks in enumerate(docs):
+        flagged = [
+            p
+            for p in range(0, len(toks) - k + 1)
+            if first[tuple(toks[p : p + k])] != (i, p)
+        ]
+        kept = [
+            t
+            for ti, t in enumerate(toks)
+            if not any(p <= ti < p + k for p in flagged)
+        ]
+        out[i] = (len(toks), len(toks) - len(kept), " ".join(kept))
+    return out
+
+
+span_docs_strategy = st.lists(
+    st.lists(st.sampled_from("abc"), min_size=0, max_size=14),
+    min_size=0,
+    max_size=7,
+)
+
+
+@pytest.mark.usefixtures("spark")
+class TestSpanRemovalProperties:
+    @given(docs=span_docs_strategy, k=st.integers(2, 4))
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_span_removal_equals_python_reference(self, spark, docs, k):
+        """A 3-letter vocabulary makes duplicated k-grams (cross-doc
+        AND intra-doc, overlapping and nested) near-certain; the Spark
+        result must equal the reference on every generated corpus."""
+        from olist_lakehouse_2_0_spark.operators.text import (
+            remove_duplicate_spans,
+        )
+
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "id long, text string",
+        )
+        got = {
+            r.id: (r.orig_tokens, r.removed_tokens, r.clean_text)
+            for r in remove_duplicate_spans(df, "id", "text", k=k).collect()
+        }
+        assert got == _span_removal_expected(docs, k)
