@@ -243,6 +243,10 @@ _CHANGED_IN_R5 = {
     # late round 5: dedupe_stream gained the restamped variant (default
     # path re-verified but the operator changed under the query)
     "events_streaming_dedup",
+    # late round 5: stream_interval_join gained the `how` parameter for
+    # the LEFT OUTER twin — the inner query's plan is unchanged but its
+    # code path now routes through the parameter, so re-confirm it
+    "events_stream_stream_join",
 }
 
 #: Queries hash-green in round 3's window (CORRECTNESS_r03.json — 47
