@@ -104,6 +104,75 @@ def mixture_sample(
     return df.filter(keep)
 
 
+def temperature_mixture(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    budget: int,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Temperature-based mixture sampling at α = 0.5 (the XLM-R /
+    multilingual-LM rebalancing: sample source *i* proportional to
+    ``p_i^α``, up-weighting small sources, down-weighting dominant
+    ones). Given per-group masses ``n_i`` (row counts, or the sum of
+    ``weight_col`` — e.g. tokens), the target take from group *i* is
+    ``budget · √n_i / Σ_j √n_j``, applied as a deterministic md5-prefix
+    keep-rate ``min(1, budget·√n_i / (Σ√n · n_i))``.
+
+    Exactness discipline (the float-pow trap): general ``p^α`` is NOT
+    correctly rounded and differs across libms, so only α = 0.5 is
+    offered — IEEE-754 ``sqrt`` IS exactly rounded, every engine
+    returns the same double. Each ``√n_i`` is then quantized to an
+    integer (``floor(√n · 1e6)``: the 1e6 scaling and floor are also
+    exact) and everything downstream — the Σ, the rate in 1/65536
+    units, the hex threshold — is integer arithmetic in DECIMAL(38,0),
+    overflow-safe at any corpus size and bit-identical in any engine.
+
+    Plan: one groupBy for the per-group masses, a one-row total, the
+    group→rate map broadcast back onto the corpus, then the same
+    shuffle-free md5-prefix filter as :func:`mixture_sample` — the
+    corpus itself never shuffles. Adding a new group changes only its
+    own rate computation, never the kept set's determinism."""
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    stats = (
+        df.groupBy(group_col)
+        .agg(F.sum(w).alias("__n"))
+        .withColumn(
+            "__s",
+            F.floor(F.sqrt(F.col("__n")) * F.lit(1000000.0)).cast("long"),
+        )
+    )
+    total = stats.agg(F.sum("__s").alias("__sum_s"))
+    rates = (
+        stats.crossJoin(F.broadcast(total))
+        .withColumn(
+            "__r16",
+            F.expr(
+                f"CAST((CAST(65536 AS DECIMAL(38,0)) * {int(budget)} * __s)"
+                " DIV (CAST(__sum_s AS DECIMAL(38,0)) * __n) AS BIGINT)"
+            ),
+        )
+        .select(
+            group_col,
+            "__r16",
+            F.lower(F.lpad(F.hex(F.least(F.col("__r16"), F.lit(65535))), 4, "0")).alias(
+                "__thr"
+            ),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(
+            (F.col("__r16") >= 65536) | (_hex4(F.col(key_col)) < F.col("__thr"))
+        )
+        .drop("__r16", "__thr")
+    )
+
+
 def epoch_oversample(
     df: DataFrame, key_col: str, group_col: str, rates: dict[str, float]
 ) -> DataFrame:

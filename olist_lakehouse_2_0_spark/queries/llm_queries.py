@@ -3003,6 +3003,60 @@ FROM toks d LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (α = 0.5) mixture sampling under the hash gate
+    — the XLM-R/mT5 rebalancing that up-weights small sources: each
+    source's keep-rate is ``budget·√n_i / (Σ√n · n_i)`` over its exact
+    token mass, applied as the deterministic md5-prefix filter. The
+    whole rate computation is integer arithmetic over IEEE-exact
+    ``sqrt`` quantizations (see ``operators/sampling.py::
+    temperature_mixture`` for why only α = 0.5 is portable), so the
+    oracle recomputes the EXACT kept set — a one-ulp rate divergence
+    anywhere would shift a bucket boundary and fail the hash. The
+    10k-token budget is selective at sf0.01/sf0.1 and exceeds the
+    corpus at sf0.001, exercising the rate-cap-at-1 path there."""
+    from olist_lakehouse_2_0_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id",
+        "source",
+        ops_text.token_count("text").cast("long").alias("n_tokens"),
+    )
+    kept = temperature_mixture(
+        docs, "doc_id", "source", budget=10_000, weight_col="n_tokens"
+    )
+    return kept.select("doc_id", "source", "n_tokens")
+
+
+TEMPERATURE_MIXTURE_SQL = r"""
+WITH w AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM documents
+), stats AS (
+  SELECT source, SUM(n_tokens) AS n,
+         CAST(FLOOR(SQRT(SUM(n_tokens)) * 1000000.0) AS BIGINT) AS s
+  FROM w GROUP BY source
+), tot AS (
+  SELECT SUM(s) AS big_s FROM stats
+), rates AS (
+  SELECT source,
+         CAST((CAST(65536 AS HUGEINT) * 10000 * s)
+              // (CAST(big_s AS HUGEINT) * n) AS BIGINT) AS r16
+  FROM stats, tot
+)
+SELECT w.doc_id, w.source, w.n_tokens
+FROM w JOIN rates USING (source)
+WHERE rates.r16 >= 65536
+   OR SUBSTRING(MD5(CAST(w.doc_id AS VARCHAR)), 1, 4)
+      < printf('%04x', LEAST(rates.r16, 65535))
+"""
+
+
 def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Python UDTF (table function) surface under the hash gate:
     non-overlapping 16-token windows expanded by
@@ -3878,6 +3932,7 @@ LLM_QUERIES = {
     "intra_doc_repetition_removal": intra_doc_repetition_removal,
     "cross_doc_span_removal": cross_doc_span_removal,
     "doc_chunks_udtf": doc_chunks_udtf,
+    "temperature_mixture_sample": temperature_mixture_sample,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "dsir_importance_weights": dsir_importance_weights,
     "model_scored_quality": model_scored_quality,
@@ -3958,6 +4013,7 @@ LLM_ORACLES = {
     "intra_doc_repetition_removal": INTRA_DOC_REPETITION_SQL,
     "cross_doc_span_removal": CROSS_DOC_SPAN_REMOVAL_SQL,
     "doc_chunks_udtf": DOC_CHUNKS_UDTF_SQL,
+    "temperature_mixture_sample": TEMPERATURE_MIXTURE_SQL,
     "ccnet_perplexity_buckets": CCNET_PERPLEXITY_BUCKETS_SQL,
     "dsir_importance_weights": DSIR_IMPORTANCE_SQL,
     "model_scored_quality": MODEL_SCORED_QUALITY_SQL,

@@ -121,3 +121,35 @@ def test_cluster_safe_split_keeps_duplicate_clusters_together(spark):
     }
     got = {r["rep"]: r["split"] for r in out.select("rep", "split").distinct().collect()}
     assert got == want
+
+
+def test_temperature_mixture_flattens_and_respects_budget(spark):
+    """α=0.5 temperature semantics: the SMALL source keeps a strictly
+    higher fraction of itself than the big one (that is the point of
+    temperature sampling), the total take lands near the budget, runs
+    are deterministic, and a budget above the corpus keeps everything
+    (rate caps at 1)."""
+    from olist_lakehouse_2_0_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    rows = [(i, "big" if i < 9000 else "small") for i in range(10_000)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    kept = temperature_mixture(df, "id", "src", budget=2_000)
+    counts = {
+        r.src: r.n
+        for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    frac_big = counts["big"] / 9000
+    frac_small = counts["small"] / 1000
+    assert frac_small > frac_big  # flattening
+    # expected takes: 2000·√n_i/(√9000+√1000) → ~1500 big, ~500 small
+    assert abs(counts["big"] - 1500) < 150
+    assert abs(counts["small"] - 500) < 80
+    # deterministic
+    again = temperature_mixture(df, "id", "src", budget=2_000)
+    assert sorted(r.id for r in kept.collect()) == sorted(
+        r.id for r in again.collect()
+    )
+    # cap-at-1: budget above corpus keeps every row
+    assert temperature_mixture(df, "id", "src", budget=50_000).count() == 10_000
