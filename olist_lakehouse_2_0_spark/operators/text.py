@@ -713,6 +713,73 @@ def multi_pattern_hits(
     return src.mapInPandas(scan, schema)
 
 
+def heavy_hitter_tokens(
+    df: DataFrame, text_col: str = "text", threshold_k: int = 64
+) -> DataFrame:
+    """EXACT heavy hitters — every token with frequency > n/``threshold_k``
+    and its exact count — without ever shuffling the distinct-token
+    space. The plain ``groupBy(token)`` shuffles one key per distinct
+    token (at 100 TB of web text: ~10⁹ keys, almost all singletons that
+    exist only to be discarded by the threshold); this two-pass shape
+    shuffles at most ``partitions × k`` candidate rows.
+
+    Pass 1 (candidates): each partition builds a Misra-Gries summary
+    with k = ``threshold_k`` counters — the classic mergeable sketch
+    (MG with k counters undercounts by at most m/(k+1) over a stream of
+    length m, so any token with count > m/(k+1) survives). Batches
+    merge by counter addition followed by the (k+1)-th-largest
+    subtraction prune, which preserves the bound (Agarwal et al.,
+    "Mergeable Summaries", PODS'12). Pigeonhole across partitions: a
+    token with GLOBAL count > n/(k+1) must exceed n_p/(k+1) in at
+    least one partition, so the union of partition summaries is a
+    SUPERSET of every global heavy hitter at the (stricter) n/k
+    threshold. Arrow-batched mapInPandas, zero shuffle, O(k) state.
+
+    Pass 2 (verify): exact counts for candidates only — explode tokens,
+    broadcast-semi-join the candidate set, one bounded groupBy — and
+    the cross-multiplied integer filter ``count · k > n`` (no float
+    division). Superset + exact counts + exact filter ⇒ the output IS
+    the true heavy-hitter relation, which is why a plain SQL oracle
+    can hash-gate an approximate-sketch pipeline
+    (``heavy_hitter_tokens`` query). Returns (token, n_occurrences).
+    """
+    from collections import Counter
+
+    import pandas as pd  # noqa: F811
+
+    k = int(threshold_k)
+    src = df.select(F.col(text_col).alias("__text"))
+
+    def summarize(batches):
+        counters: Counter = Counter()
+        for pdf in batches:
+            batch = Counter()
+            for text in pdf["__text"]:
+                if text and text.strip():
+                    batch.update(text.split())
+            counters.update(batch)
+            if len(counters) > k:
+                kth = sorted(counters.values(), reverse=True)[k]
+                counters = Counter(
+                    {t: c - kth for t, c in counters.items() if c > kth}
+                )
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = src.mapInPandas(summarize, "token string").distinct()
+    exploded = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    total = df.agg(
+        F.sum(F.size(tokens(F.col(text_col)))).cast("long").alias("__n")
+    )
+    return (
+        exploded.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * k > F.col("__n"))
+        .select("token", "n_occurrences")
+    )
+
+
 def token_pair_counts(df: DataFrame, text_col: str, top_n: int = 20) -> DataFrame:
     """Global adjacent-token-pair frequencies, top ``top_n`` — one
     distributed iteration of the BPE merge-selection step (count every

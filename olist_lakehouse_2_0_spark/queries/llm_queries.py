@@ -3003,6 +3003,39 @@ FROM toks d LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters through the mergeable Misra-Gries path under the
+    hash gate: tokens with frequency > n/64 found WITHOUT a
+    distinct-token shuffle (per-partition bounded-memory summaries →
+    pigeonhole-guaranteed candidate superset → exact counts for
+    candidates only). Because the sketch output is then exactly
+    verified, the result equals the plain GROUP-BY-and-filter relation
+    — which is exactly what the oracle computes, so a single missed
+    heavy hitter (a broken MG prune or merge) fails the hash. See
+    ``operators/text.py::heavy_hitter_tokens`` for the m/(k+1) bound
+    and why this matters at 10⁹ distinct tokens."""
+    from olist_lakehouse_2_0_spark.operators.text import (
+        heavy_hitter_tokens as hh,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True).select("text")
+    return hh(docs, "text", threshold_k=64)
+
+
+HEAVY_HITTER_TOKENS_SQL = r"""
+WITH toks AS (
+  SELECT UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS token
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), tot AS (
+  SELECT COUNT(*) AS n FROM toks
+)
+SELECT token, COUNT(*) AS n_occurrences
+FROM toks, tot
+GROUP BY token, tot.n
+HAVING COUNT(*) * 64 > tot.n
+"""
+
+
 def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based (α = 0.5) mixture sampling under the hash gate
     — the XLM-R/mT5 rebalancing that up-weights small sources: each
@@ -3933,6 +3966,7 @@ LLM_QUERIES = {
     "cross_doc_span_removal": cross_doc_span_removal,
     "doc_chunks_udtf": doc_chunks_udtf,
     "temperature_mixture_sample": temperature_mixture_sample,
+    "heavy_hitter_tokens": heavy_hitter_tokens,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "dsir_importance_weights": dsir_importance_weights,
     "model_scored_quality": model_scored_quality,
@@ -4014,6 +4048,7 @@ LLM_ORACLES = {
     "cross_doc_span_removal": CROSS_DOC_SPAN_REMOVAL_SQL,
     "doc_chunks_udtf": DOC_CHUNKS_UDTF_SQL,
     "temperature_mixture_sample": TEMPERATURE_MIXTURE_SQL,
+    "heavy_hitter_tokens": HEAVY_HITTER_TOKENS_SQL,
     "ccnet_perplexity_buckets": CCNET_PERPLEXITY_BUCKETS_SQL,
     "dsir_importance_weights": DSIR_IMPORTANCE_SQL,
     "model_scored_quality": MODEL_SCORED_QUALITY_SQL,

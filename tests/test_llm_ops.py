@@ -802,3 +802,41 @@ def test_word_window_udtf_matches_jvm_chunking(spark, sf_correctness):
     )
     expected = sorted((r.doc_id, r.chunk_id, r.chunk) for r in jvm.collect())
     assert got == expected and len(got) > 0
+
+
+def test_heavy_hitter_tokens_exact_on_skewed_long_tail(spark):
+    """The Misra-Gries candidate pass must survive its worst case: a
+    few true heavy hitters buried in a long tail of singletons that
+    constantly evict counters. The result must EQUAL the exact
+    group-by relation — count and threshold boundary included."""
+    from collections import Counter
+
+    from olist_lakehouse_2_0_spark.operators.text import heavy_hitter_tokens
+
+    # 3000 singleton tokens + 'hot' at ~20% + 'warm' just above n/32
+    # + 'cool' just below it, scattered across 16 partitions.
+    words = [f"rare{i}" for i in range(3000)]
+    n_pad = len(words)
+    docs = []
+    for i in range(300):
+        chunk = words[i * 10 : (i + 1) * 10]
+        docs.append(" ".join(chunk + ["hot"] * 3))
+    total_so_far = n_pad + 900
+    # choose counts so warm > n/32 >= cool with n = total + warm + cool
+    warm, cool = 140, 120  # n = 4160 -> n/32 = 130
+    docs.append(" ".join(["warm"] * warm))
+    docs.append(" ".join(["cool"] * cool))
+    df = spark.createDataFrame(
+        [(t,) for t in docs], "text string"
+    ).repartition(16)
+
+    got = {
+        r.token: r.n_occurrences
+        for r in heavy_hitter_tokens(df, "text", threshold_k=32).collect()
+    }
+    exact = Counter(" ".join(docs).split())
+    n = sum(exact.values())
+    expected = {t: c for t, c in exact.items() if c * 32 > n}
+    assert got == expected
+    assert "hot" in got and "warm" in got and "cool" not in got
+    assert total_so_far + warm + cool == n
