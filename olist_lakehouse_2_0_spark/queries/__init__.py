@@ -288,10 +288,11 @@ def _ordered_for_window(
     their NEWEST driver row, stalest first, so spare slots re-confirm
     the oldest evidence. After round 4's window, the stalest evidence
     is r2 (every r1-checked survivor was re-confirmed in r2-r4).
-    Round 5 added 24 never-windowed queries, so its ~50-row window =
-    24 new + 6 changed + the 20 stalest r2-latest greens; the 17
+    Round 5 added 26 never-windowed queries, so its ~50-row window =
+    26 new + 7 changed + the 17 stalest r2-latest greens; the 20
     remaining r2-latest queries (all tri-scale green in this round's
-    local sweep) rotate to the front of round 6's window."""
+    full local sweeps, re-run after every addition) rotate to the
+    front of round 6's window."""
     never_checked: list[tuple[str, QueryFn]] = []
     changed_this_round: list[tuple[str, QueryFn]] = []
     by_latest: dict[int, list[tuple[str, QueryFn]]] = {1: [], 2: [], 3: [], 4: []}
