@@ -727,6 +727,126 @@ ORDER BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: max over an AGGREGATED relation, equality-joined back
+# (ties kept) — the "top revenue supplier(s)" view pattern, distinct
+# from the per-key argmin join-back (first_order_per_customer).
+# ---------------------------------------------------------------------------
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum 1996 shipped revenue — TPC-H Q15:
+    aggregate per supplier, take the scalar MAX of the aggregate, keep
+    every supplier equal to it (ties preserved, unlike LIMIT 1).
+    Revenue is exact decimal, so the tie comparison cannot diverge
+    between engines. Plan: one lineitem aggregate (partial-combined on
+    suppkey), a one-row MAX broadcast back onto the supplier-sized
+    aggregate, the supplier dim broadcast for names — the fact is
+    scanned once."""
+    li = load(spark, sf_dir, "lineitem", spread=True).filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    # Sum stays at its natural scale-4 (the repo's revenue idiom, see
+    # revenue_by_nation): a final round-to-cents cast can land on a
+    # .xx5 boundary where Spark rounds HALF_UP and DuckDB HALF_EVEN.
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast(MONEY)
+            * (1 - F.col("l_discount").cast("decimal(4,2)"))
+        )
+        .cast("decimal(18,4)")
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+TOP_REVENUE_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2))))
+              AS DECIMAL(18,4)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: NOT IN anti-subquery + negated LIKE + COUNT(DISTINCT)
+# over a three-way dimension grain.
+# ---------------------------------------------------------------------------
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many DISTINCT suppliers can ship each (brand, type, size)
+    part profile — excluding one brand, every promo-type, and all
+    negative-balance suppliers (the complaint analogue) — TPC-H Q16's
+    shape: a NOT IN subquery (planned as a left-anti join on the
+    supplier key), a negated LIKE pushed to the part scan, and
+    COUNT(DISTINCT) at a dimension grain. Plan: the excluded-supplier
+    set is supplier-sized (broadcast anti), the part dim broadcasts
+    into the lineitem scan, and the distinct count partial-aggregates
+    on the (brand, type, size, suppkey) grain before the final
+    exchange."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (~F.col("p_type").like("PROMO%"))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_suppliers = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load(spark, sf_dir, "lineitem", spread=True).select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        li.join(
+            F.broadcast(bad_suppliers),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+PART_SUPPLIER_VARIETY_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
 JOIN_GROUPING_QUERIES = {
     "shipments_in_order_windows": shipments_in_order_windows,
     "salted_nation_revenue": salted_nation_revenue,
@@ -740,6 +860,8 @@ JOIN_GROUPING_QUERIES = {
     "first_order_per_customer": first_order_per_customer,
     "waiting_sole_late_supplier": waiting_sole_late_supplier,
     "idle_rich_customers": idle_rich_customers,
+    "top_revenue_supplier": top_revenue_supplier,
+    "part_supplier_variety": part_supplier_variety,
 }
 
 JOIN_GROUPING_ORACLES = {
@@ -755,4 +877,6 @@ JOIN_GROUPING_ORACLES = {
     "first_order_per_customer": FIRST_ORDER_PER_CUSTOMER_SQL,
     "waiting_sole_late_supplier": WAITING_SOLE_LATE_SUPPLIER_SQL,
     "idle_rich_customers": IDLE_RICH_CUSTOMERS_SQL,
+    "top_revenue_supplier": TOP_REVENUE_SUPPLIER_SQL,
+    "part_supplier_variety": PART_SUPPLIER_VARIETY_SQL,
 }
