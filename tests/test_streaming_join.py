@@ -205,3 +205,67 @@ def test_stream_left_outer_join_evicts_and_flushes_exactly_once(
     flushed = drain()
     assert flushed == [(-1, -1), (1, 9), (2, None)]
     assert drain() == flushed  # replay-safe: nothing emitted twice
+
+
+def test_stream_full_outer_join_flushes_both_sides(spark, tmp_path):
+    """fullOuter through the same machinery: after the sentinel flush,
+    the unmatched CLICK emits a null-error row and the unmatched ERROR
+    emits a null-click row — both exactly once."""
+    L, R = str(tmp_path / "l"), str(tmp_path / "r")
+    OUT, CK = str(tmp_path / "out"), str(tmp_path / "ck")
+    clicks = spark.createDataFrame(
+        [(1, 100, "2024-01-01 00:00:00"), (2, 200, "2024-01-01 00:00:10")],
+        "event_id long, user_id long, ts_s string",
+    ).select(
+        "event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    errors = spark.createDataFrame(
+        [(9, 100, "2024-01-01 00:01:00"), (8, 300, "2024-01-01 00:02:00")],
+        "error_event_id long, user_id long, ts_s string",
+    ).select(
+        "error_event_id",
+        "user_id",
+        F.col("ts_s").cast("timestamp").alias("error_ts"),
+    )
+    clicks.write.parquet(L)
+    errors.write.parquet(R)
+
+    def drain():
+        from olist_lakehouse_2_0_spark.streaming.ingest import run_to_parquet
+
+        lw = spark.readStream.schema(clicks.schema).parquet(L)
+        rw = spark.readStream.schema(errors.schema).parquet(R)
+        run_to_parquet(
+            stream_interval_join(
+                lw, rw, key="user_id", left_ts="ts", right_ts="error_ts",
+                upper_seconds=300, watermark="10 minutes", how="fullOuter",
+            ),
+            OUT,
+            CK,
+        )
+        return sorted(
+            [
+                (r.event_id, r.error_event_id)
+                for r in spark.read.schema(
+                    "event_id long, user_id long, ts timestamp,"
+                    " error_event_id long, error_ts timestamp"
+                ).parquet(OUT).collect()
+            ],
+            key=lambda t: (t[0] is None, t),
+        )
+
+    assert drain() == [(1, 9)]
+    sentinel = F.lit("2024-01-02 00:00:00").cast("timestamp")
+    spark.range(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(-1).cast("long").alias("user_id"),
+        sentinel.alias("ts"),
+    ).write.mode("append").parquet(L)
+    spark.range(1).select(
+        F.lit(-1).cast("long").alias("error_event_id"),
+        F.lit(-1).cast("long").alias("user_id"),
+        sentinel.alias("error_ts"),
+    ).write.mode("append").parquet(R)
+    flushed = drain()
+    assert flushed == [(-1, -1), (1, 9), (2, None), (None, 8)]
+    assert drain() == flushed
