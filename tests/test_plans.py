@@ -312,3 +312,25 @@ def test_analyze_statistics_flip_join_to_broadcast(spark):
             spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS cbo_fact_t")
         spark.sql("DROP TABLE IF EXISTS cbo_dim_t")
+
+
+def test_temperature_mixture_broadcasts_rates_no_corpus_shuffle(spark):
+    """The α=0.5 mixture's rate map must come back to the corpus as a
+    broadcast join — the corpus itself never hash-shuffles (only the
+    group-stats aggregate exchanges, and that input is the per-group
+    rollup, not the kept-row stream)."""
+    from pyspark.sql import functions as F
+
+    from olist_lakehouse_2_0_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    out = temperature_mixture(docs, "doc_id", "source", budget=1000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # sanity: it actually selects something at this budget
+    assert out.count() > 0
