@@ -847,6 +847,70 @@ ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: join back against a HAVING-filtered aggregate
+# (large-volume orders) — the IN-(GROUP BY ... HAVING) decorrelation.
+# ---------------------------------------------------------------------------
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total lineitem quantity exceeds 300, with their
+    customers — TPC-H Q18's shape: the HAVING-filtered per-order
+    aggregate IS the join input (equivalently ``o_orderkey IN (SELECT
+    ... GROUP BY ... HAVING)``), so the filter collapses the fact to
+    the qualifying keys BEFORE the wide join touches orders. Quantity
+    sums are exact decimal (the raw column is double; a float sum's
+    partition-order rounding could flip the >300 boundary between
+    engines). Plan: lineitem aggregates once on the order key
+    (partial-combined), the qualifying set joins orders on the same
+    key, customers broadcast."""
+    li = load(spark, sf_dir, "lineitem", spread=True)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast(MONEY))
+            .cast(MONEY_SUM)
+            .alias("total_qty")
+        )
+        .filter(F.col("total_qty") > 300)
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+LARGE_VOLUME_ORDERS_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) > 300
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, big.total_qty
+FROM big
+JOIN orders o ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_orderkey
+"""
+
+
 JOIN_GROUPING_QUERIES = {
     "shipments_in_order_windows": shipments_in_order_windows,
     "salted_nation_revenue": salted_nation_revenue,
@@ -862,6 +926,7 @@ JOIN_GROUPING_QUERIES = {
     "idle_rich_customers": idle_rich_customers,
     "top_revenue_supplier": top_revenue_supplier,
     "part_supplier_variety": part_supplier_variety,
+    "large_volume_orders": large_volume_orders,
 }
 
 JOIN_GROUPING_ORACLES = {
@@ -879,4 +944,5 @@ JOIN_GROUPING_ORACLES = {
     "idle_rich_customers": IDLE_RICH_CUSTOMERS_SQL,
     "top_revenue_supplier": TOP_REVENUE_SUPPLIER_SQL,
     "part_supplier_variety": PART_SUPPLIER_VARIETY_SQL,
+    "large_volume_orders": LARGE_VOLUME_ORDERS_SQL,
 }
