@@ -743,12 +743,18 @@ def heavy_hitter_tokens(
     can hash-gate an approximate-sketch pipeline
     (``heavy_hitter_tokens`` query). Returns (token, n_occurrences).
     """
+    import re
     from collections import Counter
 
     import pandas as pd  # noqa: F811
 
     k = int(threshold_k)
     src = df.select(F.col(text_col).alias("__text"))
+    # ASCII \s+ to match the JVM split in tokens() — Python's default
+    # str.split() is Unicode-aware and would split a token the JVM
+    # keeps whole (e.g. around U+00A0), hiding that token from the
+    # candidate pass and silently breaking the superset guarantee.
+    ws = re.compile(r"\s+", flags=re.ASCII)
 
     def summarize(batches):
         counters: Counter = Counter()
@@ -756,7 +762,7 @@ def heavy_hitter_tokens(
             batch = Counter()
             for text in pdf["__text"]:
                 if text and text.strip():
-                    batch.update(text.split())
+                    batch.update(ws.split(text.strip()))
             counters.update(batch)
             if len(counters) > k:
                 kth = sorted(counters.values(), reverse=True)[k]
