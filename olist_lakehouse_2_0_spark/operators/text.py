@@ -577,6 +577,8 @@ def model_quality_score(
     stopword_frac: Column,
     mean_token_len: Column,
     log1p_n_tokens: Column,
+    weights: tuple[float, float, float, float] | None = None,
+    bias: float | None = None,
 ) -> Column:
     """Vectorized MODEL INFERENCE over feature columns: a fixed-weight
     logistic regression scored in an Arrow-batched pandas UDF,
@@ -600,8 +602,8 @@ def model_quality_score(
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    w0, w1, w2, w3 = QUALITY_MODEL_WEIGHTS
-    b = QUALITY_MODEL_BIAS
+    w0, w1, w2, w3 = weights if weights is not None else QUALITY_MODEL_WEIGHTS
+    b = bias if bias is not None else QUALITY_MODEL_BIAS
 
     @pandas_udf("long")
     def score(
@@ -617,6 +619,51 @@ def model_quality_score(
         return pd.Series(np.floor(s * 1e6 + 0.5).astype("int64"))
 
     return score(distinct_ratio, stopword_frac, mean_token_len, log1p_n_tokens)
+
+
+def train_quality_model(
+    df: DataFrame,
+    feature_cols: tuple[str, str, str, str],
+    label_col: str,
+    max_iter: int = 100,
+) -> tuple[tuple[float, float, float, float], float]:
+    """DISTRIBUTED training for the quality-classifier seam: fit a
+    logistic regression over the JVM-computed feature columns with
+    Spark MLlib (LBFGS — gradients aggregate tree-wise across
+    executors, so training scales with the corpus exactly like an
+    aggregation; no data leaves the cluster) and return
+    ``(weights, bias)`` in the exact shape
+    :func:`model_quality_score` accepts. This closes the classifier
+    loop end to end: label a seed set → ``train_quality_model`` →
+    plug the learned parameters into the Arrow-batched scoring UDF →
+    score 100 TB. Unregularized by default so a separable teacher
+    (tests) is recovered sharply; production callers set
+    ``max_iter``/add regularization via the same MLlib estimator.
+
+    Float caveat (why this is pytest-verified, not hash-oracled):
+    LBFGS's gradient aggregation is float-order-dependent across
+    partitionings, so learned weights are run-stable only to ~1e-6 —
+    model QUALITY (accuracy on held-out labels) is the testable
+    contract, bit-identical weights are not. The downstream scoring
+    path stays deterministic either way (fixed weights in, integer
+    1e-6-unit scores out)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    assembled = VectorAssembler(
+        inputCols=list(feature_cols), outputCol="__features"
+    ).transform(df)
+    model = LogisticRegression(
+        featuresCol="__features",
+        labelCol=label_col,
+        maxIter=max_iter,
+        regParam=0.0,
+        standardization=False,
+    ).fit(assembled)
+    w = model.coefficients.toArray()
+    return (float(w[0]), float(w[1]), float(w[2]), float(w[3])), float(
+        model.intercept
+    )
 
 
 def build_aho_corasick(needles: dict[int, str]):

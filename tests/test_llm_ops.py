@@ -840,3 +840,82 @@ def test_heavy_hitter_tokens_exact_on_skewed_long_tail(spark):
     assert got == expected
     assert "hot" in got and "warm" in got and "cool" not in got
     assert total_so_far + warm + cool == n
+
+
+def test_train_quality_model_recovers_teacher_and_plugs_into_scorer(
+    spark, sf_correctness
+):
+    """The classifier loop end to end: label the corpus with the FIXED
+    teacher weights (score > 0.5), train a fresh logistic regression
+    DISTRIBUTED over the same JVM features, and verify (a) the learned
+    model reproduces the teacher's labels almost perfectly and (b) the
+    learned weights plug straight into the Arrow-batched scoring UDF."""
+    from olist_lakehouse_2_0_spark.operators.text import (
+        EN_STOPWORDS,
+        model_quality_score,
+        tokens,
+        train_quality_model,
+    )
+
+    docs = spark.read.parquet(f"{sf_correctness}/documents.parquet")
+    toks = tokens("text")
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    feats = (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+            F.size(
+                F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+            ).alias("n_stop"),
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+            ).alias("char_mass"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            (F.col("n_distinct") / F.col("n_tokens")).alias("distinct_ratio"),
+            (F.col("n_stop") / F.col("n_tokens")).alias("stop_frac"),
+            (F.col("char_mass") / F.col("n_tokens")).alias("mean_tok_len"),
+            F.log1p("n_tokens").alias("log1p_tokens"),
+        )
+    )
+    teacher = model_quality_score(
+        F.col("distinct_ratio"),
+        F.col("stop_frac"),
+        F.col("mean_tok_len"),
+        F.col("log1p_tokens"),
+    )
+    # Split at the corpus median teacher score so both classes exist
+    # (the whole corpus clears the 0.5 sigmoid on this teacher).
+    scored_t = feats.withColumn("t_score", teacher)
+    median = scored_t.agg(
+        F.expr("percentile_approx(t_score, 0.5)").alias("m")
+    ).first()["m"]
+    labeled = scored_t.withColumn(
+        "label", (F.col("t_score") > median).cast("double")
+    ).cache()
+    n_pos = labeled.filter("label = 1.0").count()
+    n = labeled.count()
+    assert 0 < n_pos < n, "teacher labels must be non-degenerate"
+
+    weights, bias = train_quality_model(
+        labeled,
+        ("distinct_ratio", "stop_frac", "mean_tok_len", "log1p_tokens"),
+        "label",
+    )
+    student = model_quality_score(
+        F.col("distinct_ratio"),
+        F.col("stop_frac"),
+        F.col("mean_tok_len"),
+        F.col("log1p_tokens"),
+        weights=weights,
+        bias=bias,
+    )
+    scored = labeled.withColumn(
+        "pred", (student > 500_000).cast("double")
+    )
+    acc = scored.filter("pred = label").count() / n
+    labeled.unpersist()
+    assert acc >= 0.97, f"learned model accuracy {acc} on {n} docs"
