@@ -533,6 +533,56 @@ def ivf_topk_kmeans(
 # ---------------------------------------------------------------------------
 
 
+def train_word_embeddings(
+    docs: DataFrame,
+    text_col: str = "text",
+    dim: int = 16,
+    seed: int = 42,
+    min_count: int = 1,
+    max_iter: int = 1,
+) -> DataFrame:
+    """Embedding TRAINING seam — where the ``embeddings`` table comes
+    from when the pipeline owns it: distributed skip-gram Word2Vec
+    (Spark MLlib) over the tokenized corpus, returned as
+    ``(word string, embedding array<float>)`` — the exact column
+    contract the whole ANN family (:func:`cosine_topk`, IVF / PQ /
+    IVF-PQ, :func:`semdedup`) consumes, so train → index → search
+    composes with no glue. Doc-level embeddings follow by averaging
+    word vectors (one ``aggregate`` over the token array, JVM-side).
+
+    Same float caveat as the classifier trainer
+    (``text.py::train_quality_model``): distributed gradient updates
+    are order-dependent, so vector VALUES are run-stable only
+    approximately — the pytest contract is structural (vocab coverage,
+    dimension, self-retrieval through the ANN path), never a value
+    hash. Scale: MLlib Word2Vec partitions the vocabulary and
+    broadcasts model state per iteration — the corpus scans, the
+    model shuffles, which is the right asymmetry at 100 TB."""
+    from pyspark.ml.feature import Word2Vec
+
+    from olist_lakehouse_2_0_spark.operators.text import tokens
+
+    toked = docs.select(tokens(F.col(text_col)).alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    model = Word2Vec(
+        vectorSize=dim,
+        minCount=min_count,
+        seed=seed,
+        maxIter=max_iter,
+        inputCol="__toks",
+        outputCol="__vec",
+    ).fit(toked)
+    from pyspark.ml.functions import vector_to_array
+
+    return model.getVectors().select(
+        "word",
+        vector_to_array(F.col("vector")).cast("array<float>").alias(
+            "embedding"
+        ),
+    )
+
+
 def _l2sq(u: Column, v: Column) -> Column:
     """Squared L2 distance, sequential fold (deterministic)."""
     return F.aggregate(

@@ -504,3 +504,49 @@ def test_stream_append_ivf_index_drains_batches(spark, tmp_path):
         spark.readStream.schema(schema).parquet(landing), cat, checkpoint
     )
     assert cat.read(spark, "ivf_postings").count() == 300
+
+
+def test_train_word_embeddings_feeds_ann_family(spark):
+    """Embedding-training seam: Word2Vec over the corpus returns the
+    (word, embedding array<float>) contract, every vocabulary word is
+    covered with a finite dim-16 vector, and the trained table plugs
+    straight into cosine_topk where every query word retrieves ITSELF
+    at rank 1 (cosine(v, v) = 1 beats any other unit pair)."""
+    from pyspark.sql import functions as F
+
+    from olist_lakehouse_2_0_spark.operators.similarity import (
+        cosine_topk,
+        train_word_embeddings,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("text")
+    emb = train_word_embeddings(docs, "text", dim=16, seed=7).cache()
+    vocab = {
+        r.w
+        for r in docs.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .distinct()
+        .collect()
+    }
+    rows = emb.collect()
+    assert {r.word for r in rows} == vocab
+    import math
+
+    assert all(
+        len(r.embedding) == 16 and all(math.isfinite(x) for x in r.embedding)
+        for r in rows
+    )
+    queries = emb.limit(10).select(
+        F.col("word").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("word").alias("corpus_id"), "embedding")
+    top1 = {
+        r.query_id: r.corpus_id
+        for r in cosine_topk(queries, corpus, k=1).collect()
+    }
+    emb.unpersist()
+    assert all(q == c for q, c in top1.items())
