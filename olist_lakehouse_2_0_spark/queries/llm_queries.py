@@ -529,6 +529,99 @@ SELECT query_id, corpus_id, CAST(cosine AS DECIMAL(12,6)) AS cosine, rank FROM (
 """
 
 
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet mining under the hash gate — the
+    data-generation step for embedding-model training (anchor,
+    positive, HARD negative): positives are planted exact copies
+    (vec_id + 1,000,000 for every even id, the semantic-dedup
+    fixture), and each anchor's hard negative is its top cosine
+    neighbor EXCLUDING itself and its copy — mined exactly with the
+    same broadcast brute-force machinery the ANN baseline uses, so the
+    oracle re-derives every triplet from scratch. In production the
+    exact pass swaps for IVF-PQ over the same contract; the triplet
+    semantics (exclude self/duplicates, rank by cosine, id tiebreak)
+    are what this gate pins. One query batch broadcast, corpus scanned
+    once, k=3 bounds the per-anchor state."""
+    emb = load(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", "embedding"
+    )
+    anchors = emb.filter(F.col("vec_id") % 50 == 0)
+    copies = emb.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copies)
+    top = cosine_topk(
+        anchors.select(F.col("vec_id").alias("query_id"), "embedding"),
+        corpus.select(F.col("vec_id").alias("corpus_id"), "embedding"),
+        k=3,
+    )
+    is_pos = F.col("corpus_id") == F.col("query_id") + 1000000
+    is_self = F.col("corpus_id") == F.col("query_id")
+    return (
+        top.groupBy("query_id")
+        .agg(
+            F.max(F.when(is_pos, F.col("corpus_id"))).alias("positive_id"),
+            F.max(F.when(is_pos, F.col("cosine"))).alias("__pc"),
+            F.max(
+                F.when(~is_pos & ~is_self, F.col("corpus_id"))
+            ).alias("negative_id"),
+            F.max(F.when(~is_pos & ~is_self, F.col("cosine"))).alias("__nc"),
+        )
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            "positive_id",
+            F.col("__pc").cast("decimal(12,6)").alias("pos_cosine"),
+            "negative_id",
+            F.col("__nc").cast("decimal(12,6)").alias("neg_cosine"),
+        )
+    )
+
+
+CONTRASTIVE_TRIPLETS_SQL = """
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 2 = 0
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         sqrt(list_sum(list_transform(range(1, LEN(embedding) + 1),
+                                      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS qn
+  FROM embeddings WHERE vec_id % 50 = 0
+), c AS (
+  SELECT vec_id AS corpus_id, embedding AS cv,
+         sqrt(list_sum(list_transform(range(1, LEN(embedding) + 1),
+                                      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS cn
+  FROM base
+), ranked AS (
+  SELECT query_id, corpus_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, corpus_id) AS rank
+  FROM (
+    SELECT query_id, corpus_id,
+           list_sum(list_transform(range(1, LEN(qv) + 1),
+                                   i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+             / NULLIF(qn * cn, 0.0) AS cosine
+    FROM q, c
+  )
+), top AS (
+  SELECT * FROM ranked WHERE rank <= 3
+)
+SELECT query_id AS anchor_id,
+       MAX(CASE WHEN corpus_id = query_id + 1000000 THEN corpus_id END)
+           AS positive_id,
+       CAST(MAX(CASE WHEN corpus_id = query_id + 1000000 THEN cosine END)
+            AS DECIMAL(12,6)) AS pos_cosine,
+       MAX(CASE WHEN corpus_id <> query_id + 1000000
+                 AND corpus_id <> query_id THEN corpus_id END)
+           AS negative_id,
+       CAST(MAX(CASE WHEN corpus_id <> query_id + 1000000
+                      AND corpus_id <> query_id THEN cosine END)
+            AS DECIMAL(12,6)) AS neg_cosine
+FROM top
+GROUP BY query_id
+"""
+
+
 def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 (rows-only: centroid assignment is
     hash-sampled; unit tests measure recall vs brute force)."""
@@ -3967,6 +4060,7 @@ LLM_QUERIES = {
     "doc_chunks_udtf": doc_chunks_udtf,
     "temperature_mixture_sample": temperature_mixture_sample,
     "heavy_hitter_tokens": heavy_hitter_tokens,
+    "contrastive_triplets": contrastive_triplets,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "dsir_importance_weights": dsir_importance_weights,
     "model_scored_quality": model_scored_quality,
@@ -4049,6 +4143,7 @@ LLM_ORACLES = {
     "doc_chunks_udtf": DOC_CHUNKS_UDTF_SQL,
     "temperature_mixture_sample": TEMPERATURE_MIXTURE_SQL,
     "heavy_hitter_tokens": HEAVY_HITTER_TOKENS_SQL,
+    "contrastive_triplets": CONTRASTIVE_TRIPLETS_SQL,
     "ccnet_perplexity_buckets": CCNET_PERPLEXITY_BUCKETS_SQL,
     "dsir_importance_weights": DSIR_IMPORTANCE_SQL,
     "model_scored_quality": MODEL_SCORED_QUALITY_SQL,
