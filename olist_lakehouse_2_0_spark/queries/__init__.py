@@ -288,8 +288,8 @@ def _ordered_for_window(
     their NEWEST driver row, stalest first, so spare slots re-confirm
     the oldest evidence. After round 4's window, the stalest evidence
     is r2 (every r1-checked survivor was re-confirmed in r2-r4).
-    Round 5 added 29 never-windowed queries, so its ~50-row window =
-    29 new + 7 changed + the 14 stalest r2-latest greens; the 23
+    Round 5 added 30 never-windowed queries, so its ~50-row window =
+    30 new + 7 changed + the 13 stalest r2-latest greens; the 24
     remaining r2-latest queries (all tri-scale green in this round's
     full local sweeps, re-run after every addition) rotate to the
     front of round 6's window."""
