@@ -575,11 +575,17 @@ class Catalog:
         pass, column stats piggyback on it."""
         quoted = f"`{table}`"
         if columns:
+            # FOR COLUMNS already records the table-level stats
+            # (rowCount + sizeInBytes) alongside the per-column
+            # min/max/NDV, so the plain COMPUTE STATISTICS is an
+            # else-branch — running both would scan the table twice
+            # (round-5 advice).
             cols = ", ".join(f"`{c}`" for c in columns)
             spark.sql(
                 f"ANALYZE TABLE {quoted} COMPUTE STATISTICS FOR COLUMNS {cols}"
             )
-        spark.sql(f"ANALYZE TABLE {quoted} COMPUTE STATISTICS")
+        else:
+            spark.sql(f"ANALYZE TABLE {quoted} COMPUTE STATISTICS")
 
     def write_bucketed(
         self,

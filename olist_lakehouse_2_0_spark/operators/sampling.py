@@ -132,7 +132,16 @@ def temperature_mixture(
     group→rate map broadcast back onto the corpus, then the same
     shuffle-free md5-prefix filter as :func:`mixture_sample` — the
     corpus itself never shuffles. Adding a new group changes only its
-    own rate computation, never the kept set's determinism."""
+    own rate computation, never the kept set's determinism.
+
+    Zero-mass groups (``Σ weight_col == 0`` — e.g. a source of
+    all-empty documents) keep NOTHING, explicitly: they are filtered
+    out of the rate table before the division, so their rows simply
+    find no rate row in the inner join. Without the filter the rate
+    divisor ``__sum_s · __n`` is 0 and the drop would happen as a
+    silent engine-dependent NULL (round-5 advice); √n = 0 contributes
+    nothing to ``Σ√n`` either way, so every other group's rate is
+    unchanged."""
     w = (
         F.col(weight_col).cast("long")
         if weight_col
@@ -141,6 +150,7 @@ def temperature_mixture(
     stats = (
         df.groupBy(group_col)
         .agg(F.sum(w).alias("__n"))
+        .filter(F.col("__n") > 0)
         .withColumn(
             "__s",
             F.floor(F.sqrt(F.col("__n")) * F.lit(1000000.0)).cast("long"),

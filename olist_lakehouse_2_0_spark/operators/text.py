@@ -13,6 +13,8 @@ scale linearly to 100 TB of text.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -39,6 +41,39 @@ def tokens(text: Column | str) -> Column:
     return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
     )
+
+
+#: ASCII-only whitespace, matching Java regex ``\s`` ([ \t\n\x0B\f\r])
+#: and DuckDB's RE2 ``\s`` — NOT Python's Unicode-aware default.
+_WS_ASCII = re.compile(r"\s+", flags=re.ASCII)
+
+
+def jvm_tokens(text: str | None) -> list[str]:
+    """Exact Python mirror of :func:`tokens` (and of the DuckDB oracle
+    idiom ``regexp_split_to_array(TRIM(text), '\\s+')`` guarded by
+    ``LENGTH(TRIM(text)) > 0``), for Python paths (mapInPandas sketch
+    passes, UDTFs) that must agree token-for-token with the JVM plan.
+
+    Empirically pinned against BOTH engines (Spark 4.1.2 + DuckDB) on
+    tab/newline/U+00A0 edges — all three agree:
+
+    - trim strips ASCII space 0x20 ONLY (``'\\tfoo'`` stays);
+    - ``\\s`` is ASCII-only (U+00A0 is not a separator);
+    - split keeps BOTH leading and trailing empty tokens
+      (``'\\tfoo'`` -> ``['', 'foo']``, ``'foo\\n'`` -> ``['foo','']``,
+      Java ``split(..., -1)`` == RE2 split semantics);
+    - empty-after-trim -> ``[]``.
+
+    Python's ``str.split()``/``str.strip()`` are Unicode-aware and
+    violate all four — using them here silently breaks the
+    Misra-Gries superset guarantee and the UDTF/oracle hash contract
+    on corpora with non-space leading whitespace (round-5 advice)."""
+    if not text:
+        return []
+    t = text.strip(" ")
+    if not t:
+        return []
+    return _WS_ASCII.split(t)
 
 
 def token_count(text: Column | str) -> Column:
@@ -556,7 +591,11 @@ def word_window_udtf():
     )
     class WordWindows:
         def eval(self, text: str, size: int):
-            toks = text.split() if text and text.strip() else []
+            # jvm_tokens, not str.split(): the UDTF twins the JVM
+            # token_chunks path and the ASCII-regex oracle, so its
+            # tokenization must match tokens() on tab/newline/U+00A0
+            # edges (round-5 advice).
+            toks = jvm_tokens(text)
             for i in range(0, len(toks), size):
                 win = toks[i : i + size]
                 yield i // size, " ".join(win), len(win)
@@ -790,26 +829,24 @@ def heavy_hitter_tokens(
     can hash-gate an approximate-sketch pipeline
     (``heavy_hitter_tokens`` query). Returns (token, n_occurrences).
     """
-    import re
     from collections import Counter
 
     import pandas as pd  # noqa: F811
 
     k = int(threshold_k)
     src = df.select(F.col(text_col).alias("__text"))
-    # ASCII \s+ to match the JVM split in tokens() — Python's default
-    # str.split() is Unicode-aware and would split a token the JVM
-    # keeps whole (e.g. around U+00A0), hiding that token from the
-    # candidate pass and silently breaking the superset guarantee.
-    ws = re.compile(r"\s+", flags=re.ASCII)
 
     def summarize(batches):
         counters: Counter = Counter()
         for pdf in batches:
             batch = Counter()
             for text in pdf["__text"]:
-                if text and text.strip():
-                    batch.update(ws.split(text.strip()))
+                # jvm_tokens mirrors the verify pass's tokens() exactly
+                # (space-only trim, ASCII \s+, leading/trailing empty
+                # tokens kept) — any tokenization drift here hides a
+                # token from the candidate set and breaks the superset
+                # guarantee the exactness proof rests on.
+                batch.update(jvm_tokens(text))
             counters.update(batch)
             if len(counters) > k:
                 kth = sorted(counters.values(), reverse=True)[k]

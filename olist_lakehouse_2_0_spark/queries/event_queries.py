@@ -181,7 +181,12 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.count("__k").alias("n_with_k"),
-            F.sum((F.col("__k") > 50).cast("long")).alias("n_k_gt_50"),
+            # when/otherwise(0), not a bare cast-sum: a group whose
+            # every payload lacks k would sum to NULL while the
+            # oracle's CASE..ELSE 0 yields 0 (round-5 advice).
+            F.sum(F.when(F.col("__k") > 50, 1).otherwise(0))
+            .cast("long")
+            .alias("n_k_gt_50"),
             F.sum("__k").cast("long").alias("sum_k"),
             F.min("__k").alias("min_k"),
             F.max("__k").alias("max_k"),

@@ -3164,9 +3164,11 @@ WITH w AS (
               AS BIGINT) AS n_tokens
   FROM documents
 ), stats AS (
+  -- HAVING > 0 mirrors the operator's explicit zero-mass-group filter
+  -- (zero-weight groups keep nothing, deterministically on both engines)
   SELECT source, SUM(n_tokens) AS n,
          CAST(FLOOR(SQRT(SUM(n_tokens)) * 1000000.0) AS BIGINT) AS s
-  FROM w GROUP BY source
+  FROM w GROUP BY source HAVING SUM(n_tokens) > 0
 ), tot AS (
   SELECT SUM(s) AS big_s FROM stats
 ), rates AS (

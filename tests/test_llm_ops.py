@@ -842,6 +842,112 @@ def test_heavy_hitter_tokens_exact_on_skewed_long_tail(spark):
     assert total_so_far + warm + cool == n
 
 
+#: Whitespace-edge corpus: leading tab/newline (JVM trim keeps them ->
+#: a leading '' token), trailing newline ('' trailing token), U+00A0
+#: (NOT a separator for Java/RE2 \s, but IS for Python's Unicode
+#: split), and plain-space controls.
+_WS_EDGE_DOCS = [
+    "\tfoo bar",
+    "\nfoo baz",
+    "foo\tbar\n",
+    "a b c",
+    " foo bar ",
+    "foo",
+    "",
+    "  ",
+    "\t",
+]
+
+
+def test_jvm_tokens_python_mirror_matches_jvm_exactly(spark):
+    """jvm_tokens (the Python mirror used by the Misra-Gries candidate
+    pass and the word-window UDTF) must agree token-for-token with the
+    JVM tokens() column on every whitespace edge — leading/trailing
+    tab and newline, U+00A0, space-only strings (round-5 advice: the
+    Unicode-aware str.strip()/str.split() versions silently diverged)."""
+    from olist_lakehouse_2_0_spark.operators.text import jvm_tokens, tokens
+
+    df = spark.createDataFrame([(t,) for t in _WS_EDGE_DOCS], "text string")
+    jvm = [r.toks for r in df.select(tokens("text").alias("toks")).collect()]
+    py = [jvm_tokens(t) for t in _WS_EDGE_DOCS]
+    assert py == jvm
+    # The edges genuinely exercise empty-token retention:
+    assert jvm_tokens("\tfoo bar") == ["", "foo", "bar"]
+    assert jvm_tokens("foo\tbar\n") == ["foo", "bar", ""]
+    assert jvm_tokens("a b c") == ["a b", "c"]
+    assert jvm_tokens("\t") == ["", ""]
+    assert jvm_tokens("  ") == []
+
+
+def test_heavy_hitter_tokens_exact_on_whitespace_edges(spark):
+    """Heavy hitters over a corpus whose texts start/end with non-space
+    whitespace: the candidate pass must see the SAME token stream as
+    the JVM verify pass (including leading-'' tokens), or a heavy
+    hitter hides from the sketch and the superset guarantee breaks."""
+    from olist_lakehouse_2_0_spark.operators.text import (
+        heavy_hitter_tokens,
+        jvm_tokens,
+    )
+    from collections import Counter
+
+    # '' occurs once per doc (leading tab) and 'hh' dominates — both
+    # must surface; U+00A0-joined 'a\xa0b' is ONE token.
+    docs = ["\thh hh a b a b"] * 6 + ["\nx" + str(i) for i in range(4)]
+    df = spark.createDataFrame([(t,) for t in docs], "text string").repartition(4)
+    got = {
+        r.token: r.n_occurrences
+        for r in heavy_hitter_tokens(df, "text", threshold_k=4).collect()
+    }
+    exact = Counter(t for d in docs for t in jvm_tokens(d))
+    n = sum(exact.values())
+    expected = {t: c for t, c in exact.items() if c * 4 > n}
+    assert "" in expected  # the edge is actually exercised
+    assert "a b" in expected
+    assert got == expected
+
+
+def test_word_window_udtf_matches_jvm_on_whitespace_edges(spark):
+    """The UDTF expansion must equal the JVM token_chunks path on
+    whitespace-edge documents (leading tab -> leading '' token shifts
+    every window boundary; U+00A0 must not split)."""
+    from olist_lakehouse_2_0_spark.operators.text import (
+        token_chunks,
+        word_window_udtf,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_WS_EDGE_DOCS)], "doc_id int, text string"
+    )
+    spark.udtf.register("word_windows_ws_edge", word_window_udtf())
+    df.createOrReplaceTempView("__docs_ws_edge")
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.chunk, r.n_tokens)
+        for r in spark.sql(
+            "SELECT d.doc_id, w.chunk_id, w.chunk, w.n_tokens"
+            " FROM __docs_ws_edge d, LATERAL word_windows_ws_edge(d.text, 2) w"
+        ).collect()
+    )
+    jvm = (
+        df.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.posexplode(token_chunks("text", window=2, stride=2)).alias(
+                "chunk_id", "toks"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.array_join("toks", " ").alias("chunk"),
+            F.size("toks").alias("n_tokens"),
+        )
+    )
+    expected = sorted(
+        (r.doc_id, r.chunk_id, r.chunk, r.n_tokens) for r in jvm.collect()
+    )
+    assert got == expected and len(got) > 0
+
+
 def test_train_quality_model_recovers_teacher_and_plugs_into_scorer(
     spark, sf_correctness
 ):

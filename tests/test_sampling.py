@@ -153,3 +153,31 @@ def test_temperature_mixture_flattens_and_respects_budget(spark):
     )
     # cap-at-1: budget above corpus keeps every row
     assert temperature_mixture(df, "id", "src", budget=50_000).count() == 10_000
+
+
+def test_temperature_mixture_zero_mass_group_drops_cleanly(spark):
+    """A group whose weight mass sums to 0 (all-empty documents) keeps
+    nothing — by the explicit pre-division filter, not an
+    engine-dependent divide-by-zero NULL — and other groups' rates are
+    untouched (√0 contributes nothing to Σ√n)."""
+    from olist_lakehouse_2_0_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    rows = [(i, "big" if i < 9000 else "small", 1) for i in range(10_000)]
+    rows += [(100_000 + i, "empty", 0) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, src string, w int")
+    kept = temperature_mixture(df, "id", "src", budget=2_000, weight_col="w")
+    counts = {
+        r.src: r.n
+        for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert "empty" not in counts
+    # the zero-mass group must not perturb the other groups' takes
+    base = temperature_mixture(
+        df.filter(F.col("src") != "empty"), "id", "src", budget=2_000,
+        weight_col="w",
+    )
+    assert sorted(r.id for r in kept.collect()) == sorted(
+        r.id for r in base.collect()
+    )
