@@ -249,6 +249,50 @@ _CHANGED_IN_R5 = {
     "events_stream_stream_join",
 }
 
+#: Queries hash-green in round 5's window (CORRECTNESS_r05.json —
+#: 50/50 green).
+_R5_CHECKED = {
+    "category_performance_lag", "ccnet_perplexity_buckets",
+    "cdf_table_changes", "contrastive_triplets", "cross_doc_span_removal",
+    "datetime_function_matrix", "doc_chunks_udtf", "dq_drop_quarantine",
+    "dq_violation_summary", "dsir_importance_weights",
+    "embedding_topk_ivf_appended", "embedding_topk_ivfpq_exact",
+    "embedding_topk_ivfpq_recall", "embedding_topk_mrl_recall",
+    "embedding_topk_pq_recall", "events_props_variant",
+    "events_stream_merge_upsert", "events_stream_stream_join",
+    "events_stream_stream_left_join", "events_streaming_dedup",
+    "exact_substring_decontamination",
+    "exact_substring_decontamination_ac", "geo_dedup",
+    "heavy_hitter_tokens", "idle_rich_customers", "image_dhash_neardup",
+    "intra_doc_repetition_removal", "large_volume_orders",
+    "leakage_safe_split", "merge_concurrent_writers",
+    "merge_upsert_orders", "minhash_verified_dups",
+    "model_scored_quality", "mv_time_travel_metrics", "orders_enriched",
+    "orders_grouping_sets", "part_supplier_variety", "pricing_summary",
+    "salted_nation_revenue", "salted_priority_agg",
+    "scalar_function_matrix", "seller_performance", "silver_cleanse",
+    "simhash_verified_dups", "temperature_mixture_sample",
+    "top_parts_per_brand", "top_revenue_supplier",
+    "training_shard_manifest", "valid_orders_filter",
+    "waiting_sole_late_supplier",
+}
+
+#: Queries whose IMPLEMENTATION or oracle changed in round 6 — a
+#: stale green row vouches for code that no longer exists, so they
+#: front-load into this round's driver window: the round-5-advice
+#: fixes (jvm_tokens ASCII mirror under heavy_hitter_tokens +
+#: doc_chunks_udtf; the NULL-as-0 conditional count in
+#: events_props_variant; the zero-mass-group guard + oracle HAVING in
+#: temperature_mixture_sample) and the round-5-verdict fixture caps
+#: (deterministic LIMIT on the anchor batch of contrastive_triplets
+#: and the needle sets of both exact_substring_decontamination
+#: variants).
+_CHANGED_IN_R6 = {
+    "heavy_hitter_tokens", "doc_chunks_udtf", "events_props_variant",
+    "temperature_mixture_sample", "contrastive_triplets",
+    "exact_substring_decontamination", "exact_substring_decontamination_ac",
+}
+
 #: Queries hash-green in round 3's window (CORRECTNESS_r03.json — 47
 #: green of 50 rows; the 3 non-green rows were rows-only twins /
 #: the array-column profile, all de-registered in round 4).
@@ -280,31 +324,32 @@ def _ordered_for_window(
     queries: dict[str, QueryFn],
 ) -> list[tuple[str, QueryFn]]:
     """Order registration for the driver's bounded correctness window
-    (~50 rows in registration order), rotated every round (VERDICT r4
-    next-step #2). Priority: (1) anything with no driver row at all
-    (new this round or never windowed); (2) queries whose
-    implementation CHANGED this round (a stale green row proves
-    nothing about rewritten code); (3) the greens by the round of
-    their NEWEST driver row, stalest first, so spare slots re-confirm
-    the oldest evidence. After round 4's window, the stalest evidence
-    is r2 (every r1-checked survivor was re-confirmed in r2-r4).
-    Round 5 added 30 never-windowed queries, so its ~50-row window =
-    30 new + 7 changed + the 13 stalest r2-latest greens; the 24
-    remaining r2-latest queries (all tri-scale green in this round's
-    full local sweeps, re-run after every addition) rotate to the
-    front of round 6's window."""
+    (~50 rows in registration order), rotated every round. Priority:
+    (1) anything with no driver row at all (new this round or never
+    windowed); (2) queries whose implementation CHANGED this round (a
+    stale green row proves nothing about rewritten code); (3) the
+    greens by the round of their NEWEST driver row, stalest first, so
+    spare slots re-confirm the oldest evidence. Round 6's window
+    (VERDICT r5 next-step #1: retire all pre-r3 driver evidence) =
+    the new queries + the r6-changed + ALL 24 r2-latest stale greens
+    (~35 rows), with the remaining slots re-confirming the stalest
+    r3-latest greens - so after this round no registered query's
+    newest driver row predates r3."""
     never_checked: list[tuple[str, QueryFn]] = []
     changed_this_round: list[tuple[str, QueryFn]] = []
-    by_latest: dict[int, list[tuple[str, QueryFn]]] = {1: [], 2: [], 3: [], 4: []}
+    by_latest: dict[int, list[tuple[str, QueryFn]]] = {
+        1: [], 2: [], 3: [], 4: [], 5: [],
+    }
     rounds = [
-        (4, _R4_CHECKED), (3, _R3_CHECKED), (2, _R2_CHECKED), (1, _R1_CHECKED),
+        (5, _R5_CHECKED), (4, _R4_CHECKED), (3, _R3_CHECKED),
+        (2, _R2_CHECKED), (1, _R1_CHECKED),
     ]
     for item in queries.items():
         name = item[0]
         latest = next((rnd for rnd, s in rounds if name in s), None)
         if latest is None:
             never_checked.append(item)
-        elif name in _CHANGED_IN_R5:
+        elif name in _CHANGED_IN_R6:
             changed_this_round.append(item)
         else:
             by_latest[latest].append(item)
@@ -315,6 +360,7 @@ def _ordered_for_window(
         + by_latest[2]
         + by_latest[3]
         + by_latest[4]
+        + by_latest[5]
     )
 
 
