@@ -827,6 +827,7 @@ def ivf_pq_topk(
     corpus_id: str = "corpus_id",
     vec_col: str = "embedding",
     n_rows: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the composed production ANN operating point (Jegou et
     al. TPAMI 2011, §V "IVFADC") — IVF prunes WHICH vectors are scored
@@ -856,19 +857,28 @@ def ivf_pq_topk(
     cardinality). ``nprobe=None`` probes every partition and
     ``candidates=None`` re-ranks every probed row — together they make
     the result EQUAL brute force through the full IVF-PQ machinery (the
-    hash-gate twin). Returns (query_id, corpus_id, cosine, rank) with
-    the same tie-breaks as :func:`cosine_topk`."""
-    if num_centroids is None:
-        num_centroids = default_num_centroids(
-            corpus.count() if n_rows is None else n_rows
-        )
+    hash-gate twin). A pre-trained coarse codebook can be passed via
+    ``centroids`` (``(centroid_id, __centroid_vec)``, trained on the
+    UNIT-normalized corpus — :func:`kmeans_centroids` output): coarse
+    training is the offline-amortized step of a production IVF build
+    (one codebook serves every query batch and every probe setting),
+    so callers issuing several searches over one corpus train once and
+    share — training here is deterministic (seeded), so the passed
+    codebook yields results identical to retraining. Returns
+    (query_id, corpus_id, cosine, rank) with the same tie-breaks as
+    :func:`cosine_topk`."""
     c = corpus.select(
         F.col(corpus_id),
         F.col(vec_col).alias("__cvec"),
         l2_norm(F.col(vec_col)).alias("__cnorm"),
         _unit(F.col(vec_col)).alias("__nv"),
     )
-    centroids = kmeans_centroids(c, "__nv", num_centroids, seed)
+    if centroids is None:
+        if num_centroids is None:
+            num_centroids = default_num_centroids(
+                corpus.count() if n_rows is None else n_rows
+            )
+        centroids = kmeans_centroids(c, "__nv", num_centroids, seed)
     packed = _pack_centroids(centroids)
     # Assignment carries the winning centroid's VECTOR through the
     # argmax struct so the residual needs no second lookup pass; the

@@ -291,6 +291,10 @@ _CHANGED_IN_R6 = {
     "heavy_hitter_tokens", "doc_chunks_udtf", "events_props_variant",
     "temperature_mixture_sample", "contrastive_triplets",
     "exact_substring_decontamination", "exact_substring_decontamination_ac",
+    # The shared-coarse-codebook floor trim (r5 next-step #6): results
+    # provably identical (deterministic seeded training), but the code
+    # path under the stale green rows changed.
+    "embedding_topk_ivfpq_exact", "embedding_topk_ivfpq_recall",
 }
 
 #: Queries hash-green in round 3's window (CORRECTNESS_r03.json — 47
