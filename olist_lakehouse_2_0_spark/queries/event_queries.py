@@ -1298,6 +1298,115 @@ WHERE rn = 1
 """
 
 
+def events_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark LATE-DATA DROP under the hash gate (VERDICT r5
+    next-step #5c; the eviction mechanics are pinned batch-by-batch in
+    tests/test_streaming_windows.py::test_watermark_drops_late_data —
+    this puts the drop COUNTS under the driver's DuckDB oracle). Four
+    deterministic micro-batches (one parquet file each; the file
+    source orders batches by modification time, pinned here with
+    explicit fixed utimes, no sleeps):
+
+    b0  the on-time slice (every 20th event),
+    b1  a far-future marker (2030-01-01 00:30) — the 30-minute
+        watermark jumps past every b0 window,
+    b2  a second marker (00:35): the watermark COMPUTED from a batch
+        only takes effect one batch later (Spark recomputes it from
+        batch N-1's max event time; measured here via
+        StreamingQueryProgress, and the same lag is pinned in
+        tests/test_streaming_windows.py), so this batch is where b0's
+        window state is emitted and EVICTED and the 2030 watermark
+        becomes the effective late filter,
+    b3  the same slice re-fed with values x100 (poison): every row is
+        now below the effective watermark and must be dropped — one
+        leaked row inflates a sum 100-fold and fails the hash,
+    b4  a final marker one day later, closing the b1+b2 window (its
+        own never closes and must NOT appear).
+
+    The oracle recomputes the tumbling rollup from the ORIGINAL slice
+    plus the b1 literal — i.e. the exact relation a correct
+    drop-everything-late policy yields. State is watermark-bounded
+    (the 100 TB property under test); the drain is one availableNow
+    run with the state-store partition count sized explicitly."""
+    import glob
+    import os
+
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+    from olist_lakehouse_2_0_spark.streaming.ingest import (
+        run_to_parquet,
+        scoped_shuffle_partitions,
+    )
+    from olist_lakehouse_2_0_spark.streaming.windows import (
+        tumbling_window_agg,
+    )
+
+    cols = ["event_id", "user_id", "event_type", "ts", "value"]
+    slice_df = (
+        load(spark, sf_dir, "events", spread=True)
+        .filter(F.col("ts").isNotNull() & (F.col("event_id") % 20 == 3))
+        .select(*cols)
+    )
+
+    def far_marker(ts_str: str) -> DataFrame:
+        return spark.createDataFrame(
+            [(-1, -1, "flush", ts_str, 0.0)],
+            "event_id long, user_id long, event_type string, "
+            "ts string, value double",
+        ).select(
+            "event_id", "user_id", "event_type",
+            F.col("ts").cast("timestamp_ntz").alias("ts"), "value",
+        )
+
+    root = staging_dir("wm_late_drop")
+    landing = os.path.join(root, "landing")
+    batches = [
+        slice_df,
+        far_marker("2030-01-01 00:30:00"),
+        far_marker("2030-01-01 00:35:00"),
+        slice_df.withColumn("value", F.col("value") * 100),
+        far_marker("2030-01-02 00:30:00"),
+    ]
+    for i, b in enumerate(batches):
+        d = os.path.join(landing, f"b{i}")
+        b.coalesce(1).write.parquet(d)
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            os.utime(f, (1700000000 + 60 * i, 1700000000 + 60 * i))
+
+    stream = (
+        spark.readStream.schema(slice_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing + "/*")
+    )
+    agg = tumbling_window_agg(
+        stream.withWatermark("ts", "30 minutes"), distinct_users=False
+    )
+    out = os.path.join(root, "windows")
+    with scoped_shuffle_partitions(spark, 8):
+        run_to_parquet(agg, out, os.path.join(root, "ckpt"))
+    back = spark.read.schema(agg.schema).parquet(out)
+    return back.orderBy("window_start", "event_type")
+
+
+EVENTS_WATERMARK_LATE_DROP_SQL = """
+WITH slice AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         CAST(value AS DECIMAL(10,2)) AS v
+  FROM events
+  WHERE ts IS NOT NULL AND event_id % 20 = 3
+  UNION ALL
+  SELECT TIMESTAMP '2030-01-01 00:00:00', 'flush',
+         CAST(0.0 AS DECIMAL(10,2))
+  FROM (VALUES (1), (2)) AS two(i)
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(v) AS DECIMAL(18,2)) AS sum_value
+FROM slice
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
 EVENT_QUERIES = {
     "events_csv_ingest_exactly_once": events_csv_ingest_exactly_once,
     "events_hourly_by_type": events_hourly_by_type,
@@ -1310,6 +1419,7 @@ EVENT_QUERIES = {
     "events_stream_stream_join": events_stream_stream_join,
     "events_stream_stream_left_join": events_stream_stream_left_join,
     "events_streaming_dedup": events_streaming_dedup,
+    "events_watermark_late_drop": events_watermark_late_drop,
     "events_stream_merge_upsert": events_stream_merge_upsert,
     "events_stream_static_enrich": events_stream_static_enrich,
     "events_user_setops": events_user_setops,
@@ -1346,6 +1456,7 @@ EVENT_ORACLES = {
     "events_stream_stream_join": EVENTS_STREAM_STREAM_JOIN_SQL,
     "events_stream_stream_left_join": EVENTS_STREAM_STREAM_LEFT_JOIN_SQL,
     "events_streaming_dedup": EVENTS_STREAMING_DEDUP_SQL,
+    "events_watermark_late_drop": EVENTS_WATERMARK_LATE_DROP_SQL,
     "events_stream_merge_upsert": EVENTS_STREAM_MERGE_UPSERT_SQL,
     "events_stream_static_enrich": EVENTS_STREAM_STATIC_ENRICH_SQL,
     "events_user_setops": EVENTS_SETOPS_SQL,

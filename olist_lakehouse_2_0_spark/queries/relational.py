@@ -1858,6 +1858,182 @@ ORDER BY _change_type, o_orderstatus
 """
 
 
+def daily_job_event_log_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The run.py daily-job event log under the hash gate (VERDICT r5
+    next-step #5a): one full orchestrated run — generate synthetic
+    landing CSVs, then the main medallion pipeline (streaming bronze ->
+    DROP-expectation silver -> gold MV) in parallel with the CDC
+    pipeline (contract-validated SCD1 apply) — lands in a fresh staging
+    warehouse, and the audit relation joins each event-log row with the
+    ROW COUNT of the table that node wrote. Every value is
+    deterministic: the generator is seedless-hash-based (xxhash64 of
+    spark.range ids — partitioning-independent), so for the pinned
+    (n_orders=400, n_cdc=200) job the DQ injection drops exactly 5
+    silver rows, the CDC feed touches exactly 75 entities, and the
+    gold rollup has exactly 5 statuses. The oracle states the expected
+    relation as literals derived from that generator contract — a
+    drift anywhere (a lost event-log row, a DROP expectation not
+    dropping, the CDC apply miscounting, the parallel tasks racing the
+    log append) changes a value and fails the hash. Durations and
+    timestamps are projected out (no oracle form). Deliberately
+    sf-independent: the job's landing feed is synthetic, the operator
+    under test is the orchestration itself."""
+    import os
+    import sys
+
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+
+    # run.py lives at the repo root (it IS the CLI under test).
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
+    import run as runner
+
+    warehouse = staging_dir("daily_job_q")
+    summary = runner.run_job(
+        spark, warehouse, mode="daily", n_orders=400, n_cdc=200
+    )
+    log = spark.read.parquet(summary["event_log"]).select(
+        "pipeline", F.col("table").alias("node"), "layer",
+        "materialization", "status",
+        F.get_json_object("metrics_json", "$.validated_rows")
+        .cast("long")
+        .alias("validated_rows"),
+    )
+    counts = spark.createDataFrame(
+        [
+            (node, spark.read.parquet(path).count())
+            for node, path in sorted(summary["written"].items())
+        ],
+        "node string, n_rows long",
+    )
+    return log.join(counts, "node").select(
+        "pipeline", "node", "layer", "materialization", "status",
+        "n_rows", "validated_rows",
+    ).orderBy("pipeline", "node")
+
+
+DAILY_JOB_EVENT_LOG_ROLLUP_SQL = """
+SELECT * FROM (VALUES
+  ('daily_cdc',  'customers_scd1',     'silver', 'materialized_view',
+   'written', CAST(75 AS BIGINT),  CAST(200 AS BIGINT)),
+  ('daily_main', 'bronze_orders',      'bronze', 'streaming_table',
+   'written', CAST(400 AS BIGINT), CAST(NULL AS BIGINT)),
+  ('daily_main', 'gold_status_counts', 'gold',   'materialized_view',
+   'written', CAST(5 AS BIGINT),   CAST(NULL AS BIGINT)),
+  ('daily_main', 'silver_orders',      'silver', 'streaming_table',
+   'written', CAST(395 AS BIGINT), CAST(NULL AS BIGINT))
+) AS t(pipeline, node, layer, materialization, status, n_rows,
+       validated_rows)
+ORDER BY pipeline, node
+"""
+
+
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Catalog.analyze`` column statistics under the hash gate
+    (VERDICT r5 next-step #5b): the events table is saved to the
+    session catalog, analyzed FOR COLUMNS (the one-pass path — table
+    stats piggyback on the column scan), and the recorded statistics
+    are read back through DESCRIBE EXTENDED into a typed relation the
+    oracle recomputes from the raw table: rowCount, per-column
+    num_nulls, and min/max (parsed back to their native types — no
+    string-format coupling). NDV is HyperLogLog++-approximate by
+    design, so it is gated as a deterministic INVARIANT instead
+    (within 10% of the exact distinct count, measured 1.5-2.2% off);
+    the CBO plan flip this feeds is pinned in tests/test_plans.py."""
+    import zlib as _zlib
+
+    tbl = "ev_stats_%08x" % _zlib.crc32(
+        __import__("os").path.normpath(sf_dir).encode()
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
+    # A managed-table directory orphaned by an earlier PROCESS (the
+    # in-memory catalog is gone, the warehouse dir persists) fails
+    # saveAsTable with LOCATION_ALREADY_EXISTS — same hazard and same
+    # fix as Catalog.write_bucketed's orphan cleanup.
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    loc = jvm.org.apache.hadoop.fs.Path(wh, tbl.lower())
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
+    ev.write.mode("overwrite").saveAsTable(tbl)
+    from olist_lakehouse_2_0_spark.catalog import Catalog
+
+    Catalog.analyze(spark, tbl, columns=["user_id", "ts", "event_type"])
+    row_count = None
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED `{tbl}`").collect():
+        if r.col_name == "Statistics":
+            row_count = int(r.data_type.split(",")[1].strip().split(" ")[0])
+    exact_ndv = {
+        "user_id": ev.select(F.countDistinct("user_id")).first()[0],
+        "ts": ev.select(F.countDistinct("ts")).first()[0],
+        "event_type": ev.select(F.countDistinct("event_type")).first()[0],
+    }
+    rows = []
+    for c in ["event_type", "ts", "user_id"]:
+        info = {
+            r.info_name: r.info_value
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED `{tbl}` {c}").collect()
+        }
+        ndv = int(info["distinct_count"])
+        ndv_ok = abs(ndv - exact_ndv[c]) <= 0.10 * max(1, exact_ndv[c])
+        rows.append((
+            c,
+            row_count,
+            int(info["num_nulls"]),
+            int(info["min"]) if c == "user_id" else None,
+            int(info["max"]) if c == "user_id" else None,
+            info["min"] if c == "ts" else None,
+            info["max"] if c == "ts" else None,
+            bool(ndv_ok),
+        ))
+    out = spark.createDataFrame(
+        rows,
+        "column_name string, row_count long, num_nulls long, "
+        "min_long long, max_long long, __min_s string, __max_s string, "
+        "ndv_ok boolean",
+    )
+    return out.select(
+        "column_name", "row_count", "num_nulls", "min_long", "max_long",
+        F.col("__min_s").cast("timestamp_ntz").alias("min_ts"),
+        F.col("__max_s").cast("timestamp_ntz").alias("max_ts"),
+        "ndv_ok",
+    ).orderBy("column_name")
+
+
+ANALYZE_TABLE_STATS_SQL = """
+WITH t AS (
+  SELECT COUNT(*) AS rc,
+         SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nu,
+         SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS nt,
+         SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS ne,
+         MIN(user_id) AS minu, MAX(user_id) AS maxu,
+         MIN(ts) AS mints, MAX(ts) AS maxts
+  FROM events
+)
+SELECT * FROM (
+  SELECT 'event_type' AS column_name, rc AS row_count,
+         CAST(ne AS BIGINT) AS num_nulls,
+         CAST(NULL AS BIGINT) AS min_long, CAST(NULL AS BIGINT) AS max_long,
+         CAST(NULL AS TIMESTAMP) AS min_ts, CAST(NULL AS TIMESTAMP) AS max_ts,
+         TRUE AS ndv_ok
+  FROM t
+  UNION ALL
+  SELECT 'ts', rc, CAST(nt AS BIGINT), NULL, NULL, mints, maxts, TRUE FROM t
+  UNION ALL
+  SELECT 'user_id', rc, CAST(nu AS BIGINT), minu, maxu, NULL, NULL, TRUE
+  FROM t
+)
+ORDER BY column_name
+"""
+
+
 RELATIONAL_QUERIES = {
     "daily_orders": daily_orders,
     "monthly_orders_lag": monthly_orders_lag,
@@ -1886,6 +2062,8 @@ RELATIONAL_QUERIES = {
     "dq_aggregate_gate": dq_aggregate_gate,
     "sql_entry_revenue": sql_entry_revenue,
     "pipeline_event_log_audit": pipeline_event_log_audit,
+    "daily_job_event_log_rollup": daily_job_event_log_rollup,
+    "analyze_table_stats": analyze_table_stats,
     "merge_upsert_orders": merge_upsert_orders,
     "merge_concurrent_writers": merge_concurrent_writers,
     "cdf_table_changes": cdf_table_changes,
@@ -1920,6 +2098,8 @@ RELATIONAL_ORACLES = {
     "dq_aggregate_gate": DQ_AGGREGATE_GATE_SQL,
     "sql_entry_revenue": SQL_ENTRY_REVENUE_SQL,
     "pipeline_event_log_audit": PIPELINE_EVENT_LOG_AUDIT_SQL,
+    "daily_job_event_log_rollup": DAILY_JOB_EVENT_LOG_ROLLUP_SQL,
+    "analyze_table_stats": ANALYZE_TABLE_STATS_SQL,
     "merge_upsert_orders": MERGE_UPSERT_ORDERS_SQL,
     "merge_concurrent_writers": MERGE_CONCURRENT_WRITERS_SQL,
     "cdf_table_changes": CDF_TABLE_CHANGES_SQL,

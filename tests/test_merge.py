@@ -346,3 +346,87 @@ def test_merge_not_matched_by_source_update(spark):
         (3, "stale", 30.0),   # NBS update fires
         # id=4 (amount 40): NBS delete wins
     }
+
+
+_CROSS_PROCESS_WRITER = '''
+"""Standalone CAS writer: own JVM, own SparkSession, no shared state
+with the parent test process — only the table directory on disk.
+argv: root, token, expected_version, n_rows. Exit 0 on commit, 42 on
+ConcurrentWriteError."""
+import sys
+
+sys.path.insert(0, sys.argv[5])
+
+from olist_lakehouse_2_0_spark import get_spark
+from olist_lakehouse_2_0_spark.catalog import Catalog, ConcurrentWriteError
+
+root, token, expected, n = (
+    sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+)
+spark = get_spark(
+    app_name="cas-writer-subprocess",
+    master="local[2]",
+    shuffle_partitions=2,
+    extra_conf={"spark.driver.memory": "2g"},
+)
+cat = Catalog(root=root)
+cat.stage_version(spark.range(n), "t", token=token)
+try:
+    cat.promote_version(spark, "t", expected_version=expected, token=token)
+except ConcurrentWriteError:
+    spark.stop()
+    sys.exit(42)
+spark.stop()
+sys.exit(0)
+'''
+
+
+def test_cas_promote_holds_across_os_processes(spark, tmp_path):
+    """The CAS arbiter is the filesystem rename, not any in-process
+    state — so it must hold between two OS processes each running its
+    own JVM (VERDICT r5 next-step #4; the thread-concurrency test
+    shares one driver). Both directions:
+
+    1. parent stages against v1, a SUBPROCESS writer commits v2 first,
+       parent's promote must raise ConcurrentWriteError;
+    2. parent commits v3, a second subprocess with the stale
+       expected_version must detect the conflict itself (exit 42).
+    """
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    writer = tmp_path / "cas_writer.py"
+    writer.write_text(_CROSS_PROCESS_WRITER)
+
+    def run_child(token: str, expected: int, n: int) -> int:
+        env = dict(os.environ)
+        env["SPARK_GRAFT_DRIVER_MEM"] = "2g"
+        return subprocess.run(
+            [sys.executable, str(writer), str(tmp_path), token,
+             str(expected), str(n), repo],
+            cwd=str(tmp_path),  # isolate any derby/warehouse litter
+            env=env,
+            timeout=300,
+        ).returncode
+
+    cat = Catalog(root=str(tmp_path))
+    cat.write_versioned(spark.range(10), spark, "t")           # v1
+    base = cat.latest_version_number(spark, "t")
+    assert base == 1
+
+    # Parent stages FIRST (its read is genuinely stale by commit time).
+    cat.stage_version(spark.range(15), "t", token="parent")
+    assert run_child("child", base, 20) == 0                   # child: v2
+    with pytest.raises(ConcurrentWriteError):
+        cat.promote_version(spark, "t", expected_version=base, token="parent")
+    assert cat.read(spark, "t").count() == 20
+    assert cat.latest_version_number(spark, "t") == 2
+
+    # Reverse direction: parent commits v3; a stale child must lose.
+    cat.stage_version(spark.range(25), "t", token="parent2")
+    cat.promote_version(spark, "t", expected_version=2, token="parent2")
+    assert run_child("child-stale", 2, 99) == 42
+    assert cat.read(spark, "t").count() == 25
+    assert cat.latest_version_number(spark, "t") == 3
