@@ -1341,20 +1341,29 @@ def events_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cols = ["event_id", "user_id", "event_type", "ts", "value"]
+    # spread=False: the slice is fixture prep for the LANDING files the
+    # stream re-reads — a multi-partition spread scan buys nothing
+    # before a coalesce(1) write and tripled the staging cost
+    # (measured 2.2 s vs 0.25 s per materialization at sf0.1). The
+    # operator under test is the watermarked drain, not this scan.
     slice_df = (
-        load(spark, sf_dir, "events", spread=True)
+        load(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull() & (F.col("event_id") % 20 == 3))
         .select(*cols)
+        .persist()
     )
 
     def far_marker(ts_str: str) -> DataFrame:
-        return spark.createDataFrame(
-            [(-1, -1, "flush", ts_str, 0.0)],
-            "event_id long, user_id long, event_type string, "
-            "ts string, value double",
-        ).select(
-            "event_id", "user_id", "event_type",
-            F.col("ts").cast("timestamp_ntz").alias("ts"), "value",
+        # range+lit, not createDataFrame: a Python local relation pays
+        # a Python-worker round trip on EVERY action (~4 s per 1-row
+        # write, measured); the literal projection is a pure JVM plan
+        # (0.2 s) and this fixture is written once per batch.
+        return spark.range(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("flush").alias("event_type"),
+            F.lit(ts_str).cast("timestamp").alias("ts"),
+            F.lit(0.0).alias("value"),
         )
 
     root = staging_dir("wm_late_drop")
@@ -1377,11 +1386,16 @@ def events_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(landing + "/*")
     )
+    slice_df.unpersist()
     agg = tumbling_window_agg(
         stream.withWatermark("ts", "30 minutes"), distinct_users=False
     )
     out = os.path.join(root, "windows")
-    with scoped_shuffle_partitions(spark, 8):
+    # 4 state partitions: 6 micro-batches x one state commit per
+    # partition; 8 partitions measured 6.1 s of drain vs 2.7 s at 4
+    # with identical results (same sizing rationale as
+    # scoped_shuffle_partitions' docstring).
+    with scoped_shuffle_partitions(spark, 4):
         run_to_parquet(agg, out, os.path.join(root, "ckpt"))
     back = spark.read.schema(agg.schema).parquet(out)
     return back.orderBy("window_start", "event_type")
