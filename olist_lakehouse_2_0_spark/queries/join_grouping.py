@@ -911,6 +911,343 @@ ORDER BY o.o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: correlated MIN over a multi-join subquery, decorrelated
+# as a per-key aggregate joined back on (key, min) — ties kept.
+# ---------------------------------------------------------------------------
+def regional_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each size-7 part, the EUROPE supplier(s) offering its
+    minimum observed ship price — TPC-H Q2's shape: the correlated
+    ``price = (SELECT MIN(...) WHERE region AND same part)`` subquery
+    decorrelated into a per-part aggregate joined back on
+    (partkey, min_cost), ties preserved. The offer relation itself is
+    derived (min l_extendedprice per (part, supplier) — lineitem
+    stands in for partsupp, which this testdata lacks); cost is a MIN
+    of raw doubles (no arithmetic), so the equality join-back cannot
+    diverge between engines. Plan: region->nation->supplier collapses
+    to a broadcast supplier set; offers partial-aggregate on
+    (part, supplier) before the per-part MIN; both aggregates are on
+    already-reduced relations — the fact scans once."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supplier = load(spark, sf_dir, "supplier")
+    euro_supp = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 7)
+        .select("p_partkey", "p_brand")
+    )
+    li = load(spark, sf_dir, "lineitem", spread=True).select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    offers = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(euro_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.min("cost").alias("__min_cost")
+    )
+    return (
+        offers.join(
+            best,
+            (F.col("p_partkey") == F.col("__pk"))
+            & (F.col("cost") == F.col("__min_cost")),
+        )
+        .select(
+            "p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal",
+            "cost",
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+REGIONAL_MIN_COST_SUPPLIER_SQL = """
+WITH euro_supp AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+), offers AS (
+  SELECT p.p_partkey, p.p_brand, es.s_suppkey, es.s_name, es.s_acctbal,
+         MIN(l.l_extendedprice) AS cost
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size = 7
+  JOIN euro_supp es ON l.l_suppkey = es.s_suppkey
+  GROUP BY p.p_partkey, p.p_brand, es.s_suppkey, es.s_name, es.s_acctbal
+)
+SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, cost
+FROM offers o
+WHERE cost = (SELECT MIN(cost) FROM offers i
+              WHERE i.p_partkey = o.p_partkey)
+ORDER BY p_partkey, s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: market-share ratio — conditional aggregate over a
+# deep join tree, exposed as exact numerator/denominator + IEEE share.
+# ---------------------------------------------------------------------------
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_2's share of the ASIA market for STANDARD-type parts per
+    order year — TPC-H Q8's shape: revenue over a
+    lineitem⋈orders⋈customer⋈nation⋈region⋈part⋈supplier⋈nation tree,
+    with a CASE-gated numerator (supplier nation = NATION_2) inside
+    the same aggregate pass. Numerator and denominator are EXACT
+    scale-4 decimals; the share column is one IEEE division of their
+    double casts (deterministic on both engines — never a decimal
+    division, whose precision/rounding rules differ). Plan: all five
+    dimension legs broadcast; the fact is scanned once and aggregated
+    by year with the CASE folded into the same partial aggregate."""
+    li = load(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount",
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_cust = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select(F.col("n_nationkey").alias("__cnk"))
+            ),
+            F.col("c_nationkey") == F.col("__cnk"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rev = F.col("l_extendedprice").cast(MONEY) * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(supp_nation),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_2", rev))
+            .cast("decimal(18,4)")
+            .alias("nation_revenue"),
+            F.sum(rev).cast("decimal(18,4)").alias("market_revenue"),
+        )
+        .select(
+            "o_year",
+            F.coalesce(
+                F.col("nation_revenue"), F.lit(0).cast("decimal(18,4)")
+            ).alias("nation_revenue"),
+            "market_revenue",
+            (
+                F.coalesce(F.col("nation_revenue"), F.lit(0).cast("decimal(18,4)"))
+                .cast("double")
+                / F.col("market_revenue").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+NATION_MARKET_SHARE_SQL = """
+WITH asia_cust AS (
+  SELECT c.c_custkey
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+), g AS (
+  SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+         CAST(SUM(CASE WHEN sn.n_name = 'NATION_2'
+                       THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                  END) AS DECIMAL(18,4)) AS nation_revenue,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(4,2))))
+              AS DECIMAL(18,4)) AS market_revenue
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN asia_cust ac ON o.o_custkey = ac.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  GROUP BY EXTRACT(YEAR FROM o.o_orderdate)
+)
+SELECT CAST(o_year AS INT) AS o_year,
+       COALESCE(nation_revenue, CAST(0 AS DECIMAL(18,4))) AS nation_revenue,
+       market_revenue,
+       CAST(COALESCE(nation_revenue, CAST(0 AS DECIMAL(18,4))) AS DOUBLE)
+         / CAST(market_revenue AS DOUBLE) AS share
+FROM g
+ORDER BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: HAVING against a fraction of a GLOBAL scalar
+# aggregate — cross-multiplied so the comparison is exact.
+# ---------------------------------------------------------------------------
+def important_parts_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose shipped value exceeds the MEAN per-part value —
+    TPC-H Q11's shape: a per-key aggregate gated by HAVING > fraction
+    * (scalar subquery over the same relation). Official Q11 scales
+    its fraction by 1/SF precisely so the gate stays selective at
+    every scale; the scale-free equivalent here compares against the
+    mean (``value * n_parts > total``), cross-multiplied so the
+    comparison stays in exact integer-decimal arithmetic — a
+    fractional threshold computed as a decimal division would round
+    differently per engine. Plan: ONE aggregate pass feeds both sides
+    (the grouped relation and its one-row total+count rollup), the
+    scalar broadcasts back onto the part-sized aggregate — the fact
+    never rescans."""
+    li = load(spark, sf_dir, "lineitem", spread=True)
+    value = (
+        F.col("l_extendedprice").cast(MONEY)
+        * (1 - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(value).cast("decimal(18,4)").alias("part_value"))
+        .persist()
+    )
+    total = per_part.agg(
+        F.sum("part_value").cast("decimal(28,4)").alias("__total"),
+        F.count(F.lit(1)).alias("__n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_value").cast("decimal(28,4)") * F.col("__n_parts")
+            > F.col("__total")
+        )
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+IMPORTANT_PARTS_VALUE_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2))))
+              AS DECIMAL(18,4)) AS part_value
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE CAST(part_value AS DECIMAL(28,4))
+      * (SELECT COUNT(*) FROM per_part)
+      > (SELECT CAST(SUM(part_value) AS DECIMAL(28,4)) FROM per_part)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: correlated half-sum threshold (qty > 0.5 * SUM(...)
+# for the same key), decorrelated and cross-multiplied exact.
+# ---------------------------------------------------------------------------
+def dominant_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who shipped MORE THAN HALF of some part's total 1997
+    quantity — TPC-H Q20's shape: the correlated ``> 0.5 * SUM(...)
+    same part`` subquery decorrelated into a per-part total joined to
+    the per-(part, supplier) sums, cross-multiplied
+    (``2 * supplier_qty > part_qty``) so the half-threshold stays in
+    exact decimal. Rolled up to (supplier, #dominated parts). Plan:
+    one date-filtered fact scan partial-aggregates on the
+    (part, supplier) grain; the per-part totals are a second
+    aggregate of THAT (already part×supplier-sized) relation, joined
+    back on the part key; the supplier dim broadcasts."""
+    li = load(spark, sf_dir, "lineitem", spread=True).filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(MONEY))
+        .cast(MONEY_SUM)
+        .alias("supp_qty")
+    ).persist()
+    per_part = ps.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("supp_qty").cast("decimal(28,2)").alias("part_qty")
+    )
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        ps.join(per_part, F.col("l_partkey") == F.col("__pk"))
+        .filter(
+            F.col("supp_qty").cast("decimal(28,2)") * 2 > F.col("part_qty")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dominated_parts"))
+        .join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select("s_suppkey", "s_name", "n_dominated_parts")
+        .orderBy(F.col("n_dominated_parts").desc(), "s_suppkey")
+    )
+
+
+DOMINANT_PART_SHIPPERS_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS supp_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+), per_part AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(supp_qty) AS DECIMAL(28,2)) AS part_qty
+  FROM ps GROUP BY l_partkey
+)
+SELECT s.s_suppkey, s.s_name,
+       COUNT(*) AS n_dominated_parts
+FROM ps
+JOIN per_part ON ps.l_partkey = per_part.pk
+JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+WHERE CAST(ps.supp_qty AS DECIMAL(28,2)) * 2 > per_part.part_qty
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY n_dominated_parts DESC, s.s_suppkey
+"""
+
+
 JOIN_GROUPING_QUERIES = {
     "shipments_in_order_windows": shipments_in_order_windows,
     "salted_nation_revenue": salted_nation_revenue,
@@ -927,6 +1264,10 @@ JOIN_GROUPING_QUERIES = {
     "top_revenue_supplier": top_revenue_supplier,
     "part_supplier_variety": part_supplier_variety,
     "large_volume_orders": large_volume_orders,
+    "regional_min_cost_supplier": regional_min_cost_supplier,
+    "nation_market_share": nation_market_share,
+    "important_parts_value": important_parts_value,
+    "dominant_part_shippers": dominant_part_shippers,
 }
 
 JOIN_GROUPING_ORACLES = {
@@ -945,4 +1286,8 @@ JOIN_GROUPING_ORACLES = {
     "top_revenue_supplier": TOP_REVENUE_SUPPLIER_SQL,
     "part_supplier_variety": PART_SUPPLIER_VARIETY_SQL,
     "large_volume_orders": LARGE_VOLUME_ORDERS_SQL,
+    "regional_min_cost_supplier": REGIONAL_MIN_COST_SUPPLIER_SQL,
+    "nation_market_share": NATION_MARKET_SHARE_SQL,
+    "important_parts_value": IMPORTANT_PARTS_VALUE_SQL,
+    "dominant_part_shippers": DOMINANT_PART_SHIPPERS_SQL,
 }
