@@ -3089,6 +3089,139 @@ GROUP BY bf.doc_id
 """
 
 
+def kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the ACTUAL smoothing
+    family behind KenLM, i.e. what CCNet-style quality filtering runs
+    in production (``bigram_logprob`` keeps the add-k baseline; this
+    is the real thing):
+
+        P(w2|w1) = (c(w1 w2) - D)/c(w1 .)
+                   + (D * N1+(w1 .)/c(w1 .)) * N1+(. w2)/N1+(. .)
+
+    with discount D = 0.75. The KN-specific ingredients are all
+    DISTINCT-TYPE counts over the bigram-type relation — successors
+    per prefix N1+(w1 .), predecessors per continuation N1+(. w2),
+    total bigram types — which is exactly one groupBy away from the
+    (bigram -> c12) aggregate: the type relation is vocab²-bounded,
+    so every KN statistic is computed on already-reduced data and the
+    corpus scans once. Prefix mass c(w1 .) is derived from bigram
+    occurrences (NOT raw unigram counts — they differ at document
+    boundaries, where a final token has no successor). The probability
+    expression is evaluated in IEEE doubles with an identical
+    operation tree on both engines, then log-quantized to integer
+    1e-6 units at the source (the repo's order-independence
+    discipline; same measure-zero cross-libm caveat as
+    ``unigram_logprob``), so per-doc sums are exact integers at any
+    parallelism. Trained on the corpus it scores, every scored bigram
+    exists in the table — no unseen-event branch."""
+    docs = load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    bf = (
+        docs.select(
+            "doc_id",
+            F.explode(ops_text.word_ngrams("text", 2)).alias("bigram"),
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    bc = (
+        bf.groupBy("bigram")
+        .agg(F.sum("tf").cast("long").alias("c12"))
+        .withColumn("__w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("__w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+        .persist()
+    )
+    prefix = bc.groupBy("__w1").agg(
+        F.sum("c12").cast("long").alias("cw1"),
+        F.count(F.lit(1)).cast("long").alias("n1p_w1"),
+    )
+    cont = bc.groupBy("__w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p_w2")
+    )
+    btypes = bc.agg(F.count(F.lit(1)).cast("long").alias("btypes"))
+    d = F.lit(0.75)
+    p = (
+        (F.col("c12").cast("double") - d) / F.col("cw1").cast("double")
+        + (d * F.col("n1p_w1").cast("double") / F.col("cw1").cast("double"))
+        * (
+            F.col("n1p_w2").cast("double")
+            / F.col("btypes").cast("double")
+        )
+    )
+    lp = (
+        bc.join(prefix, "__w1")
+        .join(cont, "__w2")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "bigram",
+            F.floor(F.log(p) * 1e6 + F.lit(0.5)).cast("long").alias("logp_q"),
+        )
+    )
+    return (
+        bf.join(lp, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("logp_q")).cast("long").alias("__slp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.col("__slp").cast("double")
+                / (F.col("n_bigrams").cast("double") * F.lit(1e6))
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+KNESER_NEY_LOGPROB_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS l
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), bf AS (
+  SELECT doc_id, bigram, COUNT(*) AS tf FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, LEN(l)), i -> l[i] || ' ' || l[i + 1]))
+               AS bigram
+    FROM toks WHERE LEN(l) >= 2
+  ) GROUP BY doc_id, bigram
+), bc AS (
+  SELECT bigram, CAST(SUM(tf) AS BIGINT) AS c12,
+         split_part(bigram, ' ', 1) AS w1,
+         split_part(bigram, ' ', 2) AS w2
+  FROM bf GROUP BY bigram
+), prefix AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS cw1,
+         CAST(COUNT(*) AS BIGINT) AS n1p_w1
+  FROM bc GROUP BY w1
+), cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_w2 FROM bc GROUP BY w2
+), bt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS btypes FROM bc
+), lp AS (
+  SELECT bigram,
+         CAST(FLOOR(LN(
+           (CAST(c12 AS DOUBLE) - 0.75) / CAST(cw1 AS DOUBLE)
+           + (0.75 * CAST(n1p_w1 AS DOUBLE) / CAST(cw1 AS DOUBLE))
+             * (CAST(n1p_w2 AS DOUBLE) / CAST(btypes AS DOUBLE))
+         ) * 1e6 + 0.5) AS BIGINT) AS logp_q
+  FROM bc
+  JOIN prefix USING (w1)
+  JOIN cont USING (w2)
+  CROSS JOIN bt
+)
+SELECT bf.doc_id,
+       CAST(SUM(bf.tf) AS BIGINT) AS n_bigrams,
+       CAST(CAST(SUM(bf.tf * logp_q) AS BIGINT) AS DOUBLE)
+         / (CAST(SUM(bf.tf) AS DOUBLE) * 1e6) AS avg_logprob
+FROM bf JOIN lp USING (bigram)
+GROUP BY bf.doc_id
+"""
+
+
 def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide segment-level dedup (CCNet/RefinedWeb line-dedup
     over 10-token segments): per-document shared-segment counts and
@@ -4299,6 +4432,7 @@ LLM_QUERIES = {
     "embedding_topk_mrl_recall": embedding_topk_mrl_recall,
     "image_dhash_neardup": image_dhash_neardup,
     "bigram_logprob": bigram_logprob,
+    "kneser_ney_logprob": kneser_ney_logprob,
     "domain_capped_corpus": domain_capped_corpus,
     "bpe_pair_counts": bpe_pair_counts,
     "embedding_topk_ivf_exhaustive": embedding_topk_ivf_exhaustive,
@@ -4383,6 +4517,7 @@ LLM_ORACLES = {
     "embedding_topk_mrl_recall": EMBEDDING_TOPK_MRL_RECALL_SQL,
     "image_dhash_neardup": IMAGE_DHASH_NEARDUP_SQL,
     "bigram_logprob": BIGRAM_LOGPROB_SQL,
+    "kneser_ney_logprob": KNESER_NEY_LOGPROB_SQL,
     "domain_capped_corpus": DOMAIN_CAPPED_CORPUS_SQL,
     "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
     "embedding_topk_ivf_exhaustive": EMBEDDING_TOPK_SQL,
