@@ -819,3 +819,121 @@ def dedup_components(
             break
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash-LSH index: the corpus-growth path. A production
+# corpus is never re-signed from scratch — each arriving shard is
+# signed and banded ALONE and appended to a persisted banding index;
+# probing joins only the new shard's (band, bucket) rows against the
+# accumulated ones. The symmetric counterpart of the IVF append path
+# (similarity.append_ivf_index) for the near-dup family.
+# ---------------------------------------------------------------------------
+
+
+def write_minhash_index(
+    docs: DataFrame,
+    catalog,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    seed: int = 42,
+    shard_id: int = 0,
+    mode: str = "overwrite",
+) -> None:
+    """Build (or with ``mode='append'`` extend) the persisted LSH
+    banding index for ``docs``: per-shard MinHash signatures,
+    identical-signature collapse (the degenerate-corpus guard applies
+    shard-locally — N boilerplate copies inside one shard contribute
+    ONE banding row per band; identical docs in DIFFERENT shards meet
+    through the banding join), then two tables in ``catalog``:
+
+    - ``minhash_banding`` (band, bucket, rep id, shard_id),
+      PARTITIONED BY band — the probe join's left side prunes to the
+      band partitions it touches, and at 100 TB each band's bucket
+      space is an independently-sized join key domain;
+    - ``minhash_members`` (doc id, rep id, shard_id) — the expansion
+      map back to doc-level matches.
+
+    Signing cost is strictly per-shard: appending shard k re-reads
+    NOTHING of shards 0..k-1 (the round-5 exact-dedup and IVF-append
+    queries establish the same contract for fingerprint and vector
+    spaces)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        docs, id_col, text_col, num_hashes=num_hashes, n=n, seed=seed
+    )
+    rep_sigs, members = _collapse_identical_signatures(sigs, id_col)
+    banded = _banded(rep_sigs, id_col, bands, rows_per_band, None)
+    catalog.write(
+        banded.withColumn("shard_id", F.lit(shard_id)),
+        "minhash_banding",
+        mode=mode,
+        partition_by=["band"],
+    )
+    catalog.write(
+        members.withColumn("shard_id", F.lit(shard_id)),
+        "minhash_members",
+        mode=mode,
+    )
+
+
+def append_minhash_index(
+    new_docs: DataFrame,
+    catalog,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    seed: int = 42,
+    shard_id: int = 1,
+) -> None:
+    """Sign + band ONLY ``new_docs`` and append them to the index
+    (same parameters as the base build — signatures are comparable
+    only under identical hash coefficients and banding)."""
+    write_minhash_index(
+        new_docs, catalog, id_col, text_col, num_hashes, bands, n, seed,
+        shard_id=shard_id, mode="append",
+    )
+
+
+def probe_minhash_index(
+    spark,
+    catalog,
+    new_shard_id: int,
+) -> DataFrame:
+    """Candidate (new doc, older doc) pairs: join the new shard's
+    banding rows against all PRIOR shards' rows on (band, bucket),
+    then expand both sides through the membership map. Returns
+    distinct (id_new, id_old). Only the banding relation is read —
+    no document is re-signed; the join key space is (band, bucket),
+    so a new shard of size m costs O(m·bands) join rows regardless
+    of how large the accumulated index is."""
+    banding = catalog.read(spark, "minhash_banding")
+    members = catalog.read(spark, "minhash_members")
+    new_side = banding.filter(F.col("shard_id") == new_shard_id).select(
+        F.col("__id").alias("__rep_new"), "band", "bucket"
+    )
+    old_side = banding.filter(F.col("shard_id") < new_shard_id).select(
+        F.col("__id").alias("__rep_old"), "band", "bucket"
+    )
+    rep_pairs = (
+        new_side.join(old_side, ["band", "bucket"])
+        .select("__rep_new", "__rep_old")
+        .distinct()
+    )
+    m_new = members.filter(F.col("shard_id") == new_shard_id).select(
+        F.col("__rep").alias("__rep_new"), F.col("__id").alias("id_new")
+    )
+    m_old = members.filter(F.col("shard_id") < new_shard_id).select(
+        F.col("__rep").alias("__rep_old"), F.col("__id").alias("id_old")
+    )
+    return (
+        rep_pairs.join(m_new, "__rep_new")
+        .join(m_old, "__rep_old")
+        .select("id_new", "id_old")
+        .distinct()
+    )

@@ -3089,6 +3089,93 @@ GROUP BY bf.doc_id
 """
 
 
+def minhash_incremental_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CORPUS-GROWTH near-dup path under the hash gate: the base
+    corpus is signed once into a persisted LSH banding index
+    (``operators/dedup.py::write_minhash_index`` — per-shard
+    identical-signature collapse, banding rows PARTITIONED BY band),
+    an arriving shard (whitespace-perturbed copies of every 3rd doc,
+    token-identical to their originals) is signed and banded ALONE and
+    appended, and ``probe_minhash_index`` joins only the new shard's
+    (band, bucket) rows against the accumulated ones — nothing is
+    ever re-signed, the exact-dedup/IVF-append contract extended to
+    the MinHash family. Probed candidates are verified by EXACT
+    shingle-SET equality (canonical sorted-distinct-shingle
+    fingerprint join), and because an identical shingle set implies an
+    identical signature implies a shared bucket in EVERY band, the
+    verified output provably EQUALS the exact same-set new-vs-old
+    relation the oracle computes from scratch — one candidate lost
+    anywhere in the sign/collapse/band/append/probe chain fails the
+    hash. Scale: a shard of m docs costs O(m · bands) banding rows to
+    probe regardless of accumulated index size."""
+    import os
+
+    from olist_lakehouse_2_0_spark.catalog import Catalog
+    from olist_lakehouse_2_0_spark.operators.dedup import (
+        append_minhash_index,
+        probe_minhash_index,
+        token_shingles,
+        write_minhash_index,
+    )
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+
+    docs = load(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    batch = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("  "), F.col("text"), F.lit(" ")).alias("text"),
+    )
+    cat = Catalog(root=os.path.join(staging_dir("mh_index_q"), "warehouse"))
+    write_minhash_index(docs, cat, "doc_id", "text", shard_id=0)
+    append_minhash_index(batch, cat, "doc_id", "text", shard_id=1)
+    cands = probe_minhash_index(spark, cat, new_shard_id=1)
+
+    # Canonical shingle-set fingerprint (sorted distinct 3-gram
+    # shingles joined on an unlikely separator, xxhash64): set-equal
+    # docs get equal keys; the 2^-64 collision risk is the repo's
+    # accepted fingerprint contract. Docs with zero shingles never
+    # enter (signatures drop them; the guard here mirrors that).
+    def keys_of(d: DataFrame, out_id: str) -> DataFrame:
+        sh = token_shingles(F.col("text"), 3)
+        return d.select(
+            F.col("doc_id").alias(out_id),
+            F.xxhash64(
+                F.array_join(F.array_sort(F.array_distinct(sh)), "\x1f")
+            ).alias(f"__k_{out_id}"),
+        ).filter(F.size(sh) > 0)
+
+    verified = (
+        cands.join(F.broadcast(keys_of(batch, "id_new")), "id_new")
+        .join(keys_of(docs, "id_old"), "id_old")
+        .filter(F.col("__k_id_new") == F.col("__k_id_old"))
+        .select("id_new", "id_old")
+    )
+    return verified.orderBy("id_new", "id_old")
+
+
+MINHASH_INCREMENTAL_DUPS_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS l
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+), sh AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           list_transform(range(0, LEN(l) - 2),
+                          i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])
+         )) AS s
+  FROM base WHERE LEN(l) >= 3
+), new_shard AS (
+  SELECT doc_id + 1000000 AS id_new, s FROM sh WHERE doc_id % 3 = 0
+), old_shard AS (
+  SELECT doc_id AS id_old, s FROM sh
+)
+SELECT n.id_new, o.id_old
+FROM new_shard n JOIN old_shard o ON n.s = o.s
+ORDER BY n.id_new, o.id_old
+"""
+
+
 def kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring — the ACTUAL smoothing
     family behind KenLM, i.e. what CCNet-style quality filtering runs
@@ -4433,6 +4520,7 @@ LLM_QUERIES = {
     "image_dhash_neardup": image_dhash_neardup,
     "bigram_logprob": bigram_logprob,
     "kneser_ney_logprob": kneser_ney_logprob,
+    "minhash_incremental_dups": minhash_incremental_dups,
     "domain_capped_corpus": domain_capped_corpus,
     "bpe_pair_counts": bpe_pair_counts,
     "embedding_topk_ivf_exhaustive": embedding_topk_ivf_exhaustive,
@@ -4518,6 +4606,7 @@ LLM_ORACLES = {
     "image_dhash_neardup": IMAGE_DHASH_NEARDUP_SQL,
     "bigram_logprob": BIGRAM_LOGPROB_SQL,
     "kneser_ney_logprob": KNESER_NEY_LOGPROB_SQL,
+    "minhash_incremental_dups": MINHASH_INCREMENTAL_DUPS_SQL,
     "domain_capped_corpus": DOMAIN_CAPPED_CORPUS_SQL,
     "bpe_pair_counts": BPE_PAIR_COUNTS_SQL,
     "embedding_topk_ivf_exhaustive": EMBEDDING_TOPK_SQL,

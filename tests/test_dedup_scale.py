@@ -150,3 +150,49 @@ def test_span_removal_linear_on_identical_flood(spark, adversarial):
     assert agg.kept == 1 + 8
     assert agg.emptied == 10_000 - 1
     assert agg.total_removed == (10_000 - 1) * 17  # 17 tokens each
+
+
+def test_minhash_index_append_probe_multi_shard(spark, tmp_path):
+    """Corpus-growth contract: shard 2 probes against shards 0 AND 1
+    without re-signing either; a degenerate shard (many identical
+    docs) contributes ONE banding row per band via the shard-local
+    collapse, and its members still all match through the expansion."""
+    from olist_lakehouse_2_0_spark.catalog import Catalog
+    from olist_lakehouse_2_0_spark.operators.dedup import (
+        append_minhash_index,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    cat = Catalog(root=str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "one two three four five six"),
+         (3, "totally unrelated words here now")],
+        "doc_id long, text string",
+    )
+    shard1 = spark.createDataFrame(
+        [(101, "  alpha beta gamma delta epsilon ")],  # dup of 1
+        "doc_id long, text string",
+    )
+    # degenerate shard: 50 identical copies of doc 2's text
+    shard2 = spark.createDataFrame(
+        [(200 + i, "one two three four five six") for i in range(50)],
+        "doc_id long, text string",
+    )
+    write_minhash_index(base, cat, "doc_id", "text", shard_id=0)
+    append_minhash_index(shard1, cat, "doc_id", "text", shard_id=1)
+    append_minhash_index(shard2, cat, "doc_id", "text", shard_id=2)
+
+    # shard-local collapse: shard 2's 50 identical docs -> 16 banding
+    # rows (one rep x 16 bands), not 800.
+    banding = cat.read(spark, "minhash_banding")
+    assert banding.filter(F.col("shard_id") == 2).count() == 16
+
+    got1 = {(r.id_new, r.id_old)
+            for r in probe_minhash_index(spark, cat, 1).collect()}
+    assert got1 == {(101, 1)}
+    got2 = {(r.id_new, r.id_old)
+            for r in probe_minhash_index(spark, cat, 2).collect()}
+    # every shard-2 copy matches doc 2 (and nothing else) in shards < 2
+    assert got2 == {(200 + i, 2) for i in range(50)}
