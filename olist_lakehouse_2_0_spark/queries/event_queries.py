@@ -111,6 +111,55 @@ GROUP BY user_id, sess_id
 """
 
 
+def events_streaming_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING leg of gap-based sessionization under the hash
+    gate: the same ``session_window`` expression as
+    ``events_sessionized``, but executed as Spark's native stateful
+    session operator through a checkpointed availableNow drain —
+    session state merges across the watermark horizon and each session
+    emits exactly once when the watermark passes its end. A far-future
+    flush row (user -1) advances the watermark past every real
+    session's close so the append-mode sink holds the COMPLETE session
+    relation; the flush user's own (never-closed) session is excluded.
+    The oracle is the SAME gaps-and-islands SQL as the batch query —
+    streaming sessionization must produce the identical relation, so a
+    session split, merged, double-emitted, or lost by the state
+    machinery fails the hash. State is watermark-bounded (the 100 TB
+    property); the drain sizes its state-store partition count
+    explicitly."""
+    import os
+
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+    from olist_lakehouse_2_0_spark.streaming.ingest import (
+        run_to_parquet,
+        scoped_shuffle_partitions,
+    )
+    from olist_lakehouse_2_0_spark.streaming.windows import sessionize
+
+    feed = (
+        load(spark, sf_dir, "events", spread=True)
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "value")
+    )
+    flush = spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(0.0).alias("value"),
+    )
+    root = staging_dir("stream_sessions")
+    landing = os.path.join(root, "landing")
+    feed.unionByName(flush).write.parquet(landing)
+    stream = spark.readStream.schema(feed.schema).parquet(landing)
+    sessions = sessionize(stream.withWatermark("ts", "30 minutes"))
+    out = os.path.join(root, "sessions")
+    with scoped_shuffle_partitions(spark, 4):
+        run_to_parquet(sessions, out, os.path.join(root, "ckpt"))
+    back = spark.read.schema(sessions.schema).parquet(out)
+    return back.filter(F.col("user_id") >= 0).orderBy(
+        "user_id", "session_start"
+    )
+
+
 def events_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction (JVM ``get_json_object``, no UDF) +
     per-type aggregate over the extracted integer field."""
@@ -1433,6 +1482,7 @@ EVENT_QUERIES = {
     "events_stream_stream_join": events_stream_stream_join,
     "events_stream_stream_left_join": events_stream_stream_left_join,
     "events_streaming_dedup": events_streaming_dedup,
+    "events_streaming_sessionized": events_streaming_sessionized,
     "events_watermark_late_drop": events_watermark_late_drop,
     "events_stream_merge_upsert": events_stream_merge_upsert,
     "events_stream_static_enrich": events_stream_static_enrich,
@@ -1470,6 +1520,7 @@ EVENT_ORACLES = {
     "events_stream_stream_join": EVENTS_STREAM_STREAM_JOIN_SQL,
     "events_stream_stream_left_join": EVENTS_STREAM_STREAM_LEFT_JOIN_SQL,
     "events_streaming_dedup": EVENTS_STREAMING_DEDUP_SQL,
+    "events_streaming_sessionized": EVENTS_SESSIONS_SQL,
     "events_watermark_late_drop": EVENTS_WATERMARK_LATE_DROP_SQL,
     "events_stream_merge_upsert": EVENTS_STREAM_MERGE_UPSERT_SQL,
     "events_stream_static_enrich": EVENTS_STREAM_STATIC_ENRICH_SQL,
