@@ -904,6 +904,7 @@ def probe_minhash_index(
     spark,
     catalog,
     new_shard_id: int,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """Candidate (new doc, older doc) pairs: join the new shard's
     banding rows against all PRIOR shards' rows on (band, bucket),
@@ -911,7 +912,17 @@ def probe_minhash_index(
     distinct (id_new, id_old). Only the banding relation is read —
     no document is re-signed; the join key space is (band, bucket),
     so a new shard of size m costs O(m·bands) join rows regardless
-    of how large the accumulated index is."""
+    of how large the accumulated index is.
+
+    ``max_bucket_df`` extends the one-shot :func:`_banded` discipline
+    to the accumulated index: the identical-signature collapse is
+    shard-LOCAL, so boilerplate recurring in every shard puts one
+    representative per shard in the same (band, bucket) — old_side
+    membership grows linearly in shard count and the probe pair space
+    quadratically. When set, (band, bucket) keys whose accumulated
+    old-side membership exceeds the cap are dropped from the probe
+    (both sides). Recall bound as in :func:`minhash_lsh_candidates`:
+    a true pair is lost only if EVERY band it shares is hot."""
     banding = catalog.read(spark, "minhash_banding")
     members = catalog.read(spark, "minhash_members")
     new_side = banding.filter(F.col("shard_id") == new_shard_id).select(
@@ -920,6 +931,14 @@ def probe_minhash_index(
     old_side = banding.filter(F.col("shard_id") < new_shard_id).select(
         F.col("__id").alias("__rep_old"), "band", "bucket"
     )
+    if max_bucket_df is not None:
+        cool = (
+            old_side.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_bucket_df)
+            .select("band", "bucket")
+        )
+        old_side = old_side.join(cool, ["band", "bucket"], "left_semi")
     rep_pairs = (
         new_side.join(old_side, ["band", "bucket"])
         .select("__rep_new", "__rep_old")

@@ -888,10 +888,10 @@ def token_pair_counts(df: DataFrame, text_col: str, top_n: int = 20) -> DataFram
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("occurrences"))
     )
+    top = counts.orderBy(F.desc("occurrences"), F.asc("pair")).limit(top_n)
     w = W.orderBy(F.desc("occurrences"), F.asc("pair"))
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= top_n)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("pair", "occurrences", "rank")
     )
 

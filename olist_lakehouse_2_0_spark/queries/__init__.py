@@ -297,6 +297,45 @@ _CHANGED_IN_R6 = {
     "embedding_topk_ivfpq_exact", "embedding_topk_ivfpq_recall",
 }
 
+#: Queries hash-green in round 6's window (CORRECTNESS_r06.json —
+#: 50/50 green).
+_R6_CHECKED = {
+    "analyze_table_stats", "bpe_pair_counts", "contrastive_triplets",
+    "contrastive_triplets_ivfpq", "customers_inactive_anti",
+    "daily_channel_full_outer", "daily_job_event_log_rollup",
+    "daily_orders_gapfill", "daily_revenue_trend", "dataset_split",
+    "doc_chunks_udtf", "doc_length_buckets", "domain_capped_corpus",
+    "dominant_part_shippers", "dq_fail_gate_violations",
+    "embedding_neardup_verified", "embedding_topk_ivfpq_exact",
+    "embedding_topk_ivfpq_recall", "events_props_variant",
+    "events_streaming_sessionized", "events_watermark_late_drop",
+    "exact_substring_decontamination",
+    "exact_substring_decontamination_ac", "fingerprint_dups",
+    "heavy_hitter_tokens", "image_metadata", "image_resize",
+    "important_parts_value", "kneser_ney_logprob",
+    "minhash_incremental_dups", "nation_market_share",
+    "nation_revenue_share", "orders_building_segment_semi",
+    "orders_by_state", "orders_rollup", "parts_above_brand_avg",
+    "price_percentiles", "priority_metrics_unpivot",
+    "priority_region_matrix", "regional_min_cost_supplier",
+    "returnflag_pivot", "revenue_by_nation", "segment_dedup",
+    "segment_spend_ranks", "shipments_in_order_windows",
+    "source_mixture_sample", "temperature_mixture_sample",
+    "token_budgets", "top_revenue_orders", "video_frame_sample",
+}
+
+#: Queries whose IMPLEMENTATION changed in round 7 — front-load into
+#: this round's driver window. top_tokens and bpe_pair_counts were
+#: rewritten from a global row_number window to orderBy+limit
+#: (TakeOrderedAndProject) + rank-the-survivors (VERDICT r6 "What's
+#: wrong" #1 — results provably identical under the deterministic
+#: total order, but the plan under the stale green rows changed);
+#: minhash_incremental_dups' probe gained the max_bucket_df cross-shard
+#: hot-bucket cap (default-off, plan unchanged, re-confirm anyway).
+_CHANGED_IN_R7 = {
+    "top_tokens", "bpe_pair_counts", "minhash_incremental_dups",
+}
+
 #: Queries hash-green in round 3's window (CORRECTNESS_r03.json — 47
 #: green of 50 rows; the 3 non-green rows were rows-only twins /
 #: the array-column profile, all de-registered in round 4).
@@ -333,27 +372,26 @@ def _ordered_for_window(
     windowed); (2) queries whose implementation CHANGED this round (a
     stale green row proves nothing about rewritten code); (3) the
     greens by the round of their NEWEST driver row, stalest first, so
-    spare slots re-confirm the oldest evidence. Round 6's window
-    (VERDICT r5 next-step #1: retire all pre-r3 driver evidence) =
-    the new queries + the r6-changed + ALL 24 r2-latest stale greens
-    (~35 rows), with the remaining slots re-confirming the stalest
-    r3-latest greens - so after this round no registered query's
-    newest driver row predates r3."""
+    spare slots re-confirm the oldest evidence. Round 7's window
+    (VERDICT r6 next-step #3: rotate onto the r3 cohort) = the new
+    queries + the 3 r7-changed + ALL 37 r3-latest stale greens
+    (~45 rows) — so after this round no registered query's newest
+    driver row predates r4."""
     never_checked: list[tuple[str, QueryFn]] = []
     changed_this_round: list[tuple[str, QueryFn]] = []
     by_latest: dict[int, list[tuple[str, QueryFn]]] = {
-        1: [], 2: [], 3: [], 4: [], 5: [],
+        1: [], 2: [], 3: [], 4: [], 5: [], 6: [],
     }
     rounds = [
-        (5, _R5_CHECKED), (4, _R4_CHECKED), (3, _R3_CHECKED),
-        (2, _R2_CHECKED), (1, _R1_CHECKED),
+        (6, _R6_CHECKED), (5, _R5_CHECKED), (4, _R4_CHECKED),
+        (3, _R3_CHECKED), (2, _R2_CHECKED), (1, _R1_CHECKED),
     ]
     for item in queries.items():
         name = item[0]
         latest = next((rnd for rnd, s in rounds if name in s), None)
         if latest is None:
             never_checked.append(item)
-        elif name in _CHANGED_IN_R6:
+        elif name in _CHANGED_IN_R7:
             changed_this_round.append(item)
         else:
             by_latest[latest].append(item)
@@ -365,6 +403,7 @@ def _ordered_for_window(
         + by_latest[3]
         + by_latest[4]
         + by_latest[5]
+        + by_latest[6]
     )
 
 

@@ -260,7 +260,15 @@ FROM stats
 
 
 def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level token frequency top-20 (vocabulary analytics)."""
+    """Corpus-level token frequency top-20 (vocabulary analytics).
+
+    Scale: the distinct-token space at 100 TB is 10^8-10^9 rows, so the
+    top-k must never pass through a single-partition window over the
+    full vocabulary. ``orderBy(...).limit(20)`` plans
+    ``TakeOrderedAndProject`` (per-partition top-20 heaps + a driver
+    merge of 20-row heads); the ``row_number`` window then ranks only
+    the 20 survivors.
+    """
     docs = load(spark, sf_dir, "documents", spread=True)
     from pyspark.sql import Window as W
 
@@ -269,10 +277,10 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("occurrences"))
     )
+    top = counts.orderBy(F.desc("occurrences"), F.asc("token")).limit(20)
     w = W.orderBy(F.desc("occurrences"), F.asc("token"))
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("token", "occurrences", "rank")
     )
 

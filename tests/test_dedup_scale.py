@@ -196,3 +196,57 @@ def test_minhash_index_append_probe_multi_shard(spark, tmp_path):
             for r in probe_minhash_index(spark, cat, 2).collect()}
     # every shard-2 copy matches doc 2 (and nothing else) in shards < 2
     assert got2 == {(200 + i, 2) for i in range(50)}
+
+
+def test_probe_minhash_index_caps_cross_shard_hot_buckets(spark, tmp_path):
+    """Many-shards-same-boilerplate flood (VERDICT r6 'What's wrong'
+    #3): the identical-signature collapse is shard-local, so 12 shards
+    each carrying copies of the same boilerplate accumulate 12
+    representatives per (band, bucket) — old_side grows with shard
+    count and the uncapped probe pair space with shards². With
+    ``max_bucket_df`` the hot buckets drop out of the probe entirely
+    (zero boilerplate candidates), while a non-recurring doc planted in
+    one old shard still reaches its new-shard twin (its buckets are
+    cool), proving the cap bounds candidates without collateral loss."""
+    from olist_lakehouse_2_0_spark.catalog import Catalog
+    from olist_lakehouse_2_0_spark.operators.dedup import (
+        append_minhash_index,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    cat = Catalog(root=str(tmp_path / "wh"))
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    rare = "zephyr quokka obelisk marzipan fjord glyph quartz nimbus"
+    n_shards, copies = 12, 5
+    for s in range(n_shards):
+        rows = [
+            (s * 1000 + i, boiler) for i in range(copies)
+        ]
+        if s == 3:
+            rows.append((s * 1000 + 999, rare))  # planted needle
+        shard = spark.createDataFrame(rows, "doc_id long, text string")
+        if s == 0:
+            write_minhash_index(shard, cat, "doc_id", "text", shard_id=0)
+        else:
+            append_minhash_index(shard, cat, "doc_id", "text", shard_id=s)
+    probe = spark.createDataFrame(
+        [(90_001, boiler), (90_002, rare)], "doc_id long, text string"
+    )
+    append_minhash_index(probe, cat, "doc_id", "text", shard_id=n_shards)
+
+    # Uncapped: the boilerplate bucket yields one rep PER SHARD, each
+    # expanding to `copies` members — shards·copies candidate pairs for
+    # ONE probe doc (the quadratic-in-shards accumulation in miniature).
+    uncapped = probe_minhash_index(spark, cat, n_shards).collect()
+    boiler_pairs = [r for r in uncapped if r.id_new == 90_001]
+    assert len(boiler_pairs) == n_shards * copies
+
+    # Capped at old-side membership 4 (< 12 accumulated reps): the hot
+    # buckets leave the probe; the rare needle's buckets hold a single
+    # old rep and survive untouched.
+    capped = probe_minhash_index(
+        spark, cat, n_shards, max_bucket_df=4
+    ).collect()
+    assert [r for r in capped if r.id_new == 90_001] == []
+    assert {(r.id_new, r.id_old) for r in capped} == {(90_002, 3999)}
