@@ -334,6 +334,11 @@ _R6_CHECKED = {
 #: hot-bucket cap (default-off, plan unchanged, re-confirm anyway).
 _CHANGED_IN_R7 = {
     "top_tokens", "bpe_pair_counts", "minhash_incremental_dups",
+    # r6-advice fixes: explicit top-ranked-negative selection in the
+    # ivfpq triplet miner; the corpus-count cache + seed-carrying
+    # staging tag under all three shared-codebook consumers.
+    "contrastive_triplets_ivfpq", "embedding_topk_ivfpq_exact",
+    "embedding_topk_ivfpq_recall",
 }
 
 #: Queries hash-green in round 3's window (CORRECTNESS_r03.json — 47

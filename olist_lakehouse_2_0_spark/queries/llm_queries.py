@@ -348,6 +348,24 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str, emb: DataFrame):
 #: corpus), so cached centroids yield results identical to retraining.
 _COARSE_CENTROID_CACHE: dict[tuple, str] = {}
 
+#: Corpus row counts keyed by (dataset, corpus_tag), process-lifetime:
+#: ``default_num_centroids`` needs n, but re-counting the corpus on
+#: every invocation is an avoidable full scan once the codebook itself
+#: is cached (r6 advice). Exact: the count is deterministic for a
+#: fixed (dataset, corpus shape).
+_CORPUS_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def _corpus_count_for(
+    sf_dir: str, corpus_tag: str, corpus: DataFrame
+) -> int:
+    key = (os.path.normpath(sf_dir), corpus_tag)
+    n = _CORPUS_COUNT_CACHE.get(key)
+    if n is None:
+        n = corpus.count()
+        _CORPUS_COUNT_CACHE[key] = n
+    return n
+
 
 def _coarse_centroids_for(
     spark: SparkSession,
@@ -394,8 +412,13 @@ def _coarse_centroids_for(
         # would rotate each other's live codebook out from under the
         # cached path.
         norm = os.path.normpath(sf_dir)
-        tag = "coarse_cb_%s_%s_%d_%08x" % (
-            corpus_tag, os.path.basename(norm), num_centroids,
+        # The tag carries EVERY cache-key component (incl. seed): two
+        # distinct cache keys must never share a rotation tag, or
+        # staging_dir's KEEP_ROOTS retention would rotate one key's
+        # live codebook out from under its still-cached path (r6
+        # advice — latent while all callers used seed=42).
+        tag = "coarse_cb_%s_%s_%d_s%d_%08x" % (
+            corpus_tag, os.path.basename(norm), num_centroids, seed,
             zlib.crc32(norm.encode()),
         )
         path = os.path.join(staging_dir(tag), "centroids")
@@ -750,16 +773,27 @@ def contrastive_triplets_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_self = F.col("corpus_id") == F.col("query_id")
 
     def mine(topk: DataFrame) -> DataFrame:
+        # The hard negative is the TOP-RANKED non-self non-positive row,
+        # picked explicitly as one lexicographic struct-min on (rank,
+        # id, cosine) — independent max aggregates only coincide when
+        # exactly one negative is in the top-k (r6 advice), and min()
+        # ignores the NULLed-out self/positive rows.
+        neg = F.when(
+            ~is_pos & ~is_self,
+            F.struct(F.col("rank"), F.col("corpus_id"), F.col("cosine")),
+        )
         return topk.groupBy("query_id").agg(
             F.max(F.when(is_self & (F.col("rank") == 1), 1)).alias("__self1"),
             F.max(F.when(is_pos, F.col("corpus_id"))).alias("positive_id"),
             F.max(F.when(is_pos, F.col("cosine"))).alias("pos_cosine"),
-            F.max(F.when(~is_pos & ~is_self, F.col("corpus_id"))).alias(
-                "negative_id"
-            ),
-            F.max(F.when(~is_pos & ~is_self, F.col("cosine"))).alias(
-                "neg_cosine"
-            ),
+            F.min(neg).alias("__neg"),
+        ).select(
+            "query_id",
+            "__self1",
+            "positive_id",
+            "pos_cosine",
+            F.col("__neg.corpus_id").alias("negative_id"),
+            F.col("__neg.cosine").alias("neg_cosine"),
         )
 
     from olist_lakehouse_2_0_spark.operators.similarity import (
@@ -767,7 +801,8 @@ def contrastive_triplets_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cents = _coarse_centroids_for(
-        spark, sf_dir, c, "with_copies", default_num_centroids(c.count())
+        spark, sf_dir, c, "with_copies",
+        default_num_centroids(_corpus_count_for(sf_dir, "with_copies", c)),
     )
     approx = mine(
         ivf_pq_topk(
@@ -1150,7 +1185,7 @@ def embedding_topk_ivfpq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
-    n = corpus.count()
+    n = _corpus_count_for(sf_dir, "plain", corpus)
     cents = _coarse_centroids_for(
         spark, sf_dir, corpus, "plain", default_num_centroids(n)
     )
@@ -1204,7 +1239,7 @@ def embedding_topk_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
-    n = corpus.count()
+    n = _corpus_count_for(sf_dir, "plain", corpus)
     cents = _coarse_centroids_for(
         spark, sf_dir, corpus, "plain", default_num_centroids(n)
     )

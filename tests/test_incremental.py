@@ -187,6 +187,134 @@ def test_streaming_feed_maintains_gold_aggregate(spark, sf_smoke, tmp_path):
     assert _rows(table.read_final(spark)) == _rows(one_shot)
 
 
+_CRASHY_STREAM_RUNNER = '''
+"""Standalone incremental-MV stream runner: own JVM, own SparkSession,
+shares NOTHING with the parent test but the landing/gold/checkpoint
+directories. argv: repo, landing, gold, ckpt, crash_after.
+
+Crash mode (crash_after >= 0): os._exit(17) inside foreachBatch
+immediately AFTER the Nth merge commits but BEFORE foreachBatch
+returns — so the merged state + replay marker are on disk while the
+checkpoint never commits that batch. That is exactly the window where
+a restarted stream re-delivers the batch and a merger without the
+atomic marker double-counts."""
+import os
+import sys
+
+sys.path.insert(0, sys.argv[1])
+
+from olist_lakehouse_2_0_spark import get_spark
+from olist_lakehouse_2_0_spark.plans.incremental import (
+    AggSpec,
+    IncrementalAggTable,
+)
+
+landing, gold, ckpt = sys.argv[2], sys.argv[3], sys.argv[4]
+crash_after = int(sys.argv[5])
+spark = get_spark(
+    app_name="inc-mv-restart-subprocess",
+    master="local[2]",
+    shuffle_partitions=2,
+    extra_conf={"spark.driver.memory": "2g"},
+)
+specs = [
+    AggSpec("count", "*", "n_events"),
+    AggSpec("sum", "value", "total_value"),
+    AggSpec("min", "value", "min_value"),
+    AggSpec("max", "value", "max_value"),
+]
+table = IncrementalAggTable(gold, keys=["event_type"], specs=specs)
+merge = table.foreach_batch_merger(spark)
+applied = {"n": 0}
+
+
+def sink(batch, batch_id):
+    merge(batch, batch_id)
+    applied["n"] += 1
+    if crash_after >= 0 and applied["n"] >= crash_after:
+        os._exit(17)  # hard kill: no checkpoint commit, no JVM cleanup
+
+
+q = (
+    spark.readStream.schema(spark.read.parquet(landing).schema)
+    .option("maxFilesPerTrigger", 1)
+    .parquet(landing)
+    .writeStream.foreachBatch(sink)
+    .option("checkpointLocation", ckpt)
+    .trigger(availableNow=True)
+    .start()
+)
+q.awaitTermination()
+spark.stop()
+sys.exit(0)
+'''
+
+
+def test_incremental_mv_exactly_once_across_process_restarts(
+    spark, sf_smoke, tmp_path
+):
+    """Exactly-once MV maintenance must survive a PROCESS kill mid-feed
+    (VERDICT r6 next-step #6; the same-session replay test shares one
+    driver). A subprocess drains the stream and hard-exits (os._exit,
+    no cleanup) right after its 2nd micro-batch merge commits but
+    before the checkpoint does — the on-disk state now holds a batch
+    the checkpoint never saw. A SECOND fresh process resumes from the
+    same checkpoint: Structured Streaming re-delivers the uncommitted
+    batch, the marker (committed atomically with the data) makes the
+    redelivery a no-op, and the drain finishes. The final table must
+    equal the one-shot aggregate — any double-count fails the decimal
+    sums exactly."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    events = load(spark, sf_smoke, "events").select(
+        "event_type", F.col("value").cast("decimal(12,2)").alias("value")
+    )
+    landing = str(tmp_path / "landing")
+    events.repartition(5).write.parquet(landing)
+    gold, ckpt = str(tmp_path / "gold"), str(tmp_path / "ckpt")
+    runner = tmp_path / "stream_runner.py"
+    runner.write_text(_CRASHY_STREAM_RUNNER)
+
+    def run_child(crash_after: int) -> int:
+        env = dict(os.environ)
+        env["SPARK_GRAFT_DRIVER_MEM"] = "2g"
+        return subprocess.run(
+            [sys.executable, str(runner), repo, landing, gold, ckpt,
+             str(crash_after)],
+            cwd=str(tmp_path),
+            env=env,
+            timeout=300,
+        ).returncode
+
+    assert run_child(2) == 17  # killed mid-feed after 2 merged batches
+    specs = [
+        AggSpec("count", "*", "n_events"),
+        AggSpec("sum", "value", "total_value"),
+        AggSpec("min", "value", "min_value"),
+        AggSpec("max", "value", "max_value"),
+    ]
+    table = IncrementalAggTable(gold, keys=["event_type"], specs=specs)
+    partial_mass = table.read_final(spark).agg(
+        F.sum("n_events").cast("long").alias("n")
+    ).first().n
+    assert 0 < partial_mass < events.count()  # genuinely mid-feed
+
+    assert run_child(-1) == 0  # fresh process resumes + completes
+
+    one_shot = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    got = {tuple(r) for r in table.read_final(spark).collect()}
+    want = {tuple(r) for r in one_shot.collect()}
+    assert got == want
+
+
 def test_bad_spec_rejected():
     with pytest.raises(ValueError):
         AggSpec("median", "x", "m")
