@@ -378,10 +378,11 @@ def _ordered_for_window(
     stale green row proves nothing about rewritten code); (3) the
     greens by the round of their NEWEST driver row, stalest first, so
     spare slots re-confirm the oldest evidence. Round 7's window
-    (VERDICT r6 next-step #3: rotate onto the r3 cohort) = the new
-    queries + the 3 r7-changed + ALL 37 r3-latest stale greens
-    (~45 rows) — so after this round no registered query's newest
-    driver row predates r4."""
+    (VERDICT r6 next-step #3: rotate onto the r3 cohort) = the 7 new
+    queries + the 6 r7-changed + ALL 37 r3-latest stale greens
+    (exactly 50 rows) — so after this round no registered query's
+    newest driver row predates r4. The round-7 additions were sized to
+    that budget: 4 TPC-H gap shapes exactly fill the window."""
     never_checked: list[tuple[str, QueryFn]] = []
     changed_this_round: list[tuple[str, QueryFn]] = []
     by_latest: dict[int, list[tuple[str, QueryFn]]] = {

@@ -1248,6 +1248,309 @@ ORDER BY n_dominated_parts DESC, s.s_suppkey
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: segment-filtered three-way join, per-order revenue
+# aggregate, global top-k WITHOUT a full sort.
+# ---------------------------------------------------------------------------
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10 highest-revenue not-yet-shipped BUILDING-segment orders
+    — TPC-H Q3's shape: customer(segment) ⋈ orders(date <) ⋈
+    lineitem(shipdate >), per-order revenue aggregate, ORDER BY
+    revenue LIMIT 10.
+
+    Plan: the segment filter reduces customers to ~1/5 and projects a
+    single key column, so the customer leg broadcasts as a semi-filter
+    onto orders; orders⋈lineitem shuffles once on the order key; the
+    per-order aggregate reuses that layout; the global top-10 is
+    TakeOrderedAndProject (per-partition heaps + driver merge of 10×P
+    rows), never a full sort — the one pattern that stays O(k) in
+    driver memory at any corpus size. Revenue is an exact scale-4
+    decimal; the (revenue DESC, o_orderdate, l_orderkey) order is
+    total because the order key is unique, so the LIMIT boundary
+    cannot tie-break differently between engines."""
+    cutoff = "1998-06-01"
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem", spread=True)
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = F.col("l_extendedprice").cast(MONEY) * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust),
+                F.col("o_custkey") == F.col("c_custkey"),
+                "left_semi",
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("decimal(18,4)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_TOPK_SQL = """
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2))))
+            AS DECIMAL(18,4)) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+  AND o.o_custkey IN (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  )
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS with a cross-side predicate, decorrelated as a
+# LEFT SEMI join whose residual condition carries a left-side column.
+# ---------------------------------------------------------------------------
+def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many Q3-1997 orders had at least one lineitem shipped more
+    than 30 days after the order date, per order priority — TPC-H Q4's
+    shape: EXISTS(lineitem WHERE same order AND late), counted at the
+    priority grain (this schema has no commit/receipt dates, so
+    lateness is ship-vs-order date, same convention as
+    ``waiting_sole_late_supplier``).
+
+    Plan: the quarter filter prunes orders before the join; the EXISTS
+    decorrelates to ONE left-semi shuffle join on the order key whose
+    non-equi lateness residual references the left side's order date —
+    Spark evaluates it inside the semi join, so no lineitem row is
+    ever materialized into the output and the per-order match
+    short-circuits at the first late item. The final aggregate is a
+    5-row groupBy. Nothing in the plan holds more than one order's
+    lineitems at a time, at any scale."""
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1997-07-01")
+            & (F.col("o_orderdate") < "1997-10-01")
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        orders.alias("o")
+        .join(
+            li.alias("l"),
+            (F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+            & (
+                F.col("l.l_shipdate")
+                > F.expr("o.o_orderdate + INTERVAL 30 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("late_order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+LATE_SHIPMENT_PRIORITY_COUNTS_SQL = """
+SELECT o.o_orderpriority, COUNT(*) AS late_order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o.o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: bilateral volume between two named nations — a
+# symmetric pair disjunction evaluated AFTER both dimension joins.
+# ---------------------------------------------------------------------------
+def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipped revenue between NATION_1 and NATION_2 (both directions
+    kept distinct) per ship year, 1996–1997 — TPC-H Q7's shape: the
+    supplier nation comes from one dimension chain, the customer
+    nation from another, and the ((n1,n2) OR (n2,n1)) pair predicate
+    can only be applied after both chains resolve.
+
+    Plan: each chain pre-filters to its two candidate nations BEFORE
+    touching the fact (nation broadcasts into supplier/customer, the
+    survivors project a single key + nation name), so the pair
+    disjunction degenerates to one inequality on the already-joined
+    rows. The supplier leg broadcasts (suppliers of 2 nations);
+    customers ⋈ orders shuffles on the customer key, then
+    orders ⋈ lineitem on the order key; the (nation, nation, year)
+    aggregate is 8 rows. Revenue sums in exact decimal wide enough
+    (28,4) that a 100 TB year-group cannot overflow."""
+    nation = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load(spark, sf_dir, "lineitem", spread=True)
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select(
+            "l_orderkey", "l_suppkey",
+            F.year("l_shipdate").alias("l_year"),
+            "l_extendedprice", "l_discount",
+        )
+    )
+    rev = F.col("l_extendedprice").cast(MONEY) * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.join(cust, F.col("o_custkey") == F.col("c_custkey")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(rev).cast("decimal(28,4)").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+BILATERAL_TRADE_VOLUME_SQL = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2))))
+            AS DECIMAL(28,4)) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, EXTRACT(YEAR FROM l.l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: product-line profit — LIKE-filtered part dimension,
+# derived per-row profit expression, (nation, year) rollup.
+# ---------------------------------------------------------------------------
+def product_line_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on widget parts per supplier nation and order year —
+    TPC-H Q9's shape: a LIKE '%widget%' part filter, per-lineitem
+    profit = revenue − cost (this schema has no partsupp, so cost is
+    retail price × quantity), rolled up by the SUPPLIER's nation and
+    the ORDER's year. Exercises a five-relation tree where the
+    measure needs columns from three of them.
+
+    Plan: the LIKE filter cannot push below the scan as a parquet
+    predicate, but it prunes the part dimension to ~1/3 before its
+    broadcast; part (partkey → retailprice) and supplier⋈nation
+    (suppkey → nation) both broadcast into the fact scan, so the only
+    shuffle joins are lineitem ⋈ orders on the order key and the final
+    (nation, year) aggregate — whose partial (map-side) form collapses
+    each task to ≤ nations×years rows before the exchange. Profit
+    stays an exact scale-4 decimal end to end; the (28,4) sum cannot
+    overflow a 100 TB group."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp_nation = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = load(spark, sf_dir, "lineitem", spread=True).select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    profit = F.col("l_extendedprice").cast(MONEY) * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    ) - F.col("p_retailprice").cast(MONEY) * F.col("l_quantity").cast(MONEY)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(supp_nation),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum(profit).cast("decimal(28,4)").alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+PRODUCT_LINE_PROFIT_SQL = """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                - CAST(p.p_retailprice AS DECIMAL(12,2))
+                  * CAST(l.l_quantity AS DECIMAL(12,2)))
+            AS DECIMAL(28,4)) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
 JOIN_GROUPING_QUERIES = {
     "shipments_in_order_windows": shipments_in_order_windows,
     "salted_nation_revenue": salted_nation_revenue,
@@ -1268,6 +1571,10 @@ JOIN_GROUPING_QUERIES = {
     "nation_market_share": nation_market_share,
     "important_parts_value": important_parts_value,
     "dominant_part_shippers": dominant_part_shippers,
+    "shipping_priority_topk": shipping_priority_topk,
+    "late_shipment_priority_counts": late_shipment_priority_counts,
+    "bilateral_trade_volume": bilateral_trade_volume,
+    "product_line_profit": product_line_profit,
 }
 
 JOIN_GROUPING_ORACLES = {
@@ -1290,4 +1597,8 @@ JOIN_GROUPING_ORACLES = {
     "nation_market_share": NATION_MARKET_SHARE_SQL,
     "important_parts_value": IMPORTANT_PARTS_VALUE_SQL,
     "dominant_part_shippers": DOMINANT_PART_SHIPPERS_SQL,
+    "shipping_priority_topk": SHIPPING_PRIORITY_TOPK_SQL,
+    "late_shipment_priority_counts": LATE_SHIPMENT_PRIORITY_COUNTS_SQL,
+    "bilateral_trade_volume": BILATERAL_TRADE_VOLUME_SQL,
+    "product_line_profit": PRODUCT_LINE_PROFIT_SQL,
 }

@@ -340,6 +340,50 @@ def test_vocab_topk_never_windows_the_full_relation(spark):
         assert w < t, "window must run over the top-k survivors only"
 
 
+def test_tpch_gap_shapes_plan_scale_true(spark):
+    """The four round-7 TPC-H gap shapes (Q3/Q4/Q7/Q9) must plan the
+    way their docstrings claim: every dimension filter pushed into its
+    parquet scan, the global top-k as TakeOrderedAndProject, the EXISTS
+    residual evaluated INSIDE the semi join, and no nested-loop or
+    cartesian fallback anywhere. Fact-side join strategy is left
+    size-based on purpose (AQE picks SMJ at scale), so no assertion
+    pins broadcast on a fact leg."""
+    from olist_lakehouse_2_0_spark.queries.join_grouping import (
+        bilateral_trade_volume,
+        late_shipment_priority_counts,
+        product_line_profit,
+        shipping_priority_topk,
+    )
+
+    q3 = _formatted_plan(shipping_priority_topk(spark, SF))
+    assert "TakeOrderedAndProject" in q3
+    assert "SinglePartition" not in q3
+    assert "LessThan(o_orderdate,1998-06-01" in q3  # orders scan prune
+    assert "GreaterThan(l_shipdate,1998-06-01" in q3  # lineitem prune
+    assert "EqualTo(c_mktsegment,BUILDING)" in q3  # customer prune
+    assert "LeftSemi" in q3  # segment filter applied as semi, no fanout
+
+    q4 = _formatted_plan(late_shipment_priority_counts(spark, SF))
+    assert "LeftSemi" in q4
+    # the cross-side lateness predicate is a join residual, not a
+    # post-join filter over materialized lineitem rows
+    assert "INTERVAL '30' DAY" in q4
+    assert "GreaterThanOrEqual(o_orderdate,1997-07-01" in q4
+    assert "CartesianProduct" not in q4
+    assert "BroadcastNestedLoopJoin" not in q4
+
+    q7 = _formatted_plan(bilateral_trade_volume(spark, SF))
+    assert "In(n_name, [NATION_1,NATION_2])" in q7  # nation scan prune
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in q7
+    assert "CartesianProduct" not in q7
+    assert "BroadcastNestedLoopJoin" not in q7
+
+    q9 = _formatted_plan(product_line_profit(spark, SF))
+    assert "StringContains(p_name,widget)" in q9  # LIKE pushed to scan
+    assert "BroadcastHashJoin" in q9  # part + supplier⋈nation legs
+    assert "CartesianProduct" not in q9
+
+
 def test_temperature_mixture_broadcasts_rates_no_corpus_shuffle(spark):
     """The α=0.5 mixture's rate map must come back to the corpus as a
     broadcast join — the corpus itself never hash-shuffles (only the
