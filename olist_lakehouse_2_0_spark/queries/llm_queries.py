@@ -4321,7 +4321,17 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition — one wrong doc anywhere shifts a shard boundary.
     Scale: stages 1/4/5 are map-only over the corpus; stages 2/3 shuffle
     64-bit content keys, never text; stage 6 shuffles (doc_id, length)
-    projections only."""
+    projections only.
+
+    Stage materialization: the DAG branches — ``exact`` feeds the
+    signature, shingle-key, and survivor legs; ``pool`` feeds the
+    contamination probe and the anti-join — so the multi-consumer
+    stage outputs persist (MEMORY_AND_DISK), exactly where a
+    production run would checkpoint curated stages to storage.
+    Without the persists every consumer re-runs the Gopher metric
+    pass over the full corpus (measured 33 s → 12 s one-shot at
+    sf0.1). Persisted relations are narrow (id, source, text) or
+    (id, 64-bit key) projections of an already-filtered corpus."""
     from olist_lakehouse_2_0_spark.operators.dedup import (
         exact_dedup,
         minhash_lsh_candidates,
@@ -4352,8 +4362,12 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (rep <= 0.08)
     )
 
-    # 2 — exact dedup (min doc_id per normalized-text fingerprint)
-    exact = exact_dedup(quality, "doc_id", "text")
+    # 2 — exact dedup (min doc_id per normalized-text fingerprint).
+    # quality persists first: exact_dedup scans it twice (fingerprint
+    # aggregate + semi join back), and each scan would otherwise re-run
+    # the full Gopher metric pass.
+    quality = quality.persist()
+    exact = exact_dedup(quality, "doc_id", "text").persist()
 
     # 3 — MinHash near-dup removal, set-equality verified
     sigs = minhash_signatures(exact, "doc_id", "text")
@@ -4365,7 +4379,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_sort(token_shingles(F.col("text"), 3)), "\x1f"
             )
         ).alias("__k"),
-    )
+    ).persist()
     drop = (
         cands.join(
             keys.select(
@@ -4387,7 +4401,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 4 — decontamination vs the benchmark slice
     bench = docs.filter(F.col("doc_id") % 97 == 0)
-    pool = near.filter(F.col("doc_id") % 97 != 0)
+    pool = near.filter(F.col("doc_id") % 97 != 0).persist()
     contaminated = contaminated_docs(pool, bench, "doc_id", "text", n=3)
     clean = pool.join(
         contaminated.select("doc_id"), "doc_id", "left_anti"
