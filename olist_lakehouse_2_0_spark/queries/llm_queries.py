@@ -4285,6 +4285,11 @@ ORDER BY shard
 """
 
 
+#: Hot-bucket df-cap for the curation pipeline's LSH stage — module
+#: level so the invariance test can toggle it against None.
+_CURATION_LSH_BUCKET_CAP = 64
+
+
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END training-corpus curation flagship (VERDICT r6
     next-step #5): the pipeline a real training-data run executes,
@@ -4369,9 +4374,22 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = quality.persist()
     exact = exact_dedup(quality, "doc_id", "text").persist()
 
-    # 3 — MinHash near-dup removal, set-equality verified
+    # 3 — MinHash near-dup removal, set-equality verified.
+    # The hot-bucket cap is provably result-invariant HERE: the final
+    # filter keeps only exact shingle-SET-equal pairs; set-equal docs
+    # have identical signatures, so the collapse groups them BEFORE
+    # banding and _expand_identical_pairs reproduces their pairs
+    # regardless of the banding join — every pair between DISTINCT
+    # representatives has unequal signatures, hence unequal sets, and
+    # fails the __ka == __kb gate anyway. The cap only prunes that
+    # provably-doomed candidate traffic (a mutually-NEAR-but-unequal
+    # boilerplate cluster floods (band,bucket) keys quadratically).
+    # tests/test_curation_pipeline.py asserts end-to-end manifest
+    # equality cap-vs-uncapped on an adversarial near-identical flood.
     sigs = minhash_signatures(exact, "doc_id", "text")
-    cands = minhash_lsh_candidates(sigs, "doc_id")
+    cands = minhash_lsh_candidates(
+        sigs, "doc_id", max_bucket_df=_CURATION_LSH_BUCKET_CAP
+    )
     keys = exact.select(
         "doc_id",
         F.xxhash64(
