@@ -384,6 +384,36 @@ def test_tpch_gap_shapes_plan_scale_true(spark):
     assert "CartesianProduct" not in q9
 
 
+def test_curation_pipeline_plan_is_scale_true(spark):
+    """The end-to-end curation flagship must show its stage persists
+    (InMemoryRelation/TableCache nodes — without them every consumer
+    re-runs the Gopher pass) and no cartesian/nested-loop fallback
+    anywhere in the six-stage DAG."""
+    from olist_lakehouse_2_0_spark.queries.llm_queries import (
+        corpus_curation_pipeline,
+    )
+
+    df = corpus_curation_pipeline(spark, SF)
+    try:
+        plan = _formatted_plan(df)
+        assert (
+            "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+        ), "stage persists missing from the plan"
+        assert "CartesianProduct" not in plan
+        # the only nested-loop joins allowed are the one-row
+        # scalar-aggregate broadcasts (the temperature-mixture budget
+        # total) — Cross BuildRight against an IdentityBroadcastMode
+        # one-row side, the repo-wide accepted pattern
+        bnlj = [
+            l for l in plan.splitlines()
+            if "BroadcastNestedLoopJoin" in l and "+-" in l
+        ]
+        assert len(bnlj) <= 2, bnlj
+        assert all("Cross BuildRight" in l for l in bnlj), bnlj
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_temperature_mixture_broadcasts_rates_no_corpus_shuffle(spark):
     """The α=0.5 mixture's rate map must come back to the corpus as a
     broadcast join — the corpus itself never hash-shuffles (only the
