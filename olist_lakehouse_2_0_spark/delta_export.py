@@ -106,19 +106,30 @@ def _write_commit(
 ) -> None:
     """Write one commit file atomically (temp + rename): the protocol's
     commit point is the appearance of ``<version>.json``, so a reader
-    must never observe a partially-written commit."""
+    must never observe a partially-written commit.
+
+    Published commits are immutable (the protocol's core invariant), so
+    a commit file that already exists is a concurrent-exporter conflict
+    — the same rename-based test-and-set contract as the catalog's
+    ``promote_version`` (POSIX rename would silently overwrite, which
+    for a Delta log means rewriting history under a reader)."""
     jvm, HPath, fs = _fs(spark, dest)
     final = HPath(_commit_path(dest, version))
     tmp = HPath(_commit_path(dest, version) + ".tmp")
+    if fs.exists(final):
+        raise IOError(
+            f"delta commit {version} already exists at {dest}: "
+            "concurrent export or non-append history rewrite"
+        )
     out = fs.create(tmp, True)
     try:
         payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
         out.write(bytearray(payload.encode("utf-8")))
     finally:
         out.close()
-    if not fs.rename(tmp, final):
+    if fs.exists(final) or not fs.rename(tmp, final):
         fs.delete(tmp, False)
-        raise IOError(f"delta commit rename failed: {final}")
+        raise IOError(f"delta commit rename failed or lost race: {final}")
 
 
 def _snapshot_files(spark: SparkSession, vpath: str) -> list[tuple[str, int, int]]:

@@ -139,6 +139,23 @@ def test_export_survives_catalog_retention_pruning(spark, tmp_path):
         == [10, 20, 30, 40]
 
 
+def test_commit_write_refuses_to_rewrite_published_history(spark, tmp_path):
+    """Published Delta versions are immutable: a writer that would land
+    on an existing commit file must fail, not overwrite (POSIX rename
+    silently replaces, which would rewrite history under a reader)."""
+    import pytest
+
+    from olist_lakehouse_2_0_spark.delta_export import _write_commit
+
+    _, root = _versioned_table(spark, tmp_path, counts=(5,))
+    dest = str(tmp_path / "delta")
+    export_delta(spark, root, dest)
+    with pytest.raises(IOError, match="already exists"):
+        _write_commit(spark, dest, 0, [{"commitInfo": {"timestamp": 0}}])
+    # the published commit is untouched and still readable
+    assert read_delta(spark, dest).count() == 5
+
+
 def test_reader_refuses_unsupported_reader_version(spark, tmp_path):
     _, root = _versioned_table(spark, tmp_path, counts=(5,))
     dest = str(tmp_path / "delta")
