@@ -384,6 +384,56 @@ def test_tpch_gap_shapes_plan_scale_true(spark):
     assert "CartesianProduct" not in q9
 
 
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """At 100 TB the cheapest join optimization after broadcast is the
+    runtime bloom filter: when a selective dimension filter survives on
+    the build side, Catalyst injects BloomFilterAggregate there and a
+    might_contain semi-filter on the fact scan side, discarding
+    non-matching fact rows BEFORE the shuffle. Pin that the engine's
+    session config actually gets the injection (thresholds lowered to
+    this SF's sizes — the flags are defaults-on in Spark 3.5+/4.x but
+    gated on size estimates)."""
+    from pyspark.sql import functions as F
+
+    from olist_lakehouse_2_0_spark.catalog import load
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB",
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    # disable broadcast so the join needs the bloom path at this SF
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load(spark, SF, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        orders = load(spark, SF, "orders").filter(
+            F.col("o_totalprice") < 1000  # selective build-side filter
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan or "BloomFilter" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_curation_pipeline_plan_is_scale_true(spark):
     """The end-to-end curation flagship must show its stage persists
     (InMemoryRelation/TableCache nodes — without them every consumer
