@@ -15,6 +15,17 @@ read it. No Delta library is involved: the protocol's commit layer is
 newline-delimited JSON actions in zero-padded ``<version>.json``
 files, which is exactly what's written here.
 
+Scale: the log itself follows the protocol's growth answer —
+**checkpoints**. Every ``checkpoint_interval`` commits (protocol
+default 10) the export writes ``<version>.checkpoint.parquet`` (one
+row per live action: protocol, metaData, active adds with
+``dataChange=false`` as the spec requires of checkpointed adds) plus
+the ``_last_checkpoint`` pointer file, and :func:`prune_log` may then
+delete the JSON commits the checkpoint subsumes — so replay cost is
+O(interval), not O(history), no matter how many snapshots were ever
+exported. Readers bootstrap from the newest checkpoint at-or-below
+their target version and replay only the JSON tail.
+
 Scope (documented, judge-visible):
 
 - Every catalog version is a complete snapshot (the versioned layer
@@ -27,11 +38,11 @@ Scope (documented, judge-visible):
   generated columns, so ANY protocol-conformant reader qualifies.
 - Unpartitioned exports only (``partitionColumns: []``). The catalog's
   versioned tables are MV snapshots, which it stores unpartitioned.
-- No checkpoint parquet is written: checkpoints are a read
-  optimization the protocol makes optional; readers must (and do)
-  fall back to replaying the JSON commits. Export histories here are
-  bounded by the catalog's ``keep`` retention, far below the 10-commit
-  default checkpoint interval.
+- Checkpoints carry no ``remove`` tombstones: the spec keeps them only
+  to coordinate VACUUM of data files, and the export never deletes
+  exported data files (history is the point). Time travel BELOW a
+  pruned checkpoint needs the pruned JSONs and raises a clear error —
+  the same contract as Delta's own log cleanup.
 
 Because no external Delta reader is installable in this sandbox
 (delta-spark needs its JVM jar; DuckDB's delta extension needs a
@@ -55,6 +66,67 @@ from olist_lakehouse_2_0_spark.catalog import _list_versions
 
 _LOG_DIR = "_delta_log"
 
+#: Checkpoint parquet schema — the spec's action columns restricted to
+#: what this writer emits (protocol, metaData, add). Exactly one of the
+#: struct columns is non-null per row.
+_CHECKPOINT_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "protocol",
+            T.StructType(
+                [
+                    T.StructField("minReaderVersion", T.IntegerType()),
+                    T.StructField("minWriterVersion", T.IntegerType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "metaData",
+            T.StructType(
+                [
+                    T.StructField("id", T.StringType()),
+                    T.StructField(
+                        "format",
+                        T.StructType(
+                            [
+                                T.StructField("provider", T.StringType()),
+                                T.StructField(
+                                    "options",
+                                    T.MapType(T.StringType(), T.StringType()),
+                                ),
+                            ]
+                        ),
+                    ),
+                    T.StructField("schemaString", T.StringType()),
+                    T.StructField(
+                        "partitionColumns", T.ArrayType(T.StringType())
+                    ),
+                    T.StructField(
+                        "configuration",
+                        T.MapType(T.StringType(), T.StringType()),
+                    ),
+                    T.StructField("createdTime", T.LongType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "add",
+            T.StructType(
+                [
+                    T.StructField("path", T.StringType()),
+                    T.StructField(
+                        "partitionValues",
+                        T.MapType(T.StringType(), T.StringType()),
+                    ),
+                    T.StructField("size", T.LongType()),
+                    T.StructField("modificationTime", T.LongType()),
+                    T.StructField("dataChange", T.BooleanType()),
+                ]
+            ),
+        ),
+    ]
+)
+
 
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
@@ -68,9 +140,18 @@ def _commit_path(dest: str, version: int) -> str:
     return os.path.join(dest, _LOG_DIR, f"{version:020d}.json")
 
 
+def _checkpoint_path(dest: str, version: int) -> str:
+    return os.path.join(dest, _LOG_DIR, f"{version:020d}.checkpoint.parquet")
+
+
+def _last_checkpoint_path(dest: str) -> str:
+    return os.path.join(dest, _LOG_DIR, "_last_checkpoint")
+
+
 def _list_commits(spark: SparkSession, dest: str) -> list[int]:
-    """Committed Delta log versions at ``dest``, ascending. The
-    protocol requires them contiguous from 0; we validate on read."""
+    """JSON commit versions present at ``dest``, ascending. With log
+    pruning they need not start at 0 — contiguity is validated against
+    the checkpoint bootstrap at read time."""
     _, HPath, fs = _fs(spark, dest)
     log_dir = HPath(os.path.join(dest, _LOG_DIR))
     if not fs.exists(log_dir):
@@ -83,22 +164,35 @@ def _list_commits(spark: SparkSession, dest: str) -> list[int]:
     return sorted(out)
 
 
-def _read_commit(spark: SparkSession, dest: str, version: int) -> list[dict]:
-    jvm, HPath, fs = _fs(spark, dest)
-    stream = fs.open(HPath(_commit_path(dest, version)))
+def _read_text(spark: SparkSession, path: str) -> str:
+    jvm, HPath, fs = _fs(spark, path)
+    stream = fs.open(HPath(path))
     try:
         reader = jvm.java.io.BufferedReader(
             jvm.java.io.InputStreamReader(stream, "UTF-8")
         )
-        actions = []
+        lines = []
         line = reader.readLine()
         while line is not None:
-            if line.strip():
-                actions.append(json.loads(line))
+            lines.append(line)
             line = reader.readLine()
-        return actions
+        return "\n".join(lines)
     finally:
         stream.close()
+
+
+def _read_commit(spark: SparkSession, dest: str, version: int) -> list[dict]:
+    text = _read_text(spark, _commit_path(dest, version))
+    return [json.loads(l) for l in text.splitlines() if l.strip()]
+
+
+def _write_text(spark: SparkSession, path: str, payload: str) -> None:
+    _, HPath, fs = _fs(spark, path)
+    out = fs.create(HPath(path), True)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def _write_commit(
@@ -132,6 +226,14 @@ def _write_commit(
         raise IOError(f"delta commit rename failed or lost race: {final}")
 
 
+def _read_last_checkpoint(spark: SparkSession, dest: str) -> dict | None:
+    _, HPath, fs = _fs(spark, dest)
+    p = _last_checkpoint_path(dest)
+    if not fs.exists(HPath(p)):
+        return None
+    return json.loads(_read_text(spark, p))
+
+
 def _snapshot_files(spark: SparkSession, vpath: str) -> list[tuple[str, int, int]]:
     """(file name, size, modificationTime ms) of a version directory's
     parquet files, name-sorted for deterministic action order."""
@@ -144,7 +246,205 @@ def _snapshot_files(spark: SparkSession, vpath: str) -> list[tuple[str, int, int
     return sorted(out)
 
 
-def export_delta(spark: SparkSession, source_root: str, dest: str) -> int:
+def _empty_state() -> dict:
+    return {
+        "active": set(),
+        "adds": {},
+        "schema_string": None,
+        "protocol": None,
+        "max_source_version": -1,
+    }
+
+
+def _state_from_checkpoint(
+    spark: SparkSession, dest: str, cp: dict
+) -> dict:
+    state = _empty_state()
+    rows = spark.read.schema(_CHECKPOINT_SCHEMA).parquet(
+        _checkpoint_path(dest, cp["version"])
+    ).collect()
+    for r in rows:
+        if r["add"] is not None:
+            a = r["add"].asDict(recursive=True)
+            state["active"].add(a["path"])
+            state["adds"][a["path"]] = a
+        elif r["metaData"] is not None:
+            state["schema_string"] = r["metaData"]["schemaString"]
+        elif r["protocol"] is not None:
+            state["protocol"] = r["protocol"].asDict()
+    state["max_source_version"] = cp.get("maxSourceVersion", -1)
+    return state
+
+
+def _apply_commit(state: dict, actions: list[dict]) -> None:
+    for action in actions:
+        if "add" in action:
+            state["active"].add(action["add"]["path"])
+            state["adds"][action["add"]["path"]] = action["add"]
+        elif "remove" in action:
+            state["active"].discard(action["remove"]["path"])
+            state["adds"].pop(action["remove"]["path"], None)
+        elif "metaData" in action:
+            state["schema_string"] = action["metaData"]["schemaString"]
+        elif "protocol" in action:
+            state["protocol"] = action["protocol"]
+        elif "commitInfo" in action:
+            src = action["commitInfo"].get("operationParameters", {}).get(
+                "sourceVersion"
+            )
+            if isinstance(src, int):
+                state["max_source_version"] = max(
+                    state["max_source_version"], src
+                )
+
+
+def _replay(spark: SparkSession, dest: str, version: int) -> dict:
+    """Table state at ``version``: bootstrap from the newest checkpoint
+    at-or-below it when one exists, then replay the JSON tail. Raises
+    when a needed JSON commit was pruned below the checkpoint."""
+    commits = set(_list_commits(spark, dest))
+    cp = _read_last_checkpoint(spark, dest)
+    if cp is not None and cp["version"] <= version:
+        state = _state_from_checkpoint(spark, dest, cp)
+        start = cp["version"] + 1
+    else:
+        state = _empty_state()
+        start = 0
+    missing = [v for v in range(start, version + 1) if v not in commits]
+    if missing:
+        raise IOError(
+            f"delta log at {dest} is missing commits {missing} needed for "
+            f"version {version}"
+            + (
+                " (pruned below the checkpoint — time travel below a "
+                "cleaned-up log is gone, as in Delta's own log cleanup)"
+                if cp is not None and version < cp["version"]
+                else ""
+            )
+        )
+    for v in range(start, version + 1):
+        _apply_commit(state, _read_commit(spark, dest, v))
+    return state
+
+
+def _latest_log_version(spark: SparkSession, dest: str) -> int:
+    commits = _list_commits(spark, dest)
+    cp = _read_last_checkpoint(spark, dest)
+    candidates = ([commits[-1]] if commits else []) + (
+        [cp["version"]] if cp else []
+    )
+    if not candidates:
+        raise FileNotFoundError(f"no _delta_log commits at {dest}")
+    return max(candidates)
+
+
+def write_checkpoint(
+    spark: SparkSession, dest: str, version: int | None = None
+) -> int:
+    """Write ``<version>.checkpoint.parquet`` + ``_last_checkpoint``
+    for the table state at ``version`` (default: latest). One row per
+    live action — protocol, metaData, and each active ``add`` with
+    ``dataChange=false`` (the spec's requirement for checkpointed
+    adds). Returns the checkpointed version.
+
+    ``_last_checkpoint`` carries the standard ``version``/``size``
+    keys plus a writer-private ``maxSourceVersion`` (foreign readers
+    ignore unknown keys) so incremental export can resume without the
+    pruned commitInfo history."""
+    jvm, HPath, fs = _fs(spark, dest)
+    v = _latest_log_version(spark, dest) if version is None else version
+    state = _replay(spark, dest, v)
+    rows: list[dict] = []
+    if state["protocol"] is not None:
+        rows.append(
+            {
+                "protocol": {
+                    "minReaderVersion": state["protocol"]["minReaderVersion"],
+                    "minWriterVersion": state["protocol"]["minWriterVersion"],
+                }
+            }
+        )
+    rows.append(
+        {
+            "metaData": {
+                "id": str(uuid.uuid5(uuid.NAMESPACE_URL, dest)),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": state["schema_string"],
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 0,
+            }
+        }
+    )
+    for path in sorted(state["active"]):
+        add = dict(state["adds"][path])
+        add["dataChange"] = False  # spec: checkpointed adds
+        rows.append({"add": add})
+    df = spark.createDataFrame(
+        [
+            (
+                r.get("protocol"),
+                r.get("metaData"),
+                r.get("add"),
+            )
+            for r in rows
+        ],
+        _CHECKPOINT_SCHEMA,
+    )
+    # Parquet writers emit a directory; the protocol wants ONE file —
+    # write to a temp dir, move the single part file into place.
+    tmp_dir = os.path.join(dest, _LOG_DIR, f".cp_tmp_{v}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+    part = [
+        st.getPath()
+        for st in fs.listStatus(HPath(tmp_dir))
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    assert len(part) == 1, part
+    final = HPath(_checkpoint_path(dest, v))
+    fs.delete(final, False)
+    if not fs.rename(part[0], final):
+        raise IOError(f"checkpoint rename failed: {final}")
+    fs.delete(HPath(tmp_dir), True)
+    _write_text(
+        spark,
+        _last_checkpoint_path(dest),
+        json.dumps(
+            {
+                "version": v,
+                "size": len(rows),
+                "maxSourceVersion": state["max_source_version"],
+            },
+            separators=(",", ":"),
+        ),
+    )
+    return v
+
+
+def prune_log(spark: SparkSession, dest: str) -> int:
+    """Delta-style log cleanup: delete JSON commits at or below the
+    last checkpoint (the checkpoint subsumes them for any read at or
+    above its version). Returns the number of files deleted. Time
+    travel below the checkpoint becomes unavailable — same contract as
+    Delta's ``delta.logRetentionDuration`` cleanup."""
+    _, HPath, fs = _fs(spark, dest)
+    cp = _read_last_checkpoint(spark, dest)
+    if cp is None:
+        return 0
+    deleted = 0
+    for v in _list_commits(spark, dest):
+        if v <= cp["version"]:
+            fs.delete(HPath(_commit_path(dest, v)), False)
+            deleted += 1
+    return deleted
+
+
+def export_delta(
+    spark: SparkSession,
+    source_root: str,
+    dest: str,
+    checkpoint_interval: int = 10,
+) -> int:
     """Export (or incrementally extend) a Delta-protocol table at
     ``dest`` from the versioned table at ``source_root``.
 
@@ -159,6 +459,11 @@ def export_delta(spark: SparkSession, source_root: str, dest: str) -> int:
     relative path in ``add`` actions. Returns the number of commits
     appended.
 
+    A checkpoint is written whenever the log tail since the last one
+    reaches ``checkpoint_interval`` commits (the protocol's default
+    cadence), keeping replay O(interval) regardless of history length;
+    pass 0 to disable.
+
     The mapping catalog-version -> Delta-version is recorded in each
     commit's ``commitInfo.operationParameters.sourceVersion`` (an
     informational action the protocol explicitly allows)."""
@@ -167,22 +472,25 @@ def export_delta(spark: SparkSession, source_root: str, dest: str) -> int:
     if not versions:
         raise FileNotFoundError(f"no committed versions under {source_root}")
 
-    existing = _list_commits(spark, dest)
+    commits = _list_commits(spark, dest)
+    cp = _read_last_checkpoint(spark, dest)
     exported_src: int = -1
     active: list[str] = []
-    if existing:
-        if existing != list(range(len(existing))):
-            raise IOError(f"non-contiguous delta log at {dest}: {existing}")
-        state = _replay(spark, dest, existing[-1])
+    have_log = bool(commits) or cp is not None
+    if have_log:
+        latest = _latest_log_version(spark, dest)
+        state = _replay(spark, dest, latest)
         active = sorted(state["active"])
         exported_src = state["max_source_version"]
+        next_commit = latest + 1
+    else:
+        next_commit = 0
 
     new_versions = [(v, p) for v, p in versions if v > exported_src]
     if not new_versions:
         return 0
 
     fs.mkdirs(HPath(os.path.join(dest, _LOG_DIR)))
-    next_commit = len(existing)
     appended = 0
     for cv, vpath in new_versions:
         files = _snapshot_files(spark, vpath)
@@ -261,58 +569,29 @@ def export_delta(spark: SparkSession, source_root: str, dest: str) -> int:
             new_active.append(rel)
         _write_commit(spark, dest, next_commit, actions)
         active = sorted(new_active)
+        cp_version = -1 if cp is None else cp["version"]
+        if checkpoint_interval and next_commit - cp_version >= checkpoint_interval:
+            write_checkpoint(spark, dest, next_commit)
+            cp = {"version": next_commit}
         next_commit += 1
         appended += 1
     return appended
 
 
-def _replay(spark: SparkSession, dest: str, version: int) -> dict:
-    """Replay commits 0..version: active file set, latest schemaString,
-    protocol floor, and the highest exported source version."""
-    active: set[str] = set()
-    schema_string: str | None = None
-    protocol: dict | None = None
-    max_src = -1
-    for v in range(version + 1):
-        for action in _read_commit(spark, dest, v):
-            if "add" in action:
-                active.add(action["add"]["path"])
-            elif "remove" in action:
-                active.discard(action["remove"]["path"])
-            elif "metaData" in action:
-                schema_string = action["metaData"]["schemaString"]
-            elif "protocol" in action:
-                protocol = action["protocol"]
-            elif "commitInfo" in action:
-                src = action["commitInfo"].get("operationParameters", {}).get(
-                    "sourceVersion"
-                )
-                if isinstance(src, int):
-                    max_src = max(max_src, src)
-    return {
-        "active": active,
-        "schema_string": schema_string,
-        "protocol": protocol,
-        "max_source_version": max_src,
-    }
-
-
 def read_delta(
     spark: SparkSession, dest: str, version: int | None = None
 ) -> DataFrame:
-    """Minimal protocol-conformant Delta reader: replays the JSON
-    commits (no catalog access, no checkpoint dependence), refuses
-    tables demanding reader features above its floor, and reads the
-    active files under the log's own schema. ``version`` time-travels
-    (Delta's ``VERSION AS OF``)."""
-    commits = _list_commits(spark, dest)
-    if not commits:
-        raise FileNotFoundError(f"no _delta_log commits at {dest}")
-    if commits != list(range(len(commits))):
-        raise IOError(f"non-contiguous delta log at {dest}: {commits}")
-    v = commits[-1] if version is None else version
-    if v not in commits:
-        raise ValueError(f"version {v} not in log (have 0..{commits[-1]})")
+    """Minimal protocol-conformant Delta reader: bootstraps from the
+    newest checkpoint at-or-below the target version (via
+    ``_last_checkpoint``), replays only the JSON tail, refuses tables
+    demanding reader features above its floor, and reads the active
+    files under the log's own schema. ``version`` time-travels
+    (Delta's ``VERSION AS OF``); versions below a pruned checkpoint
+    raise the missing-commits error."""
+    v = _latest_log_version(spark, dest) if version is None else version
+    latest = _latest_log_version(spark, dest)
+    if v > latest:
+        raise ValueError(f"version {v} not in log (have up to {latest})")
     state = _replay(spark, dest, v)
     if state["protocol"] and state["protocol"].get("minReaderVersion", 1) > 1:
         raise IOError(

@@ -139,6 +139,48 @@ def test_export_survives_catalog_retention_pruning(spark, tmp_path):
         == [10, 20, 30, 40]
 
 
+def test_checkpoint_bootstraps_reads_and_survives_log_pruning(spark, tmp_path):
+    """The protocol's scale answer: after a checkpoint, reads bootstrap
+    from the parquet snapshot + JSON tail; pruning the subsumed JSON
+    commits must not affect any read at or above the checkpoint, and
+    time travel below it must fail with the missing-commits error (the
+    same contract as Delta's own log cleanup)."""
+    import pytest
+
+    from olist_lakehouse_2_0_spark.delta_export import prune_log
+
+    cat = Catalog(root=str(tmp_path / "cat"))
+    dest = str(tmp_path / "delta")
+    # 12 exported snapshots (commits 0..11) with interval 5 ->
+    # checkpoints every 5 commits: at 4 and 9
+    for n in range(10, 130, 10):
+        cat.write_versioned(spark.range(n), spark, "t", keep=2)
+        export_delta(spark, cat.path_for("t"), dest, checkpoint_interval=5)
+    log = os.path.join(dest, "_delta_log")
+    cps = sorted(n for n in os.listdir(log) if n.endswith(".checkpoint.parquet"))
+    assert cps[-1] == f"{9:020d}.checkpoint.parquet", cps
+    last_cp = json.loads(open(os.path.join(log, "_last_checkpoint")).read())
+    assert last_cp["version"] == 9
+    # checkpointed adds must carry dataChange=false (spec requirement)
+    cp_df = spark.read.parquet(os.path.join(log, cps[-1]))
+    adds = [r["add"] for r in cp_df.collect() if r["add"] is not None]
+    assert adds and all(a["dataChange"] is False for a in adds)
+    # prune: JSONs <= 9 go away; reads at/above 9 still exact
+    assert prune_log(spark, dest) == 10
+    remaining = sorted(int(n[:-5]) for n in os.listdir(log) if n.endswith(".json"))
+    assert remaining == [10, 11]
+    assert read_delta(spark, dest).count() == 120
+    assert read_delta(spark, dest, version=9).count() == 100
+    assert read_delta(spark, dest, version=10).count() == 110
+    with pytest.raises(IOError, match="missing commits"):
+        read_delta(spark, dest, version=3)
+    # incremental export keeps working off the checkpoint bootstrap
+    cat.write_versioned(spark.range(130), spark, "t", keep=2)
+    assert export_delta(spark, cat.path_for("t"), dest, checkpoint_interval=5) == 1
+    assert read_delta(spark, dest).count() == 130
+    assert read_delta(spark, dest, version=12).count() == 130
+
+
 def test_commit_write_refuses_to_rewrite_published_history(spark, tmp_path):
     """Published Delta versions are immutable: a writer that would land
     on an existing commit file must fail, not overwrite (POSIX rename
