@@ -234,6 +234,26 @@ def _read_last_checkpoint(spark: SparkSession, dest: str) -> dict | None:
     return json.loads(_read_text(spark, p))
 
 
+def _list_checkpoints(spark: SparkSession, dest: str) -> list[int]:
+    """All checkpoint versions on disk, ascending. ``_last_checkpoint``
+    only points at the newest one; TIME TRAVEL must be able to
+    bootstrap from any older checkpoint that still exists (a version
+    between two checkpoints is reachable through the older one even
+    after the JSON commits below it were pruned — exactly how Delta
+    readers resolve VERSION AS OF)."""
+    _, HPath, fs = _fs(spark, dest)
+    log_dir = HPath(os.path.join(dest, _LOG_DIR))
+    if not fs.exists(log_dir):
+        return []
+    out = []
+    suffix = ".checkpoint.parquet"
+    for st in fs.listStatus(log_dir):
+        nm = st.getPath().getName()
+        if nm.endswith(suffix) and nm[: -len(suffix)].isdigit():
+            out.append(int(nm[: -len(suffix)]))
+    return sorted(out)
+
+
 def _snapshot_files(spark: SparkSession, vpath: str) -> list[tuple[str, int, int]]:
     """(file name, size, modificationTime ms) of a version directory's
     parquet files, name-sorted for deterministic action order."""
@@ -303,10 +323,17 @@ def _replay(spark: SparkSession, dest: str, version: int) -> dict:
     at-or-below it when one exists, then replay the JSON tail. Raises
     when a needed JSON commit was pruned below the checkpoint."""
     commits = set(_list_commits(spark, dest))
-    cp = _read_last_checkpoint(spark, dest)
-    if cp is not None and cp["version"] <= version:
+    last_cp = _read_last_checkpoint(spark, dest)
+    usable = [c for c in _list_checkpoints(spark, dest) if c <= version]
+    if usable:
+        cp_version = usable[-1]
+        cp = (
+            last_cp
+            if last_cp is not None and last_cp["version"] == cp_version
+            else {"version": cp_version}
+        )
         state = _state_from_checkpoint(spark, dest, cp)
-        start = cp["version"] + 1
+        start = cp_version + 1
     else:
         state = _empty_state()
         start = 0
@@ -316,9 +343,10 @@ def _replay(spark: SparkSession, dest: str, version: int) -> dict:
             f"delta log at {dest} is missing commits {missing} needed for "
             f"version {version}"
             + (
-                " (pruned below the checkpoint — time travel below a "
-                "cleaned-up log is gone, as in Delta's own log cleanup)"
-                if cp is not None and version < cp["version"]
+                " (pruned below the oldest usable checkpoint — time "
+                "travel below a cleaned-up log is gone, as in Delta's "
+                "own log cleanup)"
+                if not usable and _list_checkpoints(spark, dest)
                 else ""
             )
         )

@@ -198,6 +198,80 @@ def test_commit_write_refuses_to_rewrite_published_history(spark, tmp_path):
     assert read_delta(spark, dest).count() == 5
 
 
+def test_randomized_export_prune_checkpoint_sequences(spark, tmp_path):
+    """Deterministic pseudo-random torture: interleave catalog writes,
+    incremental exports (varying checkpoint intervals), checkpoints and
+    prunes, tracking expected row counts per Delta version in plain
+    Python; every still-reachable version must read back exactly, and
+    pruned versions must raise. Catches state-tracking drift between
+    export resume, checkpoint bootstrap, and log cleanup that the
+    scripted tests can't."""
+    import random
+
+    import pytest
+
+    from olist_lakehouse_2_0_spark.delta_export import (
+        prune_log,
+        write_checkpoint,
+    )
+
+    rng = random.Random(7)
+    cat = Catalog(root=str(tmp_path / "cat"))
+    dest = str(tmp_path / "delta")
+    expected: list[int] = []  # expected row count per Delta version
+    pending = 0  # catalog versions written but not yet exported
+    checkpoints: set[int] = set()  # checkpoint versions on disk
+    json_present: set[int] = set()  # JSON commits still on disk
+    counts = iter(range(10, 10_000, 10))
+    for step in range(30):
+        op = rng.choice(["write", "write", "export", "checkpoint", "prune"])
+        if op == "write":
+            n = next(counts)
+            cat.write_versioned(spark.range(n), spark, "t", keep=3)
+            expected.append(n)
+            pending += 1
+            # keep=3: exports must not fall behind retention
+            if pending == 3:
+                op = "export"
+        if op == "export" and expected and pending:
+            got = export_delta(
+                spark, cat.path_for("t"), dest, checkpoint_interval=0
+            )
+            assert got == pending, (step, got, pending)
+            json_present.update(
+                range(len(expected) - pending, len(expected))
+            )
+            pending = 0
+        if op == "checkpoint" and len(expected) > pending:
+            v = write_checkpoint(spark, dest)
+            assert v == len(expected) - pending - 1
+            checkpoints.add(v)
+        if op == "prune" and checkpoints:
+            prune_log(spark, dest)
+            json_present -= set(range(max(checkpoints) + 1))
+    # drain any unexported tail, then verify every version's read
+    if pending:
+        export_delta(spark, cat.path_for("t"), dest, checkpoint_interval=0)
+        json_present.update(range(len(expected) - pending, len(expected)))
+
+    def readable(v: int) -> bool:
+        # v reads back iff some bootstrap point c <= v (a checkpoint,
+        # or -1 for log start) has every JSON commit in (c, v] on disk
+        for c in sorted(checkpoints | {-1}, reverse=True):
+            if c <= v:
+                if all(x in json_present for x in range(c + 1, v + 1)):
+                    return True
+        return False
+
+    for v, n in enumerate(expected):
+        if readable(v):
+            assert read_delta(spark, dest, version=v).count() == n, (v, n)
+        else:
+            with pytest.raises(IOError, match="missing commits"):
+                read_delta(spark, dest, version=v)
+    assert read_delta(spark, dest).count() == expected[-1]
+
+
 def test_reader_refuses_unsupported_reader_version(spark, tmp_path):
     _, root = _versioned_table(spark, tmp_path, counts=(5,))
     dest = str(tmp_path / "delta")
