@@ -467,6 +467,96 @@ def prune_log(spark: SparkSession, dest: str) -> int:
     return deleted
 
 
+def _append_snapshot_commit(
+    spark: SparkSession,
+    dest: str,
+    next_commit: int,
+    src_dir: str,
+    rel_prefix: str,
+    source_version: int,
+    prev_active: list[str],
+    table_identity: str,
+) -> list[str]:
+    """Append ONE overwrite-shaped commit publishing ``src_dir``'s
+    parquet files to the Delta table at ``dest``: remove every
+    previously-active file, copy + add the snapshot's files under
+    ``rel_prefix`` (so distinct snapshots' part files can't collide).
+    Commit 0 additionally carries protocol + metaData. Returns the new
+    active file list."""
+    jvm, HPath, fs = _fs(spark, dest)
+    files = _snapshot_files(spark, src_dir)
+    schema_json = spark.read.parquet(src_dir).schema.json()
+    now_ms = files[0][2] if files else 0
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {
+                    "mode": "Overwrite",
+                    "sourceVersion": source_version,
+                },
+            }
+        }
+    ]
+    if next_commit == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    # Deterministic id: re-exports of the same table
+                    # produce the same table identity.
+                    "id": str(
+                        uuid.uuid5(uuid.NAMESPACE_URL, table_identity)
+                    ),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_json,
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        )
+    for path in prev_active:
+        actions.append(
+            {
+                "remove": {
+                    "path": path,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    new_active = []
+    for nm, size, mtime in files:
+        rel = f"{rel_prefix}{nm}"
+        src = HPath(os.path.join(src_dir, nm))
+        dst = HPath(os.path.join(dest, rel))
+        if not fs.exists(dst):
+            ok = jvm.org.apache.hadoop.fs.FileUtil.copy(
+                fs, src, fs, dst, False,
+                spark._jsc.hadoopConfiguration(),
+            )
+            if not ok:
+                raise IOError(f"delta export copy failed: {src} -> {dst}")
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": size,
+                    "modificationTime": mtime,
+                    "dataChange": True,
+                }
+            }
+        )
+        new_active.append(rel)
+    _write_commit(spark, dest, next_commit, actions)
+    return sorted(new_active)
+
+
 def export_delta(
     spark: SparkSession,
     source_root: str,
@@ -521,82 +611,16 @@ def export_delta(
     fs.mkdirs(HPath(os.path.join(dest, _LOG_DIR)))
     appended = 0
     for cv, vpath in new_versions:
-        files = _snapshot_files(spark, vpath)
-        schema_json = spark.read.parquet(vpath).schema.json()
-        now_ms = files[0][2] if files else 0
-        actions: list[dict] = [
-            {
-                "commitInfo": {
-                    "timestamp": now_ms,
-                    "operation": "WRITE",
-                    "operationParameters": {
-                        "mode": "Overwrite",
-                        "sourceVersion": cv,
-                    },
-                }
-            }
-        ]
-        if next_commit == 0:
-            actions.append(
-                {
-                    "protocol": {
-                        "minReaderVersion": 1,
-                        "minWriterVersion": 2,
-                    }
-                }
-            )
-            actions.append(
-                {
-                    "metaData": {
-                        # Deterministic id: re-exports of the same table
-                        # produce the same table identity.
-                        "id": str(
-                            uuid.uuid5(uuid.NAMESPACE_URL, source_root)
-                        ),
-                        "format": {"provider": "parquet", "options": {}},
-                        "schemaString": schema_json,
-                        "partitionColumns": [],
-                        "configuration": {},
-                        "createdTime": now_ms,
-                    }
-                }
-            )
-        for path in active:
-            actions.append(
-                {
-                    "remove": {
-                        "path": path,
-                        "deletionTimestamp": now_ms,
-                        "dataChange": True,
-                    }
-                }
-            )
-        new_active = []
-        for nm, size, mtime in files:
-            rel = f"v{cv:09d}-{nm}"
-            src = HPath(os.path.join(vpath, nm))
-            dst = HPath(os.path.join(dest, rel))
-            if not fs.exists(dst):
-                ok = jvm.org.apache.hadoop.fs.FileUtil.copy(
-                    fs, src, fs, dst, False,
-                    spark._jsc.hadoopConfiguration(),
-                )
-                if not ok:
-                    raise IOError(f"delta export copy failed: {src} -> {dst}")
-            actions.append(
-                {
-                    "add": {
-                        "path": rel,
-                        "partitionValues": {},
-                        "size": size,
-                        "modificationTime": mtime,
-                        "dataChange": True,
-                    }
-                }
-            )
-            new_active.append(rel)
-        _write_commit(spark, dest, next_commit, actions)
-        active = sorted(new_active)
+        active = _append_snapshot_commit(
+            spark,
+            dest,
+            next_commit,
+            vpath,
+            rel_prefix=f"v{cv:09d}-",
+            source_version=cv,
+            prev_active=active,
+            table_identity=source_root,
+        )
         cp_version = -1 if cp is None else cp["version"]
         if checkpoint_interval and next_commit - cp_version >= checkpoint_interval:
             write_checkpoint(spark, dest, next_commit)
@@ -631,3 +655,51 @@ def read_delta(
     if not paths:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*paths)
+
+
+def publish_delta(
+    spark: SparkSession,
+    table_dir: str,
+    dest: str,
+    checkpoint_interval: int = 10,
+) -> int:
+    """Publish a PLAIN parquet table's current state as the next commit
+    of the Delta table at ``dest`` (creating it on first call) — the
+    path for non-versioned MVs, e.g. the daily job's gold tables
+    (``run.py --export-delta``), where each run republishes the
+    refreshed table the way a Databricks job's gold Delta write does.
+
+    One overwrite-shaped commit per call; ``sourceVersion`` carries the
+    publish ordinal so incremental semantics match :func:`export_delta`.
+    Follows the same checkpoint cadence. Returns the Delta version
+    committed."""
+    jvm, HPath, fs = _fs(spark, dest)
+    if not fs.exists(HPath(table_dir)):
+        raise FileNotFoundError(f"no table at {table_dir}")
+    commits = _list_commits(spark, dest)
+    cp = _read_last_checkpoint(spark, dest)
+    active: list[str] = []
+    ordinal = 0
+    if commits or cp is not None:
+        latest = _latest_log_version(spark, dest)
+        state = _replay(spark, dest, latest)
+        active = sorted(state["active"])
+        ordinal = state["max_source_version"] + 1
+        next_commit = latest + 1
+    else:
+        next_commit = 0
+    fs.mkdirs(HPath(os.path.join(dest, _LOG_DIR)))
+    _append_snapshot_commit(
+        spark,
+        dest,
+        next_commit,
+        table_dir,
+        rel_prefix=f"p{ordinal:09d}-",
+        source_version=ordinal,
+        prev_active=active,
+        table_identity=dest,
+    )
+    cp_version = -1 if cp is None else cp["version"]
+    if checkpoint_interval and next_commit - cp_version >= checkpoint_interval:
+        write_checkpoint(spark, dest, next_commit)
+    return next_commit

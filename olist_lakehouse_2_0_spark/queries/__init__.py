@@ -339,6 +339,13 @@ _CHANGED_IN_R7 = {
     # staging tag under all three shared-codebook consumers.
     "contrastive_triplets_ivfpq", "embedding_topk_ivfpq_exact",
     "embedding_topk_ivfpq_recall",
+    # NOT listed: daily_job_event_log_rollup (r6-green). run.py gained
+    # the additive --export-delta flag this round; with the flag unset
+    # (the query's path) run_job's behavior is byte-identical — the new
+    # parameter defaults to None and the only new code is behind the
+    # truthiness check. The query re-passed the full tri-scale sweep
+    # after the change; listing it would push the window to 51 rows and
+    # evict an r3-stale query from this round's rotation.
 }
 
 #: Queries hash-green in round 3's window (CORRECTNESS_r03.json — 47

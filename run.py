@@ -221,15 +221,27 @@ def run_cdc(
     return {"customers_scd1": path}
 
 
+#: Serving-layer tables the job publishes to Delta when asked — the
+#: gold MV and the SCD1 snapshot, i.e. what a Databricks deployment of
+#: the reference would hand to downstream Delta consumers.
+_DELTA_PUBLISH_NODES = ("gold_status_counts", "customers_scd1")
+
+
 def run_job(
     spark: SparkSession,
     warehouse: str,
     mode: str = "daily",
     n_orders: int = 800,
     n_cdc: int = 300,
+    export_delta_dir: str | None = None,
 ) -> dict:
     """The whole job: generate, then main || cdc (daily) or full-refresh
-    main -> cdc sequentially (weekly, reference olist_jobs.yml:117-160)."""
+    main -> cdc sequentially (weekly, reference olist_jobs.yml:117-160).
+
+    ``export_delta_dir`` additionally publishes the serving tables as
+    Delta-protocol tables under that directory after the run (one
+    overwrite-shaped commit per run, `delta_export.publish_delta`) —
+    the interop hand-off the reference gets for free from Databricks."""
     catalog = Catalog(root=os.path.join(warehouse, "lake"))
     event_log = os.path.join(warehouse, "_event_log")
     raw_orders, raw_cdc = generate(spark, warehouse, n_orders, n_cdc)
@@ -245,12 +257,23 @@ def run_job(
             f_cdc = pool.submit(run_cdc, spark, catalog, raw_cdc, event_log)
             written = f_main.result()
             written.update(f_cdc.result())
-    return {
+    summary = {
         "mode": mode,
         "warehouse": warehouse,
         "written": written,
         "event_log": event_log,
     }
+    if export_delta_dir:
+        from olist_lakehouse_2_0_spark.delta_export import publish_delta
+
+        summary["delta_published"] = {
+            node: publish_delta(
+                spark, written[node], os.path.join(export_delta_dir, node)
+            )
+            for node in _DELTA_PUBLISH_NODES
+            if node in written
+        }
+    return summary
 
 
 def main(argv: list[str] | None = None) -> dict:
@@ -262,10 +285,14 @@ def main(argv: list[str] | None = None) -> dict:
                          "weekly = full refresh, sequential")
     ap.add_argument("--orders", type=int, default=800)
     ap.add_argument("--cdc-events", type=int, default=300)
+    ap.add_argument("--export-delta", metavar="DIR", default=None,
+                    help="also publish the serving tables as "
+                         "Delta-protocol tables under DIR")
     args = ap.parse_args(argv)
     spark = get_spark(app_name="olist-daily-job")
     summary = run_job(
-        spark, args.warehouse, args.mode, args.orders, args.cdc_events
+        spark, args.warehouse, args.mode, args.orders, args.cdc_events,
+        export_delta_dir=args.export_delta,
     )
     print(json.dumps(summary))
     return summary

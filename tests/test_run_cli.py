@@ -73,3 +73,36 @@ def test_cli_argparse_path(spark, tmp_path):
     )
     assert summary["mode"] == "daily"
     assert "gold_status_counts" in summary["written"]
+
+
+def test_export_delta_publishes_serving_tables(spark, tmp_path):
+    """--export-delta: each run publishes the gold MV and the SCD1
+    snapshot as one more Delta commit; the Delta read must equal the
+    lake table exactly, and the second run's republish must land as
+    version 1 with version 0 still time-travelable."""
+    from olist_lakehouse_2_0_spark.delta_export import read_delta
+
+    wh = str(tmp_path / "wh_delta")
+    ddir = str(tmp_path / "delta_out")
+    s1 = runner.run_job(
+        spark, wh, "daily", n_orders=80, n_cdc=60, export_delta_dir=ddir
+    )
+    assert s1["delta_published"] == {
+        "gold_status_counts": 0, "customers_scd1": 0,
+    }
+    for node in ("gold_status_counts", "customers_scd1"):
+        lake = spark.read.parquet(s1["written"][node])
+        delta = read_delta(spark, f"{ddir}/{node}")
+        assert sorted(map(tuple, lake.collect())) == sorted(
+            map(tuple, delta.collect())
+        )
+    # second incremental run: gold doubles; republish = Delta version 1
+    s2 = runner.run_job(
+        spark, wh, "daily", n_orders=80, n_cdc=60, export_delta_dir=ddir
+    )
+    assert s2["delta_published"]["gold_status_counts"] == 1
+    gold_now = read_delta(spark, f"{ddir}/gold_status_counts")
+    gold_v0 = read_delta(spark, f"{ddir}/gold_status_counts", version=0)
+    n_now = gold_now.agg(F.sum("n_orders")).first()[0]
+    n_v0 = gold_v0.agg(F.sum("n_orders")).first()[0]
+    assert n_now == 2 * n_v0
