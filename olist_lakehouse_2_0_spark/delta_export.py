@@ -476,13 +476,19 @@ def _append_snapshot_commit(
     source_version: int,
     prev_active: list[str],
     table_identity: str,
-) -> list[str]:
+    prev_schema: str | None = None,
+) -> tuple[list[str], str]:
     """Append ONE overwrite-shaped commit publishing ``src_dir``'s
     parquet files to the Delta table at ``dest``: remove every
     previously-active file, copy + add the snapshot's files under
     ``rel_prefix`` (so distinct snapshots' part files can't collide).
-    Commit 0 additionally carries protocol + metaData. Returns the new
-    active file list."""
+    Commit 0 additionally carries protocol + metaData; a later commit
+    whose snapshot schema differs from ``prev_schema`` re-emits
+    metaData — the protocol's schema-evolution mechanism (without it a
+    reader would scan the evolved files under the stale log schema and
+    silently drop the added columns; the catalog allows additive
+    evolution, so this path is reachable). Returns (new active file
+    list, schema emitted-or-inherited)."""
     jvm, HPath, fs = _fs(spark, dest)
     files = _snapshot_files(spark, src_dir)
     schema_json = spark.read.parquet(src_dir).schema.json()
@@ -503,6 +509,9 @@ def _append_snapshot_commit(
         actions.append(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
         )
+    if next_commit == 0 or (
+        prev_schema is not None and schema_json != prev_schema
+    ):
         actions.append(
             {
                 "metaData": {
@@ -554,7 +563,7 @@ def _append_snapshot_commit(
         )
         new_active.append(rel)
     _write_commit(spark, dest, next_commit, actions)
-    return sorted(new_active)
+    return sorted(new_active), schema_json
 
 
 def export_delta(
@@ -594,12 +603,14 @@ def export_delta(
     cp = _read_last_checkpoint(spark, dest)
     exported_src: int = -1
     active: list[str] = []
+    prev_schema: str | None = None
     have_log = bool(commits) or cp is not None
     if have_log:
         latest = _latest_log_version(spark, dest)
         state = _replay(spark, dest, latest)
         active = sorted(state["active"])
         exported_src = state["max_source_version"]
+        prev_schema = state["schema_string"]
         next_commit = latest + 1
     else:
         next_commit = 0
@@ -611,7 +622,7 @@ def export_delta(
     fs.mkdirs(HPath(os.path.join(dest, _LOG_DIR)))
     appended = 0
     for cv, vpath in new_versions:
-        active = _append_snapshot_commit(
+        active, prev_schema = _append_snapshot_commit(
             spark,
             dest,
             next_commit,
@@ -620,6 +631,7 @@ def export_delta(
             source_version=cv,
             prev_active=active,
             table_identity=source_root,
+            prev_schema=prev_schema,
         )
         cp_version = -1 if cp is None else cp["version"]
         if checkpoint_interval and next_commit - cp_version >= checkpoint_interval:
@@ -680,11 +692,13 @@ def publish_delta(
     cp = _read_last_checkpoint(spark, dest)
     active: list[str] = []
     ordinal = 0
+    prev_schema: str | None = None
     if commits or cp is not None:
         latest = _latest_log_version(spark, dest)
         state = _replay(spark, dest, latest)
         active = sorted(state["active"])
         ordinal = state["max_source_version"] + 1
+        prev_schema = state["schema_string"]
         next_commit = latest + 1
     else:
         next_commit = 0
@@ -698,6 +712,7 @@ def publish_delta(
         source_version=ordinal,
         prev_active=active,
         table_identity=dest,
+        prev_schema=prev_schema,
     )
     cp_version = -1 if cp is None else cp["version"]
     if checkpoint_interval and next_commit - cp_version >= checkpoint_interval:

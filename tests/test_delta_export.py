@@ -181,6 +181,43 @@ def test_checkpoint_bootstraps_reads_and_survives_log_pruning(spark, tmp_path):
     assert read_delta(spark, dest, version=12).count() == 130
 
 
+def test_schema_evolution_re_emits_metadata(spark, tmp_path):
+    """The catalog allows additive schema evolution between versions;
+    the export must re-emit a metaData action in the commit whose
+    snapshot schema changed — otherwise a reader scans the evolved
+    files under the stale log schema and silently drops the new
+    column. Older versions keep reading under their own schema."""
+    cat = Catalog(root=str(tmp_path / "cat"))
+    dest = str(tmp_path / "delta")
+    cat.write_versioned(spark.range(10), spark, "t", keep=3)
+    cat.write_versioned(
+        spark.range(20).withColumn("extra", F.col("id") + 100),
+        spark, "t", keep=3, allow_new_columns=True,
+    )
+    export_delta(spark, cat.path_for("t"), dest)
+    commits, _ = _commits(dest)
+    metas = [
+        a["metaData"]["schemaString"]
+        for c in commits
+        for a in c
+        if "metaData" in a
+    ]
+    assert len(metas) == 2 and metas[0] != metas[1]
+    latest = read_delta(spark, dest)
+    assert [f.name for f in latest.schema.fields] == ["id", "extra"]
+    assert latest.filter(F.col("extra").isNotNull()).count() == 20
+    v0 = read_delta(spark, dest, version=0)
+    assert [f.name for f in v0.schema.fields] == ["id"]
+    assert v0.count() == 10
+    # a checkpoint after the evolution carries the evolved schema
+    from olist_lakehouse_2_0_spark.delta_export import write_checkpoint
+
+    write_checkpoint(spark, dest)
+    assert [
+        f.name for f in read_delta(spark, dest, version=1).schema.fields
+    ] == ["id", "extra"]
+
+
 def test_commit_write_refuses_to_rewrite_published_history(spark, tmp_path):
     """Published Delta versions are immutable: a writer that would land
     on an existing commit file must fail, not overwrite (POSIX rename
