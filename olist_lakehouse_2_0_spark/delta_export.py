@@ -271,6 +271,7 @@ def _empty_state() -> dict:
         "active": set(),
         "adds": {},
         "schema_string": None,
+        "metadata": None,
         "protocol": None,
         "max_source_version": -1,
     }
@@ -289,7 +290,8 @@ def _state_from_checkpoint(
             state["active"].add(a["path"])
             state["adds"][a["path"]] = a
         elif r["metaData"] is not None:
-            state["schema_string"] = r["metaData"]["schemaString"]
+            state["metadata"] = r["metaData"].asDict(recursive=True)
+            state["schema_string"] = state["metadata"]["schemaString"]
         elif r["protocol"] is not None:
             state["protocol"] = r["protocol"].asDict()
     state["max_source_version"] = cp.get("maxSourceVersion", -1)
@@ -305,6 +307,7 @@ def _apply_commit(state: dict, actions: list[dict]) -> None:
             state["active"].discard(action["remove"]["path"])
             state["adds"].pop(action["remove"]["path"], None)
         elif "metaData" in action:
+            state["metadata"] = action["metaData"]
             state["schema_string"] = action["metaData"]["schemaString"]
         elif "protocol" in action:
             state["protocol"] = action["protocol"]
@@ -378,69 +381,77 @@ def write_checkpoint(
     ``_last_checkpoint`` carries the standard ``version``/``size``
     keys plus a writer-private ``maxSourceVersion`` (foreign readers
     ignore unknown keys) so incremental export can resume without the
-    pruned commitInfo history."""
+    pruned commitInfo history.
+
+    The metaData action is carried VERBATIM from the log (not
+    reconstructed), so the table identity and createdTime a reader
+    observes never change between the JSON history and the checkpoint.
+    Re-checkpointing a version whose checkpoint file already exists is
+    a no-op apart from refreshing ``_last_checkpoint`` — the content
+    is a deterministic function of the log, and skipping the rewrite
+    avoids a delete-then-rename window in which a concurrent reader
+    holding the pointer would find no file."""
     jvm, HPath, fs = _fs(spark, dest)
     v = _latest_log_version(spark, dest) if version is None else version
     state = _replay(spark, dest, v)
-    rows: list[dict] = []
-    if state["protocol"] is not None:
-        rows.append(
-            {
-                "protocol": {
-                    "minReaderVersion": state["protocol"]["minReaderVersion"],
-                    "minWriterVersion": state["protocol"]["minWriterVersion"],
-                }
-            }
-        )
-    rows.append(
-        {
-            "metaData": {
-                "id": str(uuid.uuid5(uuid.NAMESPACE_URL, dest)),
-                "format": {"provider": "parquet", "options": {}},
-                "schemaString": state["schema_string"],
-                "partitionColumns": [],
-                "configuration": {},
-                "createdTime": 0,
-            }
-        }
+    n_rows = (
+        (1 if state["protocol"] is not None else 0)
+        + 1
+        + len(state["active"])
     )
-    for path in sorted(state["active"]):
-        add = dict(state["adds"][path])
-        add["dataChange"] = False  # spec: checkpointed adds
-        rows.append({"add": add})
-    df = spark.createDataFrame(
-        [
-            (
-                r.get("protocol"),
-                r.get("metaData"),
-                r.get("add"),
-            )
-            for r in rows
-        ],
-        _CHECKPOINT_SCHEMA,
-    )
-    # Parquet writers emit a directory; the protocol wants ONE file —
-    # write to a temp dir, move the single part file into place.
-    tmp_dir = os.path.join(dest, _LOG_DIR, f".cp_tmp_{v}")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
-    part = [
-        st.getPath()
-        for st in fs.listStatus(HPath(tmp_dir))
-        if st.getPath().getName().endswith(".parquet")
-    ]
-    assert len(part) == 1, part
     final = HPath(_checkpoint_path(dest, v))
-    fs.delete(final, False)
-    if not fs.rename(part[0], final):
-        raise IOError(f"checkpoint rename failed: {final}")
-    fs.delete(HPath(tmp_dir), True)
+    if not fs.exists(final):
+        rows: list[dict] = []
+        if state["protocol"] is not None:
+            rows.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": state["protocol"][
+                            "minReaderVersion"
+                        ],
+                        "minWriterVersion": state["protocol"][
+                            "minWriterVersion"
+                        ],
+                    }
+                }
+            )
+        rows.append({"metaData": state["metadata"]})
+        for path in sorted(state["active"]):
+            add = dict(state["adds"][path])
+            add["dataChange"] = False  # spec: checkpointed adds
+            rows.append({"add": add})
+        df = spark.createDataFrame(
+            [
+                (
+                    r.get("protocol"),
+                    r.get("metaData"),
+                    r.get("add"),
+                )
+                for r in rows
+            ],
+            _CHECKPOINT_SCHEMA,
+        )
+        # Parquet writers emit a directory; the protocol wants ONE
+        # file — write to a temp dir, move the single part file into
+        # place.
+        tmp_dir = os.path.join(dest, _LOG_DIR, f".cp_tmp_{v}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        part = [
+            st.getPath()
+            for st in fs.listStatus(HPath(tmp_dir))
+            if st.getPath().getName().endswith(".parquet")
+        ]
+        assert len(part) == 1, part
+        if not fs.rename(part[0], final):
+            raise IOError(f"checkpoint rename failed: {final}")
+        fs.delete(HPath(tmp_dir), True)
     _write_text(
         spark,
         _last_checkpoint_path(dest),
         json.dumps(
             {
                 "version": v,
-                "size": len(rows),
+                "size": n_rows,
                 "maxSourceVersion": state["max_source_version"],
             },
             separators=(",", ":"),
@@ -543,12 +554,21 @@ def _append_snapshot_commit(
         rel = f"{rel_prefix}{nm}"
         src = HPath(os.path.join(src_dir, nm))
         dst = HPath(os.path.join(dest, rel))
+        # A crash-interrupted previous run may have left a truncated
+        # copy at dst; FileUtil.copy is not atomic, so an existing file
+        # only counts if its size matches the source. The copy itself
+        # goes through tmp + rename (the same never-expose-partial
+        # discipline as _write_commit).
+        if fs.exists(dst) and fs.getFileStatus(dst).getLen() != size:
+            fs.delete(dst, False)
         if not fs.exists(dst):
+            tmp = HPath(os.path.join(dest, rel + ".tmp"))
             ok = jvm.org.apache.hadoop.fs.FileUtil.copy(
-                fs, src, fs, dst, False,
+                fs, src, fs, tmp, False,
                 spark._jsc.hadoopConfiguration(),
             )
-            if not ok:
+            if not ok or not fs.rename(tmp, dst):
+                fs.delete(tmp, False)
                 raise IOError(f"delta export copy failed: {src} -> {dst}")
         actions.append(
             {
@@ -652,8 +672,8 @@ def read_delta(
     files under the log's own schema. ``version`` time-travels
     (Delta's ``VERSION AS OF``); versions below a pruned checkpoint
     raise the missing-commits error."""
-    v = _latest_log_version(spark, dest) if version is None else version
     latest = _latest_log_version(spark, dest)
+    v = latest if version is None else version
     if v > latest:
         raise ValueError(f"version {v} not in log (have up to {latest})")
     state = _replay(spark, dest, v)

@@ -350,14 +350,27 @@ def _banded(
         ).alias("__band"),
     ).select("__id", "__band.band", "__band.bucket")
     if max_bucket_df is not None:
-        small = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_bucket_df)
-            .select("band", "bucket")
-        )
-        banded = banded.join(small, ["band", "bucket"], "left_semi")
+        banded = _drop_hot_buckets(banded, ["band", "bucket"], max_bucket_df)
     return banded
+
+
+def _drop_hot_buckets(
+    df: DataFrame, keys: list[str], cap: int
+) -> DataFrame:
+    """The shared hot-bucket df-cap: drop every ``keys`` group holding
+    more than ``cap`` member rows (a left-semi against the cool-group
+    keys, so the membership relation never widens). ONE implementation
+    for all three LSH candidate paths — one-shot MinHash banding,
+    SimHash pigeonhole chunks, and the incremental-index cross-shard
+    probe — so a change to the cap semantics (distinct-count, tie
+    behavior at ==cap) cannot silently diverge their recall bounds."""
+    cool = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= cap)
+        .select(*keys)
+    )
+    return df.join(cool, keys, "left_semi")
 
 
 def minhash_lsh_candidates(
@@ -569,13 +582,9 @@ def simhash_dedup_pairs(
         ).alias("__c"),
     ).select("__id", "__sh", "__c.chunk", "__c.value")
     if max_bucket_df is not None:
-        small = (
-            chunked.groupBy("chunk", "value")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_bucket_df)
-            .select("chunk", "value")
+        chunked = _drop_hot_buckets(
+            chunked, ["chunk", "value"], max_bucket_df
         )
-        chunked = chunked.join(small, ["chunk", "value"], "left_semi")
     a = chunked.select(
         F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"), "chunk", "value"
     )
@@ -932,13 +941,9 @@ def probe_minhash_index(
         F.col("__id").alias("__rep_old"), "band", "bucket"
     )
     if max_bucket_df is not None:
-        cool = (
-            old_side.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_bucket_df)
-            .select("band", "bucket")
+        old_side = _drop_hot_buckets(
+            old_side, ["band", "bucket"], max_bucket_df
         )
-        old_side = old_side.join(cool, ["band", "bucket"], "left_semi")
     rep_pairs = (
         new_side.join(old_side, ["band", "bucket"])
         .select("__rep_new", "__rep_old")

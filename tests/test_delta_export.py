@@ -181,6 +181,55 @@ def test_checkpoint_bootstraps_reads_and_survives_log_pruning(spark, tmp_path):
     assert read_delta(spark, dest, version=12).count() == 130
 
 
+def test_checkpoint_preserves_table_identity_and_truncated_copy_heals(
+    spark, tmp_path
+):
+    """Two export-robustness regressions: (1) the checkpoint must carry
+    the commit-0 metaData VERBATIM (id included) — a reconstructed
+    metaData would mutate the table identity mid-history once the JSON
+    commits are pruned; (2) a crash-interrupted data-file copy leaves a
+    truncated file at the destination, and the resumed export must
+    detect the size mismatch and re-copy rather than publish a commit
+    pointing at garbage."""
+    from olist_lakehouse_2_0_spark.delta_export import (
+        _replay,
+        prune_log,
+        write_checkpoint,
+    )
+
+    cat = Catalog(root=str(tmp_path / "cat"))
+    dest = str(tmp_path / "delta")
+    cat.write_versioned(spark.range(5), spark, "t", keep=3)
+    export_delta(spark, cat.path_for("t"), dest)
+    commits, _ = _commits(dest)
+    (orig_meta,) = [a["metaData"] for a in commits[0] if "metaData" in a]
+    write_checkpoint(spark, dest)
+    prune_log(spark, dest)
+    # identity survives the checkpoint + prune round trip verbatim
+    state = _replay(spark, dest, 0)
+    assert state["metadata"]["id"] == orig_meta["id"]
+    assert state["metadata"]["createdTime"] == orig_meta["createdTime"]
+
+    # simulate a killed copy: plant a truncated file where the next
+    # snapshot's first data file will land
+    cat2 = Catalog(root=str(tmp_path / "cat2"))
+    cat2.write_versioned(spark.range(7), spark, "u", keep=3)
+    root2 = cat2.path_for("u")
+    dest2 = str(tmp_path / "delta2")
+    vdir = sorted(
+        d for d in os.listdir(root2) if d.startswith("v")
+    )[-1]
+    part = sorted(
+        f for f in os.listdir(os.path.join(root2, vdir))
+        if f.endswith(".parquet")
+    )[0]
+    os.makedirs(dest2, exist_ok=True)
+    with open(os.path.join(dest2, f"{vdir}-{part}"), "wb") as fh:
+        fh.write(b"truncated")
+    export_delta(spark, root2, dest2)
+    assert read_delta(spark, dest2).count() == 7
+
+
 def test_schema_evolution_re_emits_metadata(spark, tmp_path):
     """The catalog allows additive schema evolution between versions;
     the export must re-emit a metaData action in the commit whose
