@@ -39,10 +39,12 @@ Scope (documented, judge-visible):
 - Unpartitioned exports only (``partitionColumns: []``). The catalog's
   versioned tables are MV snapshots, which it stores unpartitioned.
 - Checkpoints carry no ``remove`` tombstones: the spec keeps them only
-  to coordinate VACUUM of data files, and the export never deletes
-  exported data files (history is the point). Time travel BELOW a
-  pruned checkpoint needs the pruned JSONs and raises a clear error —
-  the same contract as Delta's own log cleanup.
+  to coordinate VACUUM of data files, and the export keeps full
+  history by default — data files are deleted only by the explicit,
+  opt-in :func:`vacuum_export` (retain-N semantics, Delta's VACUUM
+  analogue). Time travel BELOW a pruned checkpoint needs the pruned
+  JSONs and raises a clear error — the same contract as Delta's own
+  log cleanup.
 
 Because no external Delta reader is installable in this sandbox
 (delta-spark needs its JVM jar; DuckDB's delta extension needs a
@@ -738,3 +740,63 @@ def publish_delta(
     if checkpoint_interval and next_commit - cp_version >= checkpoint_interval:
         write_checkpoint(spark, dest, next_commit)
     return next_commit
+
+
+def vacuum_export(
+    spark: SparkSession, dest: str, retain_versions: int = 2
+) -> dict:
+    """Delta's VACUUM analogue for an exported table, opt-in (the
+    export's default is to keep full history): retain the newest
+    ``retain_versions`` Delta versions, delete every data file only
+    older versions reference, and clean the log down to the retained
+    window (checkpoint at the oldest retained version, prune the JSON
+    commits and checkpoints below it). Reads at or above the cutoff are
+    untouched; time travel below it raises the missing-commits error —
+    Delta's own retention contract.
+
+    Returns ``{"cutoff": v, "data_files_deleted": n, "commits_deleted":
+    m}``. ``retain_versions`` must be >= 1; concurrent readers of
+    vacuumed-away versions fail like any Delta reader racing VACUUM
+    would, which is why the default export never calls this."""
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
+    _, HPath, fs = _fs(spark, dest)
+    latest = _latest_log_version(spark, dest)
+    cutoff = max(0, latest - retain_versions + 1)
+    # union of data files referenced by any retained version
+    referenced: set[str] = set()
+    for v in range(cutoff, latest + 1):
+        referenced |= _replay(spark, dest, v)["active"]
+    # checkpoint the cutoff so reads there need no earlier JSONs
+    write_checkpoint(spark, dest, cutoff)
+    # the pointer must track the NEWEST checkpoint again (bootstrap for
+    # latest-version reads and export resume)
+    if cutoff != latest:
+        newest_cp = max(
+            (c for c in _list_checkpoints(spark, dest) if c <= latest),
+            default=cutoff,
+        )
+        write_checkpoint(spark, dest, newest_cp)
+    # drop unreferenced data files
+    deleted = 0
+    for st in fs.listStatus(HPath(dest)):
+        nm = st.getPath().getName()
+        if nm == _LOG_DIR or not nm.endswith(".parquet"):
+            continue
+        if nm not in referenced:
+            fs.delete(st.getPath(), False)
+            deleted += 1
+    # clean the log below the cutoff: JSON commits and old checkpoints
+    commits_deleted = 0
+    for v in _list_commits(spark, dest):
+        if v < cutoff:
+            fs.delete(HPath(_commit_path(dest, v)), False)
+            commits_deleted += 1
+    for c in _list_checkpoints(spark, dest):
+        if c < cutoff:
+            fs.delete(HPath(_checkpoint_path(dest, c)), False)
+    return {
+        "cutoff": cutoff,
+        "data_files_deleted": deleted,
+        "commits_deleted": commits_deleted,
+    }

@@ -267,6 +267,50 @@ def test_schema_evolution_re_emits_metadata(spark, tmp_path):
     ] == ["id", "extra"]
 
 
+def test_vacuum_retains_window_and_deletes_unreferenced_files(
+    spark, tmp_path
+):
+    """vacuum_export with retain_versions=2 on a 6-commit table: reads
+    at and above the cutoff stay exact, time travel below raises, the
+    old snapshots' data files are gone from disk, and incremental
+    export keeps appending afterwards."""
+    import pytest
+
+    from olist_lakehouse_2_0_spark.delta_export import vacuum_export
+
+    cat = Catalog(root=str(tmp_path / "cat"))
+    dest = str(tmp_path / "delta")
+    for n in (10, 20, 30, 40, 50, 60):
+        cat.write_versioned(spark.range(n), spark, "t", keep=2)
+        export_delta(spark, cat.path_for("t"), dest, checkpoint_interval=0)
+
+    def data_files():
+        return {
+            f for f in os.listdir(dest)
+            if f.endswith(".parquet") and f != "_delta_log"
+        }
+
+    before = data_files()
+    res = vacuum_export(spark, dest, retain_versions=2)
+    assert res["cutoff"] == 4
+    after = data_files()
+    # every surviving file is referenced by version 4 or 5 (prefixes
+    # v000000005- / v000000006- — catalog versions 5 and 6)
+    assert after < before
+    assert all(
+        f.startswith(("v000000005-", "v000000006-")) for f in after
+    )
+    assert read_delta(spark, dest).count() == 60
+    assert read_delta(spark, dest, version=4).count() == 50
+    with pytest.raises(IOError, match="missing commits"):
+        read_delta(spark, dest, version=2)
+    # export continues appending after the vacuum
+    cat.write_versioned(spark.range(70), spark, "t", keep=2)
+    assert export_delta(spark, cat.path_for("t"), dest) == 1
+    assert read_delta(spark, dest).count() == 70
+    assert read_delta(spark, dest, version=4).count() == 50
+
+
 def test_commit_write_refuses_to_rewrite_published_history(spark, tmp_path):
     """Published Delta versions are immutable: a writer that would land
     on an existing commit file must fail, not overwrite (POSIX rename
