@@ -676,8 +676,8 @@ def read_delta(
     raise the missing-commits error."""
     latest = _latest_log_version(spark, dest)
     v = latest if version is None else version
-    if v > latest:
-        raise ValueError(f"version {v} not in log (have up to {latest})")
+    if v < 0 or v > latest:
+        raise ValueError(f"version {v} not in log (have 0..{latest})")
     state = _replay(spark, dest, v)
     if state["protocol"] and state["protocol"].get("minReaderVersion", 1) > 1:
         raise IOError(
