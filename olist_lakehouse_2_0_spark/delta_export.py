@@ -197,18 +197,53 @@ def _write_text(spark: SparkSession, path: str, payload: str) -> None:
         out.close()
 
 
+def _atomic_promote(spark: SparkSession, jvm, fs, tmp, final) -> bool:
+    """Atomically promote ``tmp`` to ``final``, returning False if
+    ``final`` already exists — a TRUE test-and-set, not exists+rename.
+
+    Hadoop's ``FileSystem.rename`` on the local filesystem is POSIX
+    rename, which silently OVERWRITES an existing destination, so an
+    exists-check followed by rename leaves a window in which two racing
+    writers both succeed and one commit's actions are silently replaced
+    (history rewrite under a reader). Local scheme: ``link(2)``, which
+    fails with EEXIST atomically at the syscall level. Other schemes:
+    ``FileContext.rename(src, dst, Options.Rename.NONE)`` — the
+    sanctioned no-overwrite rename (HDFS enforces dst-nonexistence
+    under the namenode lock)."""
+    if fs.getUri().getScheme() == "file":
+        try:
+            os.link(tmp.toUri().getPath(), final.toUri().getPath())
+        except FileExistsError:
+            return False
+        fs.delete(tmp, False)
+        return True
+    fctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri(), spark._jsc.hadoopConfiguration()
+    )
+    Rename = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = spark.sparkContext._gateway.new_array(Rename, 1)
+    opts[0] = Rename.NONE
+    try:
+        fctx.rename(tmp, final, opts)
+    except Exception as e:  # py4j surfaces FileAlreadyExistsException
+        if "AlreadyExists" in str(e):
+            return False
+        raise
+    return True
+
+
 def _write_commit(
     spark: SparkSession, dest: str, version: int, actions: list[dict]
 ) -> None:
-    """Write one commit file atomically (temp + rename): the protocol's
-    commit point is the appearance of ``<version>.json``, so a reader
-    must never observe a partially-written commit.
+    """Write one commit file atomically (temp + atomic promote): the
+    protocol's commit point is the appearance of ``<version>.json``, so
+    a reader must never observe a partially-written commit.
 
     Published commits are immutable (the protocol's core invariant), so
-    a commit file that already exists is a concurrent-exporter conflict
-    — the same rename-based test-and-set contract as the catalog's
-    ``promote_version`` (POSIX rename would silently overwrite, which
-    for a Delta log means rewriting history under a reader)."""
+    a commit file that already exists is a concurrent-exporter conflict.
+    The promote is a create-exclusive test-and-set (:func:`_atomic_promote`)
+    — an up-front exists check alone would leave a check-to-rename race
+    window on local filesystems, where POSIX rename silently overwrites."""
     jvm, HPath, fs = _fs(spark, dest)
     final = HPath(_commit_path(dest, version))
     tmp = HPath(_commit_path(dest, version) + ".tmp")
@@ -223,9 +258,12 @@ def _write_commit(
         out.write(bytearray(payload.encode("utf-8")))
     finally:
         out.close()
-    if fs.exists(final) or not fs.rename(tmp, final):
+    if not _atomic_promote(spark, jvm, fs, tmp, final):
         fs.delete(tmp, False)
-        raise IOError(f"delta commit rename failed or lost race: {final}")
+        raise IOError(
+            f"delta commit {version} already exists at {dest}: "
+            "concurrent export or non-append history rewrite"
+        )
 
 
 def _read_last_checkpoint(spark: SparkSession, dest: str) -> dict | None:
@@ -332,13 +370,41 @@ def _replay(spark: SparkSession, dest: str, version: int) -> dict:
     usable = [c for c in _list_checkpoints(spark, dest) if c <= version]
     if usable:
         cp_version = usable[-1]
-        cp = (
-            last_cp
-            if last_cp is not None and last_cp["version"] == cp_version
-            else {"version": cp_version}
-        )
-        state = _state_from_checkpoint(spark, dest, cp)
+        state = _state_from_checkpoint(spark, dest, {"version": cp_version})
         start = cp_version + 1
+        if last_cp is not None and last_cp["version"] <= version:
+            # Checkpoint FILES carry no commitInfo, so bootstrapping
+            # from a checkpoint that isn't the one the pointer names
+            # (the vacuum re-point does exactly this) would lose the
+            # writer-private maxSourceVersion resume cursor and make
+            # the next export re-publish every retained catalog
+            # version as duplicate commits. sourceVersion is monotone
+            # in commit order, so the pointer's recorded value is
+            # exact for the pointer's own version; the contribution
+            # of commits between the pointer and the bootstrap
+            # checkpoint is recovered from their still-present
+            # commitInfo JSONs (prune/vacuum never delete commits
+            # above the pointer they leave behind, and the gap is
+            # bounded by the checkpoint cadence).
+            state["max_source_version"] = max(
+                state["max_source_version"],
+                last_cp.get("maxSourceVersion", -1),
+            )
+            for v in range(last_cp["version"] + 1, start):
+                if v in commits:
+                    for action in _read_commit(spark, dest, v):
+                        info = action.get("commitInfo")
+                        src = (
+                            info.get("operationParameters", {}).get(
+                                "sourceVersion"
+                            )
+                            if info
+                            else None
+                        )
+                        if isinstance(src, int):
+                            state["max_source_version"] = max(
+                                state["max_source_version"], src
+                            )
     else:
         state = _empty_state()
         start = 0

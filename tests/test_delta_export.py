@@ -424,3 +424,79 @@ def test_reader_refuses_unsupported_reader_version(spark, tmp_path):
 
     with pytest.raises(IOError, match="reader version"):
         read_delta(spark, dest)
+
+
+def test_vacuum_preserves_resume_cursor_with_checkpoint_on_latest(
+    spark, tmp_path
+):
+    """ADVICE r7 #1 regression: when a checkpoint file exists AT the
+    latest commit (routine with checkpoint_interval=10 and ≥10 commits),
+    vacuum_export's final pointer re-point used to bootstrap from that
+    checkpoint with the pointer still at the cutoff, losing
+    maxSourceVersion (-1) — and the next export_delta re-published every
+    retained catalog version as duplicate commits. The pointer must keep
+    the exact resume cursor, and post-vacuum export must append ONLY the
+    genuinely new catalog versions."""
+    from olist_lakehouse_2_0_spark.delta_export import (
+        _read_last_checkpoint,
+    )
+
+    cat = Catalog(root=str(tmp_path / "cat"))
+    dest = str(tmp_path / "delta")
+    # 10 catalog versions (1..10) -> Delta commits 0..9; with
+    # interval=10 the cadence lands a checkpoint exactly on commit 9,
+    # the latest — the advice's trigger condition.
+    for n in range(10, 110, 10):
+        cat.write_versioned(spark.range(n), spark, "t", keep=12)
+    assert export_delta(
+        spark, cat.path_for("t"), dest, checkpoint_interval=10
+    ) == 10
+    from olist_lakehouse_2_0_spark.delta_export import (
+        _list_checkpoints,
+        vacuum_export,
+    )
+
+    assert _list_checkpoints(spark, dest) == [9]
+    res = vacuum_export(spark, dest, retain_versions=2)
+    assert res["cutoff"] == 8
+    ptr = _read_last_checkpoint(spark, dest)
+    # pointer tracks the newest checkpoint (9, the latest commit) and
+    # keeps the exact catalog-resume cursor (catalog version 10)
+    assert ptr["version"] == 9
+    assert ptr["maxSourceVersion"] == 10
+    # the next export appends exactly ONE commit for the one new
+    # catalog version — no duplicate re-publication of history
+    cat.write_versioned(spark.range(110), spark, "t", keep=12)
+    assert export_delta(spark, cat.path_for("t"), dest) == 1
+    assert read_delta(spark, dest).count() == 110
+    assert read_delta(spark, dest, version=8).count() == 90
+
+
+def test_atomic_promote_refuses_existing_destination(spark, tmp_path):
+    """ADVICE r7 #2 regression: the commit point must be a TRUE
+    test-and-set. Hadoop's local rename is POSIX rename (silent
+    overwrite), so exists-check-then-rename had a race window; the
+    promote now hard-links (EEXIST is atomic) and must refuse an
+    existing destination WITHOUT the caller's exists pre-check."""
+    from olist_lakehouse_2_0_spark.delta_export import (
+        _atomic_promote,
+        _fs,
+        _read_text,
+        _write_text,
+    )
+
+    tmp_file = str(tmp_path / "commit.tmp")
+    final = str(tmp_path / "commit.json")
+    jvm, HPath, fs = _fs(spark, str(tmp_path))
+    # success path: promote moves content and clears the temp
+    _write_text(spark, tmp_file, "first-writer")
+    assert _atomic_promote(spark, jvm, fs, HPath(tmp_file), HPath(final))
+    assert _read_text(spark, final) == "first-writer"
+    assert not fs.exists(HPath(tmp_file))
+    # conflict path: a second writer racing to the same commit file
+    # must lose atomically, leaving the published content untouched
+    _write_text(spark, tmp_file, "second-writer")
+    assert not _atomic_promote(
+        spark, jvm, fs, HPath(tmp_file), HPath(final)
+    )
+    assert _read_text(spark, final) == "first-writer"
