@@ -36,8 +36,13 @@ Scope (documented, judge-visible):
 - Reader feature floor: protocol ``minReaderVersion=1`` /
   ``minWriterVersion=2`` — no deletion vectors, column mapping, or
   generated columns, so ANY protocol-conformant reader qualifies.
-- Unpartitioned exports only (``partitionColumns: []``). The catalog's
-  versioned tables are MV snapshots, which it stores unpartitioned.
+- Partitioned AND unpartitioned exports. Hive-style ``col=value``
+  snapshot layouts (``Catalog.write(partition_by=...)``,
+  ``overwrite_partitions`` gold tables) export with
+  ``metaData.partitionColumns`` + per-file ``partitionValues`` — the
+  protocol's partition contract — and the reader plans one
+  partition-pruned scan from the log. The catalog's versioned MV
+  snapshots are unpartitioned and export with ``partitionColumns: []``.
 - Checkpoints carry no ``remove`` tombstones: the spec keeps them only
   to coordinate VACUUM of data files, and the export keeps full
   history by default — data files are deleted only by the explicit,
@@ -294,16 +299,47 @@ def _list_checkpoints(spark: SparkSession, dest: str) -> list[int]:
     return sorted(out)
 
 
-def _snapshot_files(spark: SparkSession, vpath: str) -> list[tuple[str, int, int]]:
-    """(file name, size, modificationTime ms) of a version directory's
-    parquet files, name-sorted for deterministic action order."""
+def _snapshot_files(
+    spark: SparkSession, vpath: str
+) -> tuple[list[tuple[str, int, int, dict]], list[str]]:
+    """(relative path, size, modificationTime ms, partitionValues) of a
+    snapshot directory's parquet files plus the partition column order,
+    recursing through hive-style ``col=value`` subdirectories — the
+    layout ``Catalog.write(partition_by=...)`` / ``overwrite_partitions``
+    produce. Unpartitioned snapshots yield flat names and ``[]``.
+    Name-sorted for deterministic action order."""
     _, HPath, fs = _fs(spark, vpath)
-    out = []
-    for st in fs.listStatus(HPath(vpath)):
-        nm = st.getPath().getName()
-        if nm.endswith(".parquet"):
-            out.append((nm, st.getLen(), st.getModificationTime()))
-    return sorted(out)
+    out: list[tuple[str, int, int, dict]] = []
+    part_cols: list[str] | None = None
+
+    def walk(path: str, rel: str, pvals: dict) -> None:
+        nonlocal part_cols
+        for st in fs.listStatus(HPath(path)):
+            nm = st.getPath().getName()
+            if st.isDirectory():
+                if "=" in nm and not nm.startswith(("_", ".")):
+                    col, val = nm.split("=", 1)
+                    walk(
+                        os.path.join(path, nm),
+                        f"{rel}{nm}/",
+                        {**pvals, col: val},
+                    )
+            elif nm.endswith(".parquet"):
+                cols = list(pvals)
+                if part_cols is None:
+                    part_cols = cols
+                elif part_cols != cols:
+                    raise IOError(
+                        f"inconsistent partition nesting under {vpath}: "
+                        f"{part_cols} vs {cols}"
+                    )
+                out.append(
+                    (f"{rel}{nm}", st.getLen(), st.getModificationTime(),
+                     dict(pvals))
+                )
+
+    walk(vpath, "", {})
+    return sorted(out), (part_cols or [])
 
 
 def _empty_state() -> dict:
@@ -556,20 +592,25 @@ def _append_snapshot_commit(
     prev_active: list[str],
     table_identity: str,
     prev_schema: str | None = None,
-) -> tuple[list[str], str]:
+    prev_partition_cols: list[str] | None = None,
+) -> tuple[list[str], str, list[str]]:
     """Append ONE overwrite-shaped commit publishing ``src_dir``'s
     parquet files to the Delta table at ``dest``: remove every
-    previously-active file, copy + add the snapshot's files under
-    ``rel_prefix`` (so distinct snapshots' part files can't collide).
-    Commit 0 additionally carries protocol + metaData; a later commit
-    whose snapshot schema differs from ``prev_schema`` re-emits
-    metaData — the protocol's schema-evolution mechanism (without it a
-    reader would scan the evolved files under the stale log schema and
-    silently drop the added columns; the catalog allows additive
-    evolution, so this path is reachable). Returns (new active file
-    list, schema emitted-or-inherited)."""
+    previously-active file, copy + add the snapshot's files with a
+    ``rel_prefix`` on the FILE NAME (so distinct snapshots' part files
+    can't collide) under their original hive-style partition
+    directories. Each add action carries the file's ``partitionValues``
+    and metaData carries ``partitionColumns`` — the protocol's
+    partition contract, which is what lets a reader prune partitions
+    from the log alone. Commit 0 additionally carries protocol +
+    metaData; a later commit whose snapshot schema OR partitioning
+    differs re-emits metaData — the protocol's evolution mechanism
+    (without it a reader would scan the evolved files under the stale
+    log schema and silently drop the added columns; the catalog allows
+    additive evolution, so this path is reachable). Returns (new active
+    file list, schema, partition columns emitted-or-inherited)."""
     jvm, HPath, fs = _fs(spark, dest)
-    files = _snapshot_files(spark, src_dir)
+    files, part_cols = _snapshot_files(spark, src_dir)
     schema_json = spark.read.parquet(src_dir).schema.json()
     now_ms = files[0][2] if files else 0
     actions: list[dict] = [
@@ -590,6 +631,8 @@ def _append_snapshot_commit(
         )
     if next_commit == 0 or (
         prev_schema is not None and schema_json != prev_schema
+    ) or (
+        prev_partition_cols is not None and part_cols != prev_partition_cols
     ):
         actions.append(
             {
@@ -601,7 +644,7 @@ def _append_snapshot_commit(
                     ),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema_json,
-                    "partitionColumns": [],
+                    "partitionColumns": part_cols,
                     "configuration": {},
                     "createdTime": now_ms,
                 }
@@ -618,8 +661,12 @@ def _append_snapshot_commit(
             }
         )
     new_active = []
-    for nm, size, mtime in files:
-        rel = f"{rel_prefix}{nm}"
+    for nm, size, mtime, pvals in files:
+        # prefix the FILE NAME, keep the partition directories — the
+        # hive layout survives so a reader can map partitionValues back
+        # to paths (and this repo's reader can plan ONE pruned scan).
+        head, _, base = nm.rpartition("/")
+        rel = f"{head}/{rel_prefix}{base}" if head else f"{rel_prefix}{base}"
         src = HPath(os.path.join(src_dir, nm))
         dst = HPath(os.path.join(dest, rel))
         # A crash-interrupted previous run may have left a truncated
@@ -642,7 +689,7 @@ def _append_snapshot_commit(
             {
                 "add": {
                     "path": rel,
-                    "partitionValues": {},
+                    "partitionValues": pvals,
                     "size": size,
                     "modificationTime": mtime,
                     "dataChange": True,
@@ -651,7 +698,7 @@ def _append_snapshot_commit(
         )
         new_active.append(rel)
     _write_commit(spark, dest, next_commit, actions)
-    return sorted(new_active), schema_json
+    return sorted(new_active), schema_json, part_cols
 
 
 def export_delta(
@@ -692,6 +739,7 @@ def export_delta(
     exported_src: int = -1
     active: list[str] = []
     prev_schema: str | None = None
+    prev_pcols: list[str] | None = None
     have_log = bool(commits) or cp is not None
     if have_log:
         latest = _latest_log_version(spark, dest)
@@ -699,6 +747,7 @@ def export_delta(
         active = sorted(state["active"])
         exported_src = state["max_source_version"]
         prev_schema = state["schema_string"]
+        prev_pcols = state["metadata"].get("partitionColumns") or []
         next_commit = latest + 1
     else:
         next_commit = 0
@@ -710,7 +759,7 @@ def export_delta(
     fs.mkdirs(HPath(os.path.join(dest, _LOG_DIR)))
     appended = 0
     for cv, vpath in new_versions:
-        active, prev_schema = _append_snapshot_commit(
+        active, prev_schema, prev_pcols = _append_snapshot_commit(
             spark,
             dest,
             next_commit,
@@ -720,6 +769,7 @@ def export_delta(
             prev_active=active,
             table_identity=source_root,
             prev_schema=prev_schema,
+            prev_partition_cols=prev_pcols,
         )
         cp_version = -1 if cp is None else cp["version"]
         if checkpoint_interval and next_commit - cp_version >= checkpoint_interval:
@@ -751,10 +801,38 @@ def read_delta(
             f"{state['protocol']['minReaderVersion']}, this reader is 1"
         )
     schema = T.StructType.fromJson(json.loads(state["schema_string"]))
+    part_cols = state["metadata"].get("partitionColumns") or []
     paths = sorted(os.path.join(dest, p) for p in state["active"])
     if not paths:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*paths)
+    if not part_cols:
+        return spark.read.schema(schema).parquet(*paths)
+    # Partitioned table: the log's partitionValues are authoritative.
+    # Validate them against the hive-style path segments (O(active
+    # files) of driver-side string work — the same per-file metadata
+    # pass any Delta reader's file index does), then plan ONE scan
+    # with basePath so Spark's partition discovery re-derives the
+    # partition columns under the LOG's schema types and a filter on
+    # them prunes directories at planning time.
+    for rel, add in state["adds"].items():
+        from_path = dict(
+            seg.split("=", 1)
+            for seg in rel.split("/")[:-1]
+            if "=" in seg
+        )
+        if from_path != (add.get("partitionValues") or {}):
+            raise IOError(
+                f"add action partitionValues {add.get('partitionValues')} "
+                f"disagree with path {rel} at {dest}"
+            )
+    # Spark's partition discovery APPENDS the partition columns, so
+    # re-project to the log schema's declared column order.
+    return (
+        spark.read.schema(schema)
+        .option("basePath", dest)
+        .parquet(*paths)
+        .select(*[f.name for f in schema.fields])
+    )
 
 
 def publish_delta(
@@ -781,12 +859,14 @@ def publish_delta(
     active: list[str] = []
     ordinal = 0
     prev_schema: str | None = None
+    prev_pcols: list[str] | None = None
     if commits or cp is not None:
         latest = _latest_log_version(spark, dest)
         state = _replay(spark, dest, latest)
         active = sorted(state["active"])
         ordinal = state["max_source_version"] + 1
         prev_schema = state["schema_string"]
+        prev_pcols = state["metadata"].get("partitionColumns") or []
         next_commit = latest + 1
     else:
         next_commit = 0
@@ -801,6 +881,7 @@ def publish_delta(
         prev_active=active,
         table_identity=dest,
         prev_schema=prev_schema,
+        prev_partition_cols=prev_pcols,
     )
     cp_version = -1 if cp is None else cp["version"]
     if checkpoint_interval and next_commit - cp_version >= checkpoint_interval:
@@ -843,15 +924,23 @@ def vacuum_export(
             default=cutoff,
         )
         write_checkpoint(spark, dest, newest_cp)
-    # drop unreferenced data files
+    # drop unreferenced data files (recursing through hive-style
+    # partition directories; `referenced` holds LOG-relative paths)
     deleted = 0
-    for st in fs.listStatus(HPath(dest)):
-        nm = st.getPath().getName()
-        if nm == _LOG_DIR or not nm.endswith(".parquet"):
-            continue
-        if nm not in referenced:
-            fs.delete(st.getPath(), False)
-            deleted += 1
+
+    def _sweep(path: str, rel: str) -> None:
+        nonlocal deleted
+        for st in fs.listStatus(HPath(path)):
+            nm = st.getPath().getName()
+            if rel == "" and nm == _LOG_DIR:
+                continue
+            if st.isDirectory():
+                _sweep(os.path.join(path, nm), f"{rel}{nm}/")
+            elif nm.endswith(".parquet") and f"{rel}{nm}" not in referenced:
+                fs.delete(st.getPath(), False)
+                deleted += 1
+
+    _sweep(dest, "")
     # clean the log below the cutoff: JSON commits and old checkpoints
     commits_deleted = 0
     for v in _list_commits(spark, dest):

@@ -500,3 +500,178 @@ def test_atomic_promote_refuses_existing_destination(spark, tmp_path):
         spark, jvm, fs, HPath(tmp_file), HPath(final)
     )
     assert _read_text(spark, final) == "first-writer"
+
+
+def _partitioned_table(spark, tmp_path, months=("2017-01", "2017-02", "2017-03")):
+    """A hive-partitioned plain gold table (the overwrite_partitions /
+    Catalog.write(partition_by=...) layout the daily job produces)."""
+    cat = Catalog(root=str(tmp_path / "cat"))
+    rows = []
+    for i, m in enumerate(months):
+        rows += [(m, i * 100 + j, float(j)) for j in range(5)]
+    df = spark.createDataFrame(rows, "month string, id int, amount double")
+    cat.write(df.repartition(1), "gold_monthly", partition_by=["month"])
+    return cat, cat.path_for("gold_monthly"), df
+
+
+def test_partitioned_publish_writes_protocol_partition_contract(
+    spark, tmp_path
+):
+    """partitionColumns in metaData + per-add partitionValues + hive
+    directory layout — the protocol's partition contract (PROTOCOL.md:
+    add.partitionValues is required for partitioned tables; external
+    readers prune from the log alone)."""
+    from olist_lakehouse_2_0_spark.delta_export import publish_delta
+
+    _, root, df = _partitioned_table(spark, tmp_path)
+    dest = str(tmp_path / "delta")
+    assert publish_delta(spark, root, dest) == 0
+    commits, _ = _commits(dest)
+    (meta,) = [a["metaData"] for a in commits[0] if "metaData" in a]
+    assert meta["partitionColumns"] == ["month"]
+    # schemaString still carries the FULL schema incl. partition cols
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    assert {f.name for f in schema.fields} == {"month", "id", "amount"}
+    adds = [a["add"] for a in commits[0] if "add" in a]
+    assert len(adds) == 3
+    for add in adds:
+        # path keeps the hive dir, prefix lands on the file name
+        head, _, base = add["path"].rpartition("/")
+        assert head.startswith("month=")
+        assert base.startswith("p000000000-")
+        assert add["partitionValues"] == {"month": head.split("=", 1)[1]}
+        assert os.path.exists(os.path.join(dest, add["path"]))
+    # roundtrip: full read matches the source table exactly (the
+    # export's declared schema derives from the on-disk snapshot,
+    # where discovery orders partition columns last — align for the
+    # value compare)
+    got = read_delta(spark, dest).select("month", "id", "amount")
+    assert sorted(got.collect()) == sorted(df.collect())
+
+
+def test_partitioned_read_prunes_partitions_in_plan(spark, tmp_path):
+    """A filter on the partition column must prune at PLANNING time —
+    the scan's PartitionFilters carry the predicate and only the one
+    matching directory's file is read. At 100 TB this is the difference
+    between scanning one day and scanning the table."""
+    from olist_lakehouse_2_0_spark.delta_export import publish_delta
+
+    _, root, df = _partitioned_table(spark, tmp_path)
+    dest = str(tmp_path / "delta")
+    publish_delta(spark, root, dest)
+    got = read_delta(spark, dest).where(F.col("month") == "2017-02")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "month" in plan.split(
+        "PartitionFilters:"
+    )[1][:200]
+    expected = sorted(df.where(F.col("month") == "2017-02").collect())
+    assert sorted(
+        got.select("month", "id", "amount").collect()
+    ) == expected
+    # count distinct files actually scanned == 1 partition's worth
+    n_files = (
+        got.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    assert n_files == 1
+
+
+def test_partitioned_republish_checkpoint_and_time_travel(spark, tmp_path):
+    """Partitioned tables through the full lifecycle: re-publish,
+    checkpoint, prune, time travel — partitionValues must survive the
+    checkpoint parquet (the add struct's map column) and reads below /
+    at / above the checkpoint must stay exact."""
+    from olist_lakehouse_2_0_spark.delta_export import (
+        prune_log,
+        publish_delta,
+        write_checkpoint,
+    )
+
+    cat, root, df0 = _partitioned_table(spark, tmp_path)
+    dest = str(tmp_path / "delta")
+    publish_delta(spark, root, dest, checkpoint_interval=0)
+    # refresh one partition (dynamic partition overwrite) + republish
+    upd = spark.createDataFrame(
+        [("2017-02", 999, 42.0)], "month string, id int, amount double"
+    )
+    cat.overwrite_partitions(upd, "gold_monthly", partition_by=["month"])
+    publish_delta(spark, root, dest, checkpoint_interval=0)
+    write_checkpoint(spark, dest)
+    prune_log(spark, dest)
+    # current state reads through the CHECKPOINT (JSONs pruned)
+    cur = read_delta(spark, dest)
+    assert cur.where(F.col("month") == "2017-02").count() == 1
+    assert cur.count() == 11  # 5 + 1 + 5
+    assert sorted(
+        cur.where(F.col("month") == "2017-01")
+        .select("month", "id", "amount").collect()
+    ) == sorted(df0.where(F.col("month") == "2017-01").collect())
+    # partition pruning still planned from the checkpointed log
+    plan = (
+        cur.where(F.col("month") == "2017-03")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan
+    # a third publish keeps appending after the prune
+    cat.overwrite_partitions(
+        spark.createDataFrame(
+            [("2017-04", 1, 1.0)], "month string, id int, amount double"
+        ),
+        "gold_monthly",
+        partition_by=["month"],
+    )
+    publish_delta(spark, root, dest, checkpoint_interval=0)
+    assert read_delta(spark, dest).count() == 12
+    assert read_delta(spark, dest, version=1).count() == 11
+
+
+def test_partitioning_change_re_emits_metadata(spark, tmp_path):
+    """Re-publishing with a DIFFERENT partitioning must re-emit
+    metaData (same mechanism as schema evolution) — otherwise a reader
+    would map the new files' partitionValues against stale
+    partitionColumns."""
+    from olist_lakehouse_2_0_spark.delta_export import publish_delta
+
+    cat, root, df = _partitioned_table(spark, tmp_path)
+    dest = str(tmp_path / "delta")
+    publish_delta(spark, root, dest)
+    # rewrite the same data unpartitioned, republish
+    cat.write(df, "gold_monthly")
+    publish_delta(spark, root, dest)
+    commits, _ = _commits(dest)
+    metas = [a["metaData"] for a in commits[1] if "metaData" in a]
+    assert len(metas) == 1 and metas[0]["partitionColumns"] == []
+    assert read_delta(spark, dest).count() == df.count()
+    assert read_delta(spark, dest, version=0).where(
+        F.col("month") == "2017-01"
+    ).count() == 5
+
+
+def test_partitioned_vacuum_sweeps_partition_directories(spark, tmp_path):
+    """vacuum_export must find unreferenced data files INSIDE partition
+    directories (the sweep recurses), while retained versions' files
+    survive."""
+    from olist_lakehouse_2_0_spark.delta_export import (
+        publish_delta,
+        vacuum_export,
+    )
+
+    cat, root, df = _partitioned_table(spark, tmp_path)
+    dest = str(tmp_path / "delta")
+    publish_delta(spark, root, dest, checkpoint_interval=0)
+    for n in (7, 9):
+        cat.write(
+            df.limit(n).repartition(1), "gold_monthly",
+            partition_by=["month"],
+        )
+        publish_delta(spark, root, dest, checkpoint_interval=0)
+    res = vacuum_export(spark, dest, retain_versions=2)
+    assert res["cutoff"] == 1
+    # version-0 partition files (prefix p000000000-) are gone
+    leftover = []
+    for dirpath, _, files in os.walk(dest):
+        if "_delta_log" in dirpath:
+            continue
+        leftover += [f for f in files if f.endswith(".parquet")]
+    assert not any(f.startswith("p000000000-") for f in leftover)
+    assert read_delta(spark, dest).count() == 9
+    assert read_delta(spark, dest, version=1).count() == 7
