@@ -353,23 +353,108 @@ def _empty_state() -> dict:
     }
 
 
+def _local_path(fs, path: str) -> str | None:
+    """Plain OS path when ``path`` resolves to the local filesystem,
+    else None. The _delta_log layer is driver-side metadata (exactly as
+    in Delta itself — log replay happens on the driver), so local logs
+    take a zero-job pyarrow fast path for the checkpoint parquet; other
+    schemes fall back to Spark jobs."""
+    if fs.getUri().getScheme() != "file":
+        return None
+    return path[len("file:"):] if path.startswith("file:") else path
+
+
+def _cp_arrow_schema():
+    import pyarrow as pa
+
+    m = pa.map_(pa.string(), pa.string())
+    return pa.schema(
+        [
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [
+                        pa.field("minReaderVersion", pa.int32()),
+                        pa.field("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        pa.field("id", pa.string()),
+                        pa.field(
+                            "format",
+                            pa.struct(
+                                [
+                                    pa.field("provider", pa.string()),
+                                    pa.field("options", m),
+                                ]
+                            ),
+                        ),
+                        pa.field("schemaString", pa.string()),
+                        pa.field("partitionColumns", pa.list_(pa.string())),
+                        pa.field("configuration", m),
+                        pa.field("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field("partitionValues", m),
+                        pa.field("size", pa.int64()),
+                        pa.field("modificationTime", pa.int64()),
+                        pa.field("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
 def _state_from_checkpoint(
     spark: SparkSession, dest: str, cp: dict
 ) -> dict:
     state = _empty_state()
-    rows = spark.read.schema(_CHECKPOINT_SCHEMA).parquet(
-        _checkpoint_path(dest, cp["version"])
-    ).collect()
+    cp_path = _checkpoint_path(dest, cp["version"])
+    _, _, fs = _fs(spark, dest)
+    local = _local_path(fs, cp_path)
+    if local is not None:
+        import pyarrow.parquet as pq
+
+        rows = pq.read_table(local).to_pylist()
+    else:
+        rows = [
+            r.asDict(recursive=True)
+            for r in spark.read.schema(_CHECKPOINT_SCHEMA)
+            .parquet(cp_path)
+            .collect()
+        ]
+    # pyarrow surfaces parquet MAP columns as [(k, v), ...] (empty map
+    # -> []); dict() normalizes both that and the Spark-path dicts so
+    # checkpoint state always matches the JSON commits' shape.
     for r in rows:
         if r["add"] is not None:
-            a = r["add"].asDict(recursive=True)
+            a = r["add"]
+            a["partitionValues"] = dict(a.get("partitionValues") or {})
             state["active"].add(a["path"])
             state["adds"][a["path"]] = a
         elif r["metaData"] is not None:
-            state["metadata"] = r["metaData"].asDict(recursive=True)
-            state["schema_string"] = state["metadata"]["schemaString"]
+            md = r["metaData"]
+            md["configuration"] = dict(md.get("configuration") or {})
+            if md.get("format") is not None:
+                md["format"]["options"] = dict(
+                    md["format"].get("options") or {}
+                )
+            md["partitionColumns"] = list(md.get("partitionColumns") or [])
+            state["metadata"] = md
+            state["schema_string"] = md["schemaString"]
         elif r["protocol"] is not None:
-            state["protocol"] = r["protocol"].asDict()
+            state["protocol"] = r["protocol"]
     state["max_source_version"] = cp.get("maxSourceVersion", -1)
     return state
 
@@ -524,31 +609,64 @@ def write_checkpoint(
             add = dict(state["adds"][path])
             add["dataChange"] = False  # spec: checkpointed adds
             rows.append({"add": add})
-        df = spark.createDataFrame(
-            [
-                (
-                    r.get("protocol"),
-                    r.get("metaData"),
-                    r.get("add"),
-                )
-                for r in rows
-            ],
-            _CHECKPOINT_SCHEMA,
-        )
-        # Parquet writers emit a directory; the protocol wants ONE
-        # file — write to a temp dir, move the single part file into
-        # place.
-        tmp_dir = os.path.join(dest, _LOG_DIR, f".cp_tmp_{v}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
-        part = [
-            st.getPath()
-            for st in fs.listStatus(HPath(tmp_dir))
-            if st.getPath().getName().endswith(".parquet")
-        ]
-        assert len(part) == 1, part
-        if not fs.rename(part[0], final):
-            raise IOError(f"checkpoint rename failed: {final}")
-        fs.delete(HPath(tmp_dir), True)
+        local = _local_path(fs, _checkpoint_path(dest, v))
+        if local is not None:
+            # Local log: the checkpoint is driver-side metadata (log
+            # replay runs on the driver in Delta itself), and a
+            # launch-a-Spark-job write of a few-hundred-row file costs
+            # seconds of pure scheduling — write the single protocol
+            # file directly with pyarrow (tmp + rename; content is a
+            # deterministic function of the log, so a plain rename
+            # suffices).
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            table = pa.Table.from_pylist(
+                [
+                    {
+                        "protocol": r.get("protocol"),
+                        "metaData": r.get("metaData"),
+                        "add": r.get("add"),
+                    }
+                    for r in rows
+                ],
+                schema=_cp_arrow_schema(),
+            )
+            tmp_local = local + ".tmp"
+            pq.write_table(table, tmp_local)
+            os.replace(tmp_local, local)
+        else:
+            df = spark.createDataFrame(
+                # one slice: the driver-side row list must not fan out
+                # into defaultParallelism python partitions for a
+                # single-file write
+                spark.sparkContext.parallelize(
+                    [
+                        (
+                            r.get("protocol"),
+                            r.get("metaData"),
+                            r.get("add"),
+                        )
+                        for r in rows
+                    ],
+                    1,
+                ),
+                _CHECKPOINT_SCHEMA,
+            )
+            # Parquet writers emit a directory; the protocol wants ONE
+            # file — write to a temp dir, move the single part file
+            # into place.
+            tmp_dir = os.path.join(dest, _LOG_DIR, f".cp_tmp_{v}")
+            df.write.mode("overwrite").parquet(tmp_dir)
+            part = [
+                st.getPath()
+                for st in fs.listStatus(HPath(tmp_dir))
+                if st.getPath().getName().endswith(".parquet")
+            ]
+            assert len(part) == 1, part
+            if not fs.rename(part[0], final):
+                raise IOError(f"checkpoint rename failed: {final}")
+            fs.delete(HPath(tmp_dir), True)
     _write_text(
         spark,
         _last_checkpoint_path(dest),

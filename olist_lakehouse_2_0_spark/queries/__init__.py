@@ -348,6 +348,40 @@ _CHANGED_IN_R7 = {
     # evict an r3-stale query from this round's rotation.
 }
 
+#: Queries hash-green in round 7's window (CORRECTNESS_r07.json —
+#: 50/50 green).
+_R7_CHECKED = {
+    "bigram_logprob", "bilateral_trade_volume", "bpe_pair_counts",
+    "context_packing", "contrastive_triplets_ivfpq",
+    "corpus_curation_pipeline", "decontamination", "dedup_canonical",
+    "dedup_clusters", "doc_chunks_udtf_unicode", "doc_keywords",
+    "doc_quality_by_source", "embedding_topk_ivf_exhaustive",
+    "embedding_topk_ivf_kmeans_exhaustive",
+    "embedding_topk_ivfpq_exact", "embedding_topk_ivfpq_recall",
+    "events_asof_purchase_view", "events_csv_ingest_exactly_once",
+    "events_csv_malformed_audit", "events_error_after_click",
+    "events_funnel", "events_gold_incremental", "events_hourly_by_type",
+    "events_props_by_type", "events_rollup_hierarchy",
+    "events_sessionized", "events_sketch_verified",
+    "events_sliding_halfhour", "events_user_profile_stateful",
+    "events_user_setops", "gopher_quality_filter",
+    "heavy_hitter_tokens_unicode", "image_decode_stats",
+    "image_payload_dedup", "incremental_corpus_dedup",
+    "late_shipment_priority_counts", "minhash_incremental_dups",
+    "mixture_epochs", "multi_format_roundtrip", "orders_cube",
+    "orders_rollup_flags", "pii_redaction", "product_line_profit",
+    "scd2_track_history_subset", "shipping_priority_topk", "top_tokens",
+    "training_corpus_summary", "unigram_logprob",
+    "user_cohort_retention", "winnow_verified_dups",
+}
+
+#: Queries whose IMPLEMENTATION changed in round 8 — front-load into
+#: this round's driver window (a stale green row proves nothing about
+#: rewritten code). Kept near-empty by design: the r8 window budget is
+#: consumed by the 45-query r4-stale rotation (VERDICT r7 next-step
+#: #2) plus the round's new queries.
+_CHANGED_IN_R8: set[str] = set()
+
 #: Queries hash-green in round 3's window (CORRECTNESS_r03.json — 47
 #: green of 50 rows; the 3 non-green rows were rows-only twins /
 #: the array-column profile, all de-registered in round 4).
@@ -384,27 +418,28 @@ def _ordered_for_window(
     windowed); (2) queries whose implementation CHANGED this round (a
     stale green row proves nothing about rewritten code); (3) the
     greens by the round of their NEWEST driver row, stalest first, so
-    spare slots re-confirm the oldest evidence. Round 7's window
-    (VERDICT r6 next-step #3: rotate onto the r3 cohort) = the 7 new
-    queries + the 6 r7-changed + ALL 37 r3-latest stale greens
-    (exactly 50 rows) — so after this round no registered query's
-    newest driver row predates r4. The round-7 additions were sized to
-    that budget: 4 TPC-H gap shapes exactly fill the window."""
+    spare slots re-confirm the oldest evidence. Round 8's window
+    (VERDICT r7 next-step #2: rotate the r4-stale cohort) = the new
+    queries + ALL 45 r4-latest stale greens + any spare slots falling
+    to the stalest r5 greens — so after this round no registered
+    query's newest driver row predates r5. The round-8 additions were
+    sized to that budget (50 − 45 = 5 slots for new + changed)."""
     never_checked: list[tuple[str, QueryFn]] = []
     changed_this_round: list[tuple[str, QueryFn]] = []
     by_latest: dict[int, list[tuple[str, QueryFn]]] = {
-        1: [], 2: [], 3: [], 4: [], 5: [], 6: [],
+        1: [], 2: [], 3: [], 4: [], 5: [], 6: [], 7: [],
     }
     rounds = [
-        (6, _R6_CHECKED), (5, _R5_CHECKED), (4, _R4_CHECKED),
-        (3, _R3_CHECKED), (2, _R2_CHECKED), (1, _R1_CHECKED),
+        (7, _R7_CHECKED), (6, _R6_CHECKED), (5, _R5_CHECKED),
+        (4, _R4_CHECKED), (3, _R3_CHECKED), (2, _R2_CHECKED),
+        (1, _R1_CHECKED),
     ]
     for item in queries.items():
         name = item[0]
         latest = next((rnd for rnd, s in rounds if name in s), None)
         if latest is None:
             never_checked.append(item)
-        elif name in _CHANGED_IN_R7:
+        elif name in _CHANGED_IN_R8:
             changed_this_round.append(item)
         else:
             by_latest[latest].append(item)
@@ -417,6 +452,7 @@ def _ordered_for_window(
         + by_latest[4]
         + by_latest[5]
         + by_latest[6]
+        + by_latest[7]
     )
 
 
