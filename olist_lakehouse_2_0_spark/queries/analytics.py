@@ -346,6 +346,83 @@ GROUP BY l_returnflag
 """
 
 
+def approx_quantile_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles with a PROVEN rank-error gate (round 8;
+    banked from r7). At 100 TB exact percentiles are a full sort per
+    group; the scale path is Spark's ``approx_percentile`` — a
+    mergeable Greenwald-Khanna quantile summary (map-side partials
+    merge associatively, one narrow pass) whose contract is that the
+    returned element's RANK is within ``eps*N`` of the target
+    ``q*N``, ``eps = 1/accuracy``. A sketch is only trustworthy if
+    that contract is CHECKED, so this query measures it: sketch
+    estimates at accuracy 200 (0.5 % rank error), then a second
+    distributed pass computes each estimate's exact rank interval
+    (count <, count <=) and gates it against the bound. The output
+    exposes the deterministic pieces — exact interpolated percentiles
+    (hash-matched to the oracle's ``quantile_cont``), N, and the
+    per-quantile bound booleans; the estimates themselves are
+    implementation-defined and never exposed. Driver reads are O(#
+    quantiles), never O(N)."""
+    QS = (0.25, 0.5, 0.75, 0.95)
+    ACC = 200  # eps = 0.5% rank error
+    eps = 1.0 / ACC
+    vals = load(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v")
+    )
+    first = vals.agg(
+        F.percentile_approx(
+            "v", F.array(*[F.lit(q) for q in QS]), F.lit(ACC)
+        ).alias("ap"),
+        F.percentile("v", F.array(*[F.lit(q) for q in QS])).alias("ex"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    ap, ex, n = list(first["ap"]), list(first["ex"]), int(first["n"])
+    rank_cols = []
+    for i, a in enumerate(ap):
+        rank_cols.append(
+            F.sum((F.col("v") < float(a)).cast("long")).alias(f"lt{i}")
+        )
+        rank_cols.append(
+            F.sum((F.col("v") <= float(a)).cast("long")).alias(f"le{i}")
+        )
+    ranks = vals.agg(*rank_cols).first()
+    rows = []
+    for i, q in enumerate(QS):
+        # the estimate is within bound iff some rank r of that element
+        # — r in (count(<a), count(<=a)] — lands in [qN-epsN, qN+epsN]
+        lo, hi = (q - eps) * n, (q + eps) * n
+        within = (ranks[f"le{i}"] >= lo) and (ranks[f"lt{i}"] < hi)
+        rows.append((float(q), float(ex[i]), n, bool(within)))
+    return spark.createDataFrame(
+        rows,
+        "quantile double, exact_value double, n_rows long, "
+        "rank_within_bound boolean",
+    )
+
+
+APPROX_QUANTILE_ERROR_GATE_SQL = """
+SELECT CAST(0.25 AS DOUBLE) AS quantile,
+       CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE) AS exact_value,
+       COUNT(*) AS n_rows, TRUE AS rank_within_bound
+FROM orders
+UNION ALL
+SELECT CAST(0.5 AS DOUBLE),
+       CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE),
+       COUNT(*), TRUE
+FROM orders
+UNION ALL
+SELECT CAST(0.75 AS DOUBLE),
+       CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE),
+       COUNT(*), TRUE
+FROM orders
+UNION ALL
+SELECT CAST(0.95 AS DOUBLE),
+       CAST(quantile_cont(o_totalprice, 0.95) AS DOUBLE),
+       COUNT(*), TRUE
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # Unpivot / melt: wide metric columns -> long (metric, value) rows —
 # the inverse of returnflag_pivot. Narrow-side reshaping is a metadata
@@ -571,6 +648,7 @@ ANALYTICS_QUERIES = {
     "orders_rollup": orders_rollup,
     "returnflag_pivot": returnflag_pivot,
     "price_percentiles": price_percentiles,
+    "approx_quantile_error_gate": approx_quantile_error_gate,
     "priority_metrics_unpivot": priority_metrics_unpivot,
     "orders_rollup_flags": orders_rollup_flags,
     "nation_revenue_share": nation_revenue_share,
@@ -586,6 +664,7 @@ ANALYTICS_ORACLES = {
     "orders_rollup": ORDERS_ROLLUP_SQL,
     "returnflag_pivot": RETURNFLAG_PIVOT_SQL,
     "price_percentiles": PRICE_PERCENTILES_SQL,
+    "approx_quantile_error_gate": APPROX_QUANTILE_ERROR_GATE_SQL,
     "priority_metrics_unpivot": PRIORITY_METRICS_UNPIVOT_SQL,
     "orders_rollup_flags": ORDERS_ROLLUP_FLAGS_SQL,
     "nation_revenue_share": NATION_REVENUE_SHARE_SQL,

@@ -1551,6 +1551,90 @@ ORDER BY nation, o_year DESC
 """
 
 
+def bloom_pruned_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning under the hash gate (round 8;
+    the injection itself was pinned in round 7,
+    tests/test_plans.py::test_runtime_bloom_filter_prunes_fact_side).
+    At 100 TB the cheapest join optimization after broadcast: when a
+    SELECTIVE dimension filter survives on the build side, Catalyst
+    injects BloomFilterAggregate there and a ``might_contain``
+    semi-filter on the fact SCAN side, discarding non-matching fact
+    rows BEFORE the shuffle — the difference between shuffling a full
+    lineitem and shuffling the ~2 % that can possibly join. The join
+    aggregate is hashed against the oracle's plain re-derivation (the
+    bloom filter must be a pure pruning device — any row it wrongly
+    drops fails the hash), and ``bloom_injected`` pins from the
+    OPTIMIZED plan of the very frame returned that both halves of the
+    injection are present. Size thresholds are scaled to the test SFs
+    inside a restore-on-exit conf window; the physical plan is forced
+    while the window is open, and the output is pre-cast driver-stable
+    so the registry wrapper returns this exact (already-planned)
+    frame."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, sf_dir, "lineitem", spread=True).select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        orders = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_totalprice") < 25000)  # selective build side
+            .select("o_orderkey", "o_orderpriority")
+        )
+        joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        bloom_ok = (
+            "bloom_filter_agg" in plan or "BloomFilter" in plan
+        ) and "might_contain" in plan
+        # scale-4 products sum EXACTLY at scale 4 — no rounding, so no
+        # half-up/half-even tie hazard at the driver-stable cast
+        revenue = F.sum(
+            F.col("l_extendedprice").cast(MONEY)
+            * (1 - F.col("l_discount").cast("decimal(4,2)"))
+        ).cast("decimal(28,4)")
+        result = (
+            joined.groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                revenue.cast("double").alias("revenue"),
+            )
+            .select(
+                "priority", "n_items", "revenue",
+                F.lit(bool(bloom_ok)).alias("bloom_injected"),
+            )
+        )
+        # force physical planning while the conf window is open so the
+        # plan that executes is the bloom-pruned one
+        result._jdf.queryExecution().executedPlan()
+        return result
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+BLOOM_PRUNED_FACT_JOIN_SQL = """
+SELECT o.o_orderpriority AS priority,
+       COUNT(*) AS n_items,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(4,2))))
+                 AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
+       TRUE AS bloom_injected
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice < 25000
+GROUP BY o.o_orderpriority
+"""
+
+
 JOIN_GROUPING_QUERIES = {
     "shipments_in_order_windows": shipments_in_order_windows,
     "salted_nation_revenue": salted_nation_revenue,
@@ -1575,6 +1659,7 @@ JOIN_GROUPING_QUERIES = {
     "late_shipment_priority_counts": late_shipment_priority_counts,
     "bilateral_trade_volume": bilateral_trade_volume,
     "product_line_profit": product_line_profit,
+    "bloom_pruned_fact_join": bloom_pruned_fact_join,
 }
 
 JOIN_GROUPING_ORACLES = {
@@ -1601,4 +1686,5 @@ JOIN_GROUPING_ORACLES = {
     "late_shipment_priority_counts": LATE_SHIPMENT_PRIORITY_COUNTS_SQL,
     "bilateral_trade_volume": BILATERAL_TRADE_VOLUME_SQL,
     "product_line_profit": PRODUCT_LINE_PROFIT_SQL,
+    "bloom_pruned_fact_join": BLOOM_PRUNED_FACT_JOIN_SQL,
 }
