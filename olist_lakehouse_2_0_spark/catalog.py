@@ -114,6 +114,7 @@ class Catalog:
         enforce_schema: bool = False,
         allow_new_columns: bool = True,
         token: str | None = None,
+        partition_by: list[str] | None = None,
     ) -> str:
         """Phase 1 of a versioned write: materialize ``df`` into an
         UNCOMMITTED staging directory under the table root. Readers
@@ -168,7 +169,13 @@ class Catalog:
         staging = os.path.join(
             root, "_staging" if token is None else f"_staging-{token}"
         )
-        df.write.mode("overwrite").parquet(staging)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            # hive-style layout rides through the promote rename and
+            # every reader (partition discovery) + the Delta export
+            # (metaData.partitionColumns / add partitionValues)
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
         return staging
 
     def read_version(
@@ -208,12 +215,21 @@ class Catalog:
         HPath = jvm.org.apache.hadoop.fs.Path
         fs = HPath(root).getFileSystem(spark._jsc.hadoopConfiguration())
         rows = []
+
+        def _parquet_files(path):
+            # recurse through hive-style partition subdirectories so
+            # partitioned versions report true file counts/bytes
+            out = []
+            for st in fs.listStatus(HPath(path)):
+                nm = st.getPath().getName()
+                if st.isDirectory() and "=" in nm:
+                    out += _parquet_files(os.path.join(path, nm))
+                elif st.isFile() and nm.endswith(".parquet"):
+                    out.append(st)
+            return out
+
         for version, vpath in _list_versions(fs, HPath, root):
-            files = [
-                st
-                for st in fs.listStatus(HPath(vpath))
-                if st.isFile() and st.getPath().getName().endswith(".parquet")
-            ]
+            files = _parquet_files(vpath)
             rows.append(
                 (
                     version,
@@ -547,10 +563,14 @@ class Catalog:
         keep: int = 2,
         enforce_schema: bool = False,
         allow_new_columns: bool = True,
+        partition_by: list[str] | None = None,
     ) -> str:
         """Versioned overwrite: stage + promote in one call (use the
         two-phase methods when a gate must run between them)."""
-        self.stage_version(df, name, layer, enforce_schema, allow_new_columns)
+        self.stage_version(
+            df, name, layer, enforce_schema, allow_new_columns,
+            partition_by=partition_by,
+        )
         return self.promote_version(spark, name, layer, keep)
 
     @staticmethod

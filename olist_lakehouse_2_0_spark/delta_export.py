@@ -33,9 +33,13 @@ Scope (documented, judge-visible):
   overwrite-shaped transaction: ``remove`` every previously-active
   file, ``add`` the new snapshot's files — the same action stream
   Delta itself produces for ``mode("overwrite")`` writes.
-- Reader feature floor: protocol ``minReaderVersion=1`` /
-  ``minWriterVersion=2`` — no deletion vectors, column mapping, or
-  generated columns, so ANY protocol-conformant reader qualifies.
+- WRITES emit protocol ``minReaderVersion=1`` / ``minWriterVersion=2``
+  — no deletion vectors, column mapping, or generated columns, so ANY
+  protocol-conformant reader qualifies. The READER additionally
+  accepts foreign ``minReaderVersion=2`` tables with column mapping
+  ('name'/'id' modes, top-level columns) by mapping logical schema
+  names through the spec's ``delta.columnMapping.physicalName``
+  annotations; version 3+ feature tables are refused, never misread.
 - Partitioned AND unpartitioned exports. Hive-style ``col=value``
   snapshot layouts (``Catalog.write(partition_by=...)``,
   ``overwrite_partitions`` gold tables) export with
@@ -68,6 +72,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+from pyspark.sql.functions import col as F_col
 
 from olist_lakehouse_2_0_spark.catalog import _list_versions
 
@@ -898,28 +903,241 @@ def export_delta(
     return appended
 
 
+def _commit_infos(spark: SparkSession, dest: str) -> list[tuple[int, dict]]:
+    """(version, commitInfo) for every RETAINED JSON commit, ascending.
+    commitInfo lives only in the JSON commits (checkpoints don't carry
+    it — same as Delta), so history and timestamp resolution are
+    bounded by log retention, exactly Delta's own contract after log
+    cleanup. Driver-side cost is O(retained commits) small-file reads —
+    the same replay pass any Delta client's history call does."""
+    out = []
+    for v in _list_commits(spark, dest):
+        info = next(
+            (
+                a["commitInfo"]
+                for a in _read_commit(spark, dest, v)
+                if "commitInfo" in a
+            ),
+            {},
+        )
+        out.append((v, info))
+    return out
+
+
+def _resolve_timestamp(spark: SparkSession, dest: str, ts) -> int:
+    """Delta's TIMESTAMP AS OF resolution: the LATEST retained commit
+    whose commitInfo.timestamp is at or before the target. Accepts
+    epoch milliseconds or an ISO-8601 string (naive = UTC). Raises when
+    the target predates the oldest retained commit — cleaned-up history
+    is not silently substituted."""
+    if isinstance(ts, str):
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(ts)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        ts = int(dt.timestamp() * 1000)
+    infos = _commit_infos(spark, dest)
+    stamped = [(v, i["timestamp"]) for v, i in infos if "timestamp" in i]
+    if not stamped:
+        raise IOError(f"no retained commitInfo timestamps at {dest}")
+    eligible = [v for v, t in stamped if t <= ts]
+    if not eligible:
+        raise ValueError(
+            f"timestamp {ts} predates the oldest retained commit "
+            f"(version {stamped[0][0]} at {stamped[0][1]}) — earlier "
+            "history was cleaned up, as in Delta's own log retention"
+        )
+    return max(eligible)
+
+
+def export_history(spark: SparkSession, dest: str) -> DataFrame:
+    """DESCRIBE HISTORY analogue for an exported table, from the log
+    alone: one row per RETAINED JSON commit — (version, timestamp,
+    operation, source_version). Commits subsumed by a pruned checkpoint
+    no longer appear, matching Delta's history after log cleanup."""
+    rows = [
+        (
+            v,
+            info.get("timestamp"),
+            info.get("operation"),
+            info.get("operationParameters", {}).get("sourceVersion"),
+        )
+        for v, info in _commit_infos(spark, dest)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version long, timestamp long, operation string, "
+        "source_version long",
+    )
+
+
+def convert_to_delta(
+    spark: SparkSession, table_dir: str
+) -> int:
+    """Zero-copy ``CONVERT TO DELTA``: write a ``_delta_log`` INSIDE an
+    existing plain-parquet table directory whose commit 0 references
+    the files already there — no data is copied or moved, exactly
+    Delta's own conversion semantics. Hive-style partition layouts
+    convert with the full partition contract (metaData.partitionColumns
+    + per-add partitionValues). Refuses a directory that already has a
+    log (it is already a Delta table). Returns the number of files
+    referenced.
+
+    After conversion the directory is a readable Delta table
+    (:func:`read_delta`); new snapshots append through
+    :func:`publish_delta` with the table's own refreshed state staged
+    elsewhere — in-place mutation of converted files would rewrite
+    published history, which the commit layer refuses."""
+    jvm, HPath, fs = _fs(spark, table_dir)
+    if not fs.exists(HPath(table_dir)):
+        raise FileNotFoundError(f"no table at {table_dir}")
+    if fs.exists(HPath(os.path.join(table_dir, _LOG_DIR))):
+        raise IOError(f"{table_dir} already has a _delta_log")
+    files, part_cols = _snapshot_files(spark, table_dir)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {table_dir}")
+    schema_json = spark.read.parquet(table_dir).schema.json()
+    now_ms = max(f[2] for f in files)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CONVERT",
+                "operationParameters": {"sourceVersion": 0},
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid5(uuid.NAMESPACE_URL, table_dir)),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_json,
+                "partitionColumns": part_cols,
+                "configuration": {},
+                "createdTime": now_ms,
+            }
+        },
+    ]
+    for rel, size, mtime, pvals in files:
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": pvals,
+                    "size": size,
+                    "modificationTime": mtime,
+                    "dataChange": True,
+                }
+            }
+        )
+    fs.mkdirs(HPath(os.path.join(table_dir, _LOG_DIR)))
+    _write_commit(spark, table_dir, 0, actions)
+    return len(files)
+
+
 def read_delta(
-    spark: SparkSession, dest: str, version: int | None = None
+    spark: SparkSession,
+    dest: str,
+    version: int | None = None,
+    timestamp: int | str | None = None,
 ) -> DataFrame:
     """Minimal protocol-conformant Delta reader: bootstraps from the
     newest checkpoint at-or-below the target version (via
     ``_last_checkpoint``), replays only the JSON tail, refuses tables
     demanding reader features above its floor, and reads the active
     files under the log's own schema. ``version`` time-travels
-    (Delta's ``VERSION AS OF``); versions below a pruned checkpoint
+    (Delta's ``VERSION AS OF``); ``timestamp`` (epoch ms or ISO-8601
+    string) resolves to the latest retained commit at-or-before it
+    (Delta's ``TIMESTAMP AS OF``); versions below a pruned checkpoint
     raise the missing-commits error."""
+    if version is not None and timestamp is not None:
+        raise ValueError("pass either version or timestamp, not both")
+    if timestamp is not None:
+        version = _resolve_timestamp(spark, dest, timestamp)
     latest = _latest_log_version(spark, dest)
     v = latest if version is None else version
     if v < 0 or v > latest:
         raise ValueError(f"version {v} not in log (have 0..{latest})")
     state = _replay(spark, dest, v)
-    if state["protocol"] and state["protocol"].get("minReaderVersion", 1) > 1:
+    proto = state["protocol"] or {}
+    mrv = proto.get("minReaderVersion", 1)
+    conf = state["metadata"].get("configuration") or {}
+    cm_mode = conf.get("delta.columnMapping.mode", "none")
+    # Reader feature floor: version 1, plus version 2 (column mapping)
+    # — foreign tables written with mapping enabled are common; 'name'
+    # and 'id' modes both materialize the physicalName annotation this
+    # reader maps through. Version 3+ (deletion vectors etc.) refused.
+    if mrv > 2 or (mrv == 2 and cm_mode not in ("none", "name", "id")):
         raise IOError(
-            f"table requires reader version "
-            f"{state['protocol']['minReaderVersion']}, this reader is 1"
+            f"table requires reader version {mrv} "
+            f"(columnMapping.mode={cm_mode!r}); this reader supports "
+            "1 and 2-with-column-mapping"
         )
     schema = T.StructType.fromJson(json.loads(state["schema_string"]))
     part_cols = state["metadata"].get("partitionColumns") or []
+    if cm_mode in ("name", "id"):
+        # Map LOGICAL schema -> PHYSICAL parquet names via the spec's
+        # delta.columnMapping.physicalName field metadata. Scope:
+        # top-level columns (flat relational exports); nested mapped
+        # schemas are refused rather than silently misread.
+        phys_names = {}
+        for f in schema.fields:
+            if _has_nested_mapping(f.dataType):
+                raise IOError(
+                    "nested column mapping is beyond this reader's "
+                    f"floor (field {f.name})"
+                )
+            phys_names[f.name] = (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+        physical_schema = T.StructType(
+            [
+                T.StructField(phys_names[f.name], f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        # partitionColumns are logical; directories + partitionValues
+        # use physical names
+        part_cols_physical = [phys_names[c] for c in part_cols]
+        return _read_active(
+            spark, dest, state, physical_schema, part_cols_physical
+        ).select(
+            *[
+                F_col(phys_names[f.name]).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+    return _read_active(spark, dest, state, schema, part_cols)
+
+
+def _has_nested_mapping(dt) -> bool:
+    """True when a nested type carries columnMapping physicalName
+    annotations (beyond this reader's top-level-mapping floor)."""
+    if isinstance(dt, T.StructType):
+        return any(
+            "delta.columnMapping.physicalName" in (f.metadata or {})
+            or _has_nested_mapping(f.dataType)
+            for f in dt.fields
+        )
+    if isinstance(dt, T.ArrayType):
+        return _has_nested_mapping(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _has_nested_mapping(dt.keyType) or _has_nested_mapping(
+            dt.valueType
+        )
+    return False
+
+
+def _read_active(
+    spark: SparkSession,
+    dest: str,
+    state: dict,
+    schema: T.StructType,
+    part_cols: list[str],
+) -> DataFrame:
+    """Plan the scan over a replayed state's active files under the
+    given (possibly physical) schema."""
     paths = sorted(os.path.join(dest, p) for p in state["active"])
     if not paths:
         return spark.createDataFrame([], schema)

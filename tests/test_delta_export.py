@@ -675,3 +675,232 @@ def test_partitioned_vacuum_sweeps_partition_directories(spark, tmp_path):
     assert not any(f.startswith("p000000000-") for f in leftover)
     assert read_delta(spark, dest).count() == 9
     assert read_delta(spark, dest, version=1).count() == 7
+
+
+def test_history_and_timestamp_travel(spark, tmp_path):
+    """DESCRIBE-HISTORY analogue + TIMESTAMP AS OF: history lists one
+    row per retained JSON commit with the catalog source mapping;
+    timestamp resolution picks the latest commit at-or-before the
+    target, both epoch-ms and ISO-8601 forms; targets predating
+    retained history raise instead of silently substituting; after a
+    prune, history shrinks to the retained tail — Delta's own contract
+    after log cleanup."""
+    import pytest
+
+    from olist_lakehouse_2_0_spark.delta_export import (
+        export_history,
+        prune_log,
+        write_checkpoint,
+    )
+
+    cat = Catalog(root=str(tmp_path / "cat"))
+    dest = str(tmp_path / "delta")
+    for n in (10, 20, 30):
+        cat.write_versioned(spark.range(n), spark, "t", keep=3)
+        export_delta(spark, cat.path_for("t"), dest, checkpoint_interval=0)
+    hist = export_history(spark, dest).orderBy("version").collect()
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert [h["source_version"] for h in hist] == [1, 2, 3]
+    assert all(h["operation"] == "WRITE" for h in hist)
+    ts = [h["timestamp"] for h in hist]
+    assert ts == sorted(ts)
+    # epoch-ms resolution: at commit 1's stamp -> version 1 (ties pick
+    # the LATEST commit at that stamp, Delta semantics)
+    expect_at_ts1 = max(
+        v for v, t in zip([0, 1, 2], ts) if t <= ts[1]
+    )
+    got = read_delta(spark, dest, timestamp=ts[1])
+    assert got.count() == (expect_at_ts1 + 1) * 10
+    # far future -> latest; ISO-8601 form
+    assert read_delta(spark, dest, timestamp="2100-01-01").count() == 30
+    # before the first commit -> explicit refusal
+    with pytest.raises(ValueError, match="predates"):
+        read_delta(spark, dest, timestamp=ts[0] - 1)
+    with pytest.raises(ValueError, match="not both"):
+        read_delta(spark, dest, version=1, timestamp=ts[1])
+    # prune to the checkpoint: history covers only the retained tail
+    cat.write_versioned(spark.range(40), spark, "t", keep=3)
+    export_delta(spark, cat.path_for("t"), dest, checkpoint_interval=0)
+    write_checkpoint(spark, dest, 2)
+    prune_log(spark, dest)
+    hist2 = export_history(spark, dest).orderBy("version").collect()
+    assert [h["version"] for h in hist2] == [3]
+    with pytest.raises(ValueError, match="predates"):
+        read_delta(spark, dest, timestamp=ts[0])
+
+
+def test_partitioned_versioned_table_exports_and_time_travels(
+    spark, tmp_path
+):
+    """Partitioned VERSIONED writes (write_versioned(partition_by=...))
+    flow through the whole stack: promote renames the hive layout into
+    v<N>, version_history counts files inside partition dirs,
+    export_delta emits the partition contract per snapshot, and both
+    current and VERSION AS OF reads prune on the partition column."""
+    cat = Catalog(root=str(tmp_path / "cat"))
+    dest = str(tmp_path / "delta")
+
+    def mk(n):
+        return spark.range(n).select(
+            (F.col("id") % 3).cast("string").alias("bucket"),
+            F.col("id"),
+        ).repartition(1)
+
+    for n in (9, 18):
+        cat.write_versioned(
+            mk(n), spark, "pv", keep=3, partition_by=["bucket"]
+        )
+    # catalog-side: read + time travel + history see through partitions
+    assert cat.read(spark, "pv").count() == 18
+    assert cat.read_version(spark, "pv", 1).count() == 9
+    hist = {
+        r["version"]: r for r in cat.version_history(spark, "pv").collect()
+    }
+    assert hist[1]["n_files"] == 3 and hist[2]["n_files"] == 3
+    assert hist[1]["bytes"] > 0
+    # export: both snapshots carry the partition contract
+    assert export_delta(spark, cat.path_for("pv"), dest) == 2
+    commits, _ = _commits(dest)
+    (meta,) = [a["metaData"] for a in commits[0] if "metaData" in a]
+    assert meta["partitionColumns"] == ["bucket"]
+    for c in commits:
+        for a in c:
+            if "add" in a:
+                assert a["add"]["partitionValues"].keys() == {"bucket"}
+    got = read_delta(spark, dest).where(F.col("bucket") == "1")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert got.count() == 6
+    assert read_delta(spark, dest, version=0).where(
+        F.col("bucket") == "1"
+    ).count() == 3
+
+
+def test_convert_to_delta_zero_copy(spark, tmp_path):
+    """CONVERT TO DELTA analogue: an existing plain-parquet table gains
+    a _delta_log IN PLACE — commit 0 references the files already there
+    (no copies), partition layouts convert with the full partition
+    contract, and the directory is immediately readable as a Delta
+    table. A second convert refuses (already a Delta table)."""
+    import pytest
+
+    from olist_lakehouse_2_0_spark.delta_export import convert_to_delta
+
+    cat = Catalog(root=str(tmp_path / "cat"))
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(12)],
+        "grp string, id int, v double",
+    ).withColumn("grp", (F.col("id") % 3).cast("string"))
+    cat.write(df.repartition(1), "plain", partition_by=["grp"])
+    root = cat.path_for("plain")
+    before = {
+        os.path.join(dp, f)
+        for dp, _, fs_ in os.walk(root) for f in fs_
+        if f.endswith(".parquet")
+    }
+    n = convert_to_delta(spark, root)
+    assert n == 3  # one file per partition
+    # zero-copy: exactly the same data files, untouched
+    after = {
+        os.path.join(dp, f)
+        for dp, _, fs_ in os.walk(root) for f in fs_
+        if f.endswith(".parquet") and "_delta_log" not in dp
+    }
+    assert after == before
+    commits, _ = _commits(root)
+    (meta,) = [a["metaData"] for a in commits[0] if "metaData" in a]
+    assert meta["partitionColumns"] == ["grp"]
+    infos = [a["commitInfo"] for a in commits[0] if "commitInfo" in a]
+    assert infos and infos[0]["operation"] == "CONVERT"
+    got = read_delta(spark, root)
+    assert got.count() == 12
+    assert got.where(F.col("grp") == "1").count() == 4
+    with pytest.raises(IOError, match="already has a _delta_log"):
+        convert_to_delta(spark, root)
+
+
+def _forge_column_mapped_table(spark, root, mode="name"):
+    """Hand-forge a foreign minReaderVersion=2 table with column
+    mapping: physical parquet names col-1/col-2, logical names
+    (city, pop) declared only in the log's schemaString metadata."""
+    phys = spark.createDataFrame(
+        [("ams", 900), ("rio", 6700)], "`col-1` string, `col-2` int"
+    )
+    phys.coalesce(1).write.parquet(root)
+    files = [
+        f for f in os.listdir(root) if f.endswith(".parquet")
+    ]
+    schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "city", "type": "string", "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-1",
+                },
+            },
+            {
+                "name": "pop", "type": "integer", "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-2",
+                },
+            },
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "forged-cm-table",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": mode},
+                "createdTime": 0,
+            }
+        },
+    ] + [
+        {
+            "add": {
+                "path": f,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(root, f)),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+        for f in files
+    ]
+    os.makedirs(os.path.join(root, "_delta_log"))
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+
+
+def test_reader_maps_foreign_column_mapped_table(spark, tmp_path):
+    """Foreign minReaderVersion=2 tables with column mapping (the
+    default for tables written by modern Delta writers) read through
+    the physicalName annotations: logical column names out, physical
+    parquet names underneath. Unsupported feature floors still refuse
+    (version 3, and unknown v2 modes)."""
+    import pytest
+
+    root = str(tmp_path / "cm")
+    _forge_column_mapped_table(spark, root)
+    got = read_delta(spark, root)
+    assert [f.name for f in got.schema.fields] == ["city", "pop"]
+    assert {(r["city"], r["pop"]) for r in got.collect()} == {
+        ("ams", 900), ("rio", 6700)
+    }
+    # floor refusals stay intact
+    log = os.path.join(root, "_delta_log", f"{0:020d}.json")
+    text = open(log).read()
+    open(log, "w").write(
+        text.replace('"minReaderVersion": 2', '"minReaderVersion": 3')
+    )
+    crc = os.path.join(root, "_delta_log", f".{0:020d}.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    with pytest.raises(IOError, match="reader version 3"):
+        read_delta(spark, root)
