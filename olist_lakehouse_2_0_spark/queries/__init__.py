@@ -379,7 +379,16 @@ _R7_CHECKED = {
 #: this round's driver window (a stale green row proves nothing about
 #: rewritten code). Kept near-empty by design: the r8 window budget is
 #: consumed by the 45-query r4-stale rotation (VERDICT r7 next-step
-#: #2) plus the round's new queries.
+#: #2) plus the round's 3 new queries.
+#:
+#: NOT listed (additive-no-op precedent, r5 embedding_topk_pq_exact):
+#: mv_time_travel_metrics — Catalog.version_history gained recursion
+#: into hive partition subdirectories; for the unpartitioned version
+#: dirs this query creates, the file listing is byte-identical (no
+#: `key=value` dirs exist to recurse into). Likewise the queries built
+#: on write_versioned/stage_version: the new partition_by parameter
+#: defaults to None and the None path is the previous code verbatim.
+#: All were re-verified in this round's tri-scale sweep post-change.
 _CHANGED_IN_R8: set[str] = set()
 
 #: Queries hash-green in round 3's window (CORRECTNESS_r03.json — 47
