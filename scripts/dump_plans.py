@@ -96,6 +96,10 @@ HEADLINE = [
     "late_shipment_priority_counts",
     "bilateral_trade_volume",
     "product_line_profit",
+    # round 8
+    "bloom_pruned_fact_join",
+    "approx_quantile_error_gate",
+    "delta_export_roundtrip",
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -904,3 +904,100 @@ def test_reader_maps_foreign_column_mapped_table(spark, tmp_path):
         os.remove(crc)
     with pytest.raises(IOError, match="reader version 3"):
         read_delta(spark, root)
+
+
+def test_randomized_vacuum_resume_cursor_invariant(spark, tmp_path):
+    """Deterministic pseudo-random torture over the FULL lifecycle —
+    writes, exports at varying checkpoint cadences, prunes, and
+    retain-N vacuums — pinning the ADVICE-r7 resume-cursor invariant:
+    after ANY interleaving, the _last_checkpoint's maxSourceVersion
+    equals the number of catalog versions actually exported, and the
+    next export appends EXACTLY the pending catalog versions (never a
+    duplicate re-publication). Checkpoint/commit sets are observed from
+    disk; expected row counts per Delta version are tracked in plain
+    Python; reads of retained versions must be exact and reads below
+    the vacuum cutoff must refuse."""
+    import random
+
+    import pytest
+
+    from olist_lakehouse_2_0_spark.delta_export import (
+        _list_checkpoints,
+        _list_commits,
+        _read_last_checkpoint,
+        prune_log,
+        vacuum_export,
+    )
+
+    rng = random.Random(11)
+    cat = Catalog(root=str(tmp_path / "cat"))
+    dest = str(tmp_path / "delta")
+    expected: list[int] = []  # row count per Delta version
+    written: list[int] = []  # row count per catalog write, in order
+    pending = 0
+    counts = iter(range(10, 10_000, 10))
+    exported_any = False
+    for step in range(26):
+        op = rng.choice(
+            ["write", "write", "export", "vacuum", "prune", "export"]
+        )
+        if op == "write":
+            n = next(counts)
+            cat.write_versioned(spark.range(n), spark, "t", keep=3)
+            written.append(n)
+            pending += 1
+            if pending == 3:
+                op = "export"
+        if op == "export" and pending:
+            interval = rng.choice([0, 2, 3])
+            got = export_delta(
+                spark, cat.path_for("t"), dest,
+                checkpoint_interval=interval,
+            )
+            assert got == pending, (step, got, pending)
+            exported_any = True
+            expected.extend(written[len(expected):len(expected) + pending])
+            pending = 0
+        if op == "vacuum" and exported_any:
+            retain = rng.choice([2, 3])
+            vacuum_export(spark, dest, retain_versions=retain)
+        if op == "prune" and exported_any:
+            prune_log(spark, dest)
+        # INVARIANT after every step: the pointer's cursor equals the
+        # exported catalog count, so a no-new-versions export is a no-op
+        if exported_any:
+            # the pointer carries the cursor AT ITS OWN version (the
+            # tail above it is recovered from JSON commitInfos); in
+            # this sequential history delta version v holds catalog
+            # version v+1
+            ptr = _read_last_checkpoint(spark, dest)
+            if ptr is not None:
+                assert ptr.get("maxSourceVersion") == ptr["version"] + 1, (
+                    step, op, ptr
+                )
+            if pending == 0:
+                # with nothing new in the catalog, export must be a
+                # no-op — a duplicate re-publication here is exactly
+                # the cursor-loss failure mode the r7 advice described
+                assert export_delta(spark, cat.path_for("t"), dest) == 0
+
+    # drain and verify final reads
+    if pending:
+        assert export_delta(spark, cat.path_for("t"), dest) == pending
+        expected.extend(written[len(expected):len(expected) + pending])
+    assert read_delta(spark, dest).count() == expected[-1]
+    commits = set(_list_commits(spark, dest))
+    cps = set(_list_checkpoints(spark, dest))
+
+    def readable(v: int) -> bool:
+        for c in sorted(cps | {-1}, reverse=True):
+            if c <= v and all(x in commits for x in range(c + 1, v + 1)):
+                return True
+        return False
+
+    for v, n in enumerate(expected):
+        if readable(v):
+            assert read_delta(spark, dest, version=v).count() == n, (v, n)
+        else:
+            with pytest.raises(IOError, match="missing commits"):
+                read_delta(spark, dest, version=v)
