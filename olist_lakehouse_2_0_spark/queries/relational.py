@@ -1432,11 +1432,13 @@ SELECT (SELECT COUNT(*) FROM orders) AS n_current,
 #: Cumulative snapshot cutoffs for the Delta-export roundtrip: catalog
 #: version k+1 (Delta commit k) holds months strictly before CUTOFFS[k].
 #: Fixed calendar dates so every scale factor derives the same version
-#: populations (TPC-H order dates span 1992-01..1998-08); the last
-#: cutoff makes the final snapshot the full table.
+#: populations (this testdata's order dates span 1995-01..2001-08, so
+#: every snapshot below is NON-empty — an empty early snapshot would
+#: make the time-travel hash gate vacuous); the last cutoff makes the
+#: final snapshot the full table.
 _DELTA_RT_CUTOFFS = (
-    "1993-01-01", "1994-01-01", "1995-01-01", "1995-07-01",
-    "1996-01-01", "1997-01-01", "9999-12-01",
+    "1996-01-01", "1997-01-01", "1998-01-01", "1998-07-01",
+    "1999-01-01", "2000-01-01", "9999-12-01",
 )
 
 
@@ -1548,12 +1550,129 @@ WITH m AS (
 SELECT 'v2' AS snapshot, order_month, n_orders, revenue,
        TRUE AS catalog_parity, TRUE AS pruned_history_raises,
        TRUE AS log_pruned
-FROM m WHERE order_month < DATE '1995-01-01'
+FROM m WHERE order_month < DATE '1998-01-01'
 UNION ALL
 SELECT 'current' AS snapshot, order_month, n_orders, revenue,
        TRUE AS catalog_parity, TRUE AS pruned_history_raises,
        TRUE AS log_pruned
 FROM m
+"""
+
+
+def delta_convert_publish_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy CONVERT TO DELTA + publish + history + TIMESTAMP AS OF
+    under the hash gate (round 8; the interop features landed earlier
+    this round pytest-only). A per-priority revenue gold table (orders
+    before 1997) is written PARTITIONED by priority and converted to a
+    Delta table IN PLACE — commit 0 references the existing files, zero
+    copies (Delta's CONVERT TO DELTA semantics). Two refreshed states
+    (orders before 1999, then all orders) are then published as commits
+    1 and 2. The log-replay reader must reproduce: the CURRENT state,
+    VERSION AS OF 0 (the converted snapshot, reached through the
+    partition contract the conversion emitted), and the SAME snapshot
+    via TIMESTAMP AS OF using commit 0's own commitInfo timestamp from
+    ``export_history`` — all hashed against the oracle's re-derivation
+    from orders. Oracled booleans pin the history relation: operations
+    [CONVERT, WRITE, WRITE], sourceVersion ordinals [0, 1, 2],
+    nondecreasing timestamps, and timestamp-travel/version-travel
+    agreement."""
+    import os
+
+    from olist_lakehouse_2_0_spark.catalog import Catalog
+    from olist_lakehouse_2_0_spark.delta_export import (
+        convert_to_delta,
+        export_history,
+        publish_delta,
+        read_delta,
+    )
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                _money_sum("o_totalprice", "revenue"),
+            )
+            .coalesce(1)
+        )
+
+    def before(cut: str) -> DataFrame:
+        return orders.filter(
+            F.col("o_orderdate") < F.lit(cut).cast("timestamp")
+        )
+
+    root = staging_dir("delta_cv_q")
+    cat = Catalog(root=os.path.join(root, "warehouse"))
+    cat.write(rollup(before("1997-01-01")), "gold", partition_by=["priority"])
+    table = cat.path_for("gold")
+    convert_to_delta(spark, table)
+    for cut in ("1999-01-01", None):
+        refreshed = rollup(before(cut) if cut else orders)
+        stage = os.path.join(root, f"refresh_{cut or 'all'}")
+        refreshed.write.mode("overwrite").parquet(stage)
+        publish_delta(spark, stage, table)
+
+    hist = export_history(spark, table).orderBy("version").collect()
+    history_ok = (
+        [h["version"] for h in hist] == [0, 1, 2]
+        and [h["operation"] for h in hist] == ["CONVERT", "WRITE", "WRITE"]
+        and [h["source_version"] for h in hist] == [0, 1, 2]
+        and [h["timestamp"] for h in hist]
+        == sorted(h["timestamp"] for h in hist)
+    )
+    d_current = read_delta(spark, table)
+    d_v0 = read_delta(spark, table, version=0)
+    d_ts0 = read_delta(spark, table, timestamp=hist[0]["timestamp"])
+    # timestamp travel must agree with version travel EXACTLY (ties at
+    # the same millisecond resolve to the latest commit, so compare
+    # against the version that timestamp actually names)
+    ts_target = max(
+        h["version"] for h in hist if h["timestamp"] <= hist[0]["timestamp"]
+    )
+    d_ts_expect = read_delta(spark, table, version=ts_target)
+    travel_ok = (
+        d_ts0.exceptAll(d_ts_expect).count() == 0
+        and d_ts_expect.exceptAll(d_ts0).count() == 0
+    )
+
+    def tagged(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("snapshot"),
+            "priority",
+            "n_orders",
+            "revenue",
+            F.lit(bool(history_ok)).alias("history_ok"),
+            F.lit(bool(travel_ok)).alias("timestamp_travel_ok"),
+        )
+
+    return tagged(d_v0, "v0").unionAll(tagged(d_current, "current"))
+
+
+DELTA_CONVERT_PUBLISH_HISTORY_SQL = """
+WITH r AS (
+  SELECT o_orderpriority AS priority,
+         COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1997-01-01')
+             AS n0,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+              FILTER (WHERE o_orderdate < TIMESTAMP '1997-01-01')
+              AS DECIMAL(18,2)) AS rev0,
+         COUNT(*) AS n_all,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+              AS DECIMAL(18,2)) AS rev_all
+  FROM orders
+  GROUP BY o_orderpriority
+)
+SELECT 'v0' AS snapshot, priority, n0 AS n_orders, rev0 AS revenue,
+       TRUE AS history_ok, TRUE AS timestamp_travel_ok
+FROM r WHERE n0 > 0
+UNION ALL
+SELECT 'current', priority, n_all, rev_all, TRUE, TRUE
+FROM r
 """
 
 
@@ -2195,6 +2314,7 @@ RELATIONAL_QUERIES = {
     "compaction_roundtrip_metrics": compaction_roundtrip_metrics,
     "mv_time_travel_metrics": mv_time_travel_metrics,
     "delta_export_roundtrip": delta_export_roundtrip,
+    "delta_convert_publish_history": delta_convert_publish_history,
     "dq_aggregate_gate": dq_aggregate_gate,
     "sql_entry_revenue": sql_entry_revenue,
     "pipeline_event_log_audit": pipeline_event_log_audit,
@@ -2232,6 +2352,7 @@ RELATIONAL_ORACLES = {
     "compaction_roundtrip_metrics": COMPACTION_ROUNDTRIP_SQL,
     "mv_time_travel_metrics": MV_TIME_TRAVEL_SQL,
     "delta_export_roundtrip": DELTA_EXPORT_ROUNDTRIP_SQL,
+    "delta_convert_publish_history": DELTA_CONVERT_PUBLISH_HISTORY_SQL,
     "dq_aggregate_gate": DQ_AGGREGATE_GATE_SQL,
     "sql_entry_revenue": SQL_ENTRY_REVENUE_SQL,
     "pipeline_event_log_audit": PIPELINE_EVENT_LOG_AUDIT_SQL,

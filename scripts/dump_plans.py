@@ -100,6 +100,7 @@ HEADLINE = [
     "bloom_pruned_fact_join",
     "approx_quantile_error_gate",
     "delta_export_roundtrip",
+    "delta_convert_publish_history",
 ]
 
 SF = "/root/testdata/sf0.01"
