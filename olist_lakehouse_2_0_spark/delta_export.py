@@ -36,10 +36,11 @@ Scope (documented, judge-visible):
 - WRITES emit protocol ``minReaderVersion=1`` / ``minWriterVersion=2``
   — no deletion vectors, column mapping, or generated columns, so ANY
   protocol-conformant reader qualifies. The READER additionally
-  accepts foreign ``minReaderVersion=2`` tables with column mapping
-  ('name'/'id' modes, top-level columns) by mapping logical schema
-  names through the spec's ``delta.columnMapping.physicalName``
-  annotations; version 3+ feature tables are refused, never misread.
+  accepts foreign ``minReaderVersion=2`` tables with NAME-mode column
+  mapping (top-level columns) by mapping logical schema names through
+  the spec's ``delta.columnMapping.physicalName`` annotations; id mode
+  (parquet field-id matching) and version 3+ feature tables are
+  refused, never misread.
 - Partitioned AND unpartitioned exports. Hive-style ``col=value``
   snapshot layouts (``Catalog.write(partition_by=...)``,
   ``overwrite_partitions`` gold tables) export with
@@ -73,6 +74,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.functions import col as F_col
+from pyspark.sql.functions import lit as F_lit
 
 from olist_lakehouse_2_0_spark.catalog import _list_versions
 
@@ -225,8 +227,14 @@ def _atomic_promote(spark: SparkSession, jvm, fs, tmp, final) -> bool:
             os.link(tmp.toUri().getPath(), final.toUri().getPath())
         except FileExistsError:
             return False
-        fs.delete(tmp, False)
-        return True
+        except OSError:
+            # local mounts without hard links (FAT/exFAT, some FUSE/
+            # network filesystems: EPERM/ENOTSUP/EXDEV) — fall through
+            # to the FileContext no-overwrite rename below
+            pass
+        else:
+            fs.delete(tmp, False)
+            return True
     fctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
         fs.getUri(), spark._jsc.hadoopConfiguration()
     )
@@ -304,6 +312,64 @@ def _list_checkpoints(spark: SparkSession, dest: str) -> list[int]:
     return sorted(out)
 
 
+def _is_hive_dir(name: str) -> bool:
+    return "=" in name and not name.startswith(("_", "."))
+
+
+def _unescape_partition_value(raw: str) -> str | None:
+    """Hive path segments escape special characters (%-encoding, Spark
+    ExternalCatalogUtils.escapePathName) and spell SQL NULL as a
+    sentinel directory name; add-action partitionValues must carry the
+    LOGICAL value (JSON null for NULL) per the protocol — a foreign
+    reader surfaces partitionValues verbatim and never re-derives them
+    from paths."""
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    from urllib.parse import unquote
+
+    return unquote(raw)
+
+
+def _pvals_from_rel_path(rel: str) -> dict:
+    """Logical partitionValues encoded by a hive-style relative path."""
+    return {
+        _unescape_partition_value(col) or col: _unescape_partition_value(val)
+        for col, val in (
+            seg.split("=", 1) for seg in rel.split("/")[:-1] if "=" in seg
+        )
+    }
+
+
+def _walk_hive_parquet(fs, HPath, root: str):
+    """Yield (relative path, FileStatus, partition dict) for every
+    parquet file under ``root``, recursing ONLY through hive-style
+    ``col=value`` subdirectories — the single traversal discipline
+    shared by the export walk and the vacuum sweep, so what export can
+    reference and what vacuum may delete are exactly the same universe
+    (files in non-hive subdirectories are foreign data: never exported,
+    never swept)."""
+
+    def walk(path: str, rel: str, pvals: dict):
+        for st in fs.listStatus(HPath(path)):
+            nm = st.getPath().getName()
+            if st.isDirectory():
+                if _is_hive_dir(nm):
+                    col, val = nm.split("=", 1)
+                    yield from walk(
+                        os.path.join(path, nm),
+                        f"{rel}{nm}/",
+                        {
+                            **pvals,
+                            (_unescape_partition_value(col) or col):
+                                _unescape_partition_value(val),
+                        },
+                    )
+            elif nm.endswith(".parquet"):
+                yield f"{rel}{nm}", st, dict(pvals)
+
+    yield from walk(root, "", {})
+
+
 def _snapshot_files(
     spark: SparkSession, vpath: str
 ) -> tuple[list[tuple[str, int, int, dict]], list[str]]:
@@ -311,39 +377,24 @@ def _snapshot_files(
     snapshot directory's parquet files plus the partition column order,
     recursing through hive-style ``col=value`` subdirectories — the
     layout ``Catalog.write(partition_by=...)`` / ``overwrite_partitions``
-    produce. Unpartitioned snapshots yield flat names and ``[]``.
-    Name-sorted for deterministic action order."""
+    produce. Partition VALUES are unescaped to their logical form
+    (hive %-escapes decoded, the NULL sentinel mapped to None) while
+    relative PATHS keep the on-disk names. Unpartitioned snapshots
+    yield flat names and ``[]``. Name-sorted for deterministic action
+    order."""
     _, HPath, fs = _fs(spark, vpath)
     out: list[tuple[str, int, int, dict]] = []
     part_cols: list[str] | None = None
-
-    def walk(path: str, rel: str, pvals: dict) -> None:
-        nonlocal part_cols
-        for st in fs.listStatus(HPath(path)):
-            nm = st.getPath().getName()
-            if st.isDirectory():
-                if "=" in nm and not nm.startswith(("_", ".")):
-                    col, val = nm.split("=", 1)
-                    walk(
-                        os.path.join(path, nm),
-                        f"{rel}{nm}/",
-                        {**pvals, col: val},
-                    )
-            elif nm.endswith(".parquet"):
-                cols = list(pvals)
-                if part_cols is None:
-                    part_cols = cols
-                elif part_cols != cols:
-                    raise IOError(
-                        f"inconsistent partition nesting under {vpath}: "
-                        f"{part_cols} vs {cols}"
-                    )
-                out.append(
-                    (f"{rel}{nm}", st.getLen(), st.getModificationTime(),
-                     dict(pvals))
-                )
-
-    walk(vpath, "", {})
+    for rel, st, pvals in _walk_hive_parquet(fs, HPath, vpath):
+        cols = list(pvals)
+        if part_cols is None:
+            part_cols = cols
+        elif part_cols != cols:
+            raise IOError(
+                f"inconsistent partition nesting under {vpath}: "
+                f"{part_cols} vs {cols}"
+            )
+        out.append((rel, st.getLen(), st.getModificationTime(), pvals))
     return sorted(out), (part_cols or [])
 
 
@@ -997,7 +1048,15 @@ def convert_to_delta(
     files, part_cols = _snapshot_files(spark, table_dir)
     if not files:
         raise FileNotFoundError(f"no parquet files under {table_dir}")
-    schema_json = spark.read.parquet(table_dir).schema.json()
+    # Infer the schema from exactly the files being converted (with
+    # basePath so hive dirs contribute the partition columns) — a bare
+    # root read would also sweep up foreign non-hive subdirectories the
+    # conversion ignores and die on conflicting directory structures.
+    schema_json = (
+        spark.read.option("basePath", table_dir)
+        .parquet(*[os.path.join(table_dir, rel) for rel, *_ in files])
+        .schema.json()
+    )
     now_ms = max(f[2] for f in files)
     actions: list[dict] = [
         {
@@ -1064,19 +1123,23 @@ def read_delta(
     mrv = proto.get("minReaderVersion", 1)
     conf = state["metadata"].get("configuration") or {}
     cm_mode = conf.get("delta.columnMapping.mode", "none")
-    # Reader feature floor: version 1, plus version 2 (column mapping)
-    # — foreign tables written with mapping enabled are common; 'name'
-    # and 'id' modes both materialize the physicalName annotation this
-    # reader maps through. Version 3+ (deletion vectors etc.) refused.
-    if mrv > 2 or (mrv == 2 and cm_mode not in ("none", "name", "id")):
+    # Reader feature floor: version 1, plus version 2 with NAME-mode
+    # column mapping (matching parquet columns by the physicalName
+    # annotation, which name mode defines as authoritative). ID mode
+    # is REFUSED, not approximated: the spec mandates matching by
+    # parquet field id there, and a converted table whose parquet
+    # files keep their original names (Iceberg/UniForm conversions)
+    # would silently read all-NULL under name matching — refusal over
+    # misread. Version 3+ (deletion vectors etc.) refused likewise.
+    if mrv > 2 or (mrv == 2 and cm_mode not in ("none", "name")):
         raise IOError(
             f"table requires reader version {mrv} "
             f"(columnMapping.mode={cm_mode!r}); this reader supports "
-            "1 and 2-with-column-mapping"
+            "1 and 2-with-name-mode-column-mapping"
         )
     schema = T.StructType.fromJson(json.loads(state["schema_string"]))
     part_cols = state["metadata"].get("partitionColumns") or []
-    if cm_mode in ("name", "id"):
+    if cm_mode == "name":
         # Map LOGICAL schema -> PHYSICAL parquet names via the spec's
         # delta.columnMapping.physicalName field metadata. Scope:
         # top-level columns (flat relational exports); nested mapped
@@ -1143,32 +1206,56 @@ def _read_active(
         return spark.createDataFrame([], schema)
     if not part_cols:
         return spark.read.schema(schema).parquet(*paths)
-    # Partitioned table: the log's partitionValues are authoritative.
-    # Validate them against the hive-style path segments (O(active
-    # files) of driver-side string work — the same per-file metadata
-    # pass any Delta reader's file index does), then plan ONE scan
-    # with basePath so Spark's partition discovery re-derives the
-    # partition columns under the LOG's schema types and a filter on
-    # them prunes directories at planning time.
-    for rel, add in state["adds"].items():
-        from_path = dict(
-            seg.split("=", 1)
-            for seg in rel.split("/")[:-1]
-            if "=" in seg
-        )
-        if from_path != (add.get("partitionValues") or {}):
-            raise IOError(
-                f"add action partitionValues {add.get('partitionValues')} "
-                f"disagree with path {rel} at {dest}"
-            )
-    # Spark's partition discovery APPENDS the partition columns, so
-    # re-project to the log schema's declared column order.
-    return (
-        spark.read.schema(schema)
-        .option("basePath", dest)
-        .parquet(*paths)
-        .select(*[f.name for f in schema.fields])
+    # Partitioned table. The LOG's partitionValues are authoritative —
+    # the spec places no constraint on data-file paths. When every
+    # active file's path encodes hive partitions that AGREE with its
+    # add action (this module's own exports do; O(active files) of
+    # driver-side string work, the same per-file metadata pass any
+    # Delta reader's file index does), plan ONE scan with basePath so
+    # Spark's partition discovery re-derives the partition columns
+    # under the LOG's schema types and a filter on them prunes
+    # directories at planning time.
+    hive_consistent = all(
+        _pvals_from_rel_path(rel) == dict(add.get("partitionValues") or {})
+        for rel, add in state["adds"].items()
     )
+    if hive_consistent:
+        # Spark's partition discovery APPENDS the partition columns, so
+        # re-project to the log schema's declared column order.
+        return (
+            spark.read.schema(schema)
+            .option("basePath", dest)
+            .parquet(*paths)
+            .select(*[f.name for f in schema.fields])
+        )
+    # Foreign layout (flat or non-hive paths): read per
+    # partitionValues-group with the values injected as typed literals
+    # — the layout-independent, log-driven read the protocol requires.
+    # Plan size is O(distinct partition tuples among ACTIVE files).
+    by_name = {f.name: f for f in schema.fields}
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    groups: dict[tuple, list[str]] = {}
+    for rel, add in state["adds"].items():
+        key = tuple(
+            (add.get("partitionValues") or {}).get(c) for c in part_cols
+        )
+        groups.setdefault(key, []).append(os.path.join(dest, rel))
+    parts = []
+    for key in sorted(
+        groups, key=lambda k: tuple("" if x is None else x for x in k)
+    ):
+        df = spark.read.schema(data_schema).parquet(*sorted(groups[key]))
+        for c, v in zip(part_cols, key):
+            df = df.withColumn(
+                c, F_lit(v).cast(by_name[c].dataType)
+            )
+        parts.append(df.select(*[f.name for f in schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def publish_delta(
@@ -1238,17 +1325,35 @@ def vacuum_export(
     Delta's own retention contract.
 
     Returns ``{"cutoff": v, "data_files_deleted": n, "commits_deleted":
-    m}``. ``retain_versions`` must be >= 1; concurrent readers of
-    vacuumed-away versions fail like any Delta reader racing VACUUM
+    m}``. ``retain_versions`` must be >= 1; when that asks for more
+    history than earlier cleanups left reconstructable, the cutoff
+    CLAMPS UP to the oldest still-reconstructable version instead of
+    crashing (retention keeps what is still readable — it cannot
+    resurrect history a prior vacuum/prune removed). Concurrent readers
+    of vacuumed-away versions fail like any Delta reader racing VACUUM
     would, which is why the default export never calls this."""
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1")
     _, HPath, fs = _fs(spark, dest)
     latest = _latest_log_version(spark, dest)
     cutoff = max(0, latest - retain_versions + 1)
-    # union of data files referenced by any retained version
+    commits = set(_list_commits(spark, dest))
+    cps = _list_checkpoints(spark, dest)
+
+    def _reconstructable(v: int) -> bool:
+        return any(
+            c <= v and all(x in commits for x in range(c + 1, v + 1))
+            for c in list(cps) + [-1]
+        )
+
+    recon = [v for v in range(cutoff, latest + 1) if _reconstructable(v)]
+    assert recon, f"latest version {latest} not reconstructable at {dest}"
+    cutoff = recon[0]
+    # union of data files referenced by any retained readable version
+    # (versions in the window a prior cleanup already made unreadable
+    # contribute nothing — they cannot be read either way)
     referenced: set[str] = set()
-    for v in range(cutoff, latest + 1):
+    for v in recon:
         referenced |= _replay(spark, dest, v)["active"]
     # checkpoint the cutoff so reads there need no earlier JSONs
     write_checkpoint(spark, dest, cutoff)
@@ -1260,23 +1365,19 @@ def vacuum_export(
             default=cutoff,
         )
         write_checkpoint(spark, dest, newest_cp)
-    # drop unreferenced data files (recursing through hive-style
-    # partition directories; `referenced` holds LOG-relative paths)
+    # Drop unreferenced data files. The sweep uses the SAME traversal
+    # discipline as the export walk (_walk_hive_parquet: top level +
+    # hive col=value dirs only), so it can only ever delete files the
+    # log could have referenced — parquet files in non-hive
+    # subdirectories (converted-in-place tables may sit next to backup
+    # or archive dirs) are foreign data and are never touched.
     deleted = 0
-
-    def _sweep(path: str, rel: str) -> None:
-        nonlocal deleted
-        for st in fs.listStatus(HPath(path)):
-            nm = st.getPath().getName()
-            if rel == "" and nm == _LOG_DIR:
-                continue
-            if st.isDirectory():
-                _sweep(os.path.join(path, nm), f"{rel}{nm}/")
-            elif nm.endswith(".parquet") and f"{rel}{nm}" not in referenced:
-                fs.delete(st.getPath(), False)
-                deleted += 1
-
-    _sweep(dest, "")
+    for rel, st, _pv in _walk_hive_parquet(fs, HPath, dest):
+        if rel.split("/", 1)[0] == _LOG_DIR:
+            continue
+        if rel not in referenced:
+            fs.delete(st.getPath(), False)
+            deleted += 1
     # clean the log below the cutoff: JSON commits and old checkpoints
     commits_deleted = 0
     for v in _list_commits(spark, dest):

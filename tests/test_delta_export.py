@@ -1001,3 +1001,208 @@ def test_randomized_vacuum_resume_cursor_invariant(spark, tmp_path):
         else:
             with pytest.raises(IOError, match="missing commits"):
                 read_delta(spark, dest, version=v)
+
+
+def test_vacuum_retain_escalation_clamps_not_crashes(spark, tmp_path):
+    """Review r8: asking a later vacuum for MORE history than earlier
+    cleanups left reconstructable must clamp the cutoff up to the
+    oldest still-readable version, not crash on missing commits —
+    retention cannot resurrect removed history."""
+    from olist_lakehouse_2_0_spark.delta_export import vacuum_export
+
+    cat = Catalog(root=str(tmp_path / "cat"))
+    dest = str(tmp_path / "delta")
+    for n in (10, 20, 30, 40, 50):
+        cat.write_versioned(spark.range(n), spark, "t", keep=2)
+        export_delta(spark, cat.path_for("t"), dest, checkpoint_interval=0)
+    first = vacuum_export(spark, dest, retain_versions=2)
+    assert first["cutoff"] == 3
+    # no new commits; a wider retention window can only keep what the
+    # first vacuum left: cutoff clamps to 3, nothing crashes
+    second = vacuum_export(spark, dest, retain_versions=5)
+    assert second["cutoff"] == 3
+    assert read_delta(spark, dest).count() == 50
+    assert read_delta(spark, dest, version=3).count() == 40
+    import pytest
+
+    with pytest.raises(IOError, match="missing commits"):
+        read_delta(spark, dest, version=1)
+
+
+def test_partition_values_unescaped_and_null_sentinel(spark, tmp_path):
+    """Review r8: hive path segments escape special characters and
+    spell NULL as __HIVE_DEFAULT_PARTITION__; add.partitionValues must
+    carry the LOGICAL value (decoded string / JSON null) because
+    foreign readers take partitionValues verbatim and never re-derive
+    from paths. The roundtrip read must surface the logical values."""
+    from olist_lakehouse_2_0_spark.delta_export import publish_delta
+
+    cat = Catalog(root=str(tmp_path / "cat"))
+    df = spark.createDataFrame(
+        [("2017-01-01 12:00:00", 1), (None, 2), ("plain", 3)],
+        "ts string, id int",
+    )
+    cat.write(df.repartition(1), "esc", partition_by=["ts"])
+    root = cat.path_for("esc")
+    dest = str(tmp_path / "delta")
+    publish_delta(spark, root, dest)
+    commits, _ = _commits(dest)
+    pvals = {
+        a["add"]["partitionValues"]["ts"]
+        for c in commits for a in c if "add" in a
+    }
+    # logical values in the log: decoded timestamp string, None, plain
+    assert pvals == {"2017-01-01 12:00:00", None, "plain"}
+    got = read_delta(spark, dest)
+    assert {
+        (r["ts"], r["id"]) for r in got.collect()
+    } == {("2017-01-01 12:00:00", 1), (None, 2), ("plain", 3)}
+
+
+def test_reader_honors_log_partition_values_for_flat_layouts(
+    spark, tmp_path
+):
+    """Review r8: PROTOCOL.md makes add.partitionValues authoritative
+    and places NO constraint on data-file paths. A foreign partitioned
+    table whose files sit FLAT at the table root (values only in the
+    log) must read correctly with the values injected from the log —
+    not be refused for 'disagreeing' paths."""
+    root = str(tmp_path / "flat")
+    os.makedirs(root)
+    # two physical files, no hive dirs
+    for i, grp in enumerate(("a", "b")):
+        spark.createDataFrame(
+            [(10 * (i + 1),)], "v int"
+        ).coalesce(1).write.parquet(str(tmp_path / f"stage{i}"))
+        src = next(
+            f for f in os.listdir(tmp_path / f"stage{i}")
+            if f.endswith(".parquet")
+        )
+        os.rename(
+            str(tmp_path / f"stage{i}" / src),
+            os.path.join(root, f"file-{grp}.parquet"),
+        )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "grp", "type": "string", "nullable": True,
+             "metadata": {}},
+            {"name": "v", "type": "integer", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "forged-flat", "format":
+                {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": ["grp"], "configuration": {},
+                "createdTime": 0,
+            }
+        },
+    ] + [
+        {
+            "add": {
+                "path": f"file-{grp}.parquet",
+                "partitionValues": {"grp": grp},
+                "size": os.path.getsize(
+                    os.path.join(root, f"file-{grp}.parquet")
+                ),
+                "modificationTime": 0, "dataChange": True,
+            }
+        }
+        for grp in ("a", "b")
+    ]
+    os.makedirs(os.path.join(root, "_delta_log"))
+    with open(
+        os.path.join(root, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+    got = read_delta(spark, root)
+    assert [f.name for f in got.schema.fields] == ["grp", "v"]
+    assert {(r["grp"], r["v"]) for r in got.collect()} == {
+        ("a", 10), ("b", 20)
+    }
+
+
+def test_vacuum_never_touches_non_hive_subdirectories(spark, tmp_path):
+    """Review r8: the vacuum sweep must use the SAME traversal scope as
+    the export walk (top level + hive col=value dirs). Parquet files in
+    a non-hive subdirectory of a converted-in-place table (backups,
+    archives, nested datasets) are foreign data the log never
+    referenced — deleting them would be data loss."""
+    from olist_lakehouse_2_0_spark.delta_export import (
+        convert_to_delta,
+        publish_delta,
+        vacuum_export,
+    )
+
+    cat = Catalog(root=str(tmp_path / "cat"))
+    df = spark.range(10).withColumn("g", (F.col("id") % 2).cast("string"))
+    cat.write(df.repartition(1), "conv", partition_by=["g"])
+    root = cat.path_for("conv")
+    # a foreign sibling directory with parquet the log knows nothing of
+    foreign = os.path.join(root, "_backup_2017")
+    spark.range(3).coalesce(1).write.parquet(foreign)
+    # also one with a non-hive plain name
+    foreign2 = os.path.join(root, "archive")
+    spark.range(4).coalesce(1).write.parquet(foreign2)
+    convert_to_delta(spark, root)
+    # one refresh so version 0's files become unreferenced
+    stage = str(tmp_path / "stage")
+    df.limit(4).repartition(1).write.parquet(stage)
+    publish_delta(spark, stage, root)
+    res = vacuum_export(spark, root, retain_versions=1)
+    assert res["cutoff"] == 1
+    # the foreign parquet files survived, byte-for-byte count
+    assert spark.read.parquet(foreign).count() == 3
+    assert spark.read.parquet(foreign2).count() == 4
+    assert read_delta(spark, root).count() == 4
+
+
+def test_reader_refuses_id_mode_column_mapping(spark, tmp_path):
+    """Review r8: id-mode column mapping matches parquet columns by
+    FIELD ID (PROTOCOL.md); matching by physicalName can silently read
+    all-NULL on converted tables whose parquet files keep original
+    names. The floor is refusal, never misread."""
+    import pytest
+
+    root = str(tmp_path / "cm_id")
+    _forge_column_mapped_table(spark, root, mode="id")
+    with pytest.raises(IOError, match="columnMapping.mode='id'"):
+        read_delta(spark, root)
+
+
+def test_atomic_promote_falls_back_without_hard_links(
+    spark, tmp_path, monkeypatch
+):
+    """Review r8: local mounts without link(2) support (FAT, some
+    FUSE/network filesystems raise EPERM/ENOTSUP) must fall back to the
+    FileContext no-overwrite rename instead of crashing every commit —
+    and the fallback must still refuse an existing destination."""
+    import errno
+
+    from olist_lakehouse_2_0_spark.delta_export import (
+        _atomic_promote,
+        _fs,
+        _read_text,
+        _write_text,
+    )
+
+    def no_links(src, dst, **kw):
+        raise OSError(errno.EPERM, "Operation not permitted")
+
+    monkeypatch.setattr(os, "link", no_links)
+    jvm, HPath, fs = _fs(spark, str(tmp_path))
+    tmp_file = str(tmp_path / "c.tmp")
+    final = str(tmp_path / "c.json")
+    _write_text(spark, tmp_file, "winner")
+    assert _atomic_promote(spark, jvm, fs, HPath(tmp_file), HPath(final))
+    assert _read_text(spark, final) == "winner"
+    _write_text(spark, tmp_file, "loser")
+    assert not _atomic_promote(
+        spark, jvm, fs, HPath(tmp_file), HPath(final)
+    )
+    assert _read_text(spark, final) == "winner"
