@@ -71,6 +71,9 @@ import json
 import os
 import uuid
 
+from urllib.parse import quote as _url_quote
+from urllib.parse import unquote as _url_unquote
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.functions import col as F_col
@@ -316,6 +319,27 @@ def _is_hive_dir(name: str) -> bool:
     return "=" in name and not name.startswith(("_", "."))
 
 
+def _encode_path(rel: str) -> str:
+    """On-disk relative path -> the RFC 2396 percent-encoded form the
+    protocol requires of ``add.path`` (PROTOCOL.md: 'A relative path
+    ... percent-encoded'). delta-spark does ``new Path(new URI(path))``
+    — a raw space in add.path throws there, and a raw '%' would be
+    mis-decoded — so the log string and the disk name are distinct
+    layers. The safe set is the URI path-segment alphabet (RFC 2396
+    pchar), so hive '=' separators stay literal exactly as delta-spark
+    writes them; only genuinely illegal characters (space, %, ?, #,
+    ...) are escaped."""
+    return _url_quote(rel, safe="/:@!$&'()*+,;=~")
+
+
+def _decode_path(rel: str) -> str:
+    """``add.path`` (percent-encoded per the protocol) -> the on-disk
+    relative path. Identity for names without reserved characters,
+    which also makes logs written by the pre-encoding exporter (plain
+    part-file names) read unchanged."""
+    return _url_unquote(rel)
+
+
 def _unescape_partition_value(raw: str) -> str | None:
     """Hive path segments escape special characters (%-encoding, Spark
     ExternalCatalogUtils.escapePathName) and spell SQL NULL as a
@@ -325,19 +349,32 @@ def _unescape_partition_value(raw: str) -> str | None:
     from paths."""
     if raw == "__HIVE_DEFAULT_PARTITION__":
         return None
-    from urllib.parse import unquote
+    return _url_unquote(raw)
 
-    return unquote(raw)
+
+def _logical_kv(seg: str) -> tuple[str, str | None]:
+    """One on-disk hive segment -> its logical (column, value) pair —
+    the single unescape discipline shared by the walk and the
+    path-consistency check."""
+    col, val = seg.split("=", 1)
+    return (
+        _unescape_partition_value(col) or col,
+        _unescape_partition_value(val),
+    )
 
 
 def _pvals_from_rel_path(rel: str) -> dict:
-    """Logical partitionValues encoded by a hive-style relative path."""
-    return {
-        _unescape_partition_value(col) or col: _unescape_partition_value(val)
-        for col, val in (
-            seg.split("=", 1) for seg in rel.split("/")[:-1] if "=" in seg
-        )
-    }
+    """Logical partitionValues encoded by a hive-style ON-DISK relative
+    path, in nesting order. Only segments the export walk itself would
+    descend (:func:`_is_hive_dir`) count — '_'/'.'-prefixed ``a=b``
+    names are hidden dirs to Spark's file index, and counting them here
+    while the walk skips them would let the fast-path/fallback routing
+    disagree with discovery."""
+    return dict(
+        _logical_kv(seg)
+        for seg in rel.split("/")[:-1]
+        if _is_hive_dir(seg)
+    )
 
 
 def _walk_hive_parquet(fs, HPath, root: str):
@@ -354,15 +391,11 @@ def _walk_hive_parquet(fs, HPath, root: str):
             nm = st.getPath().getName()
             if st.isDirectory():
                 if _is_hive_dir(nm):
-                    col, val = nm.split("=", 1)
+                    col, val = _logical_kv(nm)
                     yield from walk(
                         os.path.join(path, nm),
                         f"{rel}{nm}/",
-                        {
-                            **pvals,
-                            (_unescape_partition_value(col) or col):
-                                _unescape_partition_value(val),
-                        },
+                        {**pvals, col: val},
                     )
             elif nm.endswith(".parquet"):
                 yield f"{rel}{nm}", st, dict(pvals)
@@ -859,10 +892,14 @@ def _append_snapshot_commit(
             if not ok or not fs.rename(tmp, dst):
                 fs.delete(tmp, False)
                 raise IOError(f"delta export copy failed: {src} -> {dst}")
+        # add.path is the RFC 2396 percent-encoded form of the disk
+        # path (identity for plain names) — the protocol's contract,
+        # and what delta-spark's new Path(new URI(path)) expects
+        log_rel = _encode_path(rel)
         actions.append(
             {
                 "add": {
-                    "path": rel,
+                    "path": log_rel,
                     "partitionValues": pvals,
                     "size": size,
                     "modificationTime": mtime,
@@ -870,7 +907,7 @@ def _append_snapshot_commit(
                 }
             }
         )
-        new_active.append(rel)
+        new_active.append(log_rel)
     _write_commit(spark, dest, next_commit, actions)
     return sorted(new_active), schema_json, part_cols
 
@@ -1082,7 +1119,7 @@ def convert_to_delta(
         actions.append(
             {
                 "add": {
-                    "path": rel,
+                    "path": _encode_path(rel),
                     "partitionValues": pvals,
                     "size": size,
                     "modificationTime": mtime,
@@ -1200,8 +1237,12 @@ def _read_active(
     part_cols: list[str],
 ) -> DataFrame:
     """Plan the scan over a replayed state's active files under the
-    given (possibly physical) schema."""
-    paths = sorted(os.path.join(dest, p) for p in state["active"])
+    given (possibly physical) schema. ``add.path`` strings are
+    percent-encoded per the protocol; the on-disk location is their
+    decoded form."""
+    paths = sorted(
+        os.path.join(dest, _decode_path(p)) for p in state["active"]
+    )
     if not paths:
         return spark.createDataFrame([], schema)
     if not part_cols:
@@ -1215,9 +1256,16 @@ def _read_active(
     # Spark's partition discovery re-derives the partition columns
     # under the LOG's schema types and a filter on them prunes
     # directories at planning time.
+    # Consistency needs VALUES and SEGMENT ORDER to agree — same
+    # values in a different nesting order would pass a dict compare
+    # but crash Spark's partition discovery on the fast path.
+    def _path_agrees(rel: str, add: dict) -> bool:
+        from_path = _pvals_from_rel_path(_decode_path(rel))
+        logged = dict(add.get("partitionValues") or {})
+        return from_path == logged and list(from_path) == part_cols
+
     hive_consistent = all(
-        _pvals_from_rel_path(rel) == dict(add.get("partitionValues") or {})
-        for rel, add in state["adds"].items()
+        _path_agrees(rel, add) for rel, add in state["adds"].items()
     )
     if hive_consistent:
         # Spark's partition discovery APPENDS the partition columns, so
@@ -1241,7 +1289,9 @@ def _read_active(
         key = tuple(
             (add.get("partitionValues") or {}).get(c) for c in part_cols
         )
-        groups.setdefault(key, []).append(os.path.join(dest, rel))
+        groups.setdefault(key, []).append(
+            os.path.join(dest, _decode_path(rel))
+        )
     parts = []
     for key in sorted(
         groups, key=lambda k: tuple("" if x is None else x for x in k)
@@ -1347,7 +1397,12 @@ def vacuum_export(
         )
 
     recon = [v for v in range(cutoff, latest + 1) if _reconstructable(v)]
-    assert recon, f"latest version {latest} not reconstructable at {dest}"
+    if not recon:
+        raise IOError(
+            f"delta log at {dest} is corrupt: latest version {latest} "
+            "is not reconstructable from the remaining checkpoints and "
+            "JSON commits"
+        )
     cutoff = recon[0]
     # union of data files referenced by any retained readable version
     # (versions in the window a prior cleanup already made unreadable
@@ -1372,10 +1427,9 @@ def vacuum_export(
     # subdirectories (converted-in-place tables may sit next to backup
     # or archive dirs) are foreign data and are never touched.
     deleted = 0
+    referenced_disk = {_decode_path(p) for p in referenced}
     for rel, st, _pv in _walk_hive_parquet(fs, HPath, dest):
-        if rel.split("/", 1)[0] == _LOG_DIR:
-            continue
-        if rel not in referenced:
+        if rel not in referenced_disk:
             fs.delete(st.getPath(), False)
             deleted += 1
     # clean the log below the cutoff: JSON commits and old checkpoints

@@ -1206,3 +1206,165 @@ def test_atomic_promote_falls_back_without_hard_links(
         spark, jvm, fs, HPath(tmp_file), HPath(final)
     )
     assert _read_text(spark, final) == "winner"
+
+
+def test_add_path_is_percent_encoded_per_protocol(spark, tmp_path):
+    """Review r8 #2: PROTOCOL.md requires add.path to be an RFC 2396
+    percent-encoded relative path (delta-spark does new Path(new
+    URI(path)) — a raw space throws). Escaped-partition layouts must
+    export with encoded log paths whose DECODED form is the on-disk
+    location; plain names stay identical (so pre-encoding logs read
+    unchanged)."""
+    from urllib.parse import unquote
+
+    from olist_lakehouse_2_0_spark.delta_export import publish_delta
+
+    cat = Catalog(root=str(tmp_path / "cat"))
+    df = spark.createDataFrame(
+        [("2017-01-01 12:00:00", 1), ("plain", 2)], "ts string, id int"
+    )
+    cat.write(df.repartition(1), "esc", partition_by=["ts"])
+    dest = str(tmp_path / "delta")
+    publish_delta(spark, cat.path_for("esc"), dest)
+    commits, _ = _commits(dest)
+    adds = [a["add"] for c in commits for a in c if "add" in a]
+    for add in adds:
+        assert " " not in add["path"], add["path"]
+        # decoded log path == the on-disk file
+        assert os.path.exists(os.path.join(dest, unquote(add["path"])))
+    # the hive '=' separator stays literal, as delta-spark writes it
+    assert all("=" in a["path"] and "%3D" not in a["path"] for a in adds)
+    got = read_delta(spark, dest)
+    assert {(r["ts"], r["id"]) for r in got.collect()} == {
+        ("2017-01-01 12:00:00", 1), ("plain", 2)
+    }
+
+
+def test_foreign_encoded_paths_read_and_survive_vacuum(spark, tmp_path):
+    """Review r8 #2/#3: a spec-conformant foreign table whose add.path
+    entries are percent-encoded for on-disk names with spaces must READ
+    (decode before resolving) and must NOT lose its live files to the
+    vacuum sweep (the referenced-set compare decodes too)."""
+    from olist_lakehouse_2_0_spark.delta_export import vacuum_export
+
+    root = str(tmp_path / "enc")
+    os.makedirs(root)
+    spark.createDataFrame([(7,)], "v int").coalesce(1).write.parquet(
+        str(tmp_path / "stage")
+    )
+    src = next(
+        f for f in os.listdir(tmp_path / "stage") if f.endswith(".parquet")
+    )
+    os.rename(
+        str(tmp_path / "stage" / src), os.path.join(root, "part a.parquet")
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "v", "type": "integer", "nullable": True,
+             "metadata": {}}
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "forged-enc",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": [], "configuration": {},
+                "createdTime": 0,
+            }
+        },
+        {
+            "add": {
+                "path": "part%20a.parquet",  # encoded per the spec
+                "partitionValues": {},
+                "size": os.path.getsize(
+                    os.path.join(root, "part a.parquet")
+                ),
+                "modificationTime": 0, "dataChange": True,
+            }
+        },
+    ]
+    os.makedirs(os.path.join(root, "_delta_log"))
+    with open(
+        os.path.join(root, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+    assert read_delta(spark, root).collect()[0]["v"] == 7
+    res = vacuum_export(spark, root, retain_versions=1)
+    assert res["data_files_deleted"] == 0
+    assert os.path.exists(os.path.join(root, "part a.parquet"))
+    assert read_delta(spark, root).collect()[0]["v"] == 7
+
+
+def test_inconsistent_hive_nesting_order_takes_log_fallback(
+    spark, tmp_path
+):
+    """Review r8 #6: same partition VALUES but different segment ORDER
+    across files is protocol-legal (paths are unconstrained) yet kills
+    Spark's partition discovery — the consistency check must require
+    the log's column order so such tables route to the log-driven
+    fallback instead of crashing."""
+    root = str(tmp_path / "mixed")
+    for i, (d, val) in enumerate(
+        (("a=1/b=2", 10), ("b=3/a=1", 20))
+    ):
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+        spark.createDataFrame([(val,)], "v int").coalesce(1).write.parquet(
+            str(tmp_path / f"st{i}")
+        )
+        src = next(
+            f for f in os.listdir(tmp_path / f"st{i}")
+            if f.endswith(".parquet")
+        )
+        os.rename(
+            str(tmp_path / f"st{i}" / src),
+            os.path.join(root, d, "f.parquet"),
+        )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "a", "type": "string", "nullable": True,
+             "metadata": {}},
+            {"name": "b", "type": "string", "nullable": True,
+             "metadata": {}},
+            {"name": "v", "type": "integer", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+    adds = [
+        ("a=1/b=2/f.parquet", {"a": "1", "b": "2"}),
+        ("b=3/a=1/f.parquet", {"a": "1", "b": "3"}),
+    ]
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "forged-mixed",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": ["a", "b"], "configuration": {},
+                "createdTime": 0,
+            }
+        },
+    ] + [
+        {
+            "add": {
+                "path": p, "partitionValues": pv,
+                "size": os.path.getsize(os.path.join(root, p)),
+                "modificationTime": 0, "dataChange": True,
+            }
+        }
+        for p, pv in adds
+    ]
+    os.makedirs(os.path.join(root, "_delta_log"))
+    with open(
+        os.path.join(root, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+    got = read_delta(spark, root)
+    assert {(r["a"], r["b"], r["v"]) for r in got.collect()} == {
+        ("1", "2", 10), ("1", "3", 20)
+    }
