@@ -328,8 +328,12 @@ def _encode_path(rel: str) -> str:
     layers. The safe set is the URI path-segment alphabet (RFC 2396
     pchar), so hive '=' separators stay literal exactly as delta-spark
     writes them; only genuinely illegal characters (space, %, ?, #,
-    ...) are escaped."""
-    return _url_quote(rel, safe="/:@!$&'()*+,;=~")
+    ...) are escaped — EXCEPT that a ':' in the FIRST segment must be
+    encoded (RFC 2396 rel_segment excludes it: 'log:2017.parquet'
+    would parse as scheme 'log' in new URI(path))."""
+    out = _url_quote(rel, safe="/:@!$&'()*+,;=~")
+    head, sep, tail = out.partition("/")
+    return head.replace(":", "%3A") + sep + tail
 
 
 def _decode_path(rel: str) -> str:
@@ -1229,6 +1233,30 @@ def _has_nested_mapping(dt) -> bool:
     return False
 
 
+def _resolve_disk_paths(
+    spark: SparkSession, dest: str, rels
+) -> dict[str, str]:
+    """log ``add.path`` -> absolute on-disk path. The decoded form per
+    the protocol; when a '%'-containing path's decoded form is absent
+    but the RAW string names an existing file, the log predates the
+    percent-encoding layer (the pre-r8 exporter stored raw disk names,
+    which can themselves contain hive %-escapes) — fall back so an
+    upgraded reader keeps serving pre-upgrade exports. Existence probes
+    run only for paths containing an escape (identity otherwise)."""
+    _, HPath, fs = _fs(spark, dest)
+    out: dict[str, str] = {}
+    for rel in rels:
+        dec = _decode_path(rel)
+        abs_dec = os.path.join(dest, dec)
+        if dec != rel and not fs.exists(HPath(abs_dec)):
+            abs_raw = os.path.join(dest, rel)
+            if fs.exists(HPath(abs_raw)):
+                out[rel] = abs_raw
+                continue
+        out[rel] = abs_dec
+    return out
+
+
 def _read_active(
     spark: SparkSession,
     dest: str,
@@ -1240,9 +1268,8 @@ def _read_active(
     given (possibly physical) schema. ``add.path`` strings are
     percent-encoded per the protocol; the on-disk location is their
     decoded form."""
-    paths = sorted(
-        os.path.join(dest, _decode_path(p)) for p in state["active"]
-    )
+    resolved = _resolve_disk_paths(spark, dest, state["active"])
+    paths = sorted(resolved.values())
     if not paths:
         return spark.createDataFrame([], schema)
     if not part_cols:
@@ -1260,7 +1287,15 @@ def _read_active(
     # values in a different nesting order would pass a dict compare
     # but crash Spark's partition discovery on the fast path.
     def _path_agrees(rel: str, add: dict) -> bool:
-        from_path = _pvals_from_rel_path(_decode_path(rel))
+        disk = _decode_path(rel)
+        segs = disk.split("/")[:-1]
+        # every directory segment must be a hive dir the discovery
+        # will count — a hidden/plain extra segment would make Spark's
+        # parsePartitions see conflicting structures on the fast path,
+        # while the log-driven fallback reads such layouts fine
+        if not all(_is_hive_dir(seg) for seg in segs):
+            return False
+        from_path = _pvals_from_rel_path(disk)
         logged = dict(add.get("partitionValues") or {})
         return from_path == logged and list(from_path) == part_cols
 
@@ -1289,9 +1324,7 @@ def _read_active(
         key = tuple(
             (add.get("partitionValues") or {}).get(c) for c in part_cols
         )
-        groups.setdefault(key, []).append(
-            os.path.join(dest, _decode_path(rel))
-        )
+        groups.setdefault(key, []).append(resolved[rel])
     parts = []
     for key in sorted(
         groups, key=lambda k: tuple("" if x is None else x for x in k)
@@ -1427,7 +1460,12 @@ def vacuum_export(
     # subdirectories (converted-in-place tables may sit next to backup
     # or archive dirs) are foreign data and are never touched.
     deleted = 0
-    referenced_disk = {_decode_path(p) for p in referenced}
+    # a log path resolves to its DECODED form per the protocol, but
+    # logs written by the pre-encoding exporter stored raw disk names
+    # (which may themselves contain hive %-escapes) — keep BOTH
+    # interpretations referenced so no live file of either vintage is
+    # ever swept
+    referenced_disk = {_decode_path(p) for p in referenced} | set(referenced)
     for rel, st, _pv in _walk_hive_parquet(fs, HPath, dest):
         if rel not in referenced_disk:
             fs.delete(st.getPath(), False)

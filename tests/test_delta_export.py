@@ -1368,3 +1368,175 @@ def test_inconsistent_hive_nesting_order_takes_log_fallback(
     assert {(r["a"], r["b"], r["v"]) for r in got.collect()} == {
         ("1", "2", 10), ("1", "3", 20)
     }
+
+
+def test_pre_encoding_logs_with_escaped_dirs_still_read_and_vacuum_safely(
+    spark, tmp_path
+):
+    """Review r8 #3 (third pass): logs written by the PRE-encoding
+    exporter stored RAW disk names in add.path — including hive
+    %-escapes like %3A. An upgraded reader must not decode those into
+    nonexistent paths, and vacuum must not sweep the live files of such
+    a table. Forge an old-style log (raw escaped path) over a real
+    escaped-partition layout."""
+    from olist_lakehouse_2_0_spark.delta_export import vacuum_export
+
+    cat = Catalog(root=str(tmp_path / "cat"))
+    df = spark.createDataFrame(
+        [("2017-01-01 12:00:00", 5)], "ts string, id int"
+    )
+    cat.write(df.repartition(1), "legacy", partition_by=["ts"])
+    root = cat.path_for("legacy")
+    # the escaped hive dir + its single data file, as on disk
+    (disk_dir,) = [
+        d for d in os.listdir(root) if d.startswith("ts=")
+    ]
+    assert "%3A" in disk_dir  # precondition: the layout IS escaped
+    (data_file,) = [
+        f for f in os.listdir(os.path.join(root, disk_dir))
+        if f.endswith(".parquet")
+    ]
+    raw_rel = f"{disk_dir}/{data_file}"
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "ts", "type": "string", "nullable": True,
+             "metadata": {}},
+            {"name": "id", "type": "integer", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "legacy-raw", "format":
+                {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": ["ts"], "configuration": {},
+                "createdTime": 0,
+            }
+        },
+        {
+            "add": {
+                "path": raw_rel,  # RAW, as the old exporter wrote it
+                "partitionValues": {"ts": disk_dir.split("=", 1)[1]},
+                "size": os.path.getsize(os.path.join(root, raw_rel)),
+                "modificationTime": 0, "dataChange": True,
+            }
+        },
+    ]
+    os.makedirs(os.path.join(root, "_delta_log"))
+    with open(
+        os.path.join(root, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+    got = read_delta(spark, root)
+    assert got.count() == 1 and got.collect()[0]["id"] == 5
+    res = vacuum_export(spark, root, retain_versions=1)
+    assert res["data_files_deleted"] == 0
+    assert os.path.exists(os.path.join(root, raw_rel))
+    assert read_delta(spark, root).count() == 1
+
+
+def test_first_segment_colon_is_encoded(spark, tmp_path):
+    """Review r8 #3 (third pass): RFC 2396 rel_segment forbids ':'
+    before the first '/' — 'log:2017.parquet' would parse as scheme
+    'log' in delta-spark's new URI(path). convert_to_delta over such a
+    file must encode the colon, and the reader must resolve it back."""
+    from olist_lakehouse_2_0_spark.delta_export import (
+        _encode_path,
+        convert_to_delta,
+    )
+
+    assert _encode_path("log:2017.parquet") == "log%3A2017.parquet"
+    assert _encode_path("d=1/log:2017.parquet") == "d=1/log:2017.parquet"
+    root = str(tmp_path / "colon")
+    os.makedirs(root)
+    spark.createDataFrame([(3,)], "v int").coalesce(1).write.parquet(
+        str(tmp_path / "stage")
+    )
+    src = next(
+        f for f in os.listdir(tmp_path / "stage") if f.endswith(".parquet")
+    )
+    os.rename(
+        str(tmp_path / "stage" / src), os.path.join(root, "log:2017.parquet")
+    )
+    convert_to_delta(spark, root)
+    commits, _ = _commits(root)
+    (add,) = [a["add"] for a in commits[0] if "add" in a]
+    assert add["path"] == "log%3A2017.parquet"
+    assert read_delta(spark, root).collect()[0]["v"] == 3
+
+
+def test_hidden_extra_segment_routes_to_log_fallback(spark, tmp_path):
+    """Review r8 #2 (third pass): a foreign path with an extra
+    '_'-prefixed col=val segment agrees with the log on the COUNTED
+    values but would crash Spark's discovery on the fast path — it must
+    route to the log-driven fallback and read correctly."""
+    root = str(tmp_path / "hidden")
+    for i, (d, a_val, val) in enumerate(
+        (("_backup=x/a=1", "1", 10), ("a=2", "2", 20))
+    ):
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+        spark.createDataFrame([(val,)], "v int").coalesce(1).write.parquet(
+            str(tmp_path / f"hs{i}")
+        )
+        src = next(
+            f for f in os.listdir(tmp_path / f"hs{i}")
+            if f.endswith(".parquet")
+        )
+        os.rename(
+            str(tmp_path / f"hs{i}" / src),
+            os.path.join(root, d, "f.parquet"),
+        )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "a", "type": "string", "nullable": True,
+             "metadata": {}},
+            {"name": "v", "type": "integer", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "forged-hidden",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": ["a"], "configuration": {},
+                "createdTime": 0,
+            }
+        },
+        {
+            "add": {
+                "path": "_backup=x/a=1/f.parquet",
+                "partitionValues": {"a": "1"},
+                "size": os.path.getsize(
+                    os.path.join(root, "_backup=x/a=1/f.parquet")
+                ),
+                "modificationTime": 0, "dataChange": True,
+            }
+        },
+        {
+            "add": {
+                "path": "a=2/f.parquet",
+                "partitionValues": {"a": "2"},
+                "size": os.path.getsize(
+                    os.path.join(root, "a=2/f.parquet")
+                ),
+                "modificationTime": 0, "dataChange": True,
+            }
+        },
+    ]
+    os.makedirs(os.path.join(root, "_delta_log"))
+    with open(
+        os.path.join(root, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+    got = read_delta(spark, root)
+    assert {(r["a"], r["v"]) for r in got.collect()} == {
+        ("1", 10), ("2", 20)
+    }
