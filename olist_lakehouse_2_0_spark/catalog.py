@@ -218,11 +218,13 @@ class Catalog:
 
         def _parquet_files(path):
             # recurse through hive-style partition subdirectories so
-            # partitioned versions report true file counts/bytes
+            # partitioned versions report true file counts/bytes; the
+            # SAME predicate as the Delta export/vacuum walk, so stats
+            # and export traverse the same universe of files
             out = []
             for st in fs.listStatus(HPath(path)):
                 nm = st.getPath().getName()
-                if st.isDirectory() and "=" in nm:
+                if st.isDirectory() and _is_hive_dir(nm):
                     out += _parquet_files(os.path.join(path, nm))
                 elif st.isFile() and nm.endswith(".parquet"):
                     out.append(st)
@@ -885,6 +887,16 @@ class Catalog:
             if f.endswith(".parquet")
         )
         return (len(files), after)
+
+
+def _is_hive_dir(name: str) -> bool:
+    """True for a hive-style ``col=value`` partition directory name.
+    '_'/'.'-prefixed names are excluded exactly as Spark's partition
+    discovery (and the Delta export/vacuum walk, which imports this
+    predicate) excludes them — a hidden ``_backup=x`` directory must
+    be invisible to stats, export, reader, and vacuum alike, or the
+    reported file counts diverge from what is actually published."""
+    return "=" in name and not name.startswith(("_", "."))
 
 
 def _list_versions(fs, HPath, root: str) -> list[tuple[int, str]]:

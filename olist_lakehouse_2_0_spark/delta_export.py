@@ -79,7 +79,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import col as F_col
 from pyspark.sql.functions import lit as F_lit
 
-from olist_lakehouse_2_0_spark.catalog import _list_versions
+from olist_lakehouse_2_0_spark.catalog import _is_hive_dir, _list_versions
 
 _LOG_DIR = "_delta_log"
 
@@ -267,7 +267,15 @@ def _write_commit(
     window on local filesystems, where POSIX rename silently overwrites."""
     jvm, HPath, fs = _fs(spark, dest)
     final = HPath(_commit_path(dest, version))
-    tmp = HPath(_commit_path(dest, version) + ".tmp")
+    # Writer-UNIQUE staging name: two exporters racing on one version
+    # must never share a tmp inode, or writer B's create(overwrite)
+    # could rewrite the bytes writer A is about to (or already did)
+    # promote — a torn/foreign commit behind an atomic-looking rename.
+    # The promote itself arbitrates the winner; the loser's tmp is
+    # deleted on the failure path.
+    tmp = HPath(
+        _commit_path(dest, version) + f".{uuid.uuid4().hex}.tmp"
+    )
     if fs.exists(final):
         raise IOError(
             f"delta commit {version} already exists at {dest}: "
@@ -315,8 +323,9 @@ def _list_checkpoints(spark: SparkSession, dest: str) -> list[int]:
     return sorted(out)
 
 
-def _is_hive_dir(name: str) -> bool:
-    return "=" in name and not name.startswith(("_", "."))
+# Shared with the catalog's version_history stats walk (imported from
+# catalog.py) so stats, export, reader, and vacuum all traverse the
+# same universe of directories.
 
 
 def _encode_path(rel: str) -> str:
@@ -804,7 +813,8 @@ def _append_snapshot_commit(
     table_identity: str,
     prev_schema: str | None = None,
     prev_partition_cols: list[str] | None = None,
-) -> tuple[list[str], str, list[str]]:
+    prev_ts: int = -1,
+) -> tuple[list[str], str, list[str], int]:
     """Append ONE overwrite-shaped commit publishing ``src_dir``'s
     parquet files to the Delta table at ``dest``: remove every
     previously-active file, copy + add the snapshot's files with a
@@ -819,11 +829,26 @@ def _append_snapshot_commit(
     (without it a reader would scan the evolved files under the stale
     log schema and silently drop the added columns; the catalog allows
     additive evolution, so this path is reachable). Returns (new active
-    file list, schema, partition columns emitted-or-inherited)."""
+    file list, schema, partition columns emitted-or-inherited, the
+    commitInfo timestamp used)."""
     jvm, HPath, fs = _fs(spark, dest)
     files, part_cols = _snapshot_files(spark, src_dir)
+    # a colon-named staged file would export fine and then be
+    # unreadable on local FS — same contract as convert_to_delta
+    _refuse_local_colon(
+        fs, (rel for rel, *_ in files), f"delta export of {src_dir}"
+    )
     schema_json = spark.read.parquet(src_dir).schema.json()
-    now_ms = files[0][2] if files else 0
+    # Commit timestamps are STRICTLY MONOTONE across versions: the
+    # newest file mtime in the snapshot, clamped above the predecessor
+    # commit's timestamp (Delta clamps the same way during history
+    # reconstruction) — otherwise a regressed mtime (copied snapshot,
+    # clock skew) would make TIMESTAMP AS OF resolve a different
+    # version than Delta would, and export_history's nondecreasing
+    # ordering could flake.
+    now_ms = max((f[2] for f in files), default=0)
+    if now_ms <= prev_ts:
+        now_ms = prev_ts + 1
     actions: list[dict] = [
         {
             "commitInfo": {
@@ -913,7 +938,7 @@ def _append_snapshot_commit(
         )
         new_active.append(log_rel)
     _write_commit(spark, dest, next_commit, actions)
-    return sorted(new_active), schema_json, part_cols
+    return sorted(new_active), schema_json, part_cols, now_ms
 
 
 def export_delta(
@@ -955,6 +980,7 @@ def export_delta(
     active: list[str] = []
     prev_schema: str | None = None
     prev_pcols: list[str] | None = None
+    prev_ts: int = -1
     have_log = bool(commits) or cp is not None
     if have_log:
         latest = _latest_log_version(spark, dest)
@@ -963,6 +989,7 @@ def export_delta(
         exported_src = state["max_source_version"]
         prev_schema = state["schema_string"]
         prev_pcols = state["metadata"].get("partitionColumns") or []
+        prev_ts = _latest_commit_ts(spark, dest)
         next_commit = latest + 1
     else:
         next_commit = 0
@@ -974,7 +1001,7 @@ def export_delta(
     fs.mkdirs(HPath(os.path.join(dest, _LOG_DIR)))
     appended = 0
     for cv, vpath in new_versions:
-        active, prev_schema, prev_pcols = _append_snapshot_commit(
+        active, prev_schema, prev_pcols, prev_ts = _append_snapshot_commit(
             spark,
             dest,
             next_commit,
@@ -985,6 +1012,7 @@ def export_delta(
             table_identity=source_root,
             prev_schema=prev_schema,
             prev_partition_cols=prev_pcols,
+            prev_ts=prev_ts,
         )
         cp_version = -1 if cp is None else cp["version"]
         if checkpoint_interval and next_commit - cp_version >= checkpoint_interval:
@@ -1016,18 +1044,46 @@ def _commit_infos(spark: SparkSession, dest: str) -> list[tuple[int, dict]]:
     return out
 
 
+def _latest_commit_ts(spark: SparkSession, dest: str) -> int:
+    """Newest commitInfo.timestamp among RETAINED JSON commits (-1 when
+    none are retained — after a full prune the monotonicity floor is
+    unknowable, exactly as in Delta, whose checkpoints carry no
+    commitInfo either). O(retained tail) driver-side reads, paid once
+    per export/publish resume."""
+    return max(
+        (
+            i["timestamp"]
+            for _, i in _commit_infos(spark, dest)
+            if "timestamp" in i
+        ),
+        default=-1,
+    )
+
+
 def _resolve_timestamp(spark: SparkSession, dest: str, ts) -> int:
     """Delta's TIMESTAMP AS OF resolution: the LATEST retained commit
     whose commitInfo.timestamp is at or before the target. Accepts
-    epoch milliseconds or an ISO-8601 string (naive = UTC). Raises when
-    the target predates the oldest retained commit — cleaned-up history
-    is not silently substituted."""
+    epoch milliseconds or an ISO-8601 string; a NAIVE string resolves
+    in ``spark.sql.session.timeZone`` — the same rule delta-spark
+    applies, so one string names the same version here and there on a
+    non-UTC session. Raises when the target predates the oldest
+    retained commit — cleaned-up history is not silently substituted."""
     if isinstance(ts, str):
         from datetime import datetime, timezone
+        from zoneinfo import ZoneInfo
 
         dt = datetime.fromisoformat(ts)
         if dt.tzinfo is None:
-            dt = dt.replace(tzinfo=timezone.utc)
+            tz_name = spark.conf.get("spark.sql.session.timeZone")
+            try:
+                dt = dt.replace(tzinfo=ZoneInfo(tz_name))
+            except KeyError:
+                # Spark also accepts fixed offsets ('GMT+08:00');
+                # %z parses the +HH:MM form directly
+                off = datetime.strptime(
+                    tz_name.removeprefix("GMT").removeprefix("UTC"), "%z"
+                )
+                dt = dt.replace(tzinfo=off.tzinfo or timezone.utc)
         ts = int(dt.timestamp() * 1000)
     infos = _commit_infos(spark, dest)
     stamped = [(v, i["timestamp"]) for v, i in infos if "timestamp" in i]
@@ -1089,6 +1145,11 @@ def convert_to_delta(
     files, part_cols = _snapshot_files(spark, table_dir)
     if not files:
         raise FileNotFoundError(f"no parquet files under {table_dir}")
+    # refuse at conversion time rather than mint a table whose files
+    # the local filesystem can never read back
+    _refuse_local_colon(
+        fs, (rel for rel, *_ in files), f"convert_to_delta at {table_dir}"
+    )
     # Infer the schema from exactly the files being converted (with
     # basePath so hive dirs contribute the partition columns) — a bare
     # root read would also sweep up foreign non-hive subdirectories the
@@ -1148,9 +1209,10 @@ def read_delta(
     demanding reader features above its floor, and reads the active
     files under the log's own schema. ``version`` time-travels
     (Delta's ``VERSION AS OF``); ``timestamp`` (epoch ms or ISO-8601
-    string) resolves to the latest retained commit at-or-before it
-    (Delta's ``TIMESTAMP AS OF``); versions below a pruned checkpoint
-    raise the missing-commits error."""
+    string — a NAIVE string resolves in ``spark.sql.session.timeZone``,
+    the same rule as delta-spark) resolves to the latest retained
+    commit at-or-before it (Delta's ``TIMESTAMP AS OF``); versions
+    below a pruned checkpoint raise the missing-commits error."""
     if version is not None and timestamp is not None:
         raise ValueError("pass either version or timestamp, not both")
     if timestamp is not None:
@@ -1233,6 +1295,30 @@ def _has_nested_mapping(dt) -> bool:
     return False
 
 
+def _refuse_local_colon(fs, disk_rels, context: str) -> None:
+    """Hadoop's local filesystem cannot serve a data file whose NAME
+    contains ':' — ChecksumFileSystem builds the CRC sibling
+    ``.<name>.crc`` as a relative child Path, which ``new URI()``
+    rejects as a scheme separator (the HADOOP-14829 class), so the read
+    dies in an opaque ``URISyntaxException`` no matter how ``add.path``
+    percent-encodes the colon. Refuse up front with the contract spelled
+    out instead. Object stores and HDFS address differently and are not
+    gated here (HDFS rejects colon names at create time itself)."""
+    if fs.getUri().getScheme() != "file":
+        return
+    bad = sorted(
+        {rel for rel in disk_rels if ":" in rel.rsplit("/", 1)[-1]}
+    )
+    if bad:
+        raise IOError(
+            f"{context}: data file name(s) contain ':', which Hadoop's "
+            "local filesystem cannot read back (the checksum sibling "
+            "'.<name>.crc' is an unrepresentable relative Path — "
+            f"HADOOP-14829): {bad[:3]}. Rename the file(s) or serve "
+            "the table from an object store."
+        )
+
+
 def _resolve_disk_paths(
     spark: SparkSession, dest: str, rels
 ) -> dict[str, str]:
@@ -1241,19 +1327,46 @@ def _resolve_disk_paths(
     but the RAW string names an existing file, the log predates the
     percent-encoding layer (the pre-r8 exporter stored raw disk names,
     which can themselves contain hive %-escapes) — fall back so an
-    upgraded reader keeps serving pre-upgrade exports. Existence probes
-    run only for paths containing an escape (identity otherwise)."""
+    upgraded reader keeps serving pre-upgrade exports.
+
+    Existence probes run only for paths containing an escape (identity
+    fast-path otherwise) and are BATCHED: one ``listStatus`` per parent
+    directory, cached across files — never per-file ``fs.exists``,
+    which on a 10^6-file foreign table whose paths all carry hive
+    %-escapes would be 2x10^6 serial NameNode round-trips on the read
+    path. Also enforces the local-filesystem colon contract
+    (:func:`_refuse_local_colon`) on the resolved names."""
     _, HPath, fs = _fs(spark, dest)
+    listed: dict[str, frozenset[str]] = {}
+
+    def _names(parent_abs: str) -> frozenset[str]:
+        got = listed.get(parent_abs)
+        if got is None:
+            try:
+                got = frozenset(
+                    st.getPath().getName()
+                    for st in fs.listStatus(HPath(parent_abs))
+                )
+            except Exception:
+                # missing parent directory: nothing under it exists
+                got = frozenset()
+            listed[parent_abs] = got
+        return got
+
+    def _exists(rel: str) -> bool:
+        head, _, base = rel.rpartition("/")
+        parent = os.path.join(dest, head) if head else dest
+        return base in _names(parent)
+
     out: dict[str, str] = {}
     for rel in rels:
         dec = _decode_path(rel)
-        abs_dec = os.path.join(dest, dec)
-        if dec != rel and not fs.exists(HPath(abs_dec)):
-            abs_raw = os.path.join(dest, rel)
-            if fs.exists(HPath(abs_raw)):
-                out[rel] = abs_raw
-                continue
-        out[rel] = abs_dec
+        if dec != rel and not _exists(dec) and _exists(rel):
+            out[rel] = os.path.join(dest, rel)
+        else:
+            out[rel] = os.path.join(dest, dec)
+    # basename extraction in the gate works on absolute paths too
+    _refuse_local_colon(fs, out.values(), f"read_delta at {dest}")
     return out
 
 
@@ -1366,6 +1479,7 @@ def publish_delta(
     ordinal = 0
     prev_schema: str | None = None
     prev_pcols: list[str] | None = None
+    prev_ts: int = -1
     if commits or cp is not None:
         latest = _latest_log_version(spark, dest)
         state = _replay(spark, dest, latest)
@@ -1373,6 +1487,7 @@ def publish_delta(
         ordinal = state["max_source_version"] + 1
         prev_schema = state["schema_string"]
         prev_pcols = state["metadata"].get("partitionColumns") or []
+        prev_ts = _latest_commit_ts(spark, dest)
         next_commit = latest + 1
     else:
         next_commit = 0
@@ -1388,6 +1503,7 @@ def publish_delta(
         table_identity=dest,
         prev_schema=prev_schema,
         prev_partition_cols=prev_pcols,
+        prev_ts=prev_ts,
     )
     cp_version = -1 if cp is None else cp["version"]
     if checkpoint_interval and next_commit - cp_version >= checkpoint_interval:

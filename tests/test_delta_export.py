@@ -1439,11 +1439,31 @@ def test_pre_encoding_logs_with_escaped_dirs_still_read_and_vacuum_safely(
     assert read_delta(spark, root).count() == 1
 
 
+def _stage_colon_file(spark, tmp_path, root):
+    os.makedirs(root)
+    spark.createDataFrame([(3,)], "v int").coalesce(1).write.parquet(
+        str(tmp_path / "stage")
+    )
+    src = next(
+        f for f in os.listdir(tmp_path / "stage") if f.endswith(".parquet")
+    )
+    dst = os.path.join(root, "log:2017.parquet")
+    os.rename(str(tmp_path / "stage" / src), dst)
+    return dst
+
+
 def test_first_segment_colon_is_encoded(spark, tmp_path):
-    """Review r8 #3 (third pass): RFC 2396 rel_segment forbids ':'
-    before the first '/' — 'log:2017.parquet' would parse as scheme
-    'log' in delta-spark's new URI(path). convert_to_delta over such a
-    file must encode the colon, and the reader must resolve it back."""
+    """Review r8 #3 (third pass) + r8 verdict: RFC 2396 rel_segment
+    forbids ':' before the first '/' — 'log:2017.parquet' would parse
+    as scheme 'log' in delta-spark's new URI(path) — so _encode_path
+    must escape it for foreign/object-store logs. But on Hadoop's LOCAL
+    filesystem such a file is unreadable regardless of encoding: the
+    ChecksumFileSystem CRC sibling '.log:2017.parquet.crc' is an
+    unrepresentable relative Path (HADOOP-14829), so the PRODUCT
+    CONTRACT is refusal with a clear error at conversion time, never an
+    opaque URISyntaxException mid-scan."""
+    import pytest
+
     from olist_lakehouse_2_0_spark.delta_export import (
         _encode_path,
         convert_to_delta,
@@ -1452,21 +1472,56 @@ def test_first_segment_colon_is_encoded(spark, tmp_path):
     assert _encode_path("log:2017.parquet") == "log%3A2017.parquet"
     assert _encode_path("d=1/log:2017.parquet") == "d=1/log:2017.parquet"
     root = str(tmp_path / "colon")
-    os.makedirs(root)
-    spark.createDataFrame([(3,)], "v int").coalesce(1).write.parquet(
-        str(tmp_path / "stage")
-    )
-    src = next(
-        f for f in os.listdir(tmp_path / "stage") if f.endswith(".parquet")
-    )
-    os.rename(
-        str(tmp_path / "stage" / src), os.path.join(root, "log:2017.parquet")
-    )
-    convert_to_delta(spark, root)
-    commits, _ = _commits(root)
-    (add,) = [a["add"] for a in commits[0] if "add" in a]
-    assert add["path"] == "log%3A2017.parquet"
-    assert read_delta(spark, root).collect()[0]["v"] == 3
+    _stage_colon_file(spark, tmp_path, root)
+    with pytest.raises(IOError, match="HADOOP-14829"):
+        convert_to_delta(spark, root)
+    # refusal happens BEFORE any log is minted
+    assert not os.path.exists(os.path.join(root, "_delta_log"))
+
+
+def test_foreign_colon_path_read_is_refused_on_local_fs(spark, tmp_path):
+    """A FOREIGN log (e.g. written on an object store, copied to local
+    disk) referencing a colon-named data file must refuse at read
+    planning with the contract error, not die in Hadoop's checksum
+    layer mid-scan."""
+    import pytest
+
+    root = str(tmp_path / "colonread")
+    dst = _stage_colon_file(spark, tmp_path, root)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "v", "type": "integer", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "forged-colon",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": [], "configuration": {},
+                "createdTime": 0,
+            }
+        },
+        {
+            "add": {
+                "path": "log%3A2017.parquet",
+                "partitionValues": {},
+                "size": os.path.getsize(dst),
+                "modificationTime": 0, "dataChange": True,
+            }
+        },
+    ]
+    os.makedirs(os.path.join(root, "_delta_log"))
+    with open(
+        os.path.join(root, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+    with pytest.raises(IOError, match="HADOOP-14829"):
+        read_delta(spark, root).collect()
 
 
 def test_hidden_extra_segment_routes_to_log_fallback(spark, tmp_path):
@@ -1540,3 +1595,145 @@ def test_hidden_extra_segment_routes_to_log_fallback(spark, tmp_path):
     assert {(r["a"], r["v"]) for r in got.collect()} == {
         ("1", 10), ("2", 20)
     }
+
+
+def test_resolve_disk_paths_batches_listings_per_directory(
+    spark, tmp_path, monkeypatch
+):
+    """r8 verdict scale nit: resolving N escape-carrying legacy paths
+    must cost ONE directory listing per parent directory (names cached
+    across files), not 2N per-file existence probes — on a 10^6-file
+    foreign table with hive %-escapes the per-file form is 2x10^6
+    serial NameNode round-trips on the read path."""
+    from olist_lakehouse_2_0_spark import delta_export as de
+
+    root = str(tmp_path / "legacy")
+    os.makedirs(root)
+    rels = []
+    for i in range(8):
+        # RAW disk names containing an escape: the pre-encoding
+        # exporter stored these verbatim in add.path
+        name = f"part%20{i}.parquet"
+        open(os.path.join(root, name), "wb").close()
+        rels.append(name)
+
+    real_fs = de._fs
+    counts = {"listStatus": 0}
+
+    class _CountingFs:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def listStatus(self, p):
+            counts["listStatus"] += 1
+            return self._inner.listStatus(p)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    def counting(spark_, path):
+        jvm, HPath, fs = real_fs(spark_, path)
+        return jvm, HPath, _CountingFs(fs)
+
+    monkeypatch.setattr(de, "_fs", counting)
+    out = de._resolve_disk_paths(spark, root, rels)
+    # every decoded form ('part 0.parquet') is absent and every raw
+    # name exists -> all 8 take the legacy fallback...
+    for rel in rels:
+        assert out[rel] == os.path.join(root, rel)
+    # ...through exactly ONE listing of the one parent directory
+    assert counts["listStatus"] == 1
+
+
+def test_commit_timestamps_clamped_strictly_monotonic(spark, tmp_path):
+    """ADVICE r8: commitInfo timestamps must be strictly monotone even
+    when a snapshot's file mtimes REGRESS (copied snapshot, clock
+    skew) — Delta clamps the same way — or TIMESTAMP AS OF resolution
+    and export_history ordering flake."""
+    from olist_lakehouse_2_0_spark.delta_export import export_history
+
+    cat = Catalog(root=str(tmp_path / "cat"))
+    dest = str(tmp_path / "delta")
+    for n in (10, 20):
+        cat.write_versioned(spark.range(n), spark, "t", keep=4)
+    export_delta(spark, cat.path_for("t"), dest, checkpoint_interval=0)
+    # next snapshot's files backdated to 2000-01-01
+    cat.write_versioned(spark.range(30), spark, "t", keep=4)
+    v3 = os.path.join(cat.path_for("t"), "v000000003")
+    old = 946684800
+    for dirpath, _, files in os.walk(v3):
+        for f in files:
+            os.utime(os.path.join(dirpath, f), (old, old))
+    export_delta(spark, cat.path_for("t"), dest, checkpoint_interval=0)
+    hist = export_history(spark, dest).orderBy("version").collect()
+    ts = [h["timestamp"] for h in hist]
+    assert len(ts) == 3 and ts[2] > ts[1] > ts[0]
+    # the clamped stamp resolves the regressed version itself
+    assert read_delta(spark, dest, timestamp=ts[2]).count() == 30
+
+
+def test_naive_timestamp_resolves_in_session_timezone(spark, tmp_path):
+    """ADVICE r8: a NAIVE ISO-8601 TIMESTAMP AS OF string resolves in
+    spark.sql.session.timeZone (delta-spark's rule), not hardcoded
+    UTC — the same string must name the same version on a non-UTC
+    session."""
+    from datetime import datetime, timezone
+    from zoneinfo import ZoneInfo
+
+    from olist_lakehouse_2_0_spark.delta_export import (
+        _resolve_timestamp,
+        export_history,
+    )
+
+    _, root = _versioned_table(spark, tmp_path, counts=(5,))
+    dest = str(tmp_path / "delta")
+    export_delta(spark, root, dest)
+    ts0 = export_history(spark, dest).collect()[0]["timestamp"]
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set(
+            "spark.sql.session.timeZone", "America/Los_Angeles"
+        )
+        la = ZoneInfo("America/Los_Angeles")
+        naive = datetime.fromtimestamp(
+            (ts0 + 5) / 1000, tz=la
+        ).replace(tzinfo=None)
+        # under the session tz this lands just after commit 0; the old
+        # naive=UTC reading places it 7-8h EARLIER than the commit and
+        # would refuse as predating retained history
+        assert int(
+            naive.replace(tzinfo=timezone.utc).timestamp() * 1000
+        ) < ts0
+        assert _resolve_timestamp(spark, dest, naive.isoformat()) == 0
+        # fixed-offset session timezones (Spark accepts 'GMT+08:00')
+        # take the %z fallback and must not crash
+        spark.conf.set("spark.sql.session.timeZone", "GMT+08:00")
+        assert _resolve_timestamp(spark, dest, "2100-01-01") == 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+
+
+def test_commit_staging_is_writer_unique(spark, tmp_path):
+    """ADVICE r8 (medium): two exporters racing on one version must
+    never share a staging inode — a stale fixed-name '<v>.json.tmp'
+    (the pre-r9 staging path, here standing in for a concurrent
+    writer's stage) must be left untouched, and the published commit
+    must carry OUR bytes."""
+    from olist_lakehouse_2_0_spark.delta_export import (
+        _commit_path,
+        _read_commit,
+        _write_commit,
+    )
+
+    dest = str(tmp_path / "delta")
+    os.makedirs(os.path.join(dest, "_delta_log"))
+    stale = _commit_path(dest, 0) + ".tmp"
+    with open(stale, "w") as fh:
+        fh.write('{"foreign":"writer"}')
+    _write_commit(spark, dest, 0, [{"commitInfo": {"timestamp": 1}}])
+    assert _read_commit(spark, dest, 0) == [
+        {"commitInfo": {"timestamp": 1}}
+    ]
+    # the foreign stage was never adopted, truncated, or promoted
+    with open(stale) as fh:
+        assert fh.read() == '{"foreign":"writer"}'
