@@ -391,6 +391,42 @@ _R7_CHECKED = {
 #: All were re-verified in this round's tri-scale sweep post-change.
 _CHANGED_IN_R8: set[str] = set()
 
+#: Queries hash-green in round 8's window (CORRECTNESS_r08.json —
+#: 50/50 green).
+_R8_CHECKED = {
+    "approx_quantile_error_gate", "audio_metadata", "audio_wav_stats",
+    "bloom_pruned_fact_join", "bm25_doc_ranking",
+    "bucketed_segment_revenue", "cdc_fanout_consistency",
+    "clustered_pruned_revenue", "compaction_roundtrip_metrics",
+    "csv_audit_columns", "customer_order_distribution", "daily_orders",
+    "delta_convert_publish_history", "delta_export_roundtrip",
+    "discounted_revenue_disjunctive", "doc_chunks",
+    "doc_novelty_profile", "doc_quality_zscore", "dq_aggregate_gate",
+    "embedding_topk_bruteforce", "embedding_topk_ivf_indexed",
+    "embedding_topk_ivf_indexed_recall", "embedding_topk_pq_exact",
+    "events_stream_static_enrich", "events_stream_table_to_table",
+    "exact_dedup_docs", "first_order_per_customer",
+    "hybrid_rrf_retrieval", "jaccard_dups", "monthly_orders_lag",
+    "mv_csv_roundtrip", "orders_enriched", "partition_overwrite_gold",
+    "pii_masked_customers", "pipeline_event_log_audit",
+    "region_filtered_customers", "scd1_users", "scd1_users_incremental",
+    "scd2_users", "scd2_users_incremental", "scd2_validity_audit",
+    "schema_evolution_metrics", "segment_spend_extremes",
+    "semantic_dedup_survivors", "similar_name_pairs",
+    "sql_entry_revenue", "sql_udf_masked_customers",
+    "text_source_roundtrip", "text_stats", "zorder_pruned_revenue",
+}
+
+#: Queries whose IMPLEMENTATION changed in round 9 — front-load into
+#: this round's driver window. The delta_export machinery under both
+#: delta queries changed (strictly-monotone commitInfo timestamps,
+#: writer-unique commit staging, batched legacy-path resolution, the
+#: local-FS colon contract, session-timezone TIMESTAMP AS OF): their
+#: r8 green rows vouch for code that no longer exists.
+_CHANGED_IN_R9 = {
+    "delta_export_roundtrip", "delta_convert_publish_history",
+}
+
 #: Queries hash-green in round 3's window (CORRECTNESS_r03.json — 47
 #: green of 50 rows; the 3 non-green rows were rows-only twins /
 #: the array-column profile, all de-registered in round 4).
@@ -427,28 +463,29 @@ def _ordered_for_window(
     windowed); (2) queries whose implementation CHANGED this round (a
     stale green row proves nothing about rewritten code); (3) the
     greens by the round of their NEWEST driver row, stalest first, so
-    spare slots re-confirm the oldest evidence. Round 8's window
-    (VERDICT r7 next-step #2: rotate the r4-stale cohort) = the new
-    queries + ALL 45 r4-latest stale greens + any spare slots falling
-    to the stalest r5 greens — so after this round no registered
-    query's newest driver row predates r5. The round-8 additions were
-    sized to that budget (50 − 45 = 5 slots for new + changed)."""
+    spare slots re-confirm the oldest evidence. Round 9's window
+    (VERDICT r8 next-step #3: rotate the r5-stale cohort) = the new
+    queries + the 2 machinery-changed delta queries + ALL 40 r5-latest
+    stale greens + any spare slots falling to the stalest r6 greens —
+    so after this round no registered query's newest driver row
+    predates r6. The round-9 additions were sized to that budget
+    (50 − 40 − 2 = 8 slots for new queries)."""
     never_checked: list[tuple[str, QueryFn]] = []
     changed_this_round: list[tuple[str, QueryFn]] = []
     by_latest: dict[int, list[tuple[str, QueryFn]]] = {
-        1: [], 2: [], 3: [], 4: [], 5: [], 6: [], 7: [],
+        1: [], 2: [], 3: [], 4: [], 5: [], 6: [], 7: [], 8: [],
     }
     rounds = [
-        (7, _R7_CHECKED), (6, _R6_CHECKED), (5, _R5_CHECKED),
-        (4, _R4_CHECKED), (3, _R3_CHECKED), (2, _R2_CHECKED),
-        (1, _R1_CHECKED),
+        (8, _R8_CHECKED), (7, _R7_CHECKED), (6, _R6_CHECKED),
+        (5, _R5_CHECKED), (4, _R4_CHECKED), (3, _R3_CHECKED),
+        (2, _R2_CHECKED), (1, _R1_CHECKED),
     ]
     for item in queries.items():
         name = item[0]
         latest = next((rnd for rnd, s in rounds if name in s), None)
         if latest is None:
             never_checked.append(item)
-        elif name in _CHANGED_IN_R8:
+        elif name in _CHANGED_IN_R9:
             changed_this_round.append(item)
         else:
             by_latest[latest].append(item)
@@ -462,6 +499,7 @@ def _ordered_for_window(
         + by_latest[5]
         + by_latest[6]
         + by_latest[7]
+        + by_latest[8]
     )
 
 
