@@ -176,3 +176,36 @@ def test_schema_enforcement_on_versioned_write(spark, tmp_path):
         assert "new columns" in str(e)
     # The failed writes left the table intact and current.
     assert cat.read(spark, "t").count() == 5
+
+
+def test_version_history_ignores_hidden_hive_dirs(spark, tmp_path):
+    """ADVICE r8 (catalog): version_history must traverse the same
+    directory universe as the Delta export/vacuum walk — a hidden
+    '_backup=x'-style directory inside a version is invisible to the
+    exporter, the reader, and vacuum, so it must not inflate the
+    reported file counts/bytes either."""
+    import shutil
+
+    cat = Catalog(root=str(tmp_path / "cat"))
+    df = spark.createDataFrame([("A", 1), ("B", 2)], "k string, v int")
+    cat.write_versioned(
+        df.repartition(1), spark, "t", partition_by=["k"]
+    )
+    v1 = os.path.join(cat.path_for("t"), "v000000001")
+    hist0 = cat.version_history(spark, "t").collect()[0]
+    assert hist0["n_files"] == 2
+    # plant a hidden hive-looking dir with a real parquet file inside
+    (src_dir,) = [d for d in os.listdir(v1) if d == "k=A"]
+    (src_file,) = [
+        f for f in os.listdir(os.path.join(v1, src_dir))
+        if f.endswith(".parquet")
+    ]
+    hidden = os.path.join(v1, "_backup=x")
+    os.makedirs(hidden)
+    shutil.copy(
+        os.path.join(v1, src_dir, src_file),
+        os.path.join(hidden, "f.parquet"),
+    )
+    hist1 = cat.version_history(spark, "t").collect()[0]
+    assert hist1["n_files"] == 2
+    assert hist1["bytes"] == hist0["bytes"]
