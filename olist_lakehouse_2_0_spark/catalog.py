@@ -843,12 +843,29 @@ class Catalog:
         from pyspark.sql import functions as F
 
         path = self.path_for(name, layer)
-        files = [
-            os.path.join(root, f)
-            for root, _, names in os.walk(path)
-            for f in names
-            if f.endswith(".parquet")
-        ]
+        files: list[str] = []
+        hidden: list[str] = []
+        for walk_root, _dirs, names in os.walk(path):
+            rel = os.path.relpath(walk_root, path)
+            is_hidden = rel != "." and any(
+                seg.startswith(("_", ".")) for seg in rel.split(os.sep)
+            )
+            for f in names:
+                if f.endswith(".parquet"):
+                    (hidden if is_hidden else files).append(
+                        os.path.join(walk_root, f)
+                    )
+        if hidden:
+            # A '_'/'.'-prefixed directory holding parquet is foreign
+            # data: invisible to stats/export/reader/vacuum, fatal to
+            # Spark's partition discovery on the rewrite read, and the
+            # staging swap would silently DESTROY it. Refuse loudly.
+            raise IOError(
+                f"compact({name}): foreign parquet under hidden "
+                f"director{'ies' if len(hidden) > 1 else 'y'} inside "
+                f"the table, e.g. {hidden[0]!r} — move or remove it "
+                "before compacting (the rewrite would drop it)"
+            )
         total = sum(os.path.getsize(f) for f in files)
         n = max(1, math.ceil(total / target_file_bytes))
         if n >= len(files):
@@ -857,10 +874,13 @@ class Catalog:
         part_cols: list[str] = []
         probe = path
         while True:
+            # same predicate as stats/export/reader/vacuum: a hidden
+            # '_backup=x' dir is invisible to Spark's own discovery
+            # and must not derail the nesting probe
             subs = [
                 d
                 for d in sorted(os.listdir(probe))
-                if "=" in d and os.path.isdir(os.path.join(probe, d))
+                if _is_hive_dir(d) and os.path.isdir(os.path.join(probe, d))
             ]
             if not subs:
                 break

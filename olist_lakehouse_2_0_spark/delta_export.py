@@ -250,6 +250,16 @@ def _atomic_promote(spark: SparkSession, jvm, fs, tmp, final) -> bool:
         if "AlreadyExists" in str(e):
             return False
         raise
+    # FileContext bypasses the ChecksumFileSystem wrapper, so on
+    # checksum schemes tmp's '.crc' sibling is not renamed along —
+    # drop it rather than strand one per commit
+    crc = jvm.org.apache.hadoop.fs.Path(
+        tmp.getParent(), "." + tmp.getName() + ".crc"
+    )
+    try:
+        fs.delete(crc, False)
+    except Exception:
+        pass
     return True
 
 
@@ -281,12 +291,21 @@ def _write_commit(
             f"delta commit {version} already exists at {dest}: "
             "concurrent export or non-append history rewrite"
         )
-    out = fs.create(tmp, True)
     try:
-        payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
-        out.write(bytearray(payload.encode("utf-8")))
-    finally:
-        out.close()
+        out = fs.create(tmp, True)
+        try:
+            payload = "\n".join(
+                json.dumps(a, separators=(",", ":")) for a in actions
+            )
+            out.write(bytearray(payload.encode("utf-8")))
+        finally:
+            out.close()
+    except BaseException:
+        # a failed write (disk full, connection reset) must not leak
+        # the uniquely-named stage — unlike the old fixed '.tmp' name,
+        # retries never overwrite it
+        fs.delete(tmp, False)
+        raise
     if not _atomic_promote(spark, jvm, fs, tmp, final):
         fs.delete(tmp, False)
         raise IOError(
@@ -913,14 +932,28 @@ def _append_snapshot_commit(
         if fs.exists(dst) and fs.getFileStatus(dst).getLen() != size:
             fs.delete(dst, False)
         if not fs.exists(dst):
-            tmp = HPath(os.path.join(dest, rel + ".tmp"))
-            ok = jvm.org.apache.hadoop.fs.FileUtil.copy(
-                fs, src, fs, tmp, False,
-                spark._jsc.hadoopConfiguration(),
+            # writer-UNIQUE stage, same discipline as _write_commit:
+            # two exporters racing on one version compute the same rel,
+            # and a shared tmp name would let writer B truncate the
+            # inode writer A is about to rename — a torn data file
+            # behind a committed add. With unique stages the last
+            # rename wins with a COMPLETE copy of identical bytes.
+            tmp = HPath(
+                os.path.join(dest, f"{rel}.{uuid.uuid4().hex}.tmp")
             )
-            if not ok or not fs.rename(tmp, dst):
+            try:
+                ok = jvm.org.apache.hadoop.fs.FileUtil.copy(
+                    fs, src, fs, tmp, False,
+                    spark._jsc.hadoopConfiguration(),
+                )
+                if not ok or not fs.rename(tmp, dst):
+                    raise IOError(
+                        f"delta export copy failed: {src} -> {dst}"
+                    )
+            except BaseException:
+                # never leak a uniquely-named stage on any failure
                 fs.delete(tmp, False)
-                raise IOError(f"delta export copy failed: {src} -> {dst}")
+                raise
         # add.path is the RFC 2396 percent-encoded form of the disk
         # path (identity for plain names) — the protocol's contract,
         # and what delta-spark's new Path(new URI(path)) expects
@@ -1078,12 +1111,26 @@ def _resolve_timestamp(spark: SparkSession, dest: str, ts) -> int:
             try:
                 dt = dt.replace(tzinfo=ZoneInfo(tz_name))
             except KeyError:
-                # Spark also accepts fixed offsets ('GMT+08:00');
-                # %z parses the +HH:MM form directly
-                off = datetime.strptime(
-                    tz_name.removeprefix("GMT").removeprefix("UTC"), "%z"
+                # Spark also accepts fixed offsets in every form Java
+                # ZoneId does: 'GMT+8', 'UTC+08:00', 'UT-0530', '+09'.
+                # %z can't parse the short forms, so match explicitly.
+                import re
+                from datetime import timedelta
+
+                m = re.fullmatch(
+                    r"(?:GMT|UTC|UT)?([+-])(\d{1,2})(?::?(\d{2}))?",
+                    tz_name,
                 )
-                dt = dt.replace(tzinfo=off.tzinfo or timezone.utc)
+                if not m:
+                    raise ValueError(
+                        f"unsupported session timezone {tz_name!r} for "
+                        "naive TIMESTAMP AS OF resolution"
+                    ) from None
+                sign = 1 if m.group(1) == "+" else -1
+                off = timedelta(
+                    hours=int(m.group(2)), minutes=int(m.group(3) or 0)
+                )
+                dt = dt.replace(tzinfo=timezone(sign * off))
         ts = int(dt.timestamp() * 1000)
     infos = _commit_infos(spark, dest)
     stamped = [(v, i["timestamp"]) for v, i in infos if "timestamp" in i]
@@ -1347,8 +1394,14 @@ def _resolve_disk_paths(
                     st.getPath().getName()
                     for st in fs.listStatus(HPath(parent_abs))
                 )
-            except Exception:
-                # missing parent directory: nothing under it exists
+            except Exception as e:
+                # ONLY a missing parent means "nothing under it
+                # exists"; permission/transient IO errors must
+                # propagate (fs.exists would have raised them too) —
+                # swallowing one here would silently flip the
+                # legacy-vs-decoded routing to the wrong file
+                if "FileNotFoundException" not in str(e):
+                    raise
                 got = frozenset()
             listed[parent_abs] = got
         return got

@@ -252,3 +252,47 @@ def test_filtered_scan_reads_fewer_rows_on_clustered(spark, sf_smoke, tmp_path):
     expected = li.filter(pred).count()
     for name in ("li_rr", "li_rc"):
         assert spark.read.parquet(cat.path_for(name)).filter(pred).count() == expected
+
+
+def test_compact_refuses_hidden_foreign_parquet(spark, sf_smoke, tmp_path):
+    """Code-review r9: a hidden '_backup=x' directory holding parquet
+    inside a table is foreign data — invisible to stats/export/vacuum,
+    fatal to Spark's partition discovery on the rewrite read
+    (CONFLICTING_PARTITION_COLUMN_NAMES), and the staging swap would
+    silently DESTROY it. compact must refuse with a clear error and
+    leave the table untouched, not crash mid-rewrite or drop the dir."""
+    import shutil
+
+    import pytest
+
+    cat = Catalog(root=str(tmp_path))
+    orders = load(spark, sf_smoke, "orders").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    path = cat.path_for("orders_hidden")
+    (
+        orders.repartition(8)
+        .write.mode("overwrite")
+        .partitionBy("status")
+        .parquet(path)
+    )
+    cat.register("orders_hidden", path)
+    # plant the hidden hive-looking dir with a real parquet inside
+    (src_dir,) = [d for d in os.listdir(path) if d == "status=F"]
+    src_file = next(
+        f
+        for f in os.listdir(os.path.join(path, src_dir))
+        if f.endswith(".parquet")
+    )
+    hidden = os.path.join(path, "_backup=x")
+    os.makedirs(hidden)
+    shutil.copy(
+        os.path.join(path, src_dir, src_file),
+        os.path.join(hidden, "f.parquet"),
+    )
+    n_before = len(_parquet_files(path))
+    with pytest.raises(IOError, match="_backup=x"):
+        cat.compact(spark, "orders_hidden", target_file_bytes=1 << 20)
+    # untouched: same visible files, foreign file still there
+    assert len(_parquet_files(path)) == n_before
+    assert os.path.exists(os.path.join(hidden, "f.parquet"))

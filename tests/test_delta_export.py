@@ -1644,6 +1644,23 @@ def test_resolve_disk_paths_batches_listings_per_directory(
     # ...through exactly ONE listing of the one parent directory
     assert counts["listStatus"] == 1
 
+    # a transient/permission listing failure must PROPAGATE, never be
+    # cached as "directory empty" (that would silently flip the
+    # legacy-vs-decoded routing to the wrong file)
+    import pytest
+
+    class _FailingFs(_CountingFs):
+        def listStatus(self, p):
+            raise RuntimeError("Permission denied: fake transient")
+
+    def failing(spark_, path):
+        jvm, HPath, fs = real_fs(spark_, path)
+        return jvm, HPath, _FailingFs(fs)
+
+    monkeypatch.setattr(de, "_fs", failing)
+    with pytest.raises(RuntimeError, match="Permission denied"):
+        de._resolve_disk_paths(spark, root, rels)
+
 
 def test_commit_timestamps_clamped_strictly_monotonic(spark, tmp_path):
     """ADVICE r8: commitInfo timestamps must be strictly monotone even
@@ -1705,10 +1722,12 @@ def test_naive_timestamp_resolves_in_session_timezone(spark, tmp_path):
             naive.replace(tzinfo=timezone.utc).timestamp() * 1000
         ) < ts0
         assert _resolve_timestamp(spark, dest, naive.isoformat()) == 0
-        # fixed-offset session timezones (Spark accepts 'GMT+08:00')
-        # take the %z fallback and must not crash
-        spark.conf.set("spark.sql.session.timeZone", "GMT+08:00")
-        assert _resolve_timestamp(spark, dest, "2100-01-01") == 0
+        # fixed-offset session timezones take the explicit-offset
+        # fallback and must not crash — in every form Java ZoneId
+        # accepts, including the short ones %z cannot parse
+        for tz in ("GMT+08:00", "GMT+8", "UTC-0530", "UT+09", "+05:45"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            assert _resolve_timestamp(spark, dest, "2100-01-01") == 0
     finally:
         spark.conf.set("spark.sql.session.timeZone", orig)
 
