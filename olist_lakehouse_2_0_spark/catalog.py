@@ -844,27 +844,42 @@ class Catalog:
 
         path = self.path_for(name, layer)
         files: list[str] = []
-        hidden: list[str] = []
-        for walk_root, _dirs, names in os.walk(path):
+        foreign: list[str] = []
+        for walk_root, dirs, names in os.walk(path):
             rel = os.path.relpath(walk_root, path)
-            is_hidden = rel != "." and any(
-                seg.startswith(("_", ".")) for seg in rel.split(os.sep)
-            )
+            segs = [] if rel == "." else rel.split(os.sep)
+            # Spark committer scratch is DEBRIS, not data: a crashed
+            # write leaves '_temporary/**' behind; spark.read ignores
+            # it and the staging swap garbage-collects it — treating
+            # it as precious would brick compaction forever after any
+            # killed ingest job.
+            if segs and (
+                segs[0] == "_temporary"
+                or segs[0].startswith(".spark-staging")
+            ):
+                dirs[:] = []
+                continue
+            hidden_dir = any(s.startswith(("_", ".")) for s in segs)
             for f in names:
-                if f.endswith(".parquet"):
-                    (hidden if is_hidden else files).append(
-                        os.path.join(walk_root, f)
-                    )
-        if hidden:
-            # A '_'/'.'-prefixed directory holding parquet is foreign
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(walk_root, f)
+                # hidden-NAMED files are as invisible to Spark's
+                # rewrite read as hidden directories are
+                if hidden_dir or f.startswith(("_", ".")):
+                    foreign.append(full)
+                else:
+                    files.append(full)
+        if foreign:
+            # Hidden parquet outside Spark's own scratch is FOREIGN
             # data: invisible to stats/export/reader/vacuum, fatal to
             # Spark's partition discovery on the rewrite read, and the
             # staging swap would silently DESTROY it. Refuse loudly.
             raise IOError(
                 f"compact({name}): foreign parquet under hidden "
-                f"director{'ies' if len(hidden) > 1 else 'y'} inside "
-                f"the table, e.g. {hidden[0]!r} — move or remove it "
-                "before compacting (the rewrite would drop it)"
+                f"names inside the table, e.g. {foreign[0]!r} — move "
+                "or remove it before compacting (the rewrite would "
+                "drop it)"
             )
         total = sum(os.path.getsize(f) for f in files)
         n = max(1, math.ceil(total / target_file_bytes))

@@ -306,7 +306,14 @@ def _write_commit(
         # retries never overwrite it
         fs.delete(tmp, False)
         raise
-    if not _atomic_promote(spark, jvm, fs, tmp, final):
+    try:
+        promoted = _atomic_promote(spark, jvm, fs, tmp, final)
+    except BaseException:
+        # a promote that ERRORS (transient rename IO failure, ACL
+        # denial) must not strand the uniquely-named stage either
+        fs.delete(tmp, False)
+        raise
+    if not promoted:
         fs.delete(tmp, False)
         raise IOError(
             f"delta commit {version} already exists at {dest}: "
@@ -409,14 +416,15 @@ def _pvals_from_rel_path(rel: str) -> dict:
     )
 
 
-def _walk_hive_parquet(fs, HPath, root: str):
+def _walk_hive_parquet(fs, HPath, root: str, suffix: str = ".parquet"):
     """Yield (relative path, FileStatus, partition dict) for every
-    parquet file under ``root``, recursing ONLY through hive-style
-    ``col=value`` subdirectories — the single traversal discipline
-    shared by the export walk and the vacuum sweep, so what export can
-    reference and what vacuum may delete are exactly the same universe
-    (files in non-hive subdirectories are foreign data: never exported,
-    never swept)."""
+    ``suffix``-named file under ``root``, recursing ONLY through
+    hive-style ``col=value`` subdirectories — the single traversal
+    discipline shared by the export walk and the vacuum sweep, so what
+    export can reference and what vacuum may delete are exactly the
+    same universe (files in non-hive subdirectories are foreign data:
+    never exported, never swept). ``suffix=".tmp"`` walks the
+    crash-orphaned writer stages instead."""
 
     def walk(path: str, rel: str, pvals: dict):
         for st in fs.listStatus(HPath(path)):
@@ -429,7 +437,7 @@ def _walk_hive_parquet(fs, HPath, root: str):
                         f"{rel}{nm}/",
                         {**pvals, col: val},
                     )
-            elif nm.endswith(".parquet"):
+            elif nm.endswith(suffix):
                 yield f"{rel}{nm}", st, dict(pvals)
 
     yield from walk(root, "", {})
@@ -1112,25 +1120,33 @@ def _resolve_timestamp(spark: SparkSession, dest: str, ts) -> int:
                 dt = dt.replace(tzinfo=ZoneInfo(tz_name))
             except KeyError:
                 # Spark also accepts fixed offsets in every form Java
-                # ZoneId does: 'GMT+8', 'UTC+08:00', 'UT-0530', '+09'.
-                # %z can't parse the short forms, so match explicitly.
+                # ZoneId does: 'Z', 'GMT+8', 'UTC+08:00', 'UT-0530',
+                # '+09', '+08:30:15'. %z can't parse the short forms,
+                # so match explicitly (seconds included — Python's
+                # timezone() accepts sub-minute offsets since 3.7).
                 import re
                 from datetime import timedelta
 
                 m = re.fullmatch(
-                    r"(?:GMT|UTC|UT)?([+-])(\d{1,2})(?::?(\d{2}))?",
+                    r"(?:GMT|UTC|UT)?([+-])(\d{1,2})"
+                    r"(?::?(\d{2}))?(?::?(\d{2}))?",
                     tz_name,
                 )
-                if not m:
+                if tz_name == "Z":
+                    dt = dt.replace(tzinfo=timezone.utc)
+                elif m:
+                    sign = 1 if m.group(1) == "+" else -1
+                    off = timedelta(
+                        hours=int(m.group(2)),
+                        minutes=int(m.group(3) or 0),
+                        seconds=int(m.group(4) or 0),
+                    )
+                    dt = dt.replace(tzinfo=timezone(sign * off))
+                else:
                     raise ValueError(
                         f"unsupported session timezone {tz_name!r} for "
                         "naive TIMESTAMP AS OF resolution"
                     ) from None
-                sign = 1 if m.group(1) == "+" else -1
-                off = timedelta(
-                    hours=int(m.group(2)), minutes=int(m.group(3) or 0)
-                )
-                dt = dt.replace(tzinfo=timezone(sign * off))
         ts = int(dt.timestamp() * 1000)
     infos = _commit_infos(spark, dest)
     stamped = [(v, i["timestamp"]) for v, i in infos if "timestamp" in i]
@@ -1583,7 +1599,11 @@ def vacuum_export(
     crashing (retention keeps what is still readable — it cannot
     resurrect history a prior vacuum/prune removed). Concurrent readers
     of vacuumed-away versions fail like any Delta reader racing VACUUM
-    would, which is why the default export never calls this."""
+    would, which is why the default export never calls this; an
+    IN-FLIGHT concurrent WRITER is likewise excluded (as with Delta's
+    VACUUM, whose untracked-file sweep would also reclaim a live
+    uncommitted stage) — vacuum additionally deletes crash-orphaned
+    ``*.tmp`` writer stages, which no log ever references."""
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1")
     _, HPath, fs = _fs(spark, dest)
@@ -1639,6 +1659,21 @@ def vacuum_export(
         if rel not in referenced_disk:
             fs.delete(st.getPath(), False)
             deleted += 1
+    # Reclaim crash-orphaned writer stages: '<name>.<uuid>.tmp' files
+    # (data copies and commit JSONs) are never referenced by any log —
+    # add.path never names a .tmp — so they are debris from
+    # hard-killed exporters. VACUUM is the reclaim point, exactly as
+    # in Delta (whose VACUUM deletes all untracked files); like
+    # Delta's, it must not race an IN-FLIGHT writer, which the
+    # docstring's concurrency contract already excludes.
+    stage_files_deleted = 0
+    for _rel, st, _pv in _walk_hive_parquet(fs, HPath, dest, ".tmp"):
+        fs.delete(st.getPath(), False)
+        stage_files_deleted += 1
+    for st in fs.listStatus(HPath(os.path.join(dest, _LOG_DIR))):
+        if st.getPath().getName().endswith(".tmp"):
+            fs.delete(st.getPath(), False)
+            stage_files_deleted += 1
     # clean the log below the cutoff: JSON commits and old checkpoints
     commits_deleted = 0
     for v in _list_commits(spark, dest):
@@ -1652,4 +1687,5 @@ def vacuum_export(
         "cutoff": cutoff,
         "data_files_deleted": deleted,
         "commits_deleted": commits_deleted,
+        "stage_files_deleted": stage_files_deleted,
     }

@@ -101,6 +101,9 @@ HEADLINE = [
     "approx_quantile_error_gate",
     "delta_export_roundtrip",
     "delta_convert_publish_history",
+    # round 9
+    "delta_column_mapping_read",
+    "delta_partitioned_vacuum_lifecycle",
 ]
 
 SF = "/root/testdata/sf0.01"
@@ -133,6 +136,22 @@ NOTES = {
         "at sf0.1 one-shot, dominated by the LSH leg's fixed "
         "per-partition scheduling overhead (32 near-empty partitions "
         "at this SF), which amortizes at real scale."
+    ),
+    "delta_column_mapping_read": (
+        "Plan audit (r9): the scan half is one partition-discovery "
+        "basePath read over the physically-named hive layout, "
+        "re-projected to logical names — no shuffle, no UDF; the "
+        "forged-log doctoring and the id-mode refusal probe are "
+        "driver-side metadata work (O(log size)), exactly where Delta "
+        "clients do log replay."
+    ),
+    "delta_partitioned_vacuum_lifecycle": (
+        "Plan audit (r9): lifecycle by design — three ~5-row "
+        "partitioned publishes, a vacuum whose sweep is a driver-side "
+        "O(files) metadata walk, then three log-resolved reads planned "
+        "as pruned basePath scans (the priority filter prunes "
+        "directories at planning time); the survivor audit compares "
+        "two driver-side metadata walks, no Spark job."
     ),
 }
 

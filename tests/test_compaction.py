@@ -296,3 +296,43 @@ def test_compact_refuses_hidden_foreign_parquet(spark, sf_smoke, tmp_path):
     # untouched: same visible files, foreign file still there
     assert len(_parquet_files(path)) == n_before
     assert os.path.exists(os.path.join(hidden, "f.parquet"))
+
+
+def test_compact_tolerates_spark_write_debris(spark, sf_smoke, tmp_path):
+    """Code-review r9 (second pass): '_temporary/**' parquet is
+    Spark's own crashed-committer scratch, not foreign data — compact
+    must proceed (the swap garbage-collects it), while a hidden-NAMED
+    parquet file in the root is foreign and still refuses."""
+    import pytest
+
+    cat = Catalog(root=str(tmp_path))
+    orders = load(spark, sf_smoke, "orders")
+    path = cat.path_for("orders_debris")
+    orders.repartition(8).write.mode("overwrite").parquet(path)
+    cat.register("orders_debris", path)
+    scratch = os.path.join(path, "_temporary", "0", "attempt_1")
+    os.makedirs(scratch)
+    src = next(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    import shutil
+
+    shutil.copy(
+        os.path.join(path, src), os.path.join(scratch, "part.parquet")
+    )
+    before, after = cat.compact(
+        spark, "orders_debris", target_file_bytes=1 << 30
+    )
+    assert after <= before
+    # ...but a hidden-named file in the root is foreign data
+    path2 = cat.path_for("orders_hidden_file")
+    orders.repartition(4).write.mode("overwrite").parquet(path2)
+    cat.register("orders_hidden_file", path2)
+    src2 = next(
+        f for f in os.listdir(path2) if f.endswith(".parquet")
+    )
+    shutil.copy(
+        os.path.join(path2, src2), os.path.join(path2, "_backup.parquet")
+    )
+    with pytest.raises(IOError, match="_backup.parquet"):
+        cat.compact(spark, "orders_hidden_file", target_file_bytes=1 << 30)

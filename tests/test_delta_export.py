@@ -1725,7 +1725,10 @@ def test_naive_timestamp_resolves_in_session_timezone(spark, tmp_path):
         # fixed-offset session timezones take the explicit-offset
         # fallback and must not crash — in every form Java ZoneId
         # accepts, including the short ones %z cannot parse
-        for tz in ("GMT+08:00", "GMT+8", "UTC-0530", "UT+09", "+05:45"):
+        for tz in (
+            "GMT+08:00", "GMT+8", "UTC-0530", "UT+09", "+05:45",
+            "Z", "+08:30:15",
+        ):
             spark.conf.set("spark.sql.session.timeZone", tz)
             assert _resolve_timestamp(spark, dest, "2100-01-01") == 0
     finally:
@@ -1756,3 +1759,34 @@ def test_commit_staging_is_writer_unique(spark, tmp_path):
     # the foreign stage was never adopted, truncated, or promoted
     with open(stale) as fh:
         assert fh.read() == '{"foreign":"writer"}'
+
+
+def test_vacuum_reclaims_crash_orphaned_stages(spark, tmp_path):
+    """Code-review r9 (second pass): writer-unique '*.tmp' stages
+    leaked by a hard-killed exporter (kill -9 skips the cleanup
+    handlers) are referenced by no log and must be reclaimed by
+    vacuum — with unique names a retry no longer renames the orphan
+    away, so without this they accumulate one full-size copy per
+    crash."""
+    from olist_lakehouse_2_0_spark.delta_export import vacuum_export
+
+    _, root = _versioned_table(spark, tmp_path, counts=(10, 20))
+    dest = str(tmp_path / "delta")
+    export_delta(spark, root, dest)
+    # plant crash debris: a data-copy stage and a commit-JSON stage
+    with open(os.path.join(dest, "v000000001-part.parquet.abc123.tmp"),
+              "wb") as fh:
+        fh.write(b"torn")
+    log_tmp = os.path.join(
+        dest, "_delta_log", f"{2:020d}.json.def456.tmp"
+    )
+    with open(log_tmp, "w") as fh:
+        fh.write("{}")
+    before = read_delta(spark, dest).count()
+    res = vacuum_export(spark, dest, retain_versions=2)
+    assert res["stage_files_deleted"] == 2
+    assert not os.path.exists(log_tmp)
+    assert not any(
+        n.endswith(".tmp") for n in os.listdir(dest) if "=" not in n
+    )
+    assert read_delta(spark, dest).count() == before
