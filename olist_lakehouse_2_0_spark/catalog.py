@@ -837,27 +837,44 @@ class Catalog:
         coalesce rewrite would flatten the layout and silently break
         partition pruning and overwrite_partitions. Returns
         (files_before, files_after); no-op when already at or below
-        target."""
+        target.
+
+        Committer scratch vs foreign data: ``_temporary/**`` and
+        ``.spark-staging*`` trees are Spark's own write scratch — if
+        their newest mtime is older than ``_DEBRIS_MIN_AGE_S`` they
+        are crash debris and are deleted here (no other maintenance
+        path removes them), but a RECENTLY-modified tree means a
+        write may be IN FLIGHT and compaction refuses rather than
+        swap the live writer's output away. Any OTHER hidden-named
+        parquet is foreign data and always refuses: Spark's partition
+        discovery crashes on it and the swap would destroy it."""
         import math
+        import shutil
+        import time
 
         from pyspark.sql import functions as F
 
         path = self.path_for(name, layer)
         files: list[str] = []
         foreign: list[str] = []
+        debris_newest: dict[str, float] = {}
         for walk_root, dirs, names in os.walk(path):
             rel = os.path.relpath(walk_root, path)
             segs = [] if rel == "." else rel.split(os.sep)
-            # Spark committer scratch is DEBRIS, not data: a crashed
-            # write leaves '_temporary/**' behind; spark.read ignores
-            # it and the staging swap garbage-collects it — treating
-            # it as precious would brick compaction forever after any
-            # killed ingest job.
             if segs and (
                 segs[0] == "_temporary"
                 or segs[0].startswith(".spark-staging")
             ):
-                dirs[:] = []
+                top = os.path.join(path, segs[0])
+                newest = max(
+                    debris_newest.get(top, 0.0),
+                    os.path.getmtime(walk_root),
+                    *(
+                        os.path.getmtime(os.path.join(walk_root, f))
+                        for f in names
+                    ),
+                )
+                debris_newest[top] = newest
                 continue
             hidden_dir = any(s.startswith(("_", ".")) for s in segs)
             for f in names:
@@ -870,6 +887,18 @@ class Catalog:
                     foreign.append(full)
                 else:
                     files.append(full)
+        now = time.time()
+        live = sorted(
+            d
+            for d, m in debris_newest.items()
+            if now - m < _DEBRIS_MIN_AGE_S
+        )
+        if live:
+            raise IOError(
+                f"compact({name}): write scratch {live[0]!r} was "
+                "modified recently — an ingest may be in flight; "
+                "retry after it finishes"
+            )
         if foreign:
             # Hidden parquet outside Spark's own scratch is FOREIGN
             # data: invisible to stats/export/reader/vacuum, fatal to
@@ -881,6 +910,10 @@ class Catalog:
                 "or remove it before compacting (the rewrite would "
                 "drop it)"
             )
+        # stale scratch is reclaimed even when the compaction itself
+        # no-ops — compact IS the maintenance path for this table
+        for d in debris_newest:
+            shutil.rmtree(d, ignore_errors=True)
         total = sum(os.path.getsize(f) for f in files)
         n = max(1, math.ceil(total / target_file_bytes))
         if n >= len(files):
@@ -922,6 +955,12 @@ class Catalog:
             if f.endswith(".parquet")
         )
         return (len(files), after)
+
+
+#: Committer-scratch trees untouched for this long are crash debris;
+#: anything fresher may belong to an in-flight write (same idea as
+#: Delta VACUUM's retention threshold for untracked files).
+_DEBRIS_MIN_AGE_S = 3600
 
 
 def _is_hive_dir(name: str) -> bool:

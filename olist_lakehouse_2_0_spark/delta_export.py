@@ -416,15 +416,17 @@ def _pvals_from_rel_path(rel: str) -> dict:
     )
 
 
-def _walk_hive_parquet(fs, HPath, root: str, suffix: str = ".parquet"):
+def _walk_hive_parquet(
+    fs, HPath, root: str, suffix: str | tuple[str, ...] = ".parquet"
+):
     """Yield (relative path, FileStatus, partition dict) for every
     ``suffix``-named file under ``root``, recursing ONLY through
     hive-style ``col=value`` subdirectories — the single traversal
     discipline shared by the export walk and the vacuum sweep, so what
     export can reference and what vacuum may delete are exactly the
     same universe (files in non-hive subdirectories are foreign data:
-    never exported, never swept). ``suffix=".tmp"`` walks the
-    crash-orphaned writer stages instead."""
+    never exported, never swept). A tuple suffix (vacuum passes
+    ``(".parquet", ".tmp")``) matches any of them in ONE traversal."""
 
     def walk(path: str, rel: str, pvals: dict):
         for st in fs.listStatus(HPath(path)):
@@ -1127,20 +1129,33 @@ def _resolve_timestamp(spark: SparkSession, dest: str, ts) -> int:
                 import re
                 from datetime import timedelta
 
+                # exactly Java ZoneOffset's grammar — +h, +hh, +hh:mm,
+                # +hhmm, +hh:mm:ss, +hhmmss (consistent separators) —
+                # so a malformed conf value Java would reject raises
+                # here too instead of resolving under a bogus offset
                 m = re.fullmatch(
-                    r"(?:GMT|UTC|UT)?([+-])(\d{1,2})"
-                    r"(?::?(\d{2}))?(?::?(\d{2}))?",
+                    r"(?:GMT|UTC|UT)?([+-])(?:"
+                    r"(\d{1,2})"
+                    r"|(\d{2})(:?)(\d{2})"
+                    r"|(\d{2})(:?)(\d{2})\7(\d{2})"
+                    r")",
                     tz_name,
                 )
                 if tz_name == "Z":
                     dt = dt.replace(tzinfo=timezone.utc)
                 elif m:
                     sign = 1 if m.group(1) == "+" else -1
-                    off = timedelta(
-                        hours=int(m.group(2)),
-                        minutes=int(m.group(3) or 0),
-                        seconds=int(m.group(4) or 0),
-                    )
+                    if m.group(2) is not None:
+                        h, mi, s = int(m.group(2)), 0, 0
+                    elif m.group(3) is not None:
+                        h, mi, s = int(m.group(3)), int(m.group(5)), 0
+                    else:
+                        h, mi, s = (
+                            int(m.group(6)),
+                            int(m.group(8)),
+                            int(m.group(9)),
+                        )
+                    off = timedelta(hours=h, minutes=mi, seconds=s)
                     dt = dt.replace(tzinfo=timezone(sign * off))
                 else:
                     raise ValueError(
@@ -1581,7 +1596,10 @@ def publish_delta(
 
 
 def vacuum_export(
-    spark: SparkSession, dest: str, retain_versions: int = 2
+    spark: SparkSession,
+    dest: str,
+    retain_versions: int = 2,
+    stage_retain_ms: int = 24 * 3600 * 1000,
 ) -> dict:
     """Delta's VACUUM analogue for an exported table, opt-in (the
     export's default is to keep full history): retain the newest
@@ -1599,11 +1617,14 @@ def vacuum_export(
     crashing (retention keeps what is still readable — it cannot
     resurrect history a prior vacuum/prune removed). Concurrent readers
     of vacuumed-away versions fail like any Delta reader racing VACUUM
-    would, which is why the default export never calls this; an
-    IN-FLIGHT concurrent WRITER is likewise excluded (as with Delta's
-    VACUUM, whose untracked-file sweep would also reclaim a live
-    uncommitted stage) — vacuum additionally deletes crash-orphaned
-    ``*.tmp`` writer stages, which no log ever references."""
+    would, which is why the default export never calls this. Vacuum
+    additionally reclaims crash-orphaned writer stages (``*.tmp``
+    files and ``.cp_tmp_*`` checkpoint staging directories), which no
+    log ever references — but ONLY those whose mtime is older than
+    ``stage_retain_ms`` (default 24 h), the same retention-threshold
+    protection Delta's VACUUM gives untracked files, so a merely-slow
+    concurrent exporter's live stage is never swept out from under
+    it."""
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1")
     _, HPath, fs = _fs(spark, dest)
@@ -1655,24 +1676,40 @@ def vacuum_export(
     # interpretations referenced so no live file of either vintage is
     # ever swept
     referenced_disk = {_decode_path(p) for p in referenced} | set(referenced)
-    for rel, st, _pv in _walk_hive_parquet(fs, HPath, dest):
-        if rel not in referenced_disk:
+    # One traversal serves both the unreferenced-parquet sweep and the
+    # stage reclaim (str.endswith takes a tuple) — no second LIST pass
+    # over the data tree. Stages ('<name>.<uuid>.tmp' data copies,
+    # commit-JSON stages, '.cp_tmp_*' checkpoint staging dirs) are
+    # never referenced by any log; they are debris from hard-killed
+    # exporters, reclaimed here like Delta's VACUUM reclaims untracked
+    # files — including its retention-threshold guard: only stages
+    # older than stage_retain_ms are swept, so an in-flight writer's
+    # live stage survives a concurrent vacuum.
+    import time as _time
+
+    now_ms = int(_time.time() * 1000)
+
+    def _stale(st) -> bool:
+        return now_ms - st.getModificationTime() >= stage_retain_ms
+
+    stage_files_deleted = 0
+    for rel, st, _pv in _walk_hive_parquet(
+        fs, HPath, dest, (".parquet", ".tmp")
+    ):
+        if rel.endswith(".tmp"):
+            if _stale(st):
+                fs.delete(st.getPath(), False)
+                stage_files_deleted += 1
+        elif rel not in referenced_disk:
             fs.delete(st.getPath(), False)
             deleted += 1
-    # Reclaim crash-orphaned writer stages: '<name>.<uuid>.tmp' files
-    # (data copies and commit JSONs) are never referenced by any log —
-    # add.path never names a .tmp — so they are debris from
-    # hard-killed exporters. VACUUM is the reclaim point, exactly as
-    # in Delta (whose VACUUM deletes all untracked files); like
-    # Delta's, it must not race an IN-FLIGHT writer, which the
-    # docstring's concurrency contract already excludes.
-    stage_files_deleted = 0
-    for _rel, st, _pv in _walk_hive_parquet(fs, HPath, dest, ".tmp"):
-        fs.delete(st.getPath(), False)
-        stage_files_deleted += 1
     for st in fs.listStatus(HPath(os.path.join(dest, _LOG_DIR))):
-        if st.getPath().getName().endswith(".tmp"):
-            fs.delete(st.getPath(), False)
+        nm = st.getPath().getName()
+        if (
+            nm.endswith(".tmp") or nm.startswith(".cp_tmp_")
+        ) and _stale(st):
+            # recursive: .cp_tmp_* staging is a DIRECTORY of part files
+            fs.delete(st.getPath(), True)
             stage_files_deleted += 1
     # clean the log below the cutoff: JSON commits and old checkpoints
     commits_deleted = 0

@@ -299,10 +299,14 @@ def test_compact_refuses_hidden_foreign_parquet(spark, sf_smoke, tmp_path):
 
 
 def test_compact_tolerates_spark_write_debris(spark, sf_smoke, tmp_path):
-    """Code-review r9 (second pass): '_temporary/**' parquet is
-    Spark's own crashed-committer scratch, not foreign data — compact
-    must proceed (the swap garbage-collects it), while a hidden-NAMED
-    parquet file in the root is foreign and still refuses."""
+    """Code-review r9 (second + third pass): STALE '_temporary/**'
+    parquet is Spark's own crashed-committer scratch — compact must
+    proceed AND reclaim it (no other maintenance path removes it, and
+    the no-op early return must not skip the cleanup). A FRESH
+    scratch tree may belong to an in-flight write: refuse. A
+    hidden-NAMED parquet file in the root is foreign: refuse."""
+    import time
+
     import pytest
 
     cat = Catalog(root=str(tmp_path))
@@ -320,10 +324,21 @@ def test_compact_tolerates_spark_write_debris(spark, sf_smoke, tmp_path):
     shutil.copy(
         os.path.join(path, src), os.path.join(scratch, "part.parquet")
     )
+    # FRESH scratch -> an ingest may be in flight -> refuse
+    with pytest.raises(IOError, match="in flight"):
+        cat.compact(spark, "orders_debris", target_file_bytes=1 << 30)
+    # backdate the whole scratch tree -> crash debris -> reclaimed,
+    # even though this compaction no-ops (target above total size)
+    old = time.time() - 7200
+    for walk_root, _dirs, names in os.walk(os.path.join(path, "_temporary")):
+        os.utime(walk_root, (old, old))
+        for f in names:
+            os.utime(os.path.join(walk_root, f), (old, old))
     before, after = cat.compact(
         spark, "orders_debris", target_file_bytes=1 << 30
     )
     assert after <= before
+    assert not os.path.exists(os.path.join(path, "_temporary"))
     # ...but a hidden-named file in the root is foreign data
     path2 = cat.path_for("orders_hidden_file")
     orders.repartition(4).write.mode("overwrite").parquet(path2)

@@ -1731,6 +1731,16 @@ def test_naive_timestamp_resolves_in_session_timezone(spark, tmp_path):
         ):
             spark.conf.set("spark.sql.session.timeZone", tz)
             assert _resolve_timestamp(spark, dest, "2100-01-01") == 0
+        # malformed forms Java ZoneId rejects can't even be SET as the
+        # session timezone — Spark validates eagerly, so the
+        # resolver's strict grammar (which also rejects '+830' etc.,
+        # never resolving under a bogus backtracked offset) is
+        # defense-in-depth for configs set outside a live session
+        import pytest
+
+        for tz in ("+830", "+08301"):
+            with pytest.raises(Exception, match="[Zz]one"):
+                spark.conf.set("spark.sql.session.timeZone", tz)
     finally:
         spark.conf.set("spark.sql.session.timeZone", orig)
 
@@ -1762,30 +1772,46 @@ def test_commit_staging_is_writer_unique(spark, tmp_path):
 
 
 def test_vacuum_reclaims_crash_orphaned_stages(spark, tmp_path):
-    """Code-review r9 (second pass): writer-unique '*.tmp' stages
-    leaked by a hard-killed exporter (kill -9 skips the cleanup
-    handlers) are referenced by no log and must be reclaimed by
-    vacuum — with unique names a retry no longer renames the orphan
-    away, so without this they accumulate one full-size copy per
-    crash."""
+    """Code-review r9 (second + third pass): writer-unique '*.tmp'
+    stages and '.cp_tmp_*' checkpoint staging dirs leaked by a
+    hard-killed exporter are referenced by no log and must be
+    reclaimed by vacuum — but ONLY once older than stage_retain_ms
+    (Delta VACUUM's retention-threshold protection): a merely-slow
+    concurrent writer's FRESH stage survives."""
+    import time
+
     from olist_lakehouse_2_0_spark.delta_export import vacuum_export
 
     _, root = _versioned_table(spark, tmp_path, counts=(10, 20))
     dest = str(tmp_path / "delta")
     export_delta(spark, root, dest)
-    # plant crash debris: a data-copy stage and a commit-JSON stage
-    with open(os.path.join(dest, "v000000001-part.parquet.abc123.tmp"),
-              "wb") as fh:
+    # plant crash debris: a data-copy stage, a commit-JSON stage, and
+    # a checkpoint staging DIRECTORY (the non-local write path's)
+    data_tmp = os.path.join(dest, "v000000001-part.parquet.abc123.tmp")
+    with open(data_tmp, "wb") as fh:
         fh.write(b"torn")
     log_tmp = os.path.join(
         dest, "_delta_log", f"{2:020d}.json.def456.tmp"
     )
     with open(log_tmp, "w") as fh:
         fh.write("{}")
+    cp_tmp = os.path.join(dest, "_delta_log", ".cp_tmp_5")
+    os.makedirs(cp_tmp)
+    with open(os.path.join(cp_tmp, "part-0.parquet"), "wb") as fh:
+        fh.write(b"x")
     before = read_delta(spark, dest).count()
+    # FRESH stages survive a vacuum (in-flight writer protection)
     res = vacuum_export(spark, dest, retain_versions=2)
-    assert res["stage_files_deleted"] == 2
+    assert res["stage_files_deleted"] == 0
+    assert os.path.exists(data_tmp) and os.path.exists(cp_tmp)
+    # backdated stages are crash debris and are reclaimed
+    old = time.time() - 2 * 86400
+    for p in (data_tmp, log_tmp, cp_tmp):
+        os.utime(p, (old, old))
+    res = vacuum_export(spark, dest, retain_versions=2)
+    assert res["stage_files_deleted"] == 3
     assert not os.path.exists(log_tmp)
+    assert not os.path.exists(cp_tmp)
     assert not any(
         n.endswith(".tmp") for n in os.listdir(dest) if "=" not in n
     )
