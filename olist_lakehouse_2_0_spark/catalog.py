@@ -866,11 +866,22 @@ class Catalog:
                 or segs[0].startswith(".spark-staging")
             ):
                 top = os.path.join(path, segs[0])
+
+                def _mtime(p: str) -> float:
+                    # an entry the committer renames away between the
+                    # os.walk listing and this stat IS the in-flight
+                    # signal — classify it as just-modified, never
+                    # crash the maintenance job on the race
+                    try:
+                        return os.path.getmtime(p)
+                    except OSError:
+                        return time.time()
+
                 newest = max(
                     debris_newest.get(top, 0.0),
-                    os.path.getmtime(walk_root),
+                    _mtime(walk_root),
                     *(
-                        os.path.getmtime(os.path.join(walk_root, f))
+                        _mtime(os.path.join(walk_root, f))
                         for f in names
                     ),
                 )
@@ -888,10 +899,14 @@ class Catalog:
                 else:
                     files.append(full)
         now = time.time()
+        # |now - m|: a FUTURE mtime beyond the window (clock-skewed
+        # restore, bad archive stamps) is suspicious debris, not a
+        # live writer — 'now - m < AGE' alone would classify it live
+        # forever and wedge compaction until wall clock catches up
         live = sorted(
             d
             for d, m in debris_newest.items()
-            if now - m < _DEBRIS_MIN_AGE_S
+            if abs(now - m) < _DEBRIS_MIN_AGE_S
         )
         if live:
             raise IOError(

@@ -1103,6 +1103,51 @@ def _latest_commit_ts(spark: SparkSession, dest: str) -> int:
     )
 
 
+def _session_tzinfo(tz_name: str):
+    """``spark.sql.session.timeZone`` value -> tzinfo. Region ids via
+    zoneinfo; fixed offsets in exactly Java ZoneId's grammar AND value
+    ranges — 'Z', '+h', '+hh', '+hh:mm', '+hhmm', '+hh:mm:ss',
+    '+hhmmss' with optional GMT/UTC/UT prefix, minutes/seconds 0-59,
+    total within ±18:00. Anything Java would reject raises ValueError
+    ('+830' or '+0899' must never resolve under a normalized bogus
+    offset). Spark validates the conf eagerly on a live session, so
+    this strictness is defense-in-depth for configs set elsewhere
+    (spark-defaults.conf)."""
+    import re
+    from datetime import timedelta, timezone
+    from zoneinfo import ZoneInfo
+
+    try:
+        return ZoneInfo(tz_name)
+    except KeyError:
+        pass
+    if tz_name == "Z":
+        return timezone.utc
+    m = re.fullmatch(
+        r"(?:GMT|UTC|UT)?([+-])(?:"
+        r"(\d{1,2})"
+        r"|(\d{2})(:?)(\d{2})"
+        r"|(\d{2})(:?)(\d{2})\7(\d{2})"
+        r")",
+        tz_name,
+    )
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        if m.group(2) is not None:
+            h, mi, s = int(m.group(2)), 0, 0
+        elif m.group(3) is not None:
+            h, mi, s = int(m.group(3)), int(m.group(5)), 0
+        else:
+            h, mi, s = int(m.group(6)), int(m.group(8)), int(m.group(9))
+        off = timedelta(hours=h, minutes=mi, seconds=s)
+        if mi <= 59 and s <= 59 and off <= timedelta(hours=18):
+            return timezone(sign * off)
+    raise ValueError(
+        f"unsupported session timezone {tz_name!r} for naive "
+        "TIMESTAMP AS OF resolution"
+    )
+
+
 def _resolve_timestamp(spark: SparkSession, dest: str, ts) -> int:
     """Delta's TIMESTAMP AS OF resolution: the LATEST retained commit
     whose commitInfo.timestamp is at or before the target. Accepts
@@ -1112,56 +1157,15 @@ def _resolve_timestamp(spark: SparkSession, dest: str, ts) -> int:
     non-UTC session. Raises when the target predates the oldest
     retained commit — cleaned-up history is not silently substituted."""
     if isinstance(ts, str):
-        from datetime import datetime, timezone
-        from zoneinfo import ZoneInfo
+        from datetime import datetime
 
         dt = datetime.fromisoformat(ts)
         if dt.tzinfo is None:
-            tz_name = spark.conf.get("spark.sql.session.timeZone")
-            try:
-                dt = dt.replace(tzinfo=ZoneInfo(tz_name))
-            except KeyError:
-                # Spark also accepts fixed offsets in every form Java
-                # ZoneId does: 'Z', 'GMT+8', 'UTC+08:00', 'UT-0530',
-                # '+09', '+08:30:15'. %z can't parse the short forms,
-                # so match explicitly (seconds included — Python's
-                # timezone() accepts sub-minute offsets since 3.7).
-                import re
-                from datetime import timedelta
-
-                # exactly Java ZoneOffset's grammar — +h, +hh, +hh:mm,
-                # +hhmm, +hh:mm:ss, +hhmmss (consistent separators) —
-                # so a malformed conf value Java would reject raises
-                # here too instead of resolving under a bogus offset
-                m = re.fullmatch(
-                    r"(?:GMT|UTC|UT)?([+-])(?:"
-                    r"(\d{1,2})"
-                    r"|(\d{2})(:?)(\d{2})"
-                    r"|(\d{2})(:?)(\d{2})\7(\d{2})"
-                    r")",
-                    tz_name,
+            dt = dt.replace(
+                tzinfo=_session_tzinfo(
+                    spark.conf.get("spark.sql.session.timeZone")
                 )
-                if tz_name == "Z":
-                    dt = dt.replace(tzinfo=timezone.utc)
-                elif m:
-                    sign = 1 if m.group(1) == "+" else -1
-                    if m.group(2) is not None:
-                        h, mi, s = int(m.group(2)), 0, 0
-                    elif m.group(3) is not None:
-                        h, mi, s = int(m.group(3)), int(m.group(5)), 0
-                    else:
-                        h, mi, s = (
-                            int(m.group(6)),
-                            int(m.group(8)),
-                            int(m.group(9)),
-                        )
-                    off = timedelta(hours=h, minutes=mi, seconds=s)
-                    dt = dt.replace(tzinfo=timezone(sign * off))
-                else:
-                    raise ValueError(
-                        f"unsupported session timezone {tz_name!r} for "
-                        "naive TIMESTAMP AS OF resolution"
-                    ) from None
+            )
         ts = int(dt.timestamp() * 1000)
     infos = _commit_infos(spark, dest)
     stamped = [(v, i["timestamp"]) for v, i in infos if "timestamp" in i]
@@ -1619,12 +1623,15 @@ def vacuum_export(
     of vacuumed-away versions fail like any Delta reader racing VACUUM
     would, which is why the default export never calls this. Vacuum
     additionally reclaims crash-orphaned writer stages (``*.tmp``
-    files and ``.cp_tmp_*`` checkpoint staging directories), which no
-    log ever references — but ONLY those whose mtime is older than
-    ``stage_retain_ms`` (default 24 h), the same retention-threshold
-    protection Delta's VACUUM gives untracked files, so a merely-slow
-    concurrent exporter's live stage is never swept out from under
-    it."""
+    files and ``.cp_tmp_*`` checkpoint staging directories) and any
+    other file the log has NEVER referenced — but only past a
+    ``stage_retain_ms`` mtime threshold (default 24 h), Delta VACUUM's
+    untracked-file retention guard, so neither a merely-slow
+    concurrent exporter's live stage nor its renamed-but-uncommitted
+    data copies are ever swept out from under its upcoming commit.
+    Files the log PROVES dead (referenced only by still-replayable
+    versions below the cutoff) are deleted immediately under the
+    version-based contract above."""
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1")
     _, HPath, fs = _fs(spark, dest)
@@ -1653,6 +1660,15 @@ def vacuum_export(
     referenced: set[str] = set()
     for v in recon:
         referenced |= _replay(spark, dest, v)["active"]
+    # Files referenced by still-reconstructable versions BELOW the
+    # cutoff are TRACKED-DEAD: the log itself proves they belong to
+    # history being vacuumed away, so the version-based retention
+    # contract deletes them immediately. Replayed BEFORE the commits
+    # below the cutoff are pruned.
+    historical: set[str] = set()
+    for v in range(0, cutoff):
+        if _reconstructable(v):
+            historical |= _replay(spark, dest, v)["active"]
     # checkpoint the cutoff so reads there need no earlier JSONs
     write_checkpoint(spark, dest, cutoff)
     # the pointer must track the NEWEST checkpoint again (bootstrap for
@@ -1676,15 +1692,21 @@ def vacuum_export(
     # interpretations referenced so no live file of either vintage is
     # ever swept
     referenced_disk = {_decode_path(p) for p in referenced} | set(referenced)
+    historical_disk = (
+        {_decode_path(p) for p in historical} | historical
+    ) - referenced_disk
     # One traversal serves both the unreferenced-parquet sweep and the
     # stage reclaim (str.endswith takes a tuple) — no second LIST pass
-    # over the data tree. Stages ('<name>.<uuid>.tmp' data copies,
-    # commit-JSON stages, '.cp_tmp_*' checkpoint staging dirs) are
-    # never referenced by any log; they are debris from hard-killed
-    # exporters, reclaimed here like Delta's VACUUM reclaims untracked
-    # files — including its retention-threshold guard: only stages
-    # older than stage_retain_ms are swept, so an in-flight writer's
-    # live stage survives a concurrent vacuum.
+    # over the data tree. The delete decision is three-way, exactly
+    # Delta's: TRACKED-DEAD files (in historical_disk — the log proves
+    # they belong to vacuumed-away versions) go immediately under the
+    # version-based retention contract; everything else the log does
+    # NOT know ('*.tmp' stages, '.cp_tmp_*' checkpoint staging dirs,
+    # and renamed-but-not-yet-committed '.parquet' copies of an
+    # IN-FLIGHT exporter) is UNTRACKED and is reclaimed only past the
+    # stage_retain_ms age threshold — Delta VACUUM's untracked-file
+    # retention guard, so a merely-slow concurrent writer's files are
+    # never swept out from under its upcoming commit.
     import time as _time
 
     now_ms = int(_time.time() * 1000)
@@ -1700,7 +1722,10 @@ def vacuum_export(
             if _stale(st):
                 fs.delete(st.getPath(), False)
                 stage_files_deleted += 1
-        elif rel not in referenced_disk:
+        elif rel in historical_disk:
+            fs.delete(st.getPath(), False)
+            deleted += 1
+        elif rel not in referenced_disk and _stale(st):
             fs.delete(st.getPath(), False)
             deleted += 1
     for st in fs.listStatus(HPath(os.path.join(dest, _LOG_DIR))):

@@ -1816,3 +1816,64 @@ def test_vacuum_reclaims_crash_orphaned_stages(spark, tmp_path):
         n.endswith(".tmp") for n in os.listdir(dest) if "=" not in n
     )
     assert read_delta(spark, dest).count() == before
+
+
+def test_session_tzinfo_matches_java_zoneid_values():
+    """Code-review r9 (fourth pass): the fixed-offset grammar must
+    enforce Java ZoneOffset's VALUE ranges too — '+0899' is not
+    +09:39, '+08:75' is not +09:15, and totals beyond ±18:00 are
+    invalid — while every form Java accepts resolves."""
+    from datetime import timedelta, timezone
+
+    import pytest
+
+    from olist_lakehouse_2_0_spark.delta_export import _session_tzinfo
+
+    assert _session_tzinfo("Z") is timezone.utc
+    assert _session_tzinfo("GMT+8").utcoffset(None) == timedelta(hours=8)
+    assert _session_tzinfo("+18:00").utcoffset(None) == timedelta(hours=18)
+    assert _session_tzinfo("-0530").utcoffset(None) == -timedelta(
+        hours=5, minutes=30
+    )
+    assert _session_tzinfo("+08:30:15").utcoffset(None) == timedelta(
+        hours=8, minutes=30, seconds=15
+    )
+    assert str(_session_tzinfo("America/Los_Angeles")) != ""
+    for bad in (
+        "+830", "+08301", "+0899", "+08:75", "+19", "+08:30:99",
+        "+99", "Mars/Olympus",
+    ):
+        with pytest.raises(ValueError, match="unsupported"):
+            _session_tzinfo(bad)
+
+
+def test_vacuum_protects_inflight_uncommitted_parquet(spark, tmp_path):
+    """Code-review r9 (fourth pass): a concurrent exporter's
+    renamed-but-NOT-YET-COMMITTED '.parquet' copies are untracked by
+    the log and must survive a vacuum until stage_retain_ms ages them
+    out — only files the log PROVES dead (referenced by replayable
+    below-cutoff versions) are swept immediately."""
+    import time
+
+    from olist_lakehouse_2_0_spark.delta_export import vacuum_export
+
+    _, root = _versioned_table(spark, tmp_path, counts=(10, 20, 30))
+    dest = str(tmp_path / "delta")
+    export_delta(spark, root, dest)
+    # an in-flight exporter just renamed a copy for NOT-YET-COMMITTED
+    # version 3 (fresh mtime, untracked by any commit)
+    inflight = os.path.join(dest, "v000000004-part-future.parquet")
+    with open(inflight, "wb") as fh:
+        fh.write(b"PAR1 future snapshot PAR1")
+    res = vacuum_export(spark, dest, retain_versions=2)
+    # version 0's files ARE swept (tracked-dead), the in-flight
+    # untracked copy is NOT
+    assert res["data_files_deleted"] > 0
+    assert os.path.exists(inflight)
+    assert read_delta(spark, dest).count() == 30
+    # once stale it is reclaimed as orphaned debris
+    old = time.time() - 2 * 86400
+    os.utime(inflight, (old, old))
+    res2 = vacuum_export(spark, dest, retain_versions=2)
+    assert not os.path.exists(inflight)
+    assert res2["data_files_deleted"] == 1
