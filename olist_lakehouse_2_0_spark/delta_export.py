@@ -1660,15 +1660,27 @@ def vacuum_export(
     referenced: set[str] = set()
     for v in recon:
         referenced |= _replay(spark, dest, v)["active"]
-    # Files referenced by still-reconstructable versions BELOW the
-    # cutoff are TRACKED-DEAD: the log itself proves they belong to
-    # history being vacuumed away, so the version-based retention
-    # contract deletes them immediately. Replayed BEFORE the commits
-    # below the cutoff are pruned.
+    # Files the log PROVES belong to vacuumed-away history are
+    # TRACKED-DEAD: every add.path in any retained JSON commit below
+    # the cutoff, plus the actives of any checkpoint below it — the
+    # version-based retention contract deletes these immediately.
+    # Collected in ONE pass over the retained log tail (never a
+    # replay per below-cutoff version, which on a long-history table
+    # would cost O(versions x checkpoint interval)); gathered BEFORE
+    # the commits below the cutoff are pruned.
     historical: set[str] = set()
-    for v in range(0, cutoff):
-        if _reconstructable(v):
-            historical |= _replay(spark, dest, v)["active"]
+    for v in sorted(commits):
+        if v >= cutoff:
+            break
+        for a in _read_commit(spark, dest, v):
+            add = a.get("add")
+            if add:
+                historical.add(add["path"])
+    for c in cps:
+        if c < cutoff:
+            historical |= _state_from_checkpoint(
+                spark, dest, {"version": c}
+            )["active"]
     # checkpoint the cutoff so reads there need no earlier JSONs
     write_checkpoint(spark, dest, cutoff)
     # the pointer must track the NEWEST checkpoint again (bootstrap for
