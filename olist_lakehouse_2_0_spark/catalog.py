@@ -855,6 +855,17 @@ class Catalog:
         from pyspark.sql import functions as F
 
         path = self.path_for(name, layer)
+
+        def _mtime(p: str) -> float:
+            # an entry the committer renames away between the os.walk
+            # listing and this stat IS the in-flight signal — classify
+            # it as just-modified, never crash the maintenance job on
+            # the race
+            try:
+                return os.path.getmtime(p)
+            except OSError:
+                return time.time()
+
         files: list[str] = []
         foreign: list[str] = []
         debris_newest: dict[str, float] = {}
@@ -866,17 +877,6 @@ class Catalog:
                 or segs[0].startswith(".spark-staging")
             ):
                 top = os.path.join(path, segs[0])
-
-                def _mtime(p: str) -> float:
-                    # an entry the committer renames away between the
-                    # os.walk listing and this stat IS the in-flight
-                    # signal — classify it as just-modified, never
-                    # crash the maintenance job on the race
-                    try:
-                        return os.path.getmtime(p)
-                    except OSError:
-                        return time.time()
-
                 newest = max(
                     debris_newest.get(top, 0.0),
                     _mtime(walk_root),
@@ -899,20 +899,34 @@ class Catalog:
                 else:
                     files.append(full)
         now = time.time()
-        # |now - m|: a FUTURE mtime beyond the window (clock-skewed
-        # restore, bad archive stamps) is suspicious debris, not a
-        # live writer — 'now - m < AGE' alone would classify it live
-        # forever and wedge compaction until wall clock catches up
+        # Three-way by mtime, erring toward refusal (deleting a LIVE
+        # writer's scratch is data loss; refusing is merely a retry):
+        # recent -> a write may be in flight; far-FUTURE (clock-skewed
+        # writer host, bad archive stamps) -> cannot tell live from
+        # debris, refuse with the skew named so the operator decides;
+        # genuinely stale -> crash debris, reclaimed below.
         live = sorted(
             d
             for d, m in debris_newest.items()
             if abs(now - m) < _DEBRIS_MIN_AGE_S
+        )
+        skewed = sorted(
+            d
+            for d, m in debris_newest.items()
+            if m - now >= _DEBRIS_MIN_AGE_S
         )
         if live:
             raise IOError(
                 f"compact({name}): write scratch {live[0]!r} was "
                 "modified recently — an ingest may be in flight; "
                 "retry after it finishes"
+            )
+        if skewed:
+            raise IOError(
+                f"compact({name}): write scratch {skewed[0]!r} "
+                "carries FUTURE mtimes (writer clock skew or bad "
+                "archive stamps) — cannot distinguish a live write "
+                "from debris; investigate and remove it manually"
             )
         if foreign:
             # Hidden parquet outside Spark's own scratch is FOREIGN

@@ -1121,7 +1121,10 @@ def _session_tzinfo(tz_name: str):
         return ZoneInfo(tz_name)
     except KeyError:
         pass
-    if tz_name == "Z":
+    # Java hardcodes these four independent of tzdata; a trimmed
+    # tzdata may lack the 'UT' (or even 'GMT'/'UTC') links ZoneInfo
+    # would need, so they must not fall through to the offset grammar
+    if tz_name in ("Z", "UT", "UTC", "GMT"):
         return timezone.utc
     m = re.fullmatch(
         r"(?:GMT|UTC|UT)?([+-])(?:"
@@ -1673,9 +1676,11 @@ def vacuum_export(
         if v >= cutoff:
             break
         for a in _read_commit(spark, dest, v):
-            add = a.get("add")
-            if add:
-                historical.add(add["path"])
+            # remove tombstones prove a file dead even when its add
+            # commit was already pruned — both action kinds count
+            known = a.get("add") or a.get("remove")
+            if known:
+                historical.add(known["path"])
     for c in cps:
         if c < cutoff:
             historical |= _state_from_checkpoint(
@@ -1724,6 +1729,11 @@ def vacuum_export(
     now_ms = int(_time.time() * 1000)
 
     def _stale(st) -> bool:
+        # deliberately NOT abs(): a FUTURE-stamped untracked file
+        # (clock-skewed writer host) might be a live stage, and the
+        # failure modes are asymmetric — wrongly keeping it leaks
+        # bounded disk until wall clock catches up (benign), wrongly
+        # deleting it tears a concurrent export (data loss)
         return now_ms - st.getModificationTime() >= stage_retain_ms
 
     stage_files_deleted = 0

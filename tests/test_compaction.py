@@ -339,6 +339,26 @@ def test_compact_tolerates_spark_write_debris(spark, sf_smoke, tmp_path):
     )
     assert after <= before
     assert not os.path.exists(os.path.join(path, "_temporary"))
+    # FAR-FUTURE mtimes (writer clock skew) are indistinguishable from
+    # a live write: refuse with the skew named, never delete
+    # (re-capture a part name — the compaction above rewrote the files)
+    src2 = next(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    os.makedirs(scratch)
+    shutil.copy(
+        os.path.join(path, src2), os.path.join(scratch, "part.parquet")
+    )
+    future = time.time() + 7200
+    for walk_root, _dirs, names in os.walk(
+        os.path.join(path, "_temporary")
+    ):
+        os.utime(walk_root, (future, future))
+        for f in names:
+            os.utime(os.path.join(walk_root, f), (future, future))
+    with pytest.raises(IOError, match="FUTURE"):
+        cat.compact(spark, "orders_debris", target_file_bytes=1 << 30)
+    assert os.path.exists(os.path.join(scratch, "part.parquet"))
     # ...but a hidden-named file in the root is foreign data
     path2 = cat.path_for("orders_hidden_file")
     orders.repartition(4).write.mode("overwrite").parquet(path2)

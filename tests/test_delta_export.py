@@ -1830,6 +1830,9 @@ def test_session_tzinfo_matches_java_zoneid_values():
     from olist_lakehouse_2_0_spark.delta_export import _session_tzinfo
 
     assert _session_tzinfo("Z") is timezone.utc
+    # Java hardcodes the bare forms independent of tzdata links
+    for bare in ("UT", "UTC", "GMT"):
+        assert _session_tzinfo(bare).utcoffset(None) == timedelta(0)
     assert _session_tzinfo("GMT+8").utcoffset(None) == timedelta(hours=8)
     assert _session_tzinfo("+18:00").utcoffset(None) == timedelta(hours=18)
     assert _session_tzinfo("-0530").utcoffset(None) == -timedelta(
