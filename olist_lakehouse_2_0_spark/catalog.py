@@ -840,14 +840,17 @@ class Catalog:
         target.
 
         Committer scratch vs foreign data: ``_temporary/**`` and
-        ``.spark-staging*`` trees are Spark's own write scratch — if
-        their newest mtime is older than ``_DEBRIS_MIN_AGE_S`` they
-        are crash debris and are deleted here (no other maintenance
-        path removes them), but a RECENTLY-modified tree means a
-        write may be IN FLIGHT and compaction refuses rather than
-        swap the live writer's output away. Any OTHER hidden-named
-        parquet is foreign data and always refuses: Spark's partition
-        discovery crashes on it and the swap would destroy it."""
+        ``.spark-staging*`` trees are Spark's own write scratch,
+        judged by newest mtime three ways — older than
+        ``_DEBRIS_MIN_AGE_S`` is crash debris, deleted here (no other
+        maintenance path removes it); RECENT means a write may be IN
+        FLIGHT, refuse rather than swap the live writer's output
+        away; FAR-FUTURE stamps (writer clock skew, bad archive
+        restores) are indistinguishable from a live skewed writer, so
+        compaction refuses with the skew named and the tree must be
+        removed manually. Any OTHER hidden-named parquet is foreign
+        data and always refuses: Spark's partition discovery crashes
+        on it and the swap would destroy it."""
         import math
         import shutil
         import time

@@ -1632,9 +1632,11 @@ def vacuum_export(
     untracked-file retention guard, so neither a merely-slow
     concurrent exporter's live stage nor its renamed-but-uncommitted
     data copies are ever swept out from under its upcoming commit.
-    Files the log PROVES dead (referenced only by still-replayable
-    versions below the cutoff) are deleted immediately under the
-    version-based contract above."""
+    Files the log PROVES dead — any path named by a below-cutoff
+    retained commit's add OR remove action, or active in a
+    below-cutoff checkpoint (a retained remove counts even when the
+    add commit was already pruned) — are deleted immediately under
+    the version-based contract above."""
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1")
     _, HPath, fs = _fs(spark, dest)

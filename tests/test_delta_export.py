@@ -1880,3 +1880,38 @@ def test_vacuum_protects_inflight_uncommitted_parquet(spark, tmp_path):
     res2 = vacuum_export(spark, dest, retain_versions=2)
     assert not os.path.exists(inflight)
     assert res2["data_files_deleted"] == 1
+
+
+def test_vacuum_remove_tombstone_proves_dead(spark, tmp_path):
+    """Code-review r9 (sixth pass): a RETAINED remove tombstone proves
+    a file dead even when its add commit AND the checkpoint that
+    listed it were already lost (the crash-interrupted-earlier-vacuum
+    shape) — such a file must be swept IMMEDIATELY under the version
+    contract, not wait out the 24h untracked guard."""
+    from olist_lakehouse_2_0_spark.delta_export import (
+        _checkpoint_path,
+        prune_log,
+        vacuum_export,
+        write_checkpoint,
+    )
+
+    _, root = _versioned_table(spark, tmp_path, counts=(10, 20, 30))
+    dest = str(tmp_path / "delta")
+    export_delta(spark, root, dest, checkpoint_interval=0)
+    # prune the add commit of delta-v0's files (commit 0)...
+    write_checkpoint(spark, dest, 0)
+    prune_log(spark, dest)
+    write_checkpoint(spark, dest, 2)
+    # ...and lose the checkpoint that listed them (as a vacuum crash
+    # between its log cleanup steps would)
+    os.remove(_checkpoint_path(dest, 0))
+    v1_files = [f for f in os.listdir(dest) if f.startswith("v000000001-")]
+    assert v1_files  # precondition: the orphaned (FRESH) file exists
+    res = vacuum_export(spark, dest, retain_versions=1)
+    # commit 1's retained REMOVE is the only proof v1's file is dead —
+    # and it suffices: swept immediately despite the fresh mtime
+    assert not any(
+        f.startswith("v000000001-") for f in os.listdir(dest)
+    )
+    assert res["data_files_deleted"] >= 1
+    assert read_delta(spark, dest).count() == 30
