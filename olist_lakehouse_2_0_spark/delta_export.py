@@ -1091,8 +1091,27 @@ def _latest_commit_ts(spark: SparkSession, dest: str) -> int:
     """Newest commitInfo.timestamp among RETAINED JSON commits (-1 when
     none are retained — after a full prune the monotonicity floor is
     unknowable, exactly as in Delta, whose checkpoints carry no
-    commitInfo either). O(retained tail) driver-side reads, paid once
-    per export/publish resume."""
+    commitInfo either). This writer's timestamps are STRICTLY MONOTONE
+    across commits (_append_snapshot_commit clamps), so the newest
+    retained commit's commitInfo alone is the floor: ONE driver-side
+    small-file read per export/publish resume, not O(retained tail) —
+    with keep-full-history exports the tail scan made the Nth publish
+    cost O(N), i.e. O(N^2) over a table's lifetime, on the write hot
+    path. A legacy/foreign newest commit lacking a timestamp falls
+    back to the full retained scan (monotonicity is unknowable there)."""
+    commits = _list_commits(spark, dest)
+    if not commits:
+        return -1
+    newest = next(
+        (
+            a["commitInfo"]
+            for a in _read_commit(spark, dest, commits[-1])
+            if "commitInfo" in a
+        ),
+        {},
+    )
+    if "timestamp" in newest:
+        return newest["timestamp"]
     return max(
         (
             i["timestamp"]
@@ -1103,20 +1122,54 @@ def _latest_commit_ts(spark: SparkSession, dest: str) -> int:
     )
 
 
+#: java.time.ZoneId.SHORT_IDS — the legacy three-letter map Spark's
+#: DateTimeUtils.getZoneId passes to ZoneId.of, so a session configured
+#: with e.g. 'PST' is valid to Spark and must resolve here too. Values
+#: are verbatim from the public ZoneId javadoc: region targets resolve
+#: through zoneinfo, the three offset targets through the offset
+#: grammar below.
+_JAVA_SHORT_IDS = {
+    "ACT": "Australia/Darwin", "AET": "Australia/Sydney",
+    "AGT": "America/Argentina/Buenos_Aires", "ART": "Africa/Cairo",
+    "AST": "America/Anchorage", "BET": "America/Sao_Paulo",
+    "BST": "Asia/Dhaka", "CAT": "Africa/Harare",
+    "CNT": "America/St_Johns", "CST": "America/Chicago",
+    "CTT": "Asia/Shanghai", "EAT": "Africa/Addis_Ababa",
+    "ECT": "Europe/Paris", "IET": "America/Indiana/Indianapolis",
+    "IST": "Asia/Kolkata", "JST": "Asia/Tokyo", "MIT": "Pacific/Apia",
+    "NET": "Asia/Yerevan", "NST": "Pacific/Auckland",
+    "PLT": "Asia/Karachi", "PNT": "America/Phoenix",
+    "PRT": "America/Puerto_Rico", "PST": "America/Los_Angeles",
+    "SST": "Pacific/Guadalcanal", "VST": "Asia/Ho_Chi_Minh",
+    "EST": "-05:00", "MST": "-07:00", "HST": "-10:00",
+}
+
+
 def _session_tzinfo(tz_name: str):
-    """``spark.sql.session.timeZone`` value -> tzinfo. Region ids via
-    zoneinfo; fixed offsets in exactly Java ZoneId's grammar AND value
-    ranges — 'Z', '+h', '+hh', '+hh:mm', '+hhmm', '+hh:mm:ss',
-    '+hhmmss' with optional GMT/UTC/UT prefix, minutes/seconds 0-59,
-    total within ±18:00. Anything Java would reject raises ValueError
-    ('+830' or '+0899' must never resolve under a normalized bogus
-    offset). Spark validates the conf eagerly on a live session, so
-    this strictness is defense-in-depth for configs set elsewhere
-    (spark-defaults.conf)."""
+    """``spark.sql.session.timeZone`` value -> tzinfo, by exactly the
+    rule Spark's DateTimeUtils.getZoneId applies: first pad the
+    pre-Spark-3.0 single-digit forms ('+8:30' -> '+08:30', '+08:3' ->
+    '+08:03'), then resolve through ZoneId.of with the legacy
+    SHORT_IDS map ('PST' -> America/Los_Angeles, 'EST' -> '-05:00').
+    Region ids via zoneinfo; fixed offsets in exactly Java ZoneId's
+    grammar AND value ranges — 'Z', '+h', '+hh', '+hh:mm', '+hhmm',
+    '+hh:mm:ss', '+hhmmss' with optional GMT/UTC/UT prefix,
+    minutes/seconds 0-59, total within ±18:00. Anything Java would
+    reject raises ValueError ('+830' or '+0899' must never resolve
+    under a normalized bogus offset). Spark validates the conf eagerly
+    on a live session, so that strictness is defense-in-depth for
+    configs set elsewhere (spark-defaults.conf)."""
     import re
     from datetime import timedelta, timezone
     from zoneinfo import ZoneInfo
 
+    # Spark DateTimeUtils.getZoneId's two pre-3.0 padding rewrites,
+    # applied before any lookup (they also normalize 'GMT+8:30')
+    tz_name = re.sub(r"([+-])(\d):", r"\g<1>0\g<2>:", tz_name, count=1)
+    tz_name = re.sub(
+        r"([+-])(\d\d):(\d)$", r"\g<1>\g<2>:0\g<3>", tz_name, count=1
+    )
+    tz_name = _JAVA_SHORT_IDS.get(tz_name, tz_name)
     try:
         return ZoneInfo(tz_name)
     except KeyError:
@@ -1437,8 +1490,14 @@ def _resolve_disk_paths(
                 # exists"; permission/transient IO errors must
                 # propagate (fs.exists would have raised them too) —
                 # swallowing one here would silently flip the
-                # legacy-vs-decoded routing to the wrong file
-                if "FileNotFoundException" not in str(e):
+                # legacy-vs-decoded routing to the wrong file. An
+                # object-store connector may surface not-found under a
+                # differently-named exception, so before propagating,
+                # confirm with one fs.exists probe on the parent — the
+                # same call the pre-batching reader made per file.
+                if "FileNotFoundException" not in str(e) and fs.exists(
+                    HPath(parent_abs)
+                ):
                     raise
                 got = frozenset()
             listed[parent_abs] = got

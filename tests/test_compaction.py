@@ -298,6 +298,39 @@ def test_compact_refuses_hidden_foreign_parquet(spark, sf_smoke, tmp_path):
     assert os.path.exists(os.path.join(hidden, "f.parquet"))
 
 
+def test_compact_refusal_names_delta_log_history(
+    spark, sf_smoke, tmp_path
+):
+    """ADVICE r9: on a table converted in place by convert_to_delta,
+    the hidden parquet compact finds is the log's own CHECKPOINT — the
+    refusal must say the table carries published Delta history (and
+    never advise deleting those files), because 'move or remove it'
+    is actively wrong advice for a checkpoint."""
+    import pytest
+
+    from olist_lakehouse_2_0_spark.delta_export import (
+        convert_to_delta,
+        write_checkpoint,
+    )
+
+    cat = Catalog(root=str(tmp_path))
+    orders = load(spark, sf_smoke, "orders")
+    path = cat.path_for("orders_converted")
+    orders.limit(200).repartition(4).write.parquet(path)
+    cat.register("orders_converted", path)
+    convert_to_delta(spark, path)
+    write_checkpoint(spark, path)  # checkpoint parquet under _delta_log
+    with pytest.raises(IOError, match="published history"):
+        cat.compact(spark, "orders_converted", target_file_bytes=1)
+    # and the message must NOT tell the operator to remove the files
+    try:
+        cat.compact(spark, "orders_converted", target_file_bytes=1)
+    except IOError as e:
+        assert "move or remove" not in str(e)
+    # log untouched
+    assert os.path.isdir(os.path.join(path, "_delta_log"))
+
+
 def test_compact_tolerates_spark_write_debris(spark, sf_smoke, tmp_path):
     """Code-review r9 (second + third pass): STALE '_temporary/**'
     parquet is Spark's own crashed-committer scratch — compact must

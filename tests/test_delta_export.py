@@ -1842,9 +1842,28 @@ def test_session_tzinfo_matches_java_zoneid_values():
         hours=8, minutes=30, seconds=15
     )
     assert str(_session_tzinfo("America/Los_Angeles")) != ""
+    # ADVICE r9: Spark's DateTimeUtils.getZoneId pads the pre-3.0
+    # single-digit forms and resolves through ZoneId.SHORT_IDS — a
+    # session validly configured with any of these must resolve here
+    assert _session_tzinfo("+8:30").utcoffset(None) == timedelta(
+        hours=8, minutes=30
+    )
+    assert _session_tzinfo("-8:30").utcoffset(None) == -timedelta(
+        hours=8, minutes=30
+    )
+    assert _session_tzinfo("+08:3").utcoffset(None) == timedelta(
+        hours=8, minutes=3
+    )
+    assert _session_tzinfo("GMT+8:30").utcoffset(None) == timedelta(
+        hours=8, minutes=30
+    )
+    assert _session_tzinfo("EST").utcoffset(None) == -timedelta(hours=5)
+    assert _session_tzinfo("HST").utcoffset(None) == -timedelta(hours=10)
+    assert str(_session_tzinfo("PST")) == "America/Los_Angeles"
+    assert str(_session_tzinfo("JST")) == "Asia/Tokyo"
     for bad in (
         "+830", "+08301", "+0899", "+08:75", "+19", "+08:30:99",
-        "+99", "Mars/Olympus",
+        "+99", "Mars/Olympus", "QQT",
     ):
         with pytest.raises(ValueError, match="unsupported"):
             _session_tzinfo(bad)
@@ -1915,3 +1934,99 @@ def test_vacuum_remove_tombstone_proves_dead(spark, tmp_path):
     )
     assert res["data_files_deleted"] >= 1
     assert read_delta(spark, dest).count() == 30
+
+
+def test_latest_commit_ts_reads_one_commit(spark, tmp_path, monkeypatch):
+    """ADVICE r9 (medium): _latest_commit_ts must read ONLY the newest
+    retained commit (this writer's timestamps are strictly monotone) —
+    the full-tail scan made the Nth keep-full-history publish cost
+    O(N) driver-side reads, O(N^2) over a table's lifetime, on the
+    write hot path. A newest commit lacking commitInfo.timestamp
+    (legacy/foreign log) still falls back to the full scan."""
+    import olist_lakehouse_2_0_spark.delta_export as de
+
+    _, root = _versioned_table(spark, tmp_path, counts=(50, 60, 70))
+    dest = str(tmp_path / "delta")
+    export_delta(spark, root, dest, checkpoint_interval=0)
+
+    calls: list[int] = []
+    real = de._read_commit
+
+    def counting(spark_, dest_, version):
+        calls.append(version)
+        return real(spark_, dest_, version)
+
+    monkeypatch.setattr(de, "_read_commit", counting)
+    ts = de._latest_commit_ts(spark, dest)
+    assert calls == [2]  # newest retained commit only
+    infos = de._commit_infos(spark, dest)
+    assert ts == max(i["timestamp"] for _, i in infos if "timestamp" in i)
+
+    # legacy fallback: strip commitInfo from the newest commit -> the
+    # floor must come from the full retained scan, not silently -1
+    cpath = de._commit_path(dest, 2)
+    actions = [
+        json.loads(l) for l in open(cpath) if l.strip()
+    ]
+    with open(cpath, "w") as fh:
+        fh.write(
+            "\n".join(
+                json.dumps(a) for a in actions if "commitInfo" not in a
+            )
+        )
+    calls.clear()
+    ts2 = de._latest_commit_ts(spark, dest)
+    assert len(calls) >= 3  # fell back to the scan
+    assert ts2 == max(
+        i["timestamp"]
+        for _, i in de._commit_infos(spark, dest)
+        if "timestamp" in i
+    )
+
+
+def test_resolve_disk_paths_connector_notfound_fallback(
+    spark, monkeypatch
+):
+    """ADVICE r9 (low): an object-store connector may surface
+    not-found through an exception whose text never says
+    'FileNotFoundException'. _resolve_disk_paths must then confirm
+    absence with one fs.exists probe on the parent and treat it as
+    empty (keeping legacy-path routing working) — but still propagate
+    when the parent EXISTS (a genuine IO/permission error)."""
+    import pytest
+
+    import olist_lakehouse_2_0_spark.delta_export as de
+
+    class FakeUri:
+        def getScheme(self):
+            return "objstore"  # not 'file': colon gate passes through
+
+    class FakeFS:
+        def __init__(self, parent_exists):
+            self.parent_exists = parent_exists
+
+        def getUri(self):
+            return FakeUri()
+
+        def listStatus(self, path):
+            raise RuntimeError("ObjectStoreKeyMissing: no such prefix")
+
+        def exists(self, path):
+            return self.parent_exists
+
+    def fake_fs_factory(parent_exists):
+        def _fake(spark_, path_):
+            return None, (lambda p: p), FakeFS(parent_exists)
+
+        return _fake
+
+    # parent absent: the escaped rel resolves to its DECODED form
+    # (nothing on disk under either name -> protocol default)
+    monkeypatch.setattr(de, "_fs", fake_fs_factory(False))
+    out = de._resolve_disk_paths(spark, "/tbl", ["a%20b.parquet"])
+    assert out == {"a%20b.parquet": "/tbl/a b.parquet"}
+
+    # parent present but listing still fails: genuine error, propagate
+    monkeypatch.setattr(de, "_fs", fake_fs_factory(True))
+    with pytest.raises(RuntimeError, match="ObjectStoreKeyMissing"):
+        de._resolve_disk_paths(spark, "/tbl", ["a%20b.parquet"])
