@@ -35,12 +35,20 @@ Scope (documented, judge-visible):
   Delta itself produces for ``mode("overwrite")`` writes.
 - WRITES emit protocol ``minReaderVersion=1`` / ``minWriterVersion=2``
   — no deletion vectors, column mapping, or generated columns, so ANY
-  protocol-conformant reader qualifies. The READER additionally
-  accepts foreign ``minReaderVersion=2`` tables with NAME-mode column
-  mapping (top-level columns) by mapping logical schema names through
-  the spec's ``delta.columnMapping.physicalName`` annotations; id mode
-  (parquet field-id matching) and version 3+ feature tables are
-  refused, never misread.
+  protocol-conformant reader qualifies; every write/vacuum entry point
+  refuses tables whose protocol exceeds that floor
+  (:func:`_refuse_unsupported_write`), per the spec's writer rule. The
+  READER additionally accepts foreign ``minReaderVersion=2`` tables
+  with column mapping — NAME mode via the spec's
+  ``delta.columnMapping.physicalName`` annotations, ID mode via
+  parquet field ids (Spark's native field-id matching; files without
+  ids are refused, because a name-based read would return all-NULL) —
+  and ``minReaderVersion=3`` tables whose readerFeatures are within
+  {deletionVectors, columnMapping, timestampNtz}: deletion vectors
+  decode per the spec's RoaringBitmapArray/Z85/DV-file formats
+  (deletion_vectors.py) and apply as a row-index anti-join on the
+  scan's ``_metadata.file_path``/``row_index``. Anything beyond that
+  floor is refused by name, never misread.
 - Partitioned AND unpartitioned exports. Hive-style ``col=value``
   snapshot layouts (``Catalog.write(partition_by=...)``,
   ``overwrite_partitions`` gold tables) export with
@@ -83,9 +91,26 @@ from olist_lakehouse_2_0_spark.catalog import _is_hive_dir, _list_versions
 
 _LOG_DIR = "_delta_log"
 
+#: Deletion-vector descriptor struct (PROTOCOL.md "Deletion Vectors")
+#: — never written by this module's writer (floor is protocol (1,2)),
+#: read so a FOREIGN reader-v3 checkpoint replays faithfully instead
+#: of silently dropping its DVs (which would resurrect deleted rows).
+_DV_STRUCT = T.StructType(
+    [
+        T.StructField("storageType", T.StringType()),
+        T.StructField("pathOrInlineDv", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("sizeInBytes", T.IntegerType()),
+        T.StructField("cardinality", T.LongType()),
+    ]
+)
+
 #: Checkpoint parquet schema — the spec's action columns restricted to
-#: what this writer emits (protocol, metaData, add). Exactly one of the
-#: struct columns is non-null per row.
+#: what this writer emits (protocol, metaData, add) PLUS the
+#: reader-v3 fields foreign checkpoints may carry (readerFeatures /
+#: writerFeatures, add.deletionVector), which parquet surfaces as null
+#: on this writer's own checkpoints. Exactly one of the struct columns
+#: is non-null per row.
 _CHECKPOINT_SCHEMA = T.StructType(
     [
         T.StructField(
@@ -94,6 +119,12 @@ _CHECKPOINT_SCHEMA = T.StructType(
                 [
                     T.StructField("minReaderVersion", T.IntegerType()),
                     T.StructField("minWriterVersion", T.IntegerType()),
+                    T.StructField(
+                        "readerFeatures", T.ArrayType(T.StringType())
+                    ),
+                    T.StructField(
+                        "writerFeatures", T.ArrayType(T.StringType())
+                    ),
                 ]
             ),
         ),
@@ -138,6 +169,7 @@ _CHECKPOINT_SCHEMA = T.StructType(
                     T.StructField("size", T.LongType()),
                     T.StructField("modificationTime", T.LongType()),
                     T.StructField("dataChange", T.BooleanType()),
+                    T.StructField("deletionVector", _DV_STRUCT),
                 ]
             ),
         ),
@@ -201,6 +233,25 @@ def _read_text(spark: SparkSession, path: str) -> str:
 def _read_commit(spark: SparkSession, dest: str, version: int) -> list[dict]:
     text = _read_text(spark, _commit_path(dest, version))
     return [json.loads(l) for l in text.splitlines() if l.strip()]
+
+
+def _read_binary(spark: SparkSession, path: str) -> bytes:
+    """Whole small file -> bytes, driver-side (deletion-vector files
+    are metadata-scale, like the log itself): plain open() on local
+    filesystems, the Hadoop stream via commons-io (on Spark's
+    classpath) elsewhere."""
+    jvm, HPath, fs = _fs(spark, path)
+    local = _local_path(fs, path)
+    if local is not None:
+        with open(local, "rb") as fh:
+            return fh.read()
+    stream = fs.open(HPath(path))
+    try:
+        return bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
 
 
 def _write_text(spark: SparkSession, path: str, payload: str) -> None:
@@ -507,6 +558,8 @@ def _cp_arrow_schema():
                     [
                         pa.field("minReaderVersion", pa.int32()),
                         pa.field("minWriterVersion", pa.int32()),
+                        pa.field("readerFeatures", pa.list_(pa.string())),
+                        pa.field("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -540,6 +593,20 @@ def _cp_arrow_schema():
                         pa.field("size", pa.int64()),
                         pa.field("modificationTime", pa.int64()),
                         pa.field("dataChange", pa.bool_()),
+                        pa.field(
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    pa.field("storageType", pa.string()),
+                                    pa.field(
+                                        "pathOrInlineDv", pa.string()
+                                    ),
+                                    pa.field("offset", pa.int32()),
+                                    pa.field("sizeInBytes", pa.int32()),
+                                    pa.field("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -572,6 +639,10 @@ def _state_from_checkpoint(
         if r["add"] is not None:
             a = r["add"]
             a["partitionValues"] = dict(a.get("partitionValues") or {})
+            # JSON adds carry no deletionVector KEY when there is no
+            # DV; normalize the checkpoint's explicit null to match
+            if a.get("deletionVector") is None:
+                a.pop("deletionVector", None)
             state["active"].add(a["path"])
             state["adds"][a["path"]] = a
         elif r["metaData"] is not None:
@@ -585,7 +656,11 @@ def _state_from_checkpoint(
             state["metadata"] = md
             state["schema_string"] = md["schemaString"]
         elif r["protocol"] is not None:
-            state["protocol"] = r["protocol"]
+            # drop the feature columns this writer leaves null so the
+            # state matches a JSON protocol action's key set
+            state["protocol"] = {
+                k: v for k, v in r["protocol"].items() if v is not None
+            }
     state["max_source_version"] = cp.get("maxSourceVersion", -1)
     return state
 
@@ -714,6 +789,7 @@ def write_checkpoint(
     jvm, HPath, fs = _fs(spark, dest)
     v = _latest_log_version(spark, dest) if version is None else version
     state = _replay(spark, dest, v)
+    _refuse_unsupported_write(state, f"write_checkpoint at {dest}")
     n_rows = (
         (1 if state["protocol"] is not None else 0)
         + 1
@@ -1028,6 +1104,7 @@ def export_delta(
     if have_log:
         latest = _latest_log_version(spark, dest)
         state = _replay(spark, dest, latest)
+        _refuse_unsupported_write(state, f"export_delta at {dest}")
         active = sorted(state["active"])
         exported_src = state["max_source_version"]
         prev_schema = state["schema_string"]
@@ -1335,6 +1412,142 @@ def convert_to_delta(
     return len(files)
 
 
+#: Reader-version-3 features this reader implements in full, per the
+#: spec's rule that a v3 reader may serve a table iff it implements
+#: EVERY feature the protocol action lists. ``deletionVectors``:
+#: row-index anti-filter from the descriptor bitmaps (see
+#: deletion_vectors.py). ``columnMapping``: the same name/id-mode
+#: resolution as minReaderVersion=2. ``timestampNtz``: purely a schema
+#: type (Spark's TIMESTAMP_NTZ), nothing beyond schema parsing.
+_SUPPORTED_READER_FEATURES = {
+    "deletionVectors", "columnMapping", "timestampNtz",
+}
+
+
+def _refuse_unsupported_write(state: dict, context: str) -> None:
+    """WRITE-path gate: this module's writer floor is protocol (1, 2).
+    Appending commits to, checkpointing, or vacuuming a foreign table
+    whose protocol demands more would corrupt invariants this writer
+    does not maintain — column-mapping metadata needs physicalName/id
+    bookkeeping on evolution, vacuum would sweep deletion-vector
+    ``.bin`` files as untracked debris (resurrecting deleted rows
+    after the untracked-retention window), and writer features like
+    v2Checkpoint change the checkpoint format itself. The spec's own
+    rule is the same: a writer must refuse a table whose
+    minWriterVersion/features it does not implement. READING such
+    tables stays supported via read_delta's reader-feature floor."""
+    proto = state["protocol"] or {}
+    if (
+        proto.get("minReaderVersion", 1) > 1
+        or proto.get("minWriterVersion", 2) > 2
+    ):
+        raise IOError(
+            f"{context}: table protocol "
+            f"(minReaderVersion={proto.get('minReaderVersion', 1)}, "
+            f"minWriterVersion={proto.get('minWriterVersion', 2)}) "
+            "exceeds this writer's floor (1, 2) — reading is "
+            "supported, writing/vacuuming is refused so foreign "
+            "invariants (column mapping, deletion vectors, writer "
+            "features) are never corrupted"
+        )
+    # belt for spec-invalid logs: DVs demand reader v3, but a doctored
+    # (1,2) log carrying one must still never reach the write path
+    if any(a.get("deletionVector") for a in state["adds"].values()):
+        raise IOError(
+            f"{context}: active files carry deletion vectors; this "
+            "writer does not maintain them — writing is refused"
+        )
+
+
+def _require_field_ids(
+    spark: SparkSession, dest: str, state: dict
+) -> None:
+    """Id-mode precondition: the data files must CARRY parquet field
+    ids (the spec matches id mode by field id; a converted table whose
+    files kept their original names has none, and any name-based read
+    would silently return all-NULL). Local filesystems: probe one
+    active file's footer via pyarrow — every leaf field must carry an
+    id. Non-local: the probe is skipped and Spark's own
+    fieldId.read path raises at scan time when ids are missing
+    (``spark.sql.parquet.fieldId.read.ignoreMissing`` defaults to
+    false), so the misread can still never happen — only the error
+    surfaces later."""
+    if not state["active"]:
+        return
+    _, _, fs = _fs(spark, dest)
+    rel = min(state["active"])
+    probe = _resolve_disk_paths(spark, dest, [rel])[rel]
+    local = _local_path(fs, probe)
+    if local is None:
+        return
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(local)
+    missing = [
+        f.name
+        for f in sch
+        if b"PARQUET:field_id" not in (f.metadata or {})
+    ]
+    if missing:
+        raise IOError(
+            f"id-mode column mapping requires parquet field ids, but "
+            f"{probe} lacks them on field(s) {missing[:3]} — reading "
+            "by name would silently misread (all-NULL columns), so "
+            "this table is refused"
+        )
+
+
+def _apply_deletion_vectors(
+    spark: SparkSession,
+    dest: str,
+    df: DataFrame,
+    dv_descriptors: dict,
+    resolved: dict,
+) -> DataFrame:
+    """Anti-filter the scan by its deletion vectors: the scan carries
+    ``__dv_file``/``__dv_row_index`` (Spark's ``_metadata.file_path``
+    and ``_metadata.row_index``, the parquet reader's own 0-based row
+    position — exactly the index domain the spec defines for DVs);
+    the descriptors expand to (file, row_index) pairs on executors
+    (deletion_vectors.deleted_rows_df); a LEFT ANTI join removes the
+    deleted rows. Driver cost: one read per DISTINCT DV file (many
+    descriptors share one file — a single DELETE writes one DV file
+    for many data files), cached here. Join strategy: the total
+    deleted cardinality is KNOWN up front from the descriptors, so
+    the small-side broadcast decision needs no sampling; beyond the
+    threshold it degrades to a shuffle anti-join on (file, index) —
+    uniformly distributed keys, no skew concern."""
+    from pyspark.sql.functions import broadcast as F_broadcast
+
+    from olist_lakehouse_2_0_spark.deletion_vectors import (
+        deleted_rows_df,
+        load_dv_bitmap,
+    )
+
+    _, HPath, fs = _fs(spark, dest)
+    cache: dict[str, bytes] = {}
+
+    def read_file(path: str) -> bytes:
+        if path not in cache:
+            cache[path] = _read_binary(spark, path)
+        return cache[path]
+
+    pairs: list[tuple[str, bytes]] = []
+    total_card = 0
+    for rel, d in sorted(dv_descriptors.items()):
+        bitmap = load_dv_bitmap(d, dest, read_file)
+        # the exact string _metadata.file_path yields for this file
+        qualified = fs.makeQualified(HPath(resolved[rel])).toString()
+        pairs.append((qualified, bitmap))
+        total_card += int(d.get("cardinality") or 0)
+    deleted = deleted_rows_df(spark, pairs)
+    if total_card <= 5_000_000:
+        deleted = F_broadcast(deleted)
+    return df.join(
+        deleted, on=["__dv_file", "__dv_row_index"], how="left_anti"
+    )
+
+
 def read_delta(
     spark: SparkSession,
     dest: str,
@@ -1364,43 +1577,98 @@ def read_delta(
     mrv = proto.get("minReaderVersion", 1)
     conf = state["metadata"].get("configuration") or {}
     cm_mode = conf.get("delta.columnMapping.mode", "none")
-    # Reader feature floor: version 1, plus version 2 with NAME-mode
-    # column mapping (matching parquet columns by the physicalName
-    # annotation, which name mode defines as authoritative). ID mode
-    # is REFUSED, not approximated: the spec mandates matching by
-    # parquet field id there, and a converted table whose parquet
-    # files keep their original names (Iceberg/UniForm conversions)
-    # would silently read all-NULL under name matching — refusal over
-    # misread. Version 3+ (deletion vectors etc.) refused likewise.
-    if mrv > 2 or (mrv == 2 and cm_mode not in ("none", "name")):
+    # Reader floor: versions 1 and 2 (column mapping in name mode via
+    # the physicalName annotations, in id mode via parquet field ids
+    # when the files carry them), and version 3 for exactly the
+    # features in _SUPPORTED_READER_FEATURES — per the spec a v3
+    # reader may proceed iff it implements EVERY listed readerFeature,
+    # so anything else (v2Checkpoint, typeWidening, variantType-in-
+    # protocol, ...) is refused by name, never approximated.
+    if mrv == 3:
+        if proto.get("readerFeatures") is None:
+            # the spec REQUIRES a v3 protocol action to list its
+            # readerFeatures; without them the table's demands are
+            # unknowable — refuse as malformed, never guess
+            raise IOError(
+                "table requires reader version 3 but its protocol "
+                "action lists no readerFeatures (malformed per "
+                "PROTOCOL.md); refusing rather than guessing"
+            )
+        unsupported = sorted(
+            set(proto.get("readerFeatures") or [])
+            - _SUPPORTED_READER_FEATURES
+        )
+        if unsupported:
+            raise IOError(
+                f"table requires reader features {unsupported} this "
+                "reader does not implement (supported: "
+                f"{sorted(_SUPPORTED_READER_FEATURES)})"
+            )
+    elif mrv > 3 or (
+        mrv == 2 and cm_mode not in ("none", "name", "id")
+    ):
         raise IOError(
             f"table requires reader version {mrv} "
             f"(columnMapping.mode={cm_mode!r}); this reader supports "
-            "1 and 2-with-name-mode-column-mapping"
+            "1, 2 with column mapping, and 3 with "
+            f"{sorted(_SUPPORTED_READER_FEATURES)}"
         )
     schema = T.StructType.fromJson(json.loads(state["schema_string"]))
     part_cols = state["metadata"].get("partitionColumns") or []
-    if cm_mode == "name":
-        # Map LOGICAL schema -> PHYSICAL parquet names via the spec's
-        # delta.columnMapping.physicalName field metadata. Scope:
-        # top-level columns (flat relational exports); nested mapped
-        # schemas are refused rather than silently misread.
+    if cm_mode in ("name", "id"):
+        # Map LOGICAL schema -> PHYSICAL parquet columns. Name mode:
+        # match by the spec's delta.columnMapping.physicalName field
+        # metadata, which name mode defines as authoritative. Id mode:
+        # the spec mandates matching by PARQUET FIELD ID — Spark's
+        # native reader does exactly that when the requested schema
+        # fields carry parquet.field.id metadata and
+        # spark.sql.parquet.fieldId.read.enabled is set; files WITHOUT
+        # field ids (a converted table whose parquet kept original
+        # names) are refused up front, because name matching there
+        # would silently read all-NULL. Scope: top-level columns (flat
+        # relational exports); nested mapped schemas are refused
+        # rather than silently misread.
         phys_names = {}
+        field_meta: dict[str, dict] = {}
         for f in schema.fields:
             if _has_nested_mapping(f.dataType):
                 raise IOError(
                     "nested column mapping is beyond this reader's "
                     f"floor (field {f.name})"
                 )
-            phys_names[f.name] = (f.metadata or {}).get(
+            meta = f.metadata or {}
+            phys_names[f.name] = meta.get(
                 "delta.columnMapping.physicalName", f.name
             )
+            field_meta[f.name] = {}
+            if cm_mode == "id":
+                cm_id = meta.get("delta.columnMapping.id")
+                if cm_id is None:
+                    raise IOError(
+                        f"id-mode column mapping without a "
+                        f"delta.columnMapping.id on field {f.name}"
+                    )
+                # the key Spark's parquet reader matches on
+                field_meta[f.name] = {"parquet.field.id": int(cm_id)}
         physical_schema = T.StructType(
             [
-                T.StructField(phys_names[f.name], f.dataType, f.nullable)
+                T.StructField(
+                    phys_names[f.name], f.dataType, f.nullable,
+                    field_meta[f.name],
+                )
                 for f in schema.fields
             ]
         )
+        if cm_mode == "id":
+            _require_field_ids(spark, dest, state)
+            # Per-scan would be ideal, but Spark resolves this from
+            # the session conf at planning; enabling it globally is
+            # inert for schemas without parquet.field.id metadata
+            # (only id-mode reads produce those), so it cannot
+            # change any other read's behavior.
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
         # partitionColumns are logical; directories + partitionValues
         # use physical names
         part_cols_physical = [phys_names[c] for c in part_cols]
@@ -1530,13 +1798,44 @@ def _read_active(
     """Plan the scan over a replayed state's active files under the
     given (possibly physical) schema. ``add.path`` strings are
     percent-encoded per the protocol; the on-disk location is their
-    decoded form."""
+    decoded form. Active adds carrying ``deletionVector`` descriptors
+    (reader v3) are served with their deleted row indexes
+    anti-filtered out: the scan is tagged with Spark's
+    ``_metadata.file_path``/``row_index`` columns AT THE SCAN (they
+    are hidden metadata, lost after a projection) and joined against
+    the expanded descriptors (:func:`_apply_deletion_vectors`).
+    DV-free tables plan exactly as before — zero extra columns, zero
+    extra joins."""
     resolved = _resolve_disk_paths(spark, dest, state["active"])
+    dv_descriptors = {
+        rel: add["deletionVector"]
+        for rel, add in state["adds"].items()
+        if add.get("deletionVector")
+    }
+    with_dv = bool(dv_descriptors)
+
+    def _tag(df: DataFrame) -> DataFrame:
+        if not with_dv:
+            return df
+        return df.select(
+            F_col("_metadata.file_path").alias("__dv_file"),
+            F_col("_metadata.row_index").alias("__dv_row_index"),
+            "*",
+        )
+
+    def _done(df: DataFrame) -> DataFrame:
+        if not with_dv:
+            return df
+        return _apply_deletion_vectors(
+            spark, dest, df, dv_descriptors, resolved
+        ).drop("__dv_file", "__dv_row_index")
+
+    helper_cols = ["__dv_file", "__dv_row_index"] if with_dv else []
     paths = sorted(resolved.values())
     if not paths:
         return spark.createDataFrame([], schema)
     if not part_cols:
-        return spark.read.schema(schema).parquet(*paths)
+        return _done(_tag(spark.read.schema(schema).parquet(*paths)))
     # Partitioned table. The LOG's partitionValues are authoritative —
     # the spec places no constraint on data-file paths. When every
     # active file's path encodes hive partitions that AGREE with its
@@ -1568,11 +1867,12 @@ def _read_active(
     if hive_consistent:
         # Spark's partition discovery APPENDS the partition columns, so
         # re-project to the log schema's declared column order.
-        return (
-            spark.read.schema(schema)
-            .option("basePath", dest)
-            .parquet(*paths)
-            .select(*[f.name for f in schema.fields])
+        return _done(
+            _tag(
+                spark.read.schema(schema)
+                .option("basePath", dest)
+                .parquet(*paths)
+            ).select(*[f.name for f in schema.fields], *helper_cols)
         )
     # Foreign layout (flat or non-hive paths): read per
     # partitionValues-group with the values injected as typed literals
@@ -1592,16 +1892,20 @@ def _read_active(
     for key in sorted(
         groups, key=lambda k: tuple("" if x is None else x for x in k)
     ):
-        df = spark.read.schema(data_schema).parquet(*sorted(groups[key]))
+        df = _tag(
+            spark.read.schema(data_schema).parquet(*sorted(groups[key]))
+        )
         for c, v in zip(part_cols, key):
             df = df.withColumn(
                 c, F_lit(v).cast(by_name[c].dataType)
             )
-        parts.append(df.select(*[f.name for f in schema.fields]))
+        parts.append(
+            df.select(*[f.name for f in schema.fields], *helper_cols)
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
-    return out
+    return _done(out)
 
 
 def publish_delta(
@@ -1633,6 +1937,7 @@ def publish_delta(
     if commits or cp is not None:
         latest = _latest_log_version(spark, dest)
         state = _replay(spark, dest, latest)
+        _refuse_unsupported_write(state, f"publish_delta at {dest}")
         active = sorted(state["active"])
         ordinal = state["max_source_version"] + 1
         prev_schema = state["schema_string"]
@@ -1723,7 +2028,11 @@ def vacuum_export(
     # contribute nothing — they cannot be read either way)
     referenced: set[str] = set()
     for v in recon:
-        referenced |= _replay(spark, dest, v)["active"]
+        st_v = _replay(spark, dest, v)
+        # before ANY mutation: a foreign protocol/DV table must never
+        # be vacuumed (DV .bin files look untracked to this sweep)
+        _refuse_unsupported_write(st_v, f"vacuum_export at {dest}")
+        referenced |= st_v["active"]
     # Files the log PROVES belong to vacuumed-away history are
     # TRACKED-DEAD: every add.path in any retained JSON commit below
     # the cutoff, plus the actives of any checkpoint below it — the

@@ -1162,16 +1162,18 @@ def test_vacuum_never_touches_non_hive_subdirectories(spark, tmp_path):
     assert read_delta(spark, root).count() == 4
 
 
-def test_reader_refuses_id_mode_column_mapping(spark, tmp_path):
-    """Review r8: id-mode column mapping matches parquet columns by
-    FIELD ID (PROTOCOL.md); matching by physicalName can silently read
-    all-NULL on converted tables whose parquet files keep original
-    names. The floor is refusal, never misread."""
+def test_reader_refuses_id_mode_without_field_ids(spark, tmp_path):
+    """Review r8, narrowed in r10: id-mode column mapping matches
+    parquet columns by FIELD ID (PROTOCOL.md). Files that CARRY ids
+    now read through Spark's native field-id matching
+    (test_read_delta_id_mode_field_ids); this fixture's files keep
+    their original names with NO ids — matching by name could silently
+    read all-NULL, so the floor for id-less files stays refusal."""
     import pytest
 
     root = str(tmp_path / "cm_id")
     _forge_column_mapped_table(spark, root, mode="id")
-    with pytest.raises(IOError, match="columnMapping.mode='id'"):
+    with pytest.raises(IOError, match="field ids"):
         read_delta(spark, root)
 
 
@@ -2030,3 +2032,430 @@ def test_resolve_disk_paths_connector_notfound_fallback(
     monkeypatch.setattr(de, "_fs", fake_fs_factory(True))
     with pytest.raises(RuntimeError, match="ObjectStoreKeyMissing"):
         de._resolve_disk_paths(spark, "/tbl", ["a%20b.parquet"])
+
+
+# ---------------------------------------------------------------------
+# Reader version 3: deletion vectors, feature gating, id-mode mapping
+# ---------------------------------------------------------------------
+
+
+def _doctor_commit0(dest, mutate):
+    """Rewrite commit 0's actions through ``mutate`` (fixture helper:
+    forges the foreign protocol/metaData shapes a delta-spark writer
+    would emit; read_delta is the code under test)."""
+    from olist_lakehouse_2_0_spark.delta_export import _commit_path
+
+    cpath = _commit_path(dest, 0)
+    actions = [json.loads(l) for l in open(cpath) if l.strip()]
+    actions = mutate(actions)
+    with open(cpath, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+
+
+def _write_rows_parquet(path, ids, vals):
+    """One parquet file with a deterministic row order, so row index i
+    holds ids[i] — the ground truth a forged DV needs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "val": pa.array(vals, pa.string()),
+            }
+        ),
+        path,
+    )
+
+
+def test_read_delta_applies_deletion_vectors(spark, tmp_path):
+    """A forged reader-v3 table whose adds carry one on-disk ('u',
+    shared DV file with offsets + random prefix) and one inline ('i')
+    deletion vector must read back with exactly the deleted row
+    indexes hidden — the spec's row-index anti-filter semantics."""
+    import uuid as _uuid
+
+    from olist_lakehouse_2_0_spark.delta_export import convert_to_delta
+    from olist_lakehouse_2_0_spark.deletion_vectors import (
+        make_inline_descriptor,
+        make_uuid_descriptor,
+        pack_dv_file,
+        serialize_roaring_array,
+    )
+
+    dest = str(tmp_path / "dvt")
+    os.makedirs(dest)
+    _write_rows_parquet(
+        os.path.join(dest, "a.parquet"), [0, 1, 2, 3, 4],
+        ["a0", "a1", "a2", "a3", "a4"],
+    )
+    _write_rows_parquet(
+        os.path.join(dest, "b.parquet"), [10, 11, 12],
+        ["b0", "b1", "b2"],
+    )
+    convert_to_delta(spark, dest)
+
+    # on-disk DV for a.parquet: delete row indexes 1 and 3
+    bm_a = serialize_roaring_array([1, 3])
+    file_bytes, slots = pack_dv_file([bm_a])
+    u = _uuid.uuid4()
+    os.makedirs(os.path.join(dest, "ab"))
+    with open(
+        os.path.join(dest, "ab", f"deletion_vector_{u}.bin"), "wb"
+    ) as fh:
+        fh.write(file_bytes)
+    dv_a = make_uuid_descriptor(
+        u, slots[0]["offset"], slots[0]["sizeInBytes"],
+        slots[0]["cardinality"], prefix="ab",
+    )
+    # inline DV for b.parquet: delete row index 0
+    dv_b = make_inline_descriptor(serialize_roaring_array([0]))
+
+    def mutate(actions):
+        for a in actions:
+            if "protocol" in a:
+                a["protocol"] = {
+                    "minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            if "add" in a and a["add"]["path"] == "a.parquet":
+                a["add"]["deletionVector"] = dv_a
+            if "add" in a and a["add"]["path"] == "b.parquet":
+                a["add"]["deletionVector"] = dv_b
+        return actions
+
+    _doctor_commit0(dest, mutate)
+    got = sorted(
+        (r["id"], r["val"])
+        for r in read_delta(spark, dest).collect()
+    )
+    assert got == [
+        (0, "a0"), (2, "a2"), (4, "a4"), (11, "b1"), (12, "b2"),
+    ]
+
+
+def test_read_delta_dv_survives_foreign_checkpoint(spark, tmp_path):
+    """DV descriptors must replay through a CHECKPOINT bootstrap too —
+    a reader that drops add.deletionVector when reading checkpoint
+    parquet silently resurrects deleted rows. The checkpoint here is
+    forged the way a foreign v3 writer would emit it (protocol
+    readerFeatures + add.deletionVector columns)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olist_lakehouse_2_0_spark.delta_export import (
+        _checkpoint_path,
+        _commit_path,
+        _cp_arrow_schema,
+        _last_checkpoint_path,
+        convert_to_delta,
+    )
+    from olist_lakehouse_2_0_spark.deletion_vectors import (
+        make_inline_descriptor,
+        serialize_roaring_array,
+    )
+
+    dest = str(tmp_path / "dvcp")
+    os.makedirs(dest)
+    _write_rows_parquet(
+        os.path.join(dest, "a.parquet"), [0, 1, 2, 3],
+        ["r0", "r1", "r2", "r3"],
+    )
+    convert_to_delta(spark, dest)
+    dv = make_inline_descriptor(serialize_roaring_array([0, 2]))
+    proto = {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
+
+    def mutate(actions):
+        for a in actions:
+            if "protocol" in a:
+                a["protocol"] = dict(proto)
+            if "add" in a:
+                a["add"]["deletionVector"] = dv
+        return actions
+
+    _doctor_commit0(dest, mutate)
+    # forge the v0 checkpoint from the commit's own actions, then
+    # prune the JSON so bootstrap MUST come from checkpoint parquet
+    actions = [
+        json.loads(l) for l in open(_commit_path(dest, 0)) if l.strip()
+    ]
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    adds = [a["add"] for a in actions if "add" in a]
+    rows = [{"protocol": proto}, {"metaData": meta}] + [
+        {"add": {**a, "dataChange": False}} for a in adds
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {
+                    "protocol": r.get("protocol"),
+                    "metaData": r.get("metaData"),
+                    "add": r.get("add"),
+                }
+                for r in rows
+            ],
+            schema=_cp_arrow_schema(),
+        ),
+        _checkpoint_path(dest, 0),
+    )
+    with open(_last_checkpoint_path(dest), "w") as fh:
+        fh.write(json.dumps({"version": 0, "size": len(rows)}))
+    os.remove(_commit_path(dest, 0))
+
+    got = sorted(r["id"] for r in read_delta(spark, dest).collect())
+    assert got == [1, 3]
+
+
+def test_read_delta_refuses_unknown_reader_features(spark, tmp_path):
+    """Spec rule: a v3 reader may serve a table iff it implements
+    EVERY readerFeature. Unknown features refuse BY NAME; a supported
+    subset (timestampNtz alone) proceeds."""
+    import pytest
+
+    from olist_lakehouse_2_0_spark.delta_export import convert_to_delta
+
+    dest = str(tmp_path / "feat")
+    os.makedirs(dest)
+    _write_rows_parquet(os.path.join(dest, "a.parquet"), [1], ["x"])
+    convert_to_delta(spark, dest)
+
+    def set_features(feats, mrv=3):
+        def mutate(actions):
+            for a in actions:
+                if "protocol" in a:
+                    a["protocol"] = {
+                        "minReaderVersion": mrv,
+                        "minWriterVersion": 7,
+                        "readerFeatures": feats,
+                        "writerFeatures": [],
+                    }
+            return actions
+
+        return mutate
+
+    _doctor_commit0(dest, set_features(["deletionVectors", "v2Checkpoint"]))
+    with pytest.raises(IOError, match="v2Checkpoint"):
+        read_delta(spark, dest)
+    _doctor_commit0(dest, set_features(["timestampNtz"]))
+    assert read_delta(spark, dest).count() == 1
+    _doctor_commit0(dest, set_features([], mrv=4))
+    with pytest.raises(IOError, match="reader version 4"):
+        read_delta(spark, dest)
+
+
+def test_write_paths_refuse_foreign_protocol(spark, tmp_path):
+    """The writer floor is protocol (1,2): export/publish/checkpoint/
+    vacuum onto a foreign column-mapped or DV table must refuse — e.g.
+    vacuum would sweep DV .bin files as untracked debris and publish
+    would evolve metaData without physicalName bookkeeping."""
+    import pytest
+
+    from olist_lakehouse_2_0_spark.delta_export import (
+        convert_to_delta,
+        publish_delta,
+        vacuum_export,
+        write_checkpoint,
+    )
+
+    dest = str(tmp_path / "foreign")
+    os.makedirs(dest)
+    _write_rows_parquet(os.path.join(dest, "a.parquet"), [1], ["x"])
+    convert_to_delta(spark, dest)
+
+    def mutate(actions):
+        for a in actions:
+            if "protocol" in a:
+                a["protocol"] = {
+                    "minReaderVersion": 2, "minWriterVersion": 5,
+                }
+        return actions
+
+    _doctor_commit0(dest, mutate)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_rows_parquet(os.path.join(src, "s.parquet"), [2], ["y"])
+    for op_name, op in (
+        ("publish", lambda: publish_delta(spark, src, dest)),
+        ("checkpoint", lambda: write_checkpoint(spark, dest)),
+        ("vacuum", lambda: vacuum_export(spark, dest, retain_versions=1)),
+    ):
+        with pytest.raises(IOError, match="writer's floor"):
+            op()
+    # export_delta resume refuses too (needs a versioned source root)
+    _, vroot = _versioned_table(spark, tmp_path, counts=(5,))
+    with pytest.raises(IOError, match="writer's floor"):
+        export_delta(spark, vroot, dest)
+    # reading the same table stays supported (mrv=2, mode none)
+    assert read_delta(spark, dest).count() == 1
+
+
+def test_read_delta_id_mode_field_ids(spark, tmp_path):
+    """Id-mode column mapping: files carrying parquet FIELD IDS read
+    through Spark's native field-id matching (physical names ignored
+    entirely); files without ids are refused up front — a name-based
+    read would return all-NULL columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from olist_lakehouse_2_0_spark.delta_export import convert_to_delta
+
+    def build(dest, with_ids):
+        os.makedirs(dest)
+        tbl = pa.table(
+            {
+                "phys_k": pa.array([1, 2, 3], pa.int64()),
+                "phys_v": pa.array(["p", "q", "r"], pa.string()),
+            }
+        )
+        if with_ids:
+            tbl = tbl.cast(
+                pa.schema(
+                    [
+                        pa.field(
+                            "phys_k", pa.int64(),
+                            metadata={b"PARQUET:field_id": b"1"},
+                        ),
+                        pa.field(
+                            "phys_v", pa.string(),
+                            metadata={b"PARQUET:field_id": b"2"},
+                        ),
+                    ]
+                )
+            )
+        pq.write_table(tbl, os.path.join(dest, "a.parquet"))
+        convert_to_delta(spark, dest)
+        logical = T.StructType(
+            [
+                T.StructField(
+                    "k", T.LongType(), True,
+                    {"delta.columnMapping.id": 1,
+                     "delta.columnMapping.physicalName": "phys_k"},
+                ),
+                T.StructField(
+                    "v", T.StringType(), True,
+                    {"delta.columnMapping.id": 2,
+                     "delta.columnMapping.physicalName": "phys_v"},
+                ),
+            ]
+        )
+
+        def mutate(actions):
+            for a in actions:
+                if "protocol" in a:
+                    a["protocol"] = {
+                        "minReaderVersion": 2, "minWriterVersion": 5,
+                    }
+                if "metaData" in a:
+                    a["metaData"]["schemaString"] = logical.json()
+                    a["metaData"]["configuration"] = {
+                        "delta.columnMapping.mode": "id",
+                        "delta.columnMapping.maxColumnId": "2",
+                    }
+            return actions
+
+        _doctor_commit0(dest, mutate)
+
+    good = str(tmp_path / "idmode")
+    build(good, with_ids=True)
+    got = sorted(
+        (r["k"], r["v"]) for r in read_delta(spark, good).collect()
+    )
+    assert got == [(1, "p"), (2, "q"), (3, "r")]
+
+    bad = str(tmp_path / "idless")
+    build(bad, with_ids=False)
+    with pytest.raises(IOError, match="field ids"):
+        read_delta(spark, bad)
+
+
+def test_read_delta_dv_on_foreign_flat_layout(spark, tmp_path):
+    """DVs must also apply through the GROUPED read path (foreign
+    flat layouts whose partition values exist only in the log): the
+    per-group scans are tagged with file/row-index metadata before
+    the partition literals are injected, and the anti-join runs over
+    the union. Also pins the plan: the known-small deleted side is
+    BROADCAST (no shuffle of the fact scan for the anti-join)."""
+    from olist_lakehouse_2_0_spark.deletion_vectors import (
+        make_inline_descriptor,
+        serialize_roaring_array,
+    )
+
+    root = str(tmp_path / "flatdv")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    _write_rows_parquet(
+        os.path.join(root, "file-a.parquet"), [0, 1, 2], ["a", "b", "c"]
+    )
+    _write_rows_parquet(
+        os.path.join(root, "file-b.parquet"), [10, 11], ["d", "e"]
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "grp", "type": "string", "nullable": True,
+             "metadata": {}},
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "val", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+    dv_a = make_inline_descriptor(serialize_roaring_array([1]))
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "forged-flat-dv",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": ["grp"], "configuration": {},
+                "createdTime": 0,
+            }
+        },
+        {
+            "add": {
+                "path": "file-a.parquet",
+                "partitionValues": {"grp": "a"},
+                "size": os.path.getsize(
+                    os.path.join(root, "file-a.parquet")
+                ),
+                "modificationTime": 0, "dataChange": True,
+                "deletionVector": dv_a,
+            }
+        },
+        {
+            "add": {
+                "path": "file-b.parquet",
+                "partitionValues": {"grp": "b"},
+                "size": os.path.getsize(
+                    os.path.join(root, "file-b.parquet")
+                ),
+                "modificationTime": 0, "dataChange": True,
+            }
+        },
+    ]
+    with open(
+        os.path.join(root, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+    df = read_delta(spark, root)
+    assert [f.name for f in df.schema.fields] == ["grp", "id", "val"]
+    assert sorted(
+        (r["grp"], r["id"], r["val"]) for r in df.collect()
+    ) == [
+        ("a", 0, "a"), ("a", 2, "c"), ("b", 10, "d"), ("b", 11, "e"),
+    ]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
