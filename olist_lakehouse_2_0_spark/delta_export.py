@@ -1536,8 +1536,20 @@ def _apply_deletion_vectors(
     total_card = 0
     for rel, d in sorted(dv_descriptors.items()):
         bitmap = load_dv_bitmap(d, dest, read_file)
-        # the exact string _metadata.file_path yields for this file
-        qualified = fs.makeQualified(HPath(resolved[rel])).toString()
+        # The exact string _metadata.file_path yields for this file:
+        # URI-ENCODED path in scheme:[//authority]rawPath form — NOT
+        # Path.toString (decoded: a 'NOT SPECIFIED' partition dir
+        # would render with a literal space and never match) and NOT
+        # URI.toString (a null-authority local URI renders 'file:///'
+        # there but 'file:/' in the metadata column).
+        uri = fs.makeQualified(HPath(resolved[rel])).toUri()
+        auth = uri.getAuthority()
+        qualified = (
+            uri.getScheme()
+            + ":"
+            + (f"//{auth}" if auth else "")
+            + uri.getRawPath()
+        )
         pairs.append((qualified, bitmap))
         total_card += int(d.get("cardinality") or 0)
     deleted = deleted_rows_df(spark, pairs)

@@ -417,14 +417,51 @@ _R8_CHECKED = {
     "text_source_roundtrip", "text_stats", "zorder_pruned_revenue",
 }
 
-#: Queries whose IMPLEMENTATION changed in round 9 — front-load into
-#: this round's driver window. The delta_export machinery under both
-#: delta queries changed (strictly-monotone commitInfo timestamps,
-#: writer-unique commit staging, batched legacy-path resolution, the
-#: local-FS colon contract, session-timezone TIMESTAMP AS OF): their
-#: r8 green rows vouch for code that no longer exists.
+#: Queries whose IMPLEMENTATION changed in round 9 — superseded by
+#: _CHANGED_IN_R10 for ordering; kept for the historical record.
 _CHANGED_IN_R9 = {
     "delta_export_roundtrip", "delta_convert_publish_history",
+}
+
+#: Queries hash-green in round 9's window (CORRECTNESS_r09.json —
+#: 50/50 green).
+_R9_CHECKED = {
+    "analyze_table_stats", "category_performance_lag",
+    "ccnet_perplexity_buckets", "cdf_table_changes",
+    "cross_doc_span_removal", "daily_job_event_log_rollup",
+    "datetime_function_matrix", "delta_column_mapping_read",
+    "delta_convert_publish_history", "delta_export_roundtrip",
+    "delta_partitioned_vacuum_lifecycle", "dq_drop_quarantine",
+    "dq_fail_gate_violations", "dq_violation_summary",
+    "dsir_importance_weights", "embedding_topk_ivf_appended",
+    "embedding_topk_mrl_recall", "embedding_topk_pq_recall",
+    "events_stream_merge_upsert", "events_stream_stream_join",
+    "events_stream_stream_left_join", "events_streaming_dedup",
+    "geo_dedup", "idle_rich_customers", "image_dhash_neardup",
+    "intra_doc_repetition_removal", "large_volume_orders",
+    "leakage_safe_split", "merge_concurrent_writers",
+    "merge_upsert_orders", "minhash_verified_dups",
+    "model_scored_quality", "mv_time_travel_metrics",
+    "orders_by_state", "orders_grouping_sets", "part_supplier_variety",
+    "pricing_summary", "revenue_by_nation", "salted_nation_revenue",
+    "salted_priority_agg", "scalar_function_matrix",
+    "seller_performance", "silver_cleanse", "simhash_verified_dups",
+    "top_parts_per_brand", "top_revenue_orders",
+    "top_revenue_supplier", "training_shard_manifest",
+    "valid_orders_filter", "waiting_sole_late_supplier",
+}
+
+#: Queries whose IMPLEMENTATION changed in round 10 — front-load into
+#: this round's driver window. The delta_export machinery under all
+#: four delta queries changed (reader-v3 feature gate, deletion-vector
+#: application inside _read_active, id-mode field-id reads — the
+#: delta_column_mapping_read query itself gained the positive id-mode
+#: leg — write-floor refusals on every write/vacuum entry point,
+#: single-read _latest_commit_ts, SHORT_IDS session timezones): their
+#: r9 green rows vouch for code that no longer exists.
+_CHANGED_IN_R10 = {
+    "delta_export_roundtrip", "delta_convert_publish_history",
+    "delta_column_mapping_read", "delta_partitioned_vacuum_lifecycle",
 }
 
 #: Queries hash-green in round 3's window (CORRECTNESS_r03.json — 47
@@ -463,43 +500,36 @@ def _ordered_for_window(
     windowed); (2) queries whose implementation CHANGED this round (a
     stale green row proves nothing about rewritten code); (3) the
     greens by the round of their NEWEST driver row, stalest first, so
-    spare slots re-confirm the oldest evidence. Round 9's window
-    (VERDICT r8 next-step #3: rotate the r5-stale cohort) = the new
-    queries + the 2 machinery-changed delta queries + ALL 40 r5-latest
-    stale greens + any spare slots falling to the stalest r6 greens —
-    so after this round no registered query's newest driver row
-    predates r6. The round-9 additions were sized to that budget
-    (50 − 40 − 2 = 8 slots for new queries)."""
+    spare slots re-confirm the oldest evidence. Round 10's window
+    (VERDICT r9 next-step #1: rotate the r6-stale cohort) = the 3 new
+    queries + the 4 machinery-changed delta queries + ALL 39 r6-latest
+    stale greens + spare slots falling to the stalest r7 greens — so
+    after this round no registered query's newest driver row predates
+    r7. The round-10 additions were sized to that budget
+    (50 − 39 − 4 = 7 slots; 3 used, 4 spares rotate r7 greens)."""
     never_checked: list[tuple[str, QueryFn]] = []
     changed_this_round: list[tuple[str, QueryFn]] = []
     by_latest: dict[int, list[tuple[str, QueryFn]]] = {
-        1: [], 2: [], 3: [], 4: [], 5: [], 6: [], 7: [], 8: [],
+        i: [] for i in range(1, 10)
     }
     rounds = [
-        (8, _R8_CHECKED), (7, _R7_CHECKED), (6, _R6_CHECKED),
-        (5, _R5_CHECKED), (4, _R4_CHECKED), (3, _R3_CHECKED),
-        (2, _R2_CHECKED), (1, _R1_CHECKED),
+        (9, _R9_CHECKED), (8, _R8_CHECKED), (7, _R7_CHECKED),
+        (6, _R6_CHECKED), (5, _R5_CHECKED), (4, _R4_CHECKED),
+        (3, _R3_CHECKED), (2, _R2_CHECKED), (1, _R1_CHECKED),
     ]
     for item in queries.items():
         name = item[0]
         latest = next((rnd for rnd, s in rounds if name in s), None)
         if latest is None:
             never_checked.append(item)
-        elif name in _CHANGED_IN_R9:
+        elif name in _CHANGED_IN_R10:
             changed_this_round.append(item)
         else:
             by_latest[latest].append(item)
     return (
         never_checked
         + changed_this_round
-        + by_latest[1]
-        + by_latest[2]
-        + by_latest[3]
-        + by_latest[4]
-        + by_latest[5]
-        + by_latest[6]
-        + by_latest[7]
-        + by_latest[8]
+        + [it for i in range(1, 10) for it in by_latest[i]]
     )
 
 

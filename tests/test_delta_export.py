@@ -2459,3 +2459,50 @@ def test_read_delta_dv_on_foreign_flat_layout(spark, tmp_path):
     ]
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_read_delta_dv_in_space_partition_dir(spark, tmp_path):
+    """Regression (r10): ``_metadata.file_path`` is the URI-ENCODED
+    path — a 'priority=NOT%20SPECIFIED' partition dir — while Hadoop
+    Path.toString decodes. The DV anti-join key must be built in the
+    metadata column's exact encoding (scheme:[//authority]rawPath),
+    or every DV on a space/percent-carrying path silently fails to
+    apply and its deleted rows RESURRECT."""
+    from olist_lakehouse_2_0_spark.delta_export import (
+        _commit_path,
+        convert_to_delta,
+    )
+    from olist_lakehouse_2_0_spark.deletion_vectors import (
+        make_inline_descriptor,
+        serialize_roaring_array,
+    )
+
+    dest = str(tmp_path / "dvspace")
+    part = os.path.join(dest, "p=NOT SPECIFIED")
+    os.makedirs(part)
+    _write_rows_parquet(
+        os.path.join(part, "a.parquet"), [0, 1, 2], ["x", "y", "z"]
+    )
+    convert_to_delta(spark, dest)
+    dv = make_inline_descriptor(serialize_roaring_array([1]))
+
+    cpath = _commit_path(dest, 0)
+    actions = [json.loads(l) for l in open(cpath) if l.strip()]
+    for a in actions:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        if "add" in a:
+            # the protocol encodes the space in add.path
+            assert "%20" in a["add"]["path"]
+            a["add"]["deletionVector"] = dv
+    with open(cpath, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+
+    got = sorted(
+        (r["p"], r["id"]) for r in read_delta(spark, dest).collect()
+    )
+    assert got == [("NOT SPECIFIED", 0), ("NOT SPECIFIED", 2)]

@@ -484,3 +484,49 @@ def test_temperature_mixture_broadcasts_rates_no_corpus_shuffle(spark):
     assert "SortMergeJoin" not in plan
     # sanity: it actually selects something at this budget
     assert out.count() > 0
+
+
+def test_skew_hot_key_join_smj_and_aqe_split(spark):
+    """skew_hot_key_join (r10): the merge hint must actually pin the
+    shuffle path (SortMergeJoin in the plan — without it Catalyst
+    broadcasts the small dim and the skew machinery is never
+    exercised), and at torture scale AQE's skew-join splitter must
+    ENGAGE: with the 256 MB default thresholds lowered to the
+    fixture's size (the same proportional-scaling trick as
+    scripts/bench_skew.py), the EXECUTED plan's sort-merge join is
+    marked skew=true — the hot ~40% partition was carved into
+    parallel splits instead of serializing one task."""
+    from olist_lakehouse_2_0_spark.queries.join_grouping import (
+        skew_hot_key_join,
+    )
+
+    plan = _formatted_plan(skew_hot_key_join(spark, SF))
+    assert "SortMergeJoin" in plan
+
+    lowered = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        # AQE must not dodge the skew by flipping to broadcast
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in lowered.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        df = skew_hot_key_join(spark, SF)
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
