@@ -931,29 +931,26 @@ class Catalog:
                 "archive stamps) — cannot distinguish a live write "
                 "from debris; investigate and remove it manually"
             )
+        # A _delta_log child means the table was converted in place
+        # (convert_to_delta) — the log IS published history, so the
+        # advice must be "don't compact this table", never "delete
+        # those files". Probed as a DIRECTORY, not via the
+        # foreign-parquet list: a freshly-converted log holds only
+        # JSON commits (no checkpoint parquet yet), and the staging
+        # swap would silently destroy it all the same (review r10).
+        if os.path.isdir(os.path.join(path, "_delta_log")):
+            raise IOError(
+                f"compact({name}): this table carries a Delta log "
+                "(_delta_log — it was converted in place); compacting "
+                "would rewrite published history out from under its "
+                "readers — compact the upstream source and re-publish "
+                "a new Delta version instead"
+            )
         if foreign:
             # Hidden parquet outside Spark's own scratch is FOREIGN
             # data: invisible to stats/export/reader/vacuum, fatal to
             # Spark's partition discovery on the rewrite read, and the
             # staging swap would silently DESTROY it. Refuse loudly.
-            # A _delta_log child means the table was converted in
-            # place (convert_to_delta) — its checkpoint parquet is
-            # published HISTORY, not clutter, so the advice must be
-            # "don't compact this table", never "delete those files".
-            in_log = sorted(
-                f
-                for f in foreign
-                if f"{os.sep}_delta_log{os.sep}" in f
-            )
-            if in_log:
-                raise IOError(
-                    f"compact({name}): this table carries a Delta log "
-                    f"(checkpoint parquet under _delta_log, e.g. "
-                    f"{in_log[0]!r}); compacting in place would "
-                    "rewrite published history out from under its "
-                    "readers — compact the upstream source and "
-                    "re-publish a new Delta version instead"
-                )
             raise IOError(
                 f"compact({name}): foreign parquet under hidden "
                 f"names inside the table, e.g. {foreign[0]!r} — move "

@@ -50,6 +50,10 @@ import struct
 import uuid as _uuid
 import zlib
 
+# module-level so the pandas-UDF type hints ('pd.Series', stringified
+# by __future__.annotations) resolve against module globals
+import pandas as pd
+
 _Z85_CHARS = (
     "0123456789abcdefghijklmnopqrstuvwxyz"
     "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
@@ -394,7 +398,65 @@ def load_dv_bitmap(
     )
 
 
-# ------------------------------------------------ Spark-side expansion
+# ------------------------------------------------ Spark-side execution
+
+#: Worker-lifetime memo of decoded bitmaps, keyed by (file path, byte
+#: length, CRC-32) so a rewritten DV at the same path never serves a
+#: stale decode. Python workers are reused across tasks, so each
+#: worker pays one decode per distinct DV per table read, not one per
+#: Arrow batch.
+_DECODE_CACHE: dict = {}
+
+
+def _decoded_indexes(path: str, raw: bytes):
+    key = (path, len(raw), zlib.crc32(raw))
+    arr = _DECODE_CACHE.get(key)
+    if arr is None:
+        if len(_DECODE_CACHE) >= 1024:
+            # bound worker memory across many tables/sessions; a
+            # clear only costs re-decodes, never correctness
+            _DECODE_CACHE.clear()
+        arr = deserialize_roaring_array(raw).astype("int64")
+        _DECODE_CACHE[key] = arr
+    return arr
+
+
+def live_rows_filter(spark, df, pairs, file_col: str, idx_col: str):
+    """Hide deleted rows by broadcasting the COMPRESSED bitmaps and
+    filtering the scan with an Arrow-batched membership test — the
+    execution shape Delta's own readers use (each task consults its
+    file's bitmap; no join, no shuffle, no expansion of the deleted
+    set into rows). The broadcast payload is exactly the serialized
+    roaring bytes (the caller gates on their ACTUAL total size, a
+    trusted signal, unlike descriptor cardinality); membership is one
+    ``np.searchsorted`` per distinct file per batch over the memoized
+    decoded index array."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    bc = spark.sparkContext.broadcast(dict(pairs))
+
+    @F.pandas_udf("boolean")
+    def _is_live(fp: pd.Series, ri: pd.Series) -> pd.Series:
+        dvs = bc.value
+        out = np.ones(len(fp), dtype=bool)
+        idx = ri.to_numpy()
+        fpv = fp.to_numpy()
+        for p in pd.unique(fpv):
+            raw = dvs.get(p)
+            if raw is None:
+                continue
+            arr = _decoded_indexes(p, raw)
+            if arr.size == 0:
+                continue
+            m = fpv == p
+            pos = np.searchsorted(arr, idx[m])
+            pos_c = np.minimum(pos, arr.size - 1)
+            out[m] &= ~((pos < arr.size) & (arr[pos_c] == idx[m]))
+        return pd.Series(out)
+
+    return df.filter(_is_live(F.col(file_col), F.col(idx_col)))
 
 
 def deleted_rows_df(spark, pairs: list[tuple[str, bytes]]):
@@ -402,12 +464,12 @@ def deleted_rows_df(spark, pairs: list[tuple[str, bytes]]):
     ``(__dv_file string, __dv_row_index long)`` of deleted rows,
     decoded on EXECUTORS via Arrow-batched mapInPandas (the driver
     ships only the bitmap bytes it already holds from log replay —
-    metadata-scale). The caller anti-joins this against the scan's
-    ``_metadata.file_path`` / ``_metadata.row_index`` columns; with
-    the total cardinality known up front from the descriptors, it can
-    choose broadcast vs shuffle for that join without sampling."""
-    import pandas as pd
-
+    metadata-scale). This is the LARGE-DV fallback: when the total
+    serialized bitmap size exceeds the broadcast gate,
+    :func:`live_rows_filter`'s per-executor payload would be too big,
+    so the deleted set expands to rows here and the caller removes
+    them with a plain shuffle anti-join on (file, index) — uniformly
+    distributed keys, no skew concern, no broadcast anywhere."""
     from pyspark.sql import types as T
 
     in_schema = T.StructType(

@@ -1144,13 +1144,22 @@ def export_delta(
 
 
 def _commit_infos(spark: SparkSession, dest: str) -> list[tuple[int, dict]]:
-    """(version, commitInfo) for every RETAINED JSON commit, ascending.
-    commitInfo lives only in the JSON commits (checkpoints don't carry
-    it — same as Delta), so history and timestamp resolution are
-    bounded by log retention, exactly Delta's own contract after log
-    cleanup. Driver-side cost is O(retained commits) small-file reads —
-    the same replay pass any Delta client's history call does."""
+    """(version, commitInfo) for every RETAINED JSON commit, ascending,
+    with timestamps MONOTONICALLY RECONSTRUCTED the way Delta's own
+    history/time-travel reader does (each displayed timestamp is
+    clamped to at least predecessor+1): this writer stamps monotone
+    commits since round 9, but logs written by the pre-clamp exporter
+    — or by any foreign writer, since Delta commit timestamps are file
+    mtimes and regress routinely — can carry raw regressions, and an
+    unreconstructed view would make TIMESTAMP AS OF resolve a
+    different version than Delta would (review r10). commitInfo lives
+    only in the JSON commits (checkpoints don't carry it — same as
+    Delta), so history and timestamp resolution are bounded by log
+    retention, exactly Delta's own contract after log cleanup.
+    Driver-side cost is O(retained commits) small-file reads — the
+    same replay pass any Delta client's history call does."""
     out = []
+    prev_ts: int | None = None
     for v in _list_commits(spark, dest):
         info = next(
             (
@@ -1160,6 +1169,11 @@ def _commit_infos(spark: SparkSession, dest: str) -> list[tuple[int, dict]]:
             ),
             {},
         )
+        if "timestamp" in info:
+            ts = info["timestamp"]
+            if prev_ts is not None and ts <= prev_ts:
+                info = {**info, "timestamp": prev_ts + 1}
+            prev_ts = info["timestamp"]
         out.append((v, info))
     return out
 
@@ -1174,8 +1188,13 @@ def _latest_commit_ts(spark: SparkSession, dest: str) -> int:
     small-file read per export/publish resume, not O(retained tail) —
     with keep-full-history exports the tail scan made the Nth publish
     cost O(N), i.e. O(N^2) over a table's lifetime, on the write hot
-    path. A legacy/foreign newest commit lacking a timestamp falls
-    back to the full retained scan (monotonicity is unknowable there)."""
+    path. On a pre-clamp or foreign log with RAW timestamp regressions
+    the newest raw value may undershoot the reconstructed maximum;
+    that is safe because every reader path goes through
+    :func:`_commit_infos`' monotone reconstruction (Delta's own rule),
+    which absorbs an undershooting new stamp deterministically. A
+    newest commit lacking a timestamp entirely falls back to the full
+    retained scan."""
     commits = _list_commits(spark, dest)
     if not commits:
         return -1
@@ -1470,8 +1489,8 @@ def _require_field_ids(
     id. Non-local: the probe is skipped and Spark's own
     fieldId.read path raises at scan time when ids are missing
     (``spark.sql.parquet.fieldId.read.ignoreMissing`` defaults to
-    false), so the misread can still never happen — only the error
-    surfaces later."""
+    pinned false by the id-mode caller), so the misread can still
+    never happen — only the error surfaces later."""
     if not state["active"]:
         return
     _, _, fs = _fs(spark, dest)
@@ -1497,30 +1516,41 @@ def _require_field_ids(
         )
 
 
+#: live_rows_filter vs anti-join gate: total SERIALIZED roaring bytes
+#: at or below this broadcast once per executor (the same bytes any
+#: Delta reader's tasks collectively fetch; 64 MiB of roaring encodes
+#: hundreds of millions of deleted rows). The signal is the ACTUAL
+#: byte total in hand — never the descriptor's self-declared
+#: cardinality, which a corrupt or hostile foreign table can lie
+#: about (review r10).
+_DV_BROADCAST_MAX_BYTES = 64 << 20
+
+
 def _apply_deletion_vectors(
     spark: SparkSession,
     dest: str,
     df: DataFrame,
     dv_descriptors: dict,
     resolved: dict,
+    file_col: str,
+    idx_col: str,
 ) -> DataFrame:
-    """Anti-filter the scan by its deletion vectors: the scan carries
-    ``__dv_file``/``__dv_row_index`` (Spark's ``_metadata.file_path``
-    and ``_metadata.row_index``, the parquet reader's own 0-based row
-    position — exactly the index domain the spec defines for DVs);
-    the descriptors expand to (file, row_index) pairs on executors
-    (deletion_vectors.deleted_rows_df); a LEFT ANTI join removes the
-    deleted rows. Driver cost: one read per DISTINCT DV file (many
-    descriptors share one file — a single DELETE writes one DV file
-    for many data files), cached here. Join strategy: the total
-    deleted cardinality is KNOWN up front from the descriptors, so
-    the small-side broadcast decision needs no sampling; beyond the
-    threshold it degrades to a shuffle anti-join on (file, index) —
-    uniformly distributed keys, no skew concern."""
-    from pyspark.sql.functions import broadcast as F_broadcast
-
+    """Hide a scan's DV-deleted rows. The scan carries ``file_col``/
+    ``idx_col`` (Spark's ``_metadata.file_path`` and ``row_index``,
+    the parquet reader's own 0-based row position — exactly the index
+    domain the spec defines for DVs). Driver cost: one read per
+    DISTINCT DV file (many descriptors share one file — a single
+    DELETE writes one DV file for many data files), cached here.
+    Execution: when the total serialized bitmap size fits
+    :data:`_DV_BROADCAST_MAX_BYTES`, the COMPRESSED bitmaps broadcast
+    once per executor and an Arrow-batched membership filter hides
+    the rows with no join and no shuffle — the shape Delta's own
+    readers use; beyond it, the deleted set expands to rows on
+    executors and a plain (non-broadcast) shuffle anti-join removes
+    them."""
     from olist_lakehouse_2_0_spark.deletion_vectors import (
         deleted_rows_df,
+        live_rows_filter,
         load_dv_bitmap,
     )
 
@@ -1533,7 +1563,7 @@ def _apply_deletion_vectors(
         return cache[path]
 
     pairs: list[tuple[str, bytes]] = []
-    total_card = 0
+    total_bytes = 0
     for rel, d in sorted(dv_descriptors.items()):
         bitmap = load_dv_bitmap(d, dest, read_file)
         # The exact string _metadata.file_path yields for this file:
@@ -1551,13 +1581,13 @@ def _apply_deletion_vectors(
             + uri.getRawPath()
         )
         pairs.append((qualified, bitmap))
-        total_card += int(d.get("cardinality") or 0)
-    deleted = deleted_rows_df(spark, pairs)
-    if total_card <= 5_000_000:
-        deleted = F_broadcast(deleted)
-    return df.join(
-        deleted, on=["__dv_file", "__dv_row_index"], how="left_anti"
-    )
+        total_bytes += len(bitmap)
+    if total_bytes <= _DV_BROADCAST_MAX_BYTES:
+        return live_rows_filter(spark, df, pairs, file_col, idx_col)
+    deleted = deleted_rows_df(spark, pairs).withColumnRenamed(
+        "__dv_file", file_col
+    ).withColumnRenamed("__dv_row_index", idx_col)
+    return df.join(deleted, on=[file_col, idx_col], how="left_anti")
 
 
 def read_delta(
@@ -1673,13 +1703,24 @@ def read_delta(
         )
         if cm_mode == "id":
             _require_field_ids(spark, dest, state)
-            # Per-scan would be ideal, but Spark resolves this from
-            # the session conf at planning; enabling it globally is
-            # inert for schemas without parquet.field.id metadata
-            # (only id-mode reads produce those), so it cannot
-            # change any other read's behavior.
+            # Per-scan scoping is not possible: Spark resolves these
+            # from the SESSION conf at physical planning, which for a
+            # lazily-returned DataFrame happens at the caller's
+            # action, so a set-then-restore here would revert before
+            # the plan reads them. The set is therefore session-wide
+            # and deliberate: it only changes behavior for read
+            # schemas that CARRY parquet.field.id metadata (the key
+            # exists solely to request field-id matching — plain
+            # schemas are unaffected), and ignoreMissing is pinned
+            # FALSE so a file without ids errors rather than
+            # misreading, even if another workload set it true
+            # (review r10: the refusal-over-misread contract must not
+            # depend on an unverified session default).
             spark.conf.set(
                 "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.read.ignoreMissing", "false"
             )
         # partitionColumns are logical; directories + partitionValues
         # use physical names
@@ -1811,11 +1852,12 @@ def _read_active(
     given (possibly physical) schema. ``add.path`` strings are
     percent-encoded per the protocol; the on-disk location is their
     decoded form. Active adds carrying ``deletionVector`` descriptors
-    (reader v3) are served with their deleted row indexes
-    anti-filtered out: the scan is tagged with Spark's
-    ``_metadata.file_path``/``row_index`` columns AT THE SCAN (they
-    are hidden metadata, lost after a projection) and joined against
-    the expanded descriptors (:func:`_apply_deletion_vectors`).
+    (reader v3) are served with their deleted row indexes hidden:
+    the scan is tagged with Spark's ``_metadata.file_path``/
+    ``row_index`` columns AT THE SCAN (they are hidden metadata, lost
+    after a projection) and filtered through the broadcast bitmaps —
+    or anti-joined against the expanded deleted set when the bitmaps
+    are too big to broadcast (:func:`_apply_deletion_vectors`).
     DV-free tables plan exactly as before — zero extra columns, zero
     extra joins."""
     resolved = _resolve_disk_paths(spark, dest, state["active"])
@@ -1825,13 +1867,31 @@ def _read_active(
         if add.get("deletionVector")
     }
     with_dv = bool(dv_descriptors)
+    if with_dv:
+        # a spec-conformant table may itself carry a '__dv_file'
+        # column — uniquify the helper names against the schema so
+        # the tag/drop never collides with user data (review r10)
+        taken = {f.name for f in schema.fields}
+
+        def _fresh(base: str) -> str:
+            name, i = base, 0
+            while name in taken:
+                name = f"{base}_{i}"
+                i += 1
+            taken.add(name)
+            return name
+
+        file_col, idx_col = _fresh("__dv_file"), _fresh("__dv_row_index")
+        helper_cols = [file_col, idx_col]
+    else:
+        helper_cols = []
 
     def _tag(df: DataFrame) -> DataFrame:
         if not with_dv:
             return df
         return df.select(
-            F_col("_metadata.file_path").alias("__dv_file"),
-            F_col("_metadata.row_index").alias("__dv_row_index"),
+            F_col("_metadata.file_path").alias(file_col),
+            F_col("_metadata.row_index").alias(idx_col),
             "*",
         )
 
@@ -1839,10 +1899,8 @@ def _read_active(
         if not with_dv:
             return df
         return _apply_deletion_vectors(
-            spark, dest, df, dv_descriptors, resolved
-        ).drop("__dv_file", "__dv_row_index")
-
-    helper_cols = ["__dv_file", "__dv_row_index"] if with_dv else []
+            spark, dest, df, dv_descriptors, resolved, file_col, idx_col
+        ).drop(file_col, idx_col)
     paths = sorted(resolved.values())
     if not paths:
         return spark.createDataFrame([], schema)

@@ -319,6 +319,12 @@ def test_compact_refusal_names_delta_log_history(
     orders.limit(200).repartition(4).write.parquet(path)
     cat.register("orders_converted", path)
     convert_to_delta(spark, path)
+    # review r10: a FRESH conversion has a JSON-only log (no
+    # checkpoint parquet yet) — the refusal must fire on the
+    # _delta_log directory itself, or the staging swap destroys the
+    # entire published history without a peep
+    with pytest.raises(IOError, match="published history"):
+        cat.compact(spark, "orders_converted", target_file_bytes=1)
     write_checkpoint(spark, path)  # checkpoint parquet under _delta_log
     with pytest.raises(IOError, match="published history"):
         cat.compact(spark, "orders_converted", target_file_bytes=1)

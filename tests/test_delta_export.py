@@ -2379,9 +2379,12 @@ def test_read_delta_dv_on_foreign_flat_layout(spark, tmp_path):
     """DVs must also apply through the GROUPED read path (foreign
     flat layouts whose partition values exist only in the log): the
     per-group scans are tagged with file/row-index metadata before
-    the partition literals are injected, and the anti-join runs over
-    the union. Also pins the plan: the known-small deleted side is
-    BROADCAST (no shuffle of the fact scan for the anti-join)."""
+    the partition literals are injected, and the DV filter runs over
+    the union. Also pins the plan: small bitmaps take the broadcast
+    bitmap FILTER path (an Arrow-batched membership test — no join,
+    no shuffle, the shape Delta's own readers use), while monkeying
+    the byte gate to -1 forces the large-DV fallback, a plain
+    NON-broadcast shuffle anti-join — both produce identical rows."""
     from olist_lakehouse_2_0_spark.deletion_vectors import (
         make_inline_descriptor,
         serialize_roaring_array,
@@ -2458,7 +2461,30 @@ def test_read_delta_dv_on_foreign_flat_layout(spark, tmp_path):
         ("a", 0, "a"), ("a", 2, "c"), ("b", 10, "d"), ("b", 11, "e"),
     ]
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "pythonUDF" in plan or "ArrowEvalPython" in plan
+    assert "Join" not in plan  # bitmap filter: no join, no shuffle
+
+    # large-DV fallback: force the anti-join path and re-verify rows
+    import olist_lakehouse_2_0_spark.delta_export as de
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(de, "_DV_BROADCAST_MAX_BYTES", -1)
+        df2 = read_delta(spark, root)
+        assert sorted(
+            (r["grp"], r["id"], r["val"]) for r in df2.collect()
+        ) == [
+            ("a", 0, "a"), ("a", 2, "c"), ("b", 10, "d"), ("b", 11, "e"),
+        ]
+        plan2 = df2._jdf.queryExecution().executedPlan().toString()
+        # anti-JOIN shape (vs the filter path above); the declared
+        # plan carries no broadcast hint, so at scale AQE keeps the
+        # shuffle join — here it legitimately converts the tiny side
+        # to a runtime broadcast, which is AQE's call, not ours
+        assert "LeftAnti" in plan2
+    finally:
+        mp.undo()
 
 
 def test_read_delta_dv_in_space_partition_dir(spark, tmp_path):
@@ -2506,3 +2532,170 @@ def test_read_delta_dv_in_space_partition_dir(spark, tmp_path):
         (r["p"], r["id"]) for r in read_delta(spark, dest).collect()
     )
     assert got == [("NOT SPECIFIED", 0), ("NOT SPECIFIED", 2)]
+
+
+def test_commit_infos_reconstruct_nonmonotone_legacy_timestamps(
+    spark, tmp_path
+):
+    """Review r10: logs written by the pre-clamp exporter (or any
+    foreign writer — Delta commit stamps are file mtimes and regress
+    routinely) can carry RAW timestamp regressions. _commit_infos
+    must reconstruct them monotonically the way Delta's own history
+    reader does (each displayed stamp >= predecessor+1), so
+    TIMESTAMP AS OF and export_history resolve exactly as Delta
+    would, and _latest_commit_ts's single-read floor stays safe."""
+    import olist_lakehouse_2_0_spark.delta_export as de
+
+    _, root = _versioned_table(spark, tmp_path, counts=(10, 20, 30))
+    dest = str(tmp_path / "delta")
+    export_delta(spark, root, dest, checkpoint_interval=0)
+    # forge the pre-clamp shape: regress v1's and v2's raw stamps
+    raw = {0: 10_000, 1: 9_000, 2: 9_100}
+    for v, ts in raw.items():
+        cpath = de._commit_path(dest, v)
+        actions = [json.loads(l) for l in open(cpath) if l.strip()]
+        for a in actions:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = ts
+        with open(cpath, "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions))
+        crc = os.path.join(
+            os.path.dirname(cpath), f".{os.path.basename(cpath)}.crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+    infos = de._commit_infos(spark, dest)
+    shown = [i["timestamp"] for _, i in infos]
+    assert shown == [10_000, 10_001, 10_002]  # Delta's reconstruction
+    # TIMESTAMP AS OF between v0 and the reconstructed v1 -> v0,
+    # never the raw-regressed v1
+    assert de._resolve_timestamp(spark, dest, 10_000) == 0
+    assert de._resolve_timestamp(spark, dest, 10_001) == 1
+    # history shows the reconstructed, nondecreasing stamps
+    hist = de.export_history(spark, dest).orderBy("version").collect()
+    assert [h["timestamp"] for h in hist] == [10_000, 10_001, 10_002]
+    # the next publish stamps strictly above what READERS display:
+    # _latest_commit_ts's one-read floor may see raw 9_100, but the
+    # reader-side reconstruction absorbs it deterministically
+    stage = str(tmp_path / "snap")
+    spark.range(7).coalesce(1).write.parquet(stage)
+    de.publish_delta(spark, stage, dest)
+    hist2 = de.export_history(spark, dest).orderBy("version").collect()
+    ts2 = [h["timestamp"] for h in hist2]
+    assert ts2 == sorted(ts2) and len(set(ts2)) == 4
+
+
+def test_read_delta_dv_helper_name_collision(spark, tmp_path):
+    """Review r10: a spec-conformant table may itself carry a column
+    named __dv_file / __dv_row_index; the DV tag/filter must uniquify
+    its helper names against the schema instead of colliding (an
+    ambiguous-reference crash or a silently dropped user column)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olist_lakehouse_2_0_spark.delta_export import convert_to_delta
+    from olist_lakehouse_2_0_spark.deletion_vectors import (
+        make_inline_descriptor,
+        serialize_roaring_array,
+    )
+
+    dest = str(tmp_path / "dvcollide")
+    os.makedirs(dest)
+    pq.write_table(
+        pa.table(
+            {
+                "__dv_file": pa.array(["u0", "u1", "u2"], pa.string()),
+                "__dv_row_index": pa.array([7, 8, 9], pa.int64()),
+            }
+        ),
+        os.path.join(dest, "a.parquet"),
+    )
+    convert_to_delta(spark, dest)
+    dv = make_inline_descriptor(serialize_roaring_array([1]))
+    cpath = os.path.join(dest, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(l) for l in open(cpath) if l.strip()]
+    for a in actions:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        if "add" in a:
+            a["add"]["deletionVector"] = dv
+    with open(cpath, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+    df = read_delta(spark, dest)
+    assert [f.name for f in df.schema.fields] == [
+        "__dv_file", "__dv_row_index",
+    ]
+    assert sorted(
+        (r["__dv_file"], r["__dv_row_index"]) for r in df.collect()
+    ) == [("u0", 7), ("u2", 9)]
+
+
+def test_id_mode_pins_ignore_missing_false(spark, tmp_path):
+    """Review r10: the refusal-over-misread contract must not depend
+    on an unverified session default — an id-mode read pins
+    spark.sql.parquet.fieldId.read.ignoreMissing to false even when
+    another workload set it true (true would let an id-less file read
+    as all-NULL on non-local tables the footer probe can't reach)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from olist_lakehouse_2_0_spark.delta_export import convert_to_delta
+
+    spark.conf.set(
+        "spark.sql.parquet.fieldId.read.ignoreMissing", "true"
+    )
+    try:
+        dest = str(tmp_path / "idpin")
+        os.makedirs(dest)
+        tbl = pa.table({"pk": pa.array([1, 2], pa.int64())})
+        tbl = tbl.cast(
+            pa.schema(
+                [
+                    pa.field(
+                        "pk", pa.int64(),
+                        metadata={b"PARQUET:field_id": b"1"},
+                    )
+                ]
+            )
+        )
+        pq.write_table(tbl, os.path.join(dest, "a.parquet"))
+        convert_to_delta(spark, dest)
+        logical = T.StructType(
+            [
+                T.StructField(
+                    "k", T.LongType(), True,
+                    {"delta.columnMapping.id": 1,
+                     "delta.columnMapping.physicalName": "pk"},
+                )
+            ]
+        )
+        cpath = os.path.join(dest, "_delta_log", f"{0:020d}.json")
+        actions = [json.loads(l) for l in open(cpath) if l.strip()]
+        for a in actions:
+            if "protocol" in a:
+                a["protocol"] = {
+                    "minReaderVersion": 2, "minWriterVersion": 5,
+                }
+            if "metaData" in a:
+                a["metaData"]["schemaString"] = logical.json()
+                a["metaData"]["configuration"] = {
+                    "delta.columnMapping.mode": "id",
+                    "delta.columnMapping.maxColumnId": "1",
+                }
+        with open(cpath, "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions))
+        assert sorted(
+            r["k"] for r in read_delta(spark, dest).collect()
+        ) == [1, 2]
+        assert (
+            spark.conf.get(
+                "spark.sql.parquet.fieldId.read.ignoreMissing"
+            )
+            == "false"
+        )
+    finally:
+        spark.conf.unset("spark.sql.parquet.fieldId.read.ignoreMissing")
