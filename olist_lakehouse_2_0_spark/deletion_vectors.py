@@ -400,25 +400,114 @@ def load_dv_bitmap(
 
 # ------------------------------------------------ Spark-side execution
 
+
+def roaring_array_cardinality(data: bytes) -> int:
+    """Exact value count of a serialized RoaringBitmapArray from its
+    CONTAINER HEADERS alone — O(#containers) header arithmetic, no
+    value decode. This is the TRUSTED cardinality signal for the
+    broadcast-vs-anti-join gate (review r10): run containers compress
+    contiguous deletes ~10^4-10^5x, so a few KB of roaring can decode
+    to millions of int64 indexes, and a byte-only gate would route an
+    executor-OOM payload down the broadcast path; the descriptor's
+    self-declared ``cardinality`` is untrusted foreign input."""
+    import numpy as np
+
+    if len(data) < 12:
+        raise ValueError("truncated RoaringBitmapArray")
+    magic, n = struct.unpack_from("<Iq", data, 0)
+    if magic != ROARING_ARRAY_MAGIC:
+        raise ValueError(f"bad RoaringBitmapArray magic {magic}")
+    pos, total = 12, 0
+    for _slot in range(n):
+        (cookie,) = struct.unpack_from("<I", data, pos)
+        run_flags = None
+        if (cookie & 0xFFFF) == _SERIAL_COOKIE_RUN:
+            k = (cookie >> 16) + 1
+            pos += 4
+            flag_bytes = (k + 7) // 8
+            run_flags = np.unpackbits(
+                np.frombuffer(data, np.uint8, flag_bytes, pos),
+                bitorder="little",
+            )[:k]
+            pos += flag_bytes
+        elif cookie == _SERIAL_COOKIE_NO_RUN:
+            (k,) = struct.unpack_from("<I", data, pos + 4)
+            pos += 8
+        else:
+            raise ValueError(f"not a RoaringBitmap: cookie {cookie}")
+        cards = []
+        for i in range(k):
+            _key, c1 = struct.unpack_from("<HH", data, pos)
+            cards.append(c1 + 1)
+            pos += 4
+        if run_flags is None or k >= _NO_OFFSET_THRESHOLD:
+            pos += 4 * k
+        for i in range(k):
+            total += cards[i]
+            if run_flags is not None and run_flags[i]:
+                (n_runs,) = struct.unpack_from("<H", data, pos)
+                pos += 2 + 4 * n_runs
+            elif cards[i] > _ARRAY_MAX:
+                pos += 8192
+            else:
+                pos += 2 * cards[i]
+    return total
+
+
 #: Worker-lifetime memo of decoded bitmaps, keyed by (file path, byte
 #: length, CRC-32) so a rewritten DV at the same path never serves a
 #: stale decode. Python workers are reused across tasks, so each
 #: worker pays one decode per distinct DV per table read, not one per
-#: Arrow batch.
+#: Arrow batch. Evicted by DECODED byte budget, not entry count —
+#: 1024 run-heavy entries could pin far more memory than 1024 keys
+#: suggest.
 _DECODE_CACHE: dict = {}
+_DECODE_CACHE_BYTES = 0
+_DECODE_CACHE_MAX_BYTES = 256 << 20
 
 
 def _decoded_indexes(path: str, raw: bytes):
+    global _DECODE_CACHE_BYTES
     key = (path, len(raw), zlib.crc32(raw))
     arr = _DECODE_CACHE.get(key)
     if arr is None:
-        if len(_DECODE_CACHE) >= 1024:
+        arr = deserialize_roaring_array(raw).astype("int64")
+        if _DECODE_CACHE_BYTES + arr.nbytes > _DECODE_CACHE_MAX_BYTES:
             # bound worker memory across many tables/sessions; a
             # clear only costs re-decodes, never correctness
             _DECODE_CACHE.clear()
-        arr = deserialize_roaring_array(raw).astype("int64")
+            _DECODE_CACHE_BYTES = 0
         _DECODE_CACHE[key] = arr
+        _DECODE_CACHE_BYTES += arr.nbytes
     return arr
+
+
+#: Driver-side LRU of live bitmap broadcasts keyed by payload content.
+#: Repeated reads of the same DV table (a dashboard refreshing against
+#: one snapshot) reuse ONE broadcast instead of minting one per plan;
+#: evicted entries are unpersist()ed (executors drop their copies;
+#: TorrentBroadcast re-fetches lazily if an old plan re-executes, so
+#: eviction is safe — destroy() would not be) so a long session cannot
+#: accumulate unbounded broadcast blocks (review r10).
+_BROADCAST_CACHE: "dict[tuple, object]" = {}
+_BROADCAST_CACHE_MAX = 16
+
+
+def _bitmap_broadcast(spark, pairs):
+    key = tuple(
+        (p, len(b), zlib.crc32(b)) for p, b in sorted(pairs)
+    )
+    bc = _BROADCAST_CACHE.pop(key, None)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(dict(pairs))
+    _BROADCAST_CACHE[key] = bc  # re-insert = move to MRU position
+    while len(_BROADCAST_CACHE) > _BROADCAST_CACHE_MAX:
+        old = _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass  # a dead context at eviction is not this read's error
+    return bc
 
 
 def live_rows_filter(spark, df, pairs, file_col: str, idx_col: str):
@@ -427,15 +516,19 @@ def live_rows_filter(spark, df, pairs, file_col: str, idx_col: str):
     execution shape Delta's own readers use (each task consults its
     file's bitmap; no join, no shuffle, no expansion of the deleted
     set into rows). The broadcast payload is exactly the serialized
-    roaring bytes (the caller gates on their ACTUAL total size, a
-    trusted signal, unlike descriptor cardinality); membership is one
-    ``np.searchsorted`` per distinct file per batch over the memoized
-    decoded index array."""
+    roaring bytes, reused across identical reads via
+    :func:`_bitmap_broadcast`; the caller gates entry on the ACTUAL
+    byte total AND the header-derived decoded cardinality (both
+    trusted signals, unlike descriptor cardinality). Membership is
+    one ``np.searchsorted`` per distinct file per batch over the
+    memoized decoded index array; the CRC cache key is computed once
+    per (task, file) through a task-local memo, not per Arrow batch."""
     import numpy as np
 
     from pyspark.sql import functions as F
 
-    bc = spark.sparkContext.broadcast(dict(pairs))
+    bc = _bitmap_broadcast(spark, pairs)
+    task_cache: dict = {}
 
     @F.pandas_udf("boolean")
     def _is_live(fp: pd.Series, ri: pd.Series) -> pd.Series:
@@ -444,10 +537,15 @@ def live_rows_filter(spark, df, pairs, file_col: str, idx_col: str):
         idx = ri.to_numpy()
         fpv = fp.to_numpy()
         for p in pd.unique(fpv):
-            raw = dvs.get(p)
-            if raw is None:
-                continue
-            arr = _decoded_indexes(p, raw)
+            arr = task_cache.get(p)
+            if arr is None:
+                raw = dvs.get(p)
+                if raw is None:
+                    continue
+                # worker-global memo pays the CRC+decode; the
+                # task-local dict skips even the CRC on later batches
+                arr = _decoded_indexes(p, raw)
+                task_cache[p] = arr
             if arr.size == 0:
                 continue
             m = fpv == p

@@ -1169,8 +1169,12 @@ def _commit_infos(spark: SparkSession, dest: str) -> list[tuple[int, dict]]:
             ),
             {},
         )
-        if "timestamp" in info:
-            ts = info["timestamp"]
+        ts = info.get("timestamp")
+        # isinstance, not key presence: a foreign log may carry a
+        # JSON-null or string timestamp, which must pass through for
+        # display but never enter the clamp arithmetic or the
+        # resolution comparisons (second review pass)
+        if isinstance(ts, int) and not isinstance(ts, bool):
             if prev_ts is not None and ts <= prev_ts:
                 info = {**info, "timestamp": prev_ts + 1}
             prev_ts = info["timestamp"]
@@ -1206,13 +1210,15 @@ def _latest_commit_ts(spark: SparkSession, dest: str) -> int:
         ),
         {},
     )
-    if "timestamp" in newest:
-        return newest["timestamp"]
+    newest_ts = newest.get("timestamp")
+    if isinstance(newest_ts, int) and not isinstance(newest_ts, bool):
+        return newest_ts
     return max(
         (
             i["timestamp"]
             for _, i in _commit_infos(spark, dest)
-            if "timestamp" in i
+            if isinstance(i.get("timestamp"), int)
+            and not isinstance(i.get("timestamp"), bool)
         ),
         default=-1,
     )
@@ -1320,7 +1326,12 @@ def _resolve_timestamp(spark: SparkSession, dest: str, ts) -> int:
             )
         ts = int(dt.timestamp() * 1000)
     infos = _commit_infos(spark, dest)
-    stamped = [(v, i["timestamp"]) for v, i in infos if "timestamp" in i]
+    stamped = [
+        (v, i["timestamp"])
+        for v, i in infos
+        if isinstance(i.get("timestamp"), int)
+        and not isinstance(i.get("timestamp"), bool)
+    ]
     if not stamped:
         raise IOError(f"no retained commitInfo timestamps at {dest}")
     eligible = [v for v, t in stamped if t <= ts]
@@ -1516,14 +1527,19 @@ def _require_field_ids(
         )
 
 
-#: live_rows_filter vs anti-join gate: total SERIALIZED roaring bytes
-#: at or below this broadcast once per executor (the same bytes any
-#: Delta reader's tasks collectively fetch; 64 MiB of roaring encodes
-#: hundreds of millions of deleted rows). The signal is the ACTUAL
-#: byte total in hand — never the descriptor's self-declared
-#: cardinality, which a corrupt or hostile foreign table can lie
-#: about (review r10).
+#: live_rows_filter vs anti-join gate, BOTH bounds from trusted
+#: signals in hand (never the descriptor's self-declared cardinality,
+#: which a corrupt or hostile foreign table can lie about — review
+#: r10): total SERIALIZED roaring bytes at or below this broadcast
+#: once per executor (the same bytes any Delta reader's tasks
+#: collectively fetch), AND the header-derived DECODED cardinality at
+#: or below the row bound — run containers compress contiguous
+#: deletes ~10^4-10^5x, so a tiny byte total can still decode to an
+#: executor-OOM's worth of int64 indexes (second review pass).
 _DV_BROADCAST_MAX_BYTES = 64 << 20
+#: 16M decoded indexes = 128 MiB of int64 per worker worst case,
+#: inside the decode cache's own byte budget.
+_DV_BROADCAST_MAX_ROWS = 16_000_000
 
 
 def _apply_deletion_vectors(
@@ -1552,6 +1568,7 @@ def _apply_deletion_vectors(
         deleted_rows_df,
         live_rows_filter,
         load_dv_bitmap,
+        roaring_array_cardinality,
     )
 
     _, HPath, fs = _fs(spark, dest)
@@ -1582,7 +1599,10 @@ def _apply_deletion_vectors(
         )
         pairs.append((qualified, bitmap))
         total_bytes += len(bitmap)
-    if total_bytes <= _DV_BROADCAST_MAX_BYTES:
+    if total_bytes <= _DV_BROADCAST_MAX_BYTES and (
+        sum(roaring_array_cardinality(b) for _, b in pairs)
+        <= _DV_BROADCAST_MAX_ROWS
+    ):
         return live_rows_filter(spark, df, pairs, file_col, idx_col)
     deleted = deleted_rows_df(spark, pairs).withColumnRenamed(
         "__dv_file", file_col
@@ -1870,15 +1890,19 @@ def _read_active(
     if with_dv:
         # a spec-conformant table may itself carry a '__dv_file'
         # column — uniquify the helper names against the schema so
-        # the tag/drop never collides with user data (review r10)
-        taken = {f.name for f in schema.fields}
+        # the tag/drop never collides with user data (review r10).
+        # CASE-INSENSITIVELY: Spark's default resolution is
+        # case-insensitive, so '__DV_FILE' vs '__dv_file' is exactly
+        # the ambiguous-reference crash this exists to prevent
+        # (second review pass).
+        taken = {f.name.lower() for f in schema.fields}
 
         def _fresh(base: str) -> str:
             name, i = base, 0
-            while name in taken:
+            while name.lower() in taken:
                 name = f"{base}_{i}"
                 i += 1
-            taken.add(name)
+            taken.add(name.lower())
             return name
 
         file_col, idx_col = _fresh("__dv_file"), _fresh("__dv_row_index")

@@ -237,3 +237,59 @@ def test_deleted_rows_df_expands_on_executors(spark):
         ("file:/a.parquet", 0), ("file:/a.parquet", 2),
         ("file:/a.parquet", 5), ("file:/b.parquet", 1),
     ]
+
+
+def test_roaring_array_cardinality_headers_only():
+    """Second review pass: the broadcast gate's trusted row signal —
+    exact cardinality from container headers alone, agreeing with the
+    full decode on array, bitmap, AND run containers."""
+    from olist_lakehouse_2_0_spark.deletion_vectors import (
+        roaring_array_cardinality,
+    )
+
+    for vals in (
+        [],
+        [1, 2, 3],
+        list(range(0, 10000, 2)) + [(1 << 32) + 7, (3 << 32) + 9],
+    ):
+        data = serialize_roaring_array(vals)
+        assert roaring_array_cardinality(data) == len(
+            deserialize_roaring_array(data)
+        )
+    # run-container fixture (foreign writer shape): 6 values in one
+    # run — the compression that makes a byte-only gate unsafe
+    rb = (
+        struct.pack("<I", 12347) + b"\x01"
+        + struct.pack("<HH", 0, 5)
+        + struct.pack("<H", 1) + struct.pack("<HH", 5, 5)
+    )
+    arr = struct.pack("<Iq", 1681511377, 1) + rb
+    assert roaring_array_cardinality(arr) == 6
+    with pytest.raises(ValueError, match="magic"):
+        roaring_array_cardinality(struct.pack("<Iq", 3, 0))
+
+
+def test_bitmap_broadcast_reused_and_lru_bounded(spark):
+    """Second review pass: repeated reads of the same DV payload must
+    reuse ONE broadcast (a dashboard refreshing against one snapshot),
+    and the LRU must evict-and-unpersist beyond its bound so a long
+    session cannot accumulate broadcast blocks."""
+    import olist_lakehouse_2_0_spark.deletion_vectors as dv
+
+    dv._BROADCAST_CACHE.clear()
+    pairs = [("file:/a.parquet", serialize_roaring_array([1, 2]))]
+    b1 = dv._bitmap_broadcast(spark, pairs)
+    b2 = dv._bitmap_broadcast(spark, list(pairs))
+    assert b1 is b2  # content-keyed reuse, not identity
+    # different payload -> different broadcast
+    b3 = dv._bitmap_broadcast(
+        spark, [("file:/a.parquet", serialize_roaring_array([3]))]
+    )
+    assert b3 is not b1
+    # flood past the bound: cache stays bounded
+    for i in range(dv._BROADCAST_CACHE_MAX + 4):
+        dv._bitmap_broadcast(
+            spark, [(f"file:/f{i}.parquet", serialize_roaring_array([i]))]
+        )
+    assert len(dv._BROADCAST_CACHE) <= dv._BROADCAST_CACHE_MAX
+    dv._BROADCAST_CACHE.clear()

@@ -2699,3 +2699,155 @@ def test_id_mode_pins_ignore_missing_false(spark, tmp_path):
         )
     finally:
         spark.conf.unset("spark.sql.parquet.fieldId.read.ignoreMissing")
+
+
+def test_commit_infos_tolerate_null_timestamp(spark, tmp_path):
+    """Second review pass: a foreign commitInfo carrying a JSON-null
+    timestamp must pass through for display without entering the
+    clamp arithmetic or timestamp resolution — previously a clean
+    TypeError crash in every history/timestamp-travel path."""
+    import olist_lakehouse_2_0_spark.delta_export as de
+
+    _, root = _versioned_table(spark, tmp_path, counts=(5, 6, 7))
+    dest = str(tmp_path / "delta")
+    export_delta(spark, root, dest, checkpoint_interval=0)
+    cpath = de._commit_path(dest, 1)
+    actions = [json.loads(l) for l in open(cpath) if l.strip()]
+    for a in actions:
+        if "commitInfo" in a:
+            a["commitInfo"]["timestamp"] = None
+    with open(cpath, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+    crc = os.path.join(
+        os.path.dirname(cpath), f".{os.path.basename(cpath)}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    hist = de.export_history(spark, dest).orderBy("version").collect()
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert hist[1]["timestamp"] is None  # displayed, not invented
+    # resolution skips the unstamped commit and still works
+    assert de._resolve_timestamp(spark, dest, hist[2]["timestamp"]) == 2
+    assert de._latest_commit_ts(spark, dest) == hist[2]["timestamp"]
+    # and a null on the NEWEST commit falls back to the stamped scan
+    cpath2 = de._commit_path(dest, 2)
+    actions = [json.loads(l) for l in open(cpath2) if l.strip()]
+    for a in actions:
+        if "commitInfo" in a:
+            a["commitInfo"]["timestamp"] = None
+    with open(cpath2, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+    crc2 = os.path.join(
+        os.path.dirname(cpath2), f".{os.path.basename(cpath2)}.crc"
+    )
+    if os.path.exists(crc2):
+        os.remove(crc2)
+    assert de._latest_commit_ts(spark, dest) == hist[0]["timestamp"]
+
+
+def test_read_delta_dv_collision_with_case_and_fallback(
+    spark, tmp_path
+):
+    """Second review pass: (a) helper-name uniquification must be
+    CASE-insensitive (Spark resolution is), so a table column named
+    __DV_FILE still reads; (b) the collision-uniquified names must
+    also survive the large-DV anti-join fallback path, which renames
+    the expanded side to match."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    import olist_lakehouse_2_0_spark.delta_export as de
+    from olist_lakehouse_2_0_spark.delta_export import convert_to_delta
+    from olist_lakehouse_2_0_spark.deletion_vectors import (
+        make_inline_descriptor,
+        serialize_roaring_array,
+    )
+
+    dest = str(tmp_path / "dvcase")
+    os.makedirs(dest)
+    pq.write_table(
+        pa.table(
+            {
+                "__DV_FILE": pa.array(["u0", "u1", "u2"], pa.string()),
+                "val": pa.array([7, 8, 9], pa.int64()),
+            }
+        ),
+        os.path.join(dest, "a.parquet"),
+    )
+    convert_to_delta(spark, dest)
+    dv = make_inline_descriptor(serialize_roaring_array([1]))
+    cpath = os.path.join(dest, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(l) for l in open(cpath) if l.strip()]
+    for a in actions:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        if "add" in a:
+            a["add"]["deletionVector"] = dv
+    with open(cpath, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+
+    expected = [("u0", 7), ("u2", 9)]
+    got = sorted(
+        (r["__DV_FILE"], r["val"])
+        for r in read_delta(spark, dest).collect()
+    )
+    assert got == expected
+    # same table through the anti-join fallback (gate forced shut)
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(de, "_DV_BROADCAST_MAX_BYTES", -1)
+        got2 = sorted(
+            (r["__DV_FILE"], r["val"])
+            for r in read_delta(spark, dest).collect()
+        )
+        assert got2 == expected
+    finally:
+        mp.undo()
+
+
+def test_dv_gate_routes_run_compressed_bitmaps_to_antijoin(
+    spark, tmp_path, monkeypatch
+):
+    """Second review pass: the broadcast gate must bound DECODED
+    cardinality, not just serialized bytes — a run-compressed DV of a
+    few hundred bytes can decode to millions of indexes. With the row
+    bound lowered under this fixture's cardinality, the plan must be
+    the anti-join, never the broadcast filter."""
+    import olist_lakehouse_2_0_spark.delta_export as de
+    from olist_lakehouse_2_0_spark.delta_export import convert_to_delta
+    from olist_lakehouse_2_0_spark.deletion_vectors import (
+        make_inline_descriptor,
+        serialize_roaring_array,
+    )
+
+    dest = str(tmp_path / "dvrun")
+    os.makedirs(dest)
+    _write_rows_parquet(
+        os.path.join(dest, "a.parquet"), list(range(10)),
+        [f"r{i}" for i in range(10)],
+    )
+    convert_to_delta(spark, dest)
+    dv = make_inline_descriptor(serialize_roaring_array(range(5)))
+    cpath = os.path.join(dest, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(l) for l in open(cpath) if l.strip()]
+    for a in actions:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        if "add" in a:
+            a["add"]["deletionVector"] = dv
+    with open(cpath, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+    monkeypatch.setattr(de, "_DV_BROADCAST_MAX_ROWS", 4)
+    df = read_delta(spark, dest)
+    assert sorted(r["id"] for r in df.collect()) == [5, 6, 7, 8, 9]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan  # routed to the join, not the filter
