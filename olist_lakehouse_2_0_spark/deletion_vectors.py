@@ -164,12 +164,16 @@ def _serialize_rb32(values) -> bytes:
     return head + desc + offs + b"".join(bodies)
 
 
-def _deserialize_rb32(buf: bytes, pos: int) -> tuple["object", int]:
-    """Decode one 32-bit RoaringBitmap starting at ``pos``; returns
-    (numpy uint32 array of values, position after the bitmap). Handles
-    both cookies and all three container kinds — a foreign writer
-    (delta-spark uses the official RoaringBitmap java library) chooses
-    freely among them."""
+def _rb32_containers(buf: bytes, pos: int):
+    """Parse ONE 32-bit RoaringBitmap's framing starting at ``pos``:
+    returns (containers, end_pos) where each container is
+    ``(kind, key, header_card, body_pos, n_runs)`` with kind in
+    {'array', 'bitmap', 'run'} (n_runs is None except for runs).
+    This is the SINGLE structure walk both the value decoder and the
+    cardinality gate consume (third review pass: two hand-kept copies
+    of the cookie/offset-header/container-skip rules desynced — the
+    gate trusted the descriptive-header cardinality, which for run
+    and bitmap containers is decoupled from the decoded count)."""
     import numpy as np
 
     start = pos
@@ -189,42 +193,96 @@ def _deserialize_rb32(buf: bytes, pos: int) -> tuple["object", int]:
         pos += 8
     else:
         raise ValueError(f"not a RoaringBitmap: cookie {cookie}")
-    keys = np.empty(n, dtype=np.uint32)
-    cards = np.empty(n, dtype=np.int64)
-    for i in range(n):
-        k, c1 = struct.unpack_from("<HH", buf, pos)
-        keys[i], cards[i] = k, c1 + 1
-        pos += 4
+    if n:
+        hdr = np.frombuffer(buf, "<u2", 2 * n, pos)
+        keys = hdr[0::2].astype(np.int64)
+        cards = hdr[1::2].astype(np.int64) + 1
+    else:
+        keys = cards = ()
+    pos += 4 * n
     if run_flags is None or n >= _NO_OFFSET_THRESHOLD:
         pos += 4 * n  # offset header (containers still follow in order)
-    out: list["np.ndarray"] = []
+    containers = []
     for i in range(n):
-        base = keys[i] << 16
         if run_flags is not None and run_flags[i]:
             (n_runs,) = struct.unpack_from("<H", buf, pos)
-            pos += 2
-            runs = np.frombuffer(buf, "<u2", 2 * n_runs, pos).reshape(
+            containers.append(
+                ("run", int(keys[i]), int(cards[i]), pos + 2, n_runs)
+            )
+            pos += 2 + 4 * n_runs
+        elif cards[i] > _ARRAY_MAX:
+            containers.append(
+                ("bitmap", int(keys[i]), int(cards[i]), pos, None)
+            )
+            pos += 8192
+        else:
+            containers.append(
+                ("array", int(keys[i]), int(cards[i]), pos, None)
+            )
+            pos += 2 * int(cards[i])
+    if pos > len(buf):
+        raise ValueError(f"truncated RoaringBitmap at {start}")
+    return containers, pos
+
+
+def _deserialize_rb32(buf: bytes, pos: int) -> tuple["object", int]:
+    """Decode one 32-bit RoaringBitmap starting at ``pos``; returns
+    (numpy uint32 array of values, position after the bitmap). Handles
+    both cookies and all three container kinds — a foreign writer
+    (delta-spark uses the official RoaringBitmap java library) chooses
+    freely among them."""
+    import numpy as np
+
+    containers, pos = _rb32_containers(buf, pos)
+    out: list["np.ndarray"] = []
+    for kind, key, card, body, n_runs in containers:
+        base = np.uint32(key << 16)
+        if kind == "run":
+            runs = np.frombuffer(buf, "<u2", 2 * n_runs, body).reshape(
                 n_runs, 2
             )
-            pos += 4 * n_runs
             for s, l1 in runs:
                 out.append(base + np.arange(s, int(s) + int(l1) + 1,
                                             dtype=np.uint32))
-        elif cards[i] > _ARRAY_MAX:
+        elif kind == "bitmap":
             bits = np.unpackbits(
-                np.frombuffer(buf, np.uint8, 8192, pos), bitorder="little"
+                np.frombuffer(buf, np.uint8, 8192, body),
+                bitorder="little",
             )
-            pos += 8192
             out.append(base + np.flatnonzero(bits).astype(np.uint32))
         else:
-            vals = np.frombuffer(buf, "<u2", int(cards[i]), pos)
-            pos += 2 * int(cards[i])
+            vals = np.frombuffer(buf, "<u2", card, body)
             out.append(base + vals.astype(np.uint32))
-    if pos > len(buf):
-        raise ValueError(f"truncated RoaringBitmap at {start}")
     return (
         np.concatenate(out) if out else np.empty(0, dtype=np.uint32)
     ), pos
+
+
+def _rb32_cardinality(buf: bytes, pos: int) -> tuple[int, int]:
+    """ACTUAL value count of one 32-bit RoaringBitmap — run lengths
+    summed and bitmap bytes popcounted, never the descriptive header's
+    self-declared cardinality (third review pass: for run/bitmap
+    containers that header is attacker-controlled independently of
+    the body, so trusting it let a forged DV bypass the broadcast-row
+    gate). Array containers' header card IS trusted — there it
+    defines the body layout itself."""
+    import numpy as np
+
+    containers, pos = _rb32_containers(buf, pos)
+    total = 0
+    for kind, _key, card, body, n_runs in containers:
+        if kind == "run":
+            runs = np.frombuffer(buf, "<u2", 2 * n_runs, body)
+            total += int(runs[1::2].astype(np.int64).sum()) + n_runs
+        elif kind == "bitmap":
+            total += int(
+                np.unpackbits(
+                    np.frombuffer(buf, np.uint8, 8192, body)
+                ).sum()
+            )
+        else:
+            total += card
+    return total, pos
 
 
 # -------------------------------------------- RoaringBitmapArray codec
@@ -401,17 +459,38 @@ def load_dv_bitmap(
 # ------------------------------------------------ Spark-side execution
 
 
-def roaring_array_cardinality(data: bytes) -> int:
-    """Exact value count of a serialized RoaringBitmapArray from its
-    CONTAINER HEADERS alone — O(#containers) header arithmetic, no
-    value decode. This is the TRUSTED cardinality signal for the
-    broadcast-vs-anti-join gate (review r10): run containers compress
-    contiguous deletes ~10^4-10^5x, so a few KB of roaring can decode
-    to millions of int64 indexes, and a byte-only gate would route an
-    executor-OOM payload down the broadcast path; the descriptor's
-    self-declared ``cardinality`` is untrusted foreign input."""
-    import numpy as np
+#: Memoized cardinalities, keyed by payload digest — the gate re-runs
+#: on every read_delta call even when the broadcast itself is cached,
+#: and a 64 MiB payload's container walk is not free (third review
+#: pass). Bounded; a clear only costs a re-walk.
+_CARDINALITY_CACHE: dict = {}
 
+
+def _payload_digest(data: bytes) -> bytes:
+    """SHA-256 of a bitmap payload — the cache key material for every
+    content-addressed cache here. CRC-32 keys were trivially forgeable
+    (third review pass: the module's own threat model is hostile
+    foreign tables, and a forged matching CRC at equal length would
+    silently serve a STALE broadcast — wrong rows hidden)."""
+    import hashlib
+
+    return hashlib.sha256(data).digest()
+
+
+def roaring_array_cardinality(data: bytes) -> int:
+    """ACTUAL value count of a serialized RoaringBitmapArray — run
+    lengths summed, bitmap containers popcounted, array headers
+    trusted only where they define the layout (see
+    :func:`_rb32_cardinality`). This is the TRUSTED row signal for
+    the broadcast-vs-anti-join gate: run containers compress
+    contiguous deletes ~10^4-10^5x, so a few KB of roaring can decode
+    to millions of int64 indexes, and the descriptor's self-declared
+    ``cardinality`` is untrusted foreign input. One numpy pass per
+    container, memoized per payload digest."""
+    key = _payload_digest(data)
+    got = _CARDINALITY_CACHE.get(key)
+    if got is not None:
+        return got
     if len(data) < 12:
         raise ValueError("truncated RoaringBitmapArray")
     magic, n = struct.unpack_from("<Iq", data, 0)
@@ -419,48 +498,22 @@ def roaring_array_cardinality(data: bytes) -> int:
         raise ValueError(f"bad RoaringBitmapArray magic {magic}")
     pos, total = 12, 0
     for _slot in range(n):
-        (cookie,) = struct.unpack_from("<I", data, pos)
-        run_flags = None
-        if (cookie & 0xFFFF) == _SERIAL_COOKIE_RUN:
-            k = (cookie >> 16) + 1
-            pos += 4
-            flag_bytes = (k + 7) // 8
-            run_flags = np.unpackbits(
-                np.frombuffer(data, np.uint8, flag_bytes, pos),
-                bitorder="little",
-            )[:k]
-            pos += flag_bytes
-        elif cookie == _SERIAL_COOKIE_NO_RUN:
-            (k,) = struct.unpack_from("<I", data, pos + 4)
-            pos += 8
-        else:
-            raise ValueError(f"not a RoaringBitmap: cookie {cookie}")
-        cards = []
-        for i in range(k):
-            _key, c1 = struct.unpack_from("<HH", data, pos)
-            cards.append(c1 + 1)
-            pos += 4
-        if run_flags is None or k >= _NO_OFFSET_THRESHOLD:
-            pos += 4 * k
-        for i in range(k):
-            total += cards[i]
-            if run_flags is not None and run_flags[i]:
-                (n_runs,) = struct.unpack_from("<H", data, pos)
-                pos += 2 + 4 * n_runs
-            elif cards[i] > _ARRAY_MAX:
-                pos += 8192
-            else:
-                pos += 2 * cards[i]
+        card, pos = _rb32_cardinality(data, pos)
+        total += card
+    if len(_CARDINALITY_CACHE) >= 4096:
+        _CARDINALITY_CACHE.clear()
+    _CARDINALITY_CACHE[key] = total
     return total
 
 
-#: Worker-lifetime memo of decoded bitmaps, keyed by (file path, byte
-#: length, CRC-32) so a rewritten DV at the same path never serves a
-#: stale decode. Python workers are reused across tasks, so each
-#: worker pays one decode per distinct DV per table read, not one per
-#: Arrow batch. Evicted by DECODED byte budget, not entry count —
-#: 1024 run-heavy entries could pin far more memory than 1024 keys
-#: suggest.
+#: Worker-lifetime memo of decoded bitmaps, keyed by (file path,
+#: payload SHA-256) so a rewritten DV at the same path never serves a
+#: stale decode — even a DELIBERATELY re-written one (CRC-32 is
+#: forgeable; third review pass). Python workers are reused across
+#: tasks, so each worker pays one decode per distinct DV per table
+#: read, not one per Arrow batch. Evicted by DECODED byte budget, not
+#: entry count — 1024 run-heavy entries could pin far more memory
+#: than 1024 keys suggest.
 _DECODE_CACHE: dict = {}
 _DECODE_CACHE_BYTES = 0
 _DECODE_CACHE_MAX_BYTES = 256 << 20
@@ -468,7 +521,7 @@ _DECODE_CACHE_MAX_BYTES = 256 << 20
 
 def _decoded_indexes(path: str, raw: bytes):
     global _DECODE_CACHE_BYTES
-    key = (path, len(raw), zlib.crc32(raw))
+    key = (path, _payload_digest(raw))
     arr = _DECODE_CACHE.get(key)
     if arr is None:
         arr = deserialize_roaring_array(raw).astype("int64")
@@ -482,20 +535,27 @@ def _decoded_indexes(path: str, raw: bytes):
     return arr
 
 
-#: Driver-side LRU of live bitmap broadcasts keyed by payload content.
-#: Repeated reads of the same DV table (a dashboard refreshing against
-#: one snapshot) reuse ONE broadcast instead of minting one per plan;
-#: evicted entries are unpersist()ed (executors drop their copies;
-#: TorrentBroadcast re-fetches lazily if an old plan re-executes, so
-#: eviction is safe — destroy() would not be) so a long session cannot
-#: accumulate unbounded broadcast blocks (review r10).
+#: Driver-side LRU of live bitmap broadcasts keyed by (application id,
+#: payload SHA-256s). Repeated reads of the same DV table (a dashboard
+#: refreshing against one snapshot) reuse ONE broadcast instead of
+#: minting one per plan; evicted entries are unpersist()ed (executors
+#: drop their copies; TorrentBroadcast re-fetches lazily if an old
+#: plan re-executes, so eviction is safe — destroy() would not be) so
+#: a long session cannot accumulate unbounded broadcast blocks
+#: (review r10). The application id in the key keeps a RESTARTED
+#: context from being served a broadcast bound to the stopped one
+#: (third review pass); stale-context entries are dropped on sight.
 _BROADCAST_CACHE: "dict[tuple, object]" = {}
 _BROADCAST_CACHE_MAX = 16
 
 
 def _bitmap_broadcast(spark, pairs):
-    key = tuple(
-        (p, len(b), zlib.crc32(b)) for p, b in sorted(pairs)
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _BROADCAST_CACHE if k[0] != app_id]:
+        _BROADCAST_CACHE.pop(k)  # dead context: nothing to unpersist
+    key = (
+        app_id,
+        tuple((p, _payload_digest(b)) for p, b in sorted(pairs)),
     )
     bc = _BROADCAST_CACHE.pop(key, None)
     if bc is None:

@@ -1349,10 +1349,19 @@ def export_history(spark: SparkSession, dest: str) -> DataFrame:
     alone: one row per RETAINED JSON commit — (version, timestamp,
     operation, source_version). Commits subsumed by a pruned checkpoint
     no longer appear, matching Delta's history after log cleanup."""
+    def _ts(info: dict):
+        # the relation's timestamp column is LONG; a foreign string/
+        # float stamp displays as null instead of crashing
+        # createDataFrame (third review pass)
+        ts = info.get("timestamp")
+        return ts if isinstance(ts, int) and not isinstance(
+            ts, bool
+        ) else None
+
     rows = [
         (
             v,
-            info.get("timestamp"),
+            _ts(info),
             info.get("operation"),
             info.get("operationParameters", {}).get("sourceVersion"),
         )

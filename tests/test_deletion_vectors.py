@@ -239,10 +239,13 @@ def test_deleted_rows_df_expands_on_executors(spark):
     ]
 
 
-def test_roaring_array_cardinality_headers_only():
-    """Second review pass: the broadcast gate's trusted row signal —
-    exact cardinality from container headers alone, agreeing with the
-    full decode on array, bitmap, AND run containers."""
+def test_roaring_array_cardinality_counts_actual_values():
+    """Second+third review passes: the broadcast gate's trusted row
+    signal must count ACTUAL decoded values — run lengths summed,
+    bitmap bytes popcounted — agreeing with the full decode on every
+    container kind, and NEVER the descriptive header's self-declared
+    cardinality, which for run/bitmap containers is
+    attacker-controlled independently of the body."""
     from olist_lakehouse_2_0_spark.deletion_vectors import (
         roaring_array_cardinality,
     )
@@ -265,6 +268,16 @@ def test_roaring_array_cardinality_headers_only():
     )
     arr = struct.pack("<Iq", 1681511377, 1) + rb
     assert roaring_array_cardinality(arr) == 6
+    # HOSTILE shape: header claims cardinality-1 = 0 (one value) but
+    # the run list encodes the full 64Ki range — the gate must see
+    # 65536, exactly what the decoder would materialize
+    forged = struct.pack("<Iq", 1681511377, 1) + (
+        struct.pack("<I", 12347) + b"\x01"
+        + struct.pack("<HH", 0, 0)  # lying header: card=1
+        + struct.pack("<H", 1) + struct.pack("<HH", 0, 0xFFFF)
+    )
+    assert roaring_array_cardinality(forged) == 65536
+    assert len(deserialize_roaring_array(forged)) == 65536
     with pytest.raises(ValueError, match="magic"):
         roaring_array_cardinality(struct.pack("<Iq", 3, 0))
 
