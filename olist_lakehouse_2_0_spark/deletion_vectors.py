@@ -242,8 +242,17 @@ def _deserialize_rb32(buf: bytes, pos: int) -> tuple["object", int]:
                 n_runs, 2
             )
             for s, l1 in runs:
-                out.append(base + np.arange(s, int(s) + int(l1) + 1,
-                                            dtype=np.uint32))
+                end = int(s) + int(l1) + 1
+                if end > (1 << 16):
+                    # a forged run crossing the 16-bit container
+                    # domain would WRAP uint32 into small indexes —
+                    # wrong rows silently hidden; refuse instead
+                    # (fourth review pass)
+                    raise ValueError(
+                        f"run ({int(s)}, len {int(l1) + 1}) exceeds "
+                        "the container domain"
+                    )
+                out.append(base + np.arange(s, end, dtype=np.uint32))
         elif kind == "bitmap":
             bits = np.unpackbits(
                 np.frombuffer(buf, np.uint8, 8192, body),
@@ -331,9 +340,17 @@ def deserialize_roaring_array(data: bytes) -> "object":
         raise ValueError(
             f"{len(data) - pos} trailing bytes after {n} bitmaps"
         )
-    return (
+    out = (
         np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
     )
+    # the searchsorted membership test REQUIRES sorted-unique input;
+    # a spec-conforming writer emits containers/runs in order, but a
+    # forged DV may not, and unsorted output would silently resurrect
+    # deleted rows (fourth review pass) — np.unique also collapses
+    # forged duplicates, so the gate's count only ever OVER-estimates
+    if len(out) > 1 and not bool(np.all(out[1:] > out[:-1])):
+        out = np.unique(out)
+    return out
 
 
 # --------------------------------------------------- DV file layout
@@ -477,7 +494,9 @@ def _payload_digest(data: bytes) -> bytes:
     return hashlib.sha256(data).digest()
 
 
-def roaring_array_cardinality(data: bytes) -> int:
+def roaring_array_cardinality(
+    data: bytes, digest: bytes | None = None
+) -> int:
     """ACTUAL value count of a serialized RoaringBitmapArray — run
     lengths summed, bitmap containers popcounted, array headers
     trusted only where they define the layout (see
@@ -486,8 +505,10 @@ def roaring_array_cardinality(data: bytes) -> int:
     contiguous deletes ~10^4-10^5x, so a few KB of roaring can decode
     to millions of int64 indexes, and the descriptor's self-declared
     ``cardinality`` is untrusted foreign input. One numpy pass per
-    container, memoized per payload digest."""
-    key = _payload_digest(data)
+    container, memoized per payload digest (pass ``digest`` when the
+    caller already computed it — hashing a 64 MiB payload twice per
+    read is the overhead this memo exists to avoid)."""
+    key = digest if digest is not None else _payload_digest(data)
     got = _CARDINALITY_CACHE.get(key)
     if got is not None:
         return got
@@ -549,13 +570,17 @@ _BROADCAST_CACHE: "dict[tuple, object]" = {}
 _BROADCAST_CACHE_MAX = 16
 
 
-def _bitmap_broadcast(spark, pairs):
+def _bitmap_broadcast(spark, pairs, digests: dict | None = None):
     app_id = spark.sparkContext.applicationId
     for k in [k for k in _BROADCAST_CACHE if k[0] != app_id]:
         _BROADCAST_CACHE.pop(k)  # dead context: nothing to unpersist
+    digests = digests or {}
     key = (
         app_id,
-        tuple((p, _payload_digest(b)) for p, b in sorted(pairs)),
+        tuple(
+            (p, digests.get(p) or _payload_digest(b))
+            for p, b in sorted(pairs)
+        ),
     )
     bc = _BROADCAST_CACHE.pop(key, None)
     if bc is None:
@@ -570,7 +595,10 @@ def _bitmap_broadcast(spark, pairs):
     return bc
 
 
-def live_rows_filter(spark, df, pairs, file_col: str, idx_col: str):
+def live_rows_filter(
+    spark, df, pairs, file_col: str, idx_col: str,
+    digests: dict | None = None,
+):
     """Hide deleted rows by broadcasting the COMPRESSED bitmaps and
     filtering the scan with an Arrow-batched membership test — the
     execution shape Delta's own readers use (each task consults its
@@ -578,16 +606,17 @@ def live_rows_filter(spark, df, pairs, file_col: str, idx_col: str):
     set into rows). The broadcast payload is exactly the serialized
     roaring bytes, reused across identical reads via
     :func:`_bitmap_broadcast`; the caller gates entry on the ACTUAL
-    byte total AND the header-derived decoded cardinality (both
+    byte total AND the actually-counted decoded cardinality (both
     trusted signals, unlike descriptor cardinality). Membership is
     one ``np.searchsorted`` per distinct file per batch over the
-    memoized decoded index array; the CRC cache key is computed once
-    per (task, file) through a task-local memo, not per Arrow batch."""
+    memoized decoded index array; the digest cache key is computed
+    once per (task, file) through a task-local memo, not per Arrow
+    batch."""
     import numpy as np
 
     from pyspark.sql import functions as F
 
-    bc = _bitmap_broadcast(spark, pairs)
+    bc = _bitmap_broadcast(spark, pairs, digests)
     task_cache: dict = {}
 
     @F.pandas_udf("boolean")
@@ -602,8 +631,8 @@ def live_rows_filter(spark, df, pairs, file_col: str, idx_col: str):
                 raw = dvs.get(p)
                 if raw is None:
                     continue
-                # worker-global memo pays the CRC+decode; the
-                # task-local dict skips even the CRC on later batches
+                # worker-global memo pays the digest+decode; the
+                # task-local dict skips even that on later batches
                 arr = _decoded_indexes(p, raw)
                 task_cache[p] = arr
             if arr.size == 0:

@@ -1143,6 +1143,36 @@ def export_delta(
     return appended
 
 
+def _is_long(v) -> bool:
+    """True for a trustworthy int64 — the ONE predicate every consumer
+    of foreign commitInfo numerics shares (fourth review pass: two
+    hand-kept isinstance chains had already appeared, and JSON admits
+    bools, strings, floats, and beyond-int64 ints in any field a
+    foreign writer controls)."""
+    return (
+        isinstance(v, int)
+        and not isinstance(v, bool)
+        and -(1 << 63) <= v < (1 << 63)
+    )
+
+
+def _as_long(v):
+    """Foreign numeric -> int64 for DISPLAY columns (export_history's
+    long-typed relation): trusted ints pass, integer STRINGS coerce
+    (the protocol types operationParameters as map<string,string>, so
+    a genuine delta-spark sourceVersion arrives as '123'), everything
+    else displays as null instead of crashing createDataFrame."""
+    if _is_long(v):
+        return v
+    if isinstance(v, str):
+        try:
+            parsed = int(v, 10)
+        except ValueError:
+            return None
+        return parsed if _is_long(parsed) else None
+    return None
+
+
 def _commit_infos(spark: SparkSession, dest: str) -> list[tuple[int, dict]]:
     """(version, commitInfo) for every RETAINED JSON commit, ascending,
     with timestamps MONOTONICALLY RECONSTRUCTED the way Delta's own
@@ -1170,11 +1200,12 @@ def _commit_infos(spark: SparkSession, dest: str) -> list[tuple[int, dict]]:
             {},
         )
         ts = info.get("timestamp")
-        # isinstance, not key presence: a foreign log may carry a
-        # JSON-null or string timestamp, which must pass through for
-        # display but never enter the clamp arithmetic or the
-        # resolution comparisons (second review pass)
-        if isinstance(ts, int) and not isinstance(ts, bool):
+        # _is_long, not key presence: a foreign log may carry a
+        # JSON-null, string, bool, or beyond-int64 timestamp, which
+        # must pass through for display but never enter the clamp
+        # arithmetic or the resolution comparisons (second + fourth
+        # review passes)
+        if _is_long(ts):
             if prev_ts is not None and ts <= prev_ts:
                 info = {**info, "timestamp": prev_ts + 1}
             prev_ts = info["timestamp"]
@@ -1211,14 +1242,13 @@ def _latest_commit_ts(spark: SparkSession, dest: str) -> int:
         {},
     )
     newest_ts = newest.get("timestamp")
-    if isinstance(newest_ts, int) and not isinstance(newest_ts, bool):
+    if _is_long(newest_ts):
         return newest_ts
     return max(
         (
             i["timestamp"]
             for _, i in _commit_infos(spark, dest)
-            if isinstance(i.get("timestamp"), int)
-            and not isinstance(i.get("timestamp"), bool)
+            if _is_long(i.get("timestamp"))
         ),
         default=-1,
     )
@@ -1329,8 +1359,7 @@ def _resolve_timestamp(spark: SparkSession, dest: str, ts) -> int:
     stamped = [
         (v, i["timestamp"])
         for v, i in infos
-        if isinstance(i.get("timestamp"), int)
-        and not isinstance(i.get("timestamp"), bool)
+        if _is_long(i.get("timestamp"))
     ]
     if not stamped:
         raise IOError(f"no retained commitInfo timestamps at {dest}")
@@ -1349,21 +1378,26 @@ def export_history(spark: SparkSession, dest: str) -> DataFrame:
     alone: one row per RETAINED JSON commit — (version, timestamp,
     operation, source_version). Commits subsumed by a pruned checkpoint
     no longer appear, matching Delta's history after log cleanup."""
-    def _ts(info: dict):
-        # the relation's timestamp column is LONG; a foreign string/
-        # float stamp displays as null instead of crashing
-        # createDataFrame (third review pass)
-        ts = info.get("timestamp")
-        return ts if isinstance(ts, int) and not isinstance(
-            ts, bool
-        ) else None
+    def _op(info: dict):
+        op = info.get("operation")
+        return op if op is None or isinstance(op, str) else str(op)
 
+    # every cell coerced to its column type (_as_long / _op): foreign
+    # commitInfo is untrusted JSON, and the protocol itself types
+    # operationParameters as map<string,string>, so a genuine
+    # delta-spark sourceVersion arrives as the STRING '123' (fourth
+    # review pass — the timestamp-only guard crashed on exactly the
+    # inputs it claimed to survive)
     rows = [
         (
             v,
-            _ts(info),
-            info.get("operation"),
-            info.get("operationParameters", {}).get("sourceVersion"),
+            _as_long(info.get("timestamp")),
+            _op(info),
+            _as_long(
+                (info.get("operationParameters") or {}).get(
+                    "sourceVersion"
+                )
+            ),
         )
         for v, info in _commit_infos(spark, dest)
     ]
@@ -1588,7 +1622,12 @@ def _apply_deletion_vectors(
             cache[path] = _read_binary(spark, path)
         return cache[path]
 
+    from olist_lakehouse_2_0_spark.deletion_vectors import (
+        _payload_digest,
+    )
+
     pairs: list[tuple[str, bytes]] = []
+    digests: dict[str, bytes] = {}
     total_bytes = 0
     for rel, d in sorted(dv_descriptors.items()):
         bitmap = load_dv_bitmap(d, dest, read_file)
@@ -1607,12 +1646,17 @@ def _apply_deletion_vectors(
             + uri.getRawPath()
         )
         pairs.append((qualified, bitmap))
+        digests[qualified] = _payload_digest(bitmap)
         total_bytes += len(bitmap)
     if total_bytes <= _DV_BROADCAST_MAX_BYTES and (
-        sum(roaring_array_cardinality(b) for _, b in pairs)
+        sum(
+            roaring_array_cardinality(b, digests[p]) for p, b in pairs
+        )
         <= _DV_BROADCAST_MAX_ROWS
     ):
-        return live_rows_filter(spark, df, pairs, file_col, idx_col)
+        return live_rows_filter(
+            spark, df, pairs, file_col, idx_col, digests
+        )
     deleted = deleted_rows_df(spark, pairs).withColumnRenamed(
         "__dv_file", file_col
     ).withColumnRenamed("__dv_row_index", idx_col)

@@ -306,3 +306,37 @@ def test_bitmap_broadcast_reused_and_lru_bounded(spark):
         )
     assert len(dv._BROADCAST_CACHE) <= dv._BROADCAST_CACHE_MAX
     dv._BROADCAST_CACHE.clear()
+
+
+def test_forged_unsorted_and_wrapping_dvs(spark):
+    """Fourth review pass: (a) a forged DV whose containers/runs are
+    out of order must still yield a SORTED unique index array (the
+    searchsorted membership test silently resurrects deleted rows on
+    unsorted input); (b) a forged run crossing the 16-bit container
+    domain must REFUSE (uint32 wrap would hide the wrong rows)."""
+    from olist_lakehouse_2_0_spark.deletion_vectors import (
+        roaring_array_cardinality,
+    )
+
+    # two array containers with DESCENDING keys: values decode in
+    # container order [65536+1, 3] — must come back sorted
+    rb = (
+        struct.pack("<II", 12346, 2)
+        + struct.pack("<HH", 1, 0)  # key 1, card 1
+        + struct.pack("<HH", 0, 0)  # key 0, card 1 (out of order)
+        + struct.pack("<II", 24, 26)  # offset header
+        + struct.pack("<H", 1)  # container key=1: value 1 -> 65537
+        + struct.pack("<H", 3)  # container key=0: value 3
+    )
+    arr = struct.pack("<Iq", 1681511377, 1) + rb
+    assert list(deserialize_roaring_array(arr)) == [3, 65537]
+    assert roaring_array_cardinality(arr) == 2
+
+    # run (s=0xFFFF, len-1=0xFFFF) would wrap past the container
+    wrap = struct.pack("<Iq", 1681511377, 1) + (
+        struct.pack("<I", 12347) + b"\x01"
+        + struct.pack("<HH", 0, 0)
+        + struct.pack("<H", 1) + struct.pack("<HH", 0xFFFF, 0xFFFF)
+    )
+    with pytest.raises(ValueError, match="container domain"):
+        deserialize_roaring_array(wrap)

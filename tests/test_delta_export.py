@@ -2851,3 +2851,41 @@ def test_dv_gate_routes_run_compressed_bitmaps_to_antijoin(
     assert sorted(r["id"] for r in df.collect()) == [5, 6, 7, 8, 9]
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan  # routed to the join, not the filter
+
+
+def test_export_history_coerces_foreign_commit_info(spark, tmp_path):
+    """Fourth review pass: the protocol types operationParameters as
+    map<string,string>, so a GENUINE delta-spark sourceVersion arrives
+    as the string '123'; export_history must display it as a long,
+    and junk strings / beyond-int64 ints / non-string operations must
+    display as null instead of crashing the typed relation."""
+    import olist_lakehouse_2_0_spark.delta_export as de
+
+    _, root = _versioned_table(spark, tmp_path, counts=(5, 6))
+    dest = str(tmp_path / "delta")
+    export_delta(spark, root, dest, checkpoint_interval=0)
+    doctored = {
+        0: {"timestamp": 2**63, "operation": 7,
+            "operationParameters": {"sourceVersion": "123"}},
+        1: {"timestamp": "not-a-number",
+            "operationParameters": {"sourceVersion": "junk"}},
+    }
+    for v, info in doctored.items():
+        cpath = de._commit_path(dest, v)
+        actions = [json.loads(l) for l in open(cpath) if l.strip()]
+        for a in actions:
+            if "commitInfo" in a:
+                a["commitInfo"].update(info)
+        with open(cpath, "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions))
+        crc = os.path.join(
+            os.path.dirname(cpath), f".{os.path.basename(cpath)}.crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+    hist = de.export_history(spark, dest).orderBy("version").collect()
+    assert hist[0]["timestamp"] is None  # 2**63 overflows int64
+    assert hist[0]["operation"] == "7"  # stringified, not crashed
+    assert hist[0]["source_version"] == 123  # protocol string form
+    assert hist[1]["timestamp"] is None
+    assert hist[1]["source_version"] is None
