@@ -679,10 +679,18 @@ def _apply_commit(state: dict, actions: list[dict]) -> None:
         elif "protocol" in action:
             state["protocol"] = action["protocol"]
         elif "commitInfo" in action:
-            src = action["commitInfo"].get("operationParameters", {}).get(
-                "sourceVersion"
+            # _as_long, the shared trusted-numeric predicate: the
+            # protocol types operationParameters as map<string,
+            # string>, so a genuine foreign cursor arrives as '123';
+            # bools and beyond-int64 forgeries must never poison the
+            # resume cursor (a 2**100 cursor wedges every future
+            # export's `v > exported_src` gate — fifth review pass)
+            src = _as_long(
+                action["commitInfo"]
+                .get("operationParameters", {})
+                .get("sourceVersion")
             )
-            if isinstance(src, int):
+            if src is not None:
                 state["max_source_version"] = max(
                     state["max_source_version"], src
                 )
@@ -721,14 +729,14 @@ def _replay(spark: SparkSession, dest: str, version: int) -> dict:
                 if v in commits:
                     for action in _read_commit(spark, dest, v):
                         info = action.get("commitInfo")
-                        src = (
+                        src = _as_long(
                             info.get("operationParameters", {}).get(
                                 "sourceVersion"
                             )
                             if info
                             else None
                         )
-                        if isinstance(src, int):
+                        if src is not None:
                             state["max_source_version"] = max(
                                 state["max_source_version"], src
                             )
@@ -1165,10 +1173,14 @@ def _as_long(v):
     if _is_long(v):
         return v
     if isinstance(v, str):
-        try:
-            parsed = int(v, 10)
-        except ValueError:
+        import re
+
+        # canonical decimal only — int(v, 10) would also accept
+        # underscores, padding, '+', and unicode digits, coercing
+        # junk the contract says displays as null (fifth review pass)
+        if not re.fullmatch(r"-?[0-9]+", v):
             return None
+        parsed = int(v, 10)
         return parsed if _is_long(parsed) else None
     return None
 
@@ -1199,16 +1211,21 @@ def _commit_infos(spark: SparkSession, dest: str) -> list[tuple[int, dict]]:
             ),
             {},
         )
-        ts = info.get("timestamp")
-        # _is_long, not key presence: a foreign log may carry a
-        # JSON-null, string, bool, or beyond-int64 timestamp, which
-        # must pass through for display but never enter the clamp
-        # arithmetic or the resolution comparisons (second + fourth
-        # review passes)
-        if _is_long(ts):
+        # normalize AT INGESTION so display, the clamp, and
+        # timestamp resolution all see the same value: a protocol-
+        # string stamp ('1234') coerces, junk/bool/beyond-int64 stays
+        # raw (displays null, never enters arithmetic) — a coercion
+        # applied only at display had let a string stamp show a value
+        # resolution would ignore (fifth review pass). The clamp
+        # SATURATES at int64 max rather than overflowing out of the
+        # long domain (ties then resolve to the latest version —
+        # deterministic, and display stays consistent).
+        ts = _as_long(info.get("timestamp"))
+        if ts is not None:
             if prev_ts is not None and ts <= prev_ts:
-                info = {**info, "timestamp": prev_ts + 1}
-            prev_ts = info["timestamp"]
+                ts = min(prev_ts + 1, (1 << 63) - 1)
+            info = {**info, "timestamp": ts}
+            prev_ts = ts
         out.append((v, info))
     return out
 
@@ -1608,6 +1625,7 @@ def _apply_deletion_vectors(
     executors and a plain (non-broadcast) shuffle anti-join removes
     them."""
     from olist_lakehouse_2_0_spark.deletion_vectors import (
+        _payload_digest,
         deleted_rows_df,
         live_rows_filter,
         load_dv_bitmap,
@@ -1622,12 +1640,7 @@ def _apply_deletion_vectors(
             cache[path] = _read_binary(spark, path)
         return cache[path]
 
-    from olist_lakehouse_2_0_spark.deletion_vectors import (
-        _payload_digest,
-    )
-
     pairs: list[tuple[str, bytes]] = []
-    digests: dict[str, bytes] = {}
     total_bytes = 0
     for rel, d in sorted(dv_descriptors.items()):
         bitmap = load_dv_bitmap(d, dest, read_file)
@@ -1646,17 +1659,22 @@ def _apply_deletion_vectors(
             + uri.getRawPath()
         )
         pairs.append((qualified, bitmap))
-        digests[qualified] = _payload_digest(bitmap)
         total_bytes += len(bitmap)
-    if total_bytes <= _DV_BROADCAST_MAX_BYTES and (
-        sum(
-            roaring_array_cardinality(b, digests[p]) for p, b in pairs
-        )
-        <= _DV_BROADCAST_MAX_ROWS
-    ):
-        return live_rows_filter(
-            spark, df, pairs, file_col, idx_col, digests
-        )
+    if total_bytes <= _DV_BROADCAST_MAX_BYTES:
+        # digests only exist on the broadcast path — hashing the
+        # payload set on the anti-join path would be pure waste
+        # (fifth review pass)
+        digests = {p: _payload_digest(b) for p, b in pairs}
+        if (
+            sum(
+                roaring_array_cardinality(b, digests[p])
+                for p, b in pairs
+            )
+            <= _DV_BROADCAST_MAX_ROWS
+        ):
+            return live_rows_filter(
+                spark, df, pairs, file_col, idx_col, digests
+            )
     deleted = deleted_rows_df(spark, pairs).withColumnRenamed(
         "__dv_file", file_col
     ).withColumnRenamed("__dv_row_index", idx_col)

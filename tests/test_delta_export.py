@@ -2889,3 +2889,50 @@ def test_export_history_coerces_foreign_commit_info(spark, tmp_path):
     assert hist[0]["source_version"] == 123  # protocol string form
     assert hist[1]["timestamp"] is None
     assert hist[1]["source_version"] is None
+
+
+def test_string_timestamps_and_cursor_coerce_consistently(
+    spark, tmp_path
+):
+    """Fifth review pass: a protocol-string timestamp ('1234') must
+    coerce AT INGESTION so display, the monotone clamp, and TIMESTAMP
+    AS OF all see the same value; a beyond-int64 sourceVersion must
+    never poison the export resume cursor (it would wedge every
+    future export's newness gate), while the protocol-string form
+    '123' must ADVANCE it."""
+    import olist_lakehouse_2_0_spark.delta_export as de
+
+    _, root = _versioned_table(spark, tmp_path, counts=(5, 6))
+    dest = str(tmp_path / "delta")
+    export_delta(spark, root, dest, checkpoint_interval=0)
+
+    def doctor(v, info):
+        cpath = de._commit_path(dest, v)
+        actions = [json.loads(l) for l in open(cpath) if l.strip()]
+        for a in actions:
+            if "commitInfo" in a:
+                a["commitInfo"].update(info)
+        with open(cpath, "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions))
+        crc = os.path.join(
+            os.path.dirname(cpath), f".{os.path.basename(cpath)}.crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    doctor(0, {"timestamp": 5000})
+    doctor(1, {"timestamp": "1234"})  # string, regressed
+    infos = de._commit_infos(spark, dest)
+    # coerced, then clamped above v0 — display and resolution agree
+    assert [i["timestamp"] for _, i in infos] == [5000, 5001]
+    assert de._resolve_timestamp(spark, dest, 5001) == 1
+    hist = de.export_history(spark, dest).orderBy("version").collect()
+    assert [h["timestamp"] for h in hist] == [5000, 5001]
+
+    # resume cursor: 2**100 and True must be ignored; '123' advances
+    doctor(1, {"operationParameters": {"sourceVersion": 2**100}})
+    assert de._replay(spark, dest, 1)["max_source_version"] == 1
+    doctor(1, {"operationParameters": {"sourceVersion": True}})
+    assert de._replay(spark, dest, 1)["max_source_version"] == 1
+    doctor(1, {"operationParameters": {"sourceVersion": "123"}})
+    assert de._replay(spark, dest, 1)["max_source_version"] == 123
