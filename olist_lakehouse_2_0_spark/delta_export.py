@@ -661,7 +661,8 @@ def _state_from_checkpoint(
             state["protocol"] = {
                 k: v for k, v in r["protocol"].items() if v is not None
             }
-    state["max_source_version"] = cp.get("maxSourceVersion", -1)
+    msv = _as_long(cp.get("maxSourceVersion"))
+    state["max_source_version"] = msv if msv is not None else -1
     return state
 
 
@@ -721,9 +722,14 @@ def _replay(spark: SparkSession, dest: str, version: int) -> dict:
             # commitInfo JSONs (prune/vacuum never delete commits
             # above the pointer they leave behind, and the gap is
             # bounded by the checkpoint cadence).
+            # the pointer file is as untrusted as commitInfo: a
+            # forged 2**100 (or string) maxSourceVersion must neither
+            # wedge the newness gate nor crash max() (sixth review
+            # pass — the cursor has TWO ingestion points)
+            ptr_msv = _as_long(last_cp.get("maxSourceVersion"))
             state["max_source_version"] = max(
                 state["max_source_version"],
-                last_cp.get("maxSourceVersion", -1),
+                ptr_msv if ptr_msv is not None else -1,
             )
             for v in range(last_cp["version"] + 1, start):
                 if v in commits:
@@ -1177,8 +1183,12 @@ def _as_long(v):
 
         # canonical decimal only — int(v, 10) would also accept
         # underscores, padding, '+', and unicode digits, coercing
-        # junk the contract says displays as null (fifth review pass)
-        if not re.fullmatch(r"-?[0-9]+", v):
+        # junk the contract says displays as null (fifth review pass).
+        # The digit count is BOUNDED: int64 needs at most 19 digits,
+        # and Python >= 3.11 raises on >4300-digit conversions, so an
+        # unbounded regex would re-introduce the crash the old
+        # try/except caught (sixth review pass).
+        if not re.fullmatch(r"-?[0-9]{1,19}", v):
             return None
         parsed = int(v, 10)
         return parsed if _is_long(parsed) else None
@@ -1258,8 +1268,12 @@ def _latest_commit_ts(spark: SparkSession, dest: str) -> int:
         ),
         {},
     )
-    newest_ts = newest.get("timestamp")
-    if _is_long(newest_ts):
+    # same ingestion coercion as _commit_infos, so a foreign log
+    # whose newest stamp is the protocol-string form keeps the
+    # one-read fast path instead of paying the full tail scan on
+    # every resume (sixth review pass)
+    newest_ts = _as_long(newest.get("timestamp"))
+    if newest_ts is not None:
         return newest_ts
     return max(
         (

@@ -37,6 +37,27 @@ def _commits(dest):
     ], names
 
 
+def _update_commit_info(dest, version, info):
+    """Doctor one commit's commitInfo in place (merging ``info``) and
+    drop the local-FS checksum sidecar the out-of-band rewrite
+    invalidates — the one copy of the dance four tests were keeping
+    in sync by hand (sixth review pass)."""
+    from olist_lakehouse_2_0_spark.delta_export import _commit_path
+
+    cpath = _commit_path(dest, version)
+    actions = [json.loads(l) for l in open(cpath) if l.strip()]
+    for a in actions:
+        if "commitInfo" in a:
+            a["commitInfo"].update(info)
+    with open(cpath, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions))
+    crc = os.path.join(
+        os.path.dirname(cpath), f".{os.path.basename(cpath)}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
 def test_log_structure_is_protocol_conformant(spark, tmp_path):
     _, root = _versioned_table(spark, tmp_path)
     dest = str(tmp_path / "delta")
@@ -2552,18 +2573,7 @@ def test_commit_infos_reconstruct_nonmonotone_legacy_timestamps(
     # forge the pre-clamp shape: regress v1's and v2's raw stamps
     raw = {0: 10_000, 1: 9_000, 2: 9_100}
     for v, ts in raw.items():
-        cpath = de._commit_path(dest, v)
-        actions = [json.loads(l) for l in open(cpath) if l.strip()]
-        for a in actions:
-            if "commitInfo" in a:
-                a["commitInfo"]["timestamp"] = ts
-        with open(cpath, "w") as fh:
-            fh.write("\n".join(json.dumps(a) for a in actions))
-        crc = os.path.join(
-            os.path.dirname(cpath), f".{os.path.basename(cpath)}.crc"
-        )
-        if os.path.exists(crc):
-            os.remove(crc)
+        _update_commit_info(dest, v, {"timestamp": ts})
     infos = de._commit_infos(spark, dest)
     shown = [i["timestamp"] for _, i in infos]
     assert shown == [10_000, 10_001, 10_002]  # Delta's reconstruction
@@ -2711,18 +2721,7 @@ def test_commit_infos_tolerate_null_timestamp(spark, tmp_path):
     _, root = _versioned_table(spark, tmp_path, counts=(5, 6, 7))
     dest = str(tmp_path / "delta")
     export_delta(spark, root, dest, checkpoint_interval=0)
-    cpath = de._commit_path(dest, 1)
-    actions = [json.loads(l) for l in open(cpath) if l.strip()]
-    for a in actions:
-        if "commitInfo" in a:
-            a["commitInfo"]["timestamp"] = None
-    with open(cpath, "w") as fh:
-        fh.write("\n".join(json.dumps(a) for a in actions))
-    crc = os.path.join(
-        os.path.dirname(cpath), f".{os.path.basename(cpath)}.crc"
-    )
-    if os.path.exists(crc):
-        os.remove(crc)
+    _update_commit_info(dest, 1, {"timestamp": None})
     hist = de.export_history(spark, dest).orderBy("version").collect()
     assert [h["version"] for h in hist] == [0, 1, 2]
     assert hist[1]["timestamp"] is None  # displayed, not invented
@@ -2730,18 +2729,7 @@ def test_commit_infos_tolerate_null_timestamp(spark, tmp_path):
     assert de._resolve_timestamp(spark, dest, hist[2]["timestamp"]) == 2
     assert de._latest_commit_ts(spark, dest) == hist[2]["timestamp"]
     # and a null on the NEWEST commit falls back to the stamped scan
-    cpath2 = de._commit_path(dest, 2)
-    actions = [json.loads(l) for l in open(cpath2) if l.strip()]
-    for a in actions:
-        if "commitInfo" in a:
-            a["commitInfo"]["timestamp"] = None
-    with open(cpath2, "w") as fh:
-        fh.write("\n".join(json.dumps(a) for a in actions))
-    crc2 = os.path.join(
-        os.path.dirname(cpath2), f".{os.path.basename(cpath2)}.crc"
-    )
-    if os.path.exists(crc2):
-        os.remove(crc2)
+    _update_commit_info(dest, 2, {"timestamp": None})
     assert de._latest_commit_ts(spark, dest) == hist[0]["timestamp"]
 
 
@@ -2871,18 +2859,7 @@ def test_export_history_coerces_foreign_commit_info(spark, tmp_path):
             "operationParameters": {"sourceVersion": "junk"}},
     }
     for v, info in doctored.items():
-        cpath = de._commit_path(dest, v)
-        actions = [json.loads(l) for l in open(cpath) if l.strip()]
-        for a in actions:
-            if "commitInfo" in a:
-                a["commitInfo"].update(info)
-        with open(cpath, "w") as fh:
-            fh.write("\n".join(json.dumps(a) for a in actions))
-        crc = os.path.join(
-            os.path.dirname(cpath), f".{os.path.basename(cpath)}.crc"
-        )
-        if os.path.exists(crc):
-            os.remove(crc)
+        _update_commit_info(dest, v, info)
     hist = de.export_history(spark, dest).orderBy("version").collect()
     assert hist[0]["timestamp"] is None  # 2**63 overflows int64
     assert hist[0]["operation"] == "7"  # stringified, not crashed
@@ -2906,20 +2883,7 @@ def test_string_timestamps_and_cursor_coerce_consistently(
     dest = str(tmp_path / "delta")
     export_delta(spark, root, dest, checkpoint_interval=0)
 
-    def doctor(v, info):
-        cpath = de._commit_path(dest, v)
-        actions = [json.loads(l) for l in open(cpath) if l.strip()]
-        for a in actions:
-            if "commitInfo" in a:
-                a["commitInfo"].update(info)
-        with open(cpath, "w") as fh:
-            fh.write("\n".join(json.dumps(a) for a in actions))
-        crc = os.path.join(
-            os.path.dirname(cpath), f".{os.path.basename(cpath)}.crc"
-        )
-        if os.path.exists(crc):
-            os.remove(crc)
-
+    doctor = lambda v, info: _update_commit_info(dest, v, info)  # noqa: E731
     doctor(0, {"timestamp": 5000})
     doctor(1, {"timestamp": "1234"})  # string, regressed
     infos = de._commit_infos(spark, dest)
@@ -2936,3 +2900,32 @@ def test_string_timestamps_and_cursor_coerce_consistently(
     assert de._replay(spark, dest, 1)["max_source_version"] == 1
     doctor(1, {"operationParameters": {"sourceVersion": "123"}})
     assert de._replay(spark, dest, 1)["max_source_version"] == 123
+    # sixth review pass: a >4300-digit decimal string must display/
+    # resolve as null, not crash Python 3.11's int() conversion limit
+    doctor(1, {"timestamp": "1" * 5000})
+    assert de._latest_commit_ts(spark, dest) == 5000  # falls back
+    assert [
+        i.get("timestamp") for _, i in de._commit_infos(spark, dest)
+    ][1] == "1" * 5000  # raw passthrough, no crash
+    # ...and the string fast path: a protocol-string NEWEST stamp
+    # keeps the one-read floor
+    doctor(1, {"timestamp": "6000"})
+    assert de._latest_commit_ts(spark, dest) == 6000
+    # the POINTER file is the cursor's second ingestion point: a
+    # forged maxSourceVersion must neither wedge the newness gate at
+    # 2**100 nor crash max() — an untrustworthy pointer degrades the
+    # cursor to -1 (a lost cursor re-publishes duplicates, the
+    # documented safe direction; a wedged one silently exports
+    # nothing forever)
+    de.write_checkpoint(spark, dest, 1)
+    ptr = de._last_checkpoint_path(dest)
+    meta = json.loads(open(ptr).read())
+    meta["maxSourceVersion"] = 2**100
+    with open(ptr, "w") as fh:
+        fh.write(json.dumps(meta))
+    crc = os.path.join(
+        os.path.dirname(ptr), f".{os.path.basename(ptr)}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    assert de._replay(spark, dest, 1)["max_source_version"] == -1
