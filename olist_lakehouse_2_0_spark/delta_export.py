@@ -373,11 +373,34 @@ def _write_commit(
 
 
 def _read_last_checkpoint(spark: SparkSession, dest: str) -> dict | None:
+    """The ``_last_checkpoint`` pointer, NORMALIZED at its one
+    ingestion point (seventh review pass: guarding one consumer left
+    ``version`` raw, and a forged string/missing version crashed
+    every export/read in ``<=``/``max()``): an unusable ``version``
+    makes the whole pointer count as absent — Delta's own corrupt-
+    pointer behavior, falling back to log listing — and an unusable
+    ``maxSourceVersion`` is dropped (lost cursor, the safe
+    direction)."""
     _, HPath, fs = _fs(spark, dest)
     p = _last_checkpoint_path(dest)
     if not fs.exists(HPath(p)):
         return None
-    return json.loads(_read_text(spark, p))
+    try:
+        meta = json.loads(_read_text(spark, p))
+    except ValueError:
+        return None
+    if not isinstance(meta, dict):
+        return None
+    version = _as_long(meta.get("version"))
+    if version is None or version < 0:
+        return None
+    meta["version"] = version
+    msv = _as_long(meta.get("maxSourceVersion"))
+    if msv is None:
+        meta.pop("maxSourceVersion", None)
+    else:
+        meta["maxSourceVersion"] = msv
+    return meta
 
 
 def _list_checkpoints(spark: SparkSession, dest: str) -> list[int]:
@@ -661,8 +684,7 @@ def _state_from_checkpoint(
             state["protocol"] = {
                 k: v for k, v in r["protocol"].items() if v is not None
             }
-    msv = _as_long(cp.get("maxSourceVersion"))
-    state["max_source_version"] = msv if msv is not None else -1
+    state["max_source_version"] = cp.get("maxSourceVersion", -1)
     return state
 
 
@@ -967,7 +989,10 @@ def _append_snapshot_commit(
     # ordering could flake.
     now_ms = max((f[2] for f in files), default=0)
     if now_ms <= prev_ts:
-        now_ms = prev_ts + 1
+        # saturate exactly like _commit_infos' reader-side clamp — a
+        # forged int64-max stamp must not push the WRITER's next
+        # commitInfo out of the long domain (seventh review pass)
+        now_ms = min(prev_ts + 1, (1 << 63) - 1)
     actions: list[dict] = [
         {
             "commitInfo": {
@@ -1184,11 +1209,12 @@ def _as_long(v):
         # canonical decimal only — int(v, 10) would also accept
         # underscores, padding, '+', and unicode digits, coercing
         # junk the contract says displays as null (fifth review pass).
-        # The digit count is BOUNDED: int64 needs at most 19 digits,
-        # and Python >= 3.11 raises on >4300-digit conversions, so an
-        # unbounded regex would re-introduce the crash the old
-        # try/except caught (sixth review pass).
-        if not re.fullmatch(r"-?[0-9]{1,19}", v):
+        # LENGTH-bounded, not digit-count-bounded: Python >= 3.11
+        # raises on >4300-digit conversions (sixth pass), but Delta's
+        # own %020d zero-padded cursor form must still coerce
+        # (seventh pass — a {1,19} cap silently dropped a legitimate
+        # 20-char '000...0123' to null and lost the resume cursor).
+        if len(v) > 64 or not re.fullmatch(r"-?[0-9]+", v):
             return None
         parsed = int(v, 10)
         return parsed if _is_long(parsed) else None

@@ -37,11 +37,22 @@ def _commits(dest):
     ], names
 
 
+def _rewrite_log_file(path, text):
+    """Out-of-band rewrite of any log file + drop the local-FS
+    checksum sidecar the rewrite invalidates — the ONE copy of the
+    sidecar rule every doctoring helper shares (sixth + seventh
+    review passes)."""
+    with open(path, "w") as fh:
+        fh.write(text)
+    crc = os.path.join(
+        os.path.dirname(path), f".{os.path.basename(path)}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
 def _update_commit_info(dest, version, info):
-    """Doctor one commit's commitInfo in place (merging ``info``) and
-    drop the local-FS checksum sidecar the out-of-band rewrite
-    invalidates — the one copy of the dance four tests were keeping
-    in sync by hand (sixth review pass)."""
+    """Doctor one commit's commitInfo in place (merging ``info``)."""
     from olist_lakehouse_2_0_spark.delta_export import _commit_path
 
     cpath = _commit_path(dest, version)
@@ -49,13 +60,9 @@ def _update_commit_info(dest, version, info):
     for a in actions:
         if "commitInfo" in a:
             a["commitInfo"].update(info)
-    with open(cpath, "w") as fh:
-        fh.write("\n".join(json.dumps(a) for a in actions))
-    crc = os.path.join(
-        os.path.dirname(cpath), f".{os.path.basename(cpath)}.crc"
+    _rewrite_log_file(
+        cpath, "\n".join(json.dumps(a) for a in actions)
     )
-    if os.path.exists(crc):
-        os.remove(crc)
 
 
 def test_log_structure_is_protocol_conformant(spark, tmp_path):
@@ -2921,11 +2928,14 @@ def test_string_timestamps_and_cursor_coerce_consistently(
     ptr = de._last_checkpoint_path(dest)
     meta = json.loads(open(ptr).read())
     meta["maxSourceVersion"] = 2**100
-    with open(ptr, "w") as fh:
-        fh.write(json.dumps(meta))
-    crc = os.path.join(
-        os.path.dirname(ptr), f".{os.path.basename(ptr)}.crc"
-    )
-    if os.path.exists(crc):
-        os.remove(crc)
+    _rewrite_log_file(ptr, json.dumps(meta))
     assert de._replay(spark, dest, 1)["max_source_version"] == -1
+    # seventh pass: a forged pointer VERSION makes the whole pointer
+    # absent (Delta's corrupt-pointer fallback) — reads still work
+    meta["version"] = "not-a-version"
+    _rewrite_log_file(ptr, json.dumps(meta))
+    assert de._read_last_checkpoint(spark, dest) is None
+    assert read_delta(spark, dest).count() > 0
+    # and Delta's own %020d zero-padded cursor form must coerce
+    assert de._as_long("00000000000000000123") == 123
+    assert de._as_long("1" * 65) is None
