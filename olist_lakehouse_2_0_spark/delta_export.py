@@ -744,14 +744,12 @@ def _replay(spark: SparkSession, dest: str, version: int) -> dict:
             # commitInfo JSONs (prune/vacuum never delete commits
             # above the pointer they leave behind, and the gap is
             # bounded by the checkpoint cadence).
-            # the pointer file is as untrusted as commitInfo: a
-            # forged 2**100 (or string) maxSourceVersion must neither
-            # wedge the newness gate nor crash max() (sixth review
-            # pass — the cursor has TWO ingestion points)
-            ptr_msv = _as_long(last_cp.get("maxSourceVersion"))
+            # the pointer was already normalized at ingestion
+            # (_read_last_checkpoint coerces or drops the cursor key),
+            # so plain .get suffices here
             state["max_source_version"] = max(
                 state["max_source_version"],
-                ptr_msv if ptr_msv is not None else -1,
+                last_cp.get("maxSourceVersion", -1),
             )
             for v in range(last_cp["version"] + 1, start):
                 if v in commits:
@@ -790,10 +788,21 @@ def _replay(spark: SparkSession, dest: str, version: int) -> dict:
 
 
 def _latest_log_version(spark: SparkSession, dest: str) -> int:
+    """Newest version reachable from JSON commits, the pointer, OR
+    the on-disk checkpoint files. The checkpoint LISTING matters on a
+    fully-pruned log whose pointer is corrupt (eighth review pass):
+    normalization treats that pointer as absent, and without the
+    listing the table would look log-less — reads would report a
+    missing table, and exports would silently RESTART at commit 0
+    with the stale checkpoint later poisoning replay with
+    pre-corruption state."""
     commits = _list_commits(spark, dest)
     cp = _read_last_checkpoint(spark, dest)
-    candidates = ([commits[-1]] if commits else []) + (
-        [cp["version"]] if cp else []
+    cps = _list_checkpoints(spark, dest)
+    candidates = (
+        ([commits[-1]] if commits else [])
+        + ([cp["version"]] if cp else [])
+        + (cps[-1:] if cps else [])
     )
     if not candidates:
         raise FileNotFoundError(f"no _delta_log commits at {dest}")
@@ -1139,7 +1148,15 @@ def export_delta(
     prev_schema: str | None = None
     prev_pcols: list[str] | None = None
     prev_ts: int = -1
-    have_log = bool(commits) or cp is not None
+    # on-disk checkpoints count as "a log exists" even when the
+    # pointer is corrupt-and-normalized-away — restarting at commit 0
+    # over a live checkpoint is a silent history rewrite (eighth
+    # review pass)
+    have_log = (
+        bool(commits)
+        or cp is not None
+        or bool(_list_checkpoints(spark, dest))
+    )
     if have_log:
         latest = _latest_log_version(spark, dest)
         state = _replay(spark, dest, latest)
@@ -2139,7 +2156,8 @@ def publish_delta(
     prev_schema: str | None = None
     prev_pcols: list[str] | None = None
     prev_ts: int = -1
-    if commits or cp is not None:
+    # same corrupt-pointer rule as export_delta (eighth review pass)
+    if commits or cp is not None or _list_checkpoints(spark, dest):
         latest = _latest_log_version(spark, dest)
         state = _replay(spark, dest, latest)
         _refuse_unsupported_write(state, f"publish_delta at {dest}")

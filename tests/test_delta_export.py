@@ -2939,3 +2939,39 @@ def test_string_timestamps_and_cursor_coerce_consistently(
     # and Delta's own %020d zero-padded cursor form must coerce
     assert de._as_long("00000000000000000123") == 123
     assert de._as_long("1" * 65) is None
+
+
+def test_corrupt_pointer_on_pruned_log_degrades_not_restarts(
+    spark, tmp_path
+):
+    """Eighth review pass: checkpoint + prune_log leaves ZERO JSON
+    commits; if the pointer is then corrupted, the table must still
+    (a) read through the on-disk checkpoint listing and (b) continue
+    exporting ABOVE the checkpointed version — before this fix the
+    normalized-away pointer made the table look log-less, so reads
+    raised missing-table and exports silently restarted at commit 0,
+    with the stale checkpoint later poisoning replay with
+    pre-corruption state."""
+    import olist_lakehouse_2_0_spark.delta_export as de
+
+    cat, root = _versioned_table(spark, tmp_path, counts=(10, 20))
+    dest = str(tmp_path / "delta")
+    export_delta(spark, root, dest, checkpoint_interval=0)
+    de.write_checkpoint(spark, dest)  # checkpoint at latest (v1)
+    assert de.prune_log(spark, dest) == 2  # all JSON commits gone
+    ptr = de._last_checkpoint_path(dest)
+    _rewrite_log_file(ptr, '{"version": "corrupt"}')
+    assert de._read_last_checkpoint(spark, dest) is None
+    # reads serve through the checkpoint listing
+    assert read_delta(spark, dest).count() == 20
+    assert de._latest_log_version(spark, dest) == 1
+    # exports continue above the checkpoint, never restart at 0
+    cat.write_versioned(
+        spark.range(30).withColumn("val", F.col("id") * 2),
+        spark, "t", layer="gold", keep=3,
+    )
+    appended = export_delta(spark, root, dest, checkpoint_interval=0)
+    assert appended >= 1
+    commits = de._list_commits(spark, dest)
+    assert commits and min(commits) >= 2  # appended ABOVE v1
+    assert read_delta(spark, dest).count() == 30
