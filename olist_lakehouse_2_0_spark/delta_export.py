@@ -798,12 +798,16 @@ def _latest_log_version(spark: SparkSession, dest: str) -> int:
     pre-corruption state."""
     commits = _list_commits(spark, dest)
     cp = _read_last_checkpoint(spark, dest)
-    cps = _list_checkpoints(spark, dest)
-    candidates = (
-        ([commits[-1]] if commits else [])
-        + ([cp["version"]] if cp else [])
-        + (cps[-1:] if cps else [])
+    candidates = ([commits[-1]] if commits else []) + (
+        [cp["version"]] if cp else []
     )
+    if not candidates:
+        # LAZY: under this writer's invariants a checkpoint never
+        # exceeds max(commit, pointer) when either exists, so the
+        # extra listStatus is paid only on the degraded
+        # corrupt-pointer/fully-pruned path, never per routine resume
+        # (ninth review pass)
+        candidates = _list_checkpoints(spark, dest)[-1:]
     if not candidates:
         raise FileNotFoundError(f"no _delta_log commits at {dest}")
     return max(candidates)
@@ -1141,24 +1145,23 @@ def export_delta(
     if not versions:
         raise FileNotFoundError(f"no committed versions under {source_root}")
 
-    commits = _list_commits(spark, dest)
     cp = _read_last_checkpoint(spark, dest)
     exported_src: int = -1
     active: list[str] = []
     prev_schema: str | None = None
     prev_pcols: list[str] | None = None
     prev_ts: int = -1
-    # on-disk checkpoints count as "a log exists" even when the
-    # pointer is corrupt-and-normalized-away — restarting at commit 0
-    # over a live checkpoint is a silent history rewrite (eighth
-    # review pass)
-    have_log = (
-        bool(commits)
-        or cp is not None
-        or bool(_list_checkpoints(spark, dest))
-    )
-    if have_log:
+    # ONE source of truth for "a log exists": _latest_log_version's
+    # candidate set (commits, pointer, and — degraded — the on-disk
+    # checkpoint listing). The eighth-pass bug existed precisely
+    # because this predicate was hand-duplicated per writer and
+    # drifted; restarting at commit 0 over a live checkpoint is a
+    # silent history rewrite (ninth review pass).
+    try:
         latest = _latest_log_version(spark, dest)
+    except FileNotFoundError:
+        latest = None
+    if latest is not None:
         state = _replay(spark, dest, latest)
         _refuse_unsupported_write(state, f"export_delta at {dest}")
         active = sorted(state["active"])
@@ -2149,16 +2152,18 @@ def publish_delta(
     jvm, HPath, fs = _fs(spark, dest)
     if not fs.exists(HPath(table_dir)):
         raise FileNotFoundError(f"no table at {table_dir}")
-    commits = _list_commits(spark, dest)
     cp = _read_last_checkpoint(spark, dest)
     active: list[str] = []
     ordinal = 0
     prev_schema: str | None = None
     prev_pcols: list[str] | None = None
     prev_ts: int = -1
-    # same corrupt-pointer rule as export_delta (eighth review pass)
-    if commits or cp is not None or _list_checkpoints(spark, dest):
+    # same single-source log-existence rule as export_delta
+    try:
         latest = _latest_log_version(spark, dest)
+    except FileNotFoundError:
+        latest = None
+    if latest is not None:
         state = _replay(spark, dest, latest)
         _refuse_unsupported_write(state, f"publish_delta at {dest}")
         active = sorted(state["active"])

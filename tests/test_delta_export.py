@@ -2971,7 +2971,32 @@ def test_corrupt_pointer_on_pruned_log_degrades_not_restarts(
         spark, "t", layer="gold", keep=3,
     )
     appended = export_delta(spark, root, dest, checkpoint_interval=0)
-    assert appended >= 1
+    # the corrupt pointer lost the resume cursor, so all 3 retained
+    # catalog versions re-publish (duplicate overwrite commits — the
+    # DOCUMENTED lost-cursor fallback), appended ABOVE v1
+    assert appended == 3
     commits = de._list_commits(spark, dest)
-    assert commits and min(commits) >= 2  # appended ABOVE v1
+    assert commits and min(commits) >= 2
     assert read_delta(spark, dest).count() == 30
+
+    # publish_delta has the same gate: a corrupt pointer on a pruned
+    # publish log must continue above the checkpoint, never restart
+    # the ordinal-0 history (ninth review pass — this branch was
+    # untested)
+    pdest = str(tmp_path / "pub")
+    stage = str(tmp_path / "pstage")
+    spark.range(5).coalesce(1).write.parquet(stage)
+    de.publish_delta(spark, stage, pdest)
+    stage2 = str(tmp_path / "pstage2")
+    spark.range(8).coalesce(1).write.parquet(stage2)
+    de.publish_delta(spark, stage2, pdest)
+    de.write_checkpoint(spark, pdest)
+    assert de.prune_log(spark, pdest) == 2
+    _rewrite_log_file(
+        de._last_checkpoint_path(pdest), '{"version": "corrupt"}'
+    )
+    stage3 = str(tmp_path / "pstage3")
+    spark.range(11).coalesce(1).write.parquet(stage3)
+    assert de.publish_delta(spark, stage3, pdest) == 2  # above v1
+    assert read_delta(spark, pdest).count() == 11
+    assert read_delta(spark, pdest, version=1).count() == 8
