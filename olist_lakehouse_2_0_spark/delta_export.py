@@ -403,24 +403,61 @@ def _read_last_checkpoint(spark: SparkSession, dest: str) -> dict | None:
     return meta
 
 
-def _list_checkpoints(spark: SparkSession, dest: str) -> list[int]:
-    """All checkpoint versions on disk, ascending. ``_last_checkpoint``
-    only points at the newest one; TIME TRAVEL must be able to
-    bootstrap from any older checkpoint that still exists (a version
-    between two checkpoints is reachable through the older one even
-    after the JSON commits below it were pruned — exactly how Delta
-    readers resolve VERSION AS OF)."""
+#: Multi-part classic checkpoint name per PROTOCOL.md:
+#: <version %020d>.checkpoint.<part %010d>.<total %010d>.parquet
+_MULTIPART_CP_RE = None  # compiled lazily below
+
+
+def _checkpoint_files_by_version(spark: SparkSession, dest: str) -> dict:
+    """version -> sorted list of that version's COMPLETE checkpoint
+    file names. This writer emits the single-file form, but a foreign
+    writer with a large log emits the protocol's MULTI-PART classic
+    form (``<v>.checkpoint.<part>.<total>.parquet``, parts 1..total) —
+    a reader that only recognizes single files would see such a table
+    as checkpoint-less and, once its JSON tail is cleaned up, refuse
+    history that is fully reconstructable. A multi-part set counts
+    ONLY when every part is present (a torn upload must never
+    bootstrap a partial state); single-file wins when both exist."""
+    import re
+
+    global _MULTIPART_CP_RE
+    if _MULTIPART_CP_RE is None:
+        _MULTIPART_CP_RE = re.compile(
+            r"(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet\Z"
+        )
     _, HPath, fs = _fs(spark, dest)
     log_dir = HPath(os.path.join(dest, _LOG_DIR))
     if not fs.exists(log_dir):
-        return []
-    out = []
+        return {}
+    single: dict[int, str] = {}
+    parts: dict[tuple[int, int], dict[int, str]] = {}
     suffix = ".checkpoint.parquet"
     for st in fs.listStatus(log_dir):
         nm = st.getPath().getName()
         if nm.endswith(suffix) and nm[: -len(suffix)].isdigit():
-            out.append(int(nm[: -len(suffix)]))
-    return sorted(out)
+            single[int(nm[: -len(suffix)])] = nm
+        else:
+            m = _MULTIPART_CP_RE.match(nm)
+            if m:
+                v, part, total = (int(g) for g in m.groups())
+                if 1 <= part <= total:
+                    parts.setdefault((v, total), {})[part] = nm
+    out: dict[int, list[str]] = {v: [nm] for v, nm in single.items()}
+    for (v, total), got in parts.items():
+        if v not in out and len(got) == total:
+            out[v] = [got[i] for i in range(1, total + 1)]
+    return out
+
+
+def _list_checkpoints(spark: SparkSession, dest: str) -> list[int]:
+    """All COMPLETE checkpoint versions on disk (single-file or
+    multi-part), ascending. ``_last_checkpoint`` only points at the
+    newest one; TIME TRAVEL must be able to bootstrap from any older
+    checkpoint that still exists (a version between two checkpoints is
+    reachable through the older one even after the JSON commits below
+    it were pruned — exactly how Delta readers resolve VERSION AS
+    OF)."""
+    return sorted(_checkpoint_files_by_version(spark, dest))
 
 
 # Shared with the catalog's version_history stats walk (imported from
@@ -641,18 +678,25 @@ def _state_from_checkpoint(
     spark: SparkSession, dest: str, cp: dict
 ) -> dict:
     state = _empty_state()
-    cp_path = _checkpoint_path(dest, cp["version"])
+    names = _checkpoint_files_by_version(spark, dest).get(
+        cp["version"]
+    ) or [os.path.basename(_checkpoint_path(dest, cp["version"]))]
+    cp_paths = [
+        os.path.join(dest, _LOG_DIR, nm) for nm in names
+    ]
     _, _, fs = _fs(spark, dest)
-    local = _local_path(fs, cp_path)
-    if local is not None:
+    locals_ = [_local_path(fs, p) for p in cp_paths]
+    if all(lp is not None for lp in locals_):
         import pyarrow.parquet as pq
 
-        rows = pq.read_table(local).to_pylist()
+        rows = []
+        for lp in locals_:
+            rows.extend(pq.read_table(lp).to_pylist())
     else:
         rows = [
             r.asDict(recursive=True)
             for r in spark.read.schema(_CHECKPOINT_SCHEMA)
-            .parquet(cp_path)
+            .parquet(*cp_paths)
             .collect()
         ]
     # pyarrow surfaces parquet MAP columns as [(k, v), ...] (empty map
@@ -2362,9 +2406,12 @@ def vacuum_export(
         if v < cutoff:
             fs.delete(HPath(_commit_path(dest, v)), False)
             commits_deleted += 1
-    for c in _list_checkpoints(spark, dest):
+    for c, names in _checkpoint_files_by_version(spark, dest).items():
         if c < cutoff:
-            fs.delete(HPath(_checkpoint_path(dest, c)), False)
+            for nm in names:
+                fs.delete(
+                    HPath(os.path.join(dest, _LOG_DIR, nm)), False
+                )
     return {
         "cutoff": cutoff,
         "data_files_deleted": deleted,

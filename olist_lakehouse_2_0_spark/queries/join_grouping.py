@@ -1685,10 +1685,15 @@ def skew_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     merged = rollup(fact.join(dim.hint("merge"), "key"))
     salted = rollup(salted_join(fact, dim, "key", salt=8))
-    salted_matches = (
-        merged.exceptAll(salted).limit(1).count() == 0
-        and salted.exceptAll(merged).limit(1).count() == 0
-    )
+    # Both rollups are 10 bounded rows — prove relation equality by
+    # collecting and comparing driver-side (one execution each)
+    # instead of a two-way exceptAll, which re-executed BOTH join
+    # pipelines twice more (the round's profiling put this query's
+    # floor at 6.2 s, ~5 full join+agg executions; this shape needs 3:
+    # the two collects plus the returned relation's materialization).
+    m_rows = sorted(map(tuple, merged.collect()))
+    s_rows = sorted(map(tuple, salted.collect()))
+    salted_matches = m_rows == s_rows
     return merged.select(
         "bucket",
         "n_rows",

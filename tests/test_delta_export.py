@@ -3000,3 +3000,92 @@ def test_corrupt_pointer_on_pruned_log_degrades_not_restarts(
     assert de.publish_delta(spark, stage3, pdest) == 2  # above v1
     assert read_delta(spark, pdest).count() == 11
     assert read_delta(spark, pdest, version=1).count() == 8
+
+
+def test_multipart_checkpoint_bootstrap_and_incomplete_refusal(
+    spark, tmp_path
+):
+    """Foreign writers with large logs emit the protocol's MULTI-PART
+    classic checkpoint (<v>.checkpoint.<part>.<total>.parquet). The
+    reader must (a) list a COMPLETE part set as a usable checkpoint
+    and bootstrap from all parts' union, (b) treat an INCOMPLETE set
+    (torn upload) as no checkpoint at all — partial state must never
+    be served — and (c) have vacuum's old-checkpoint sweep remove
+    every part, not just the single-file name."""
+    import pyarrow.parquet as pq
+
+    import olist_lakehouse_2_0_spark.delta_export as de
+
+    _, root = _versioned_table(spark, tmp_path, counts=(10, 20))
+    dest = str(tmp_path / "delta")
+    export_delta(spark, root, dest, checkpoint_interval=0)
+    de.write_checkpoint(spark, dest)  # single-file checkpoint at v1
+    single = de._checkpoint_path(dest, 1)
+    # split it into the protocol's 2-part form and drop the original
+    table = pq.read_table(single)
+    half = max(1, table.num_rows // 2)
+    log = os.path.join(dest, "_delta_log")
+    pq.write_table(
+        table.slice(0, half),
+        os.path.join(
+            log, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet"
+        ),
+    )
+    pq.write_table(
+        table.slice(half),
+        os.path.join(
+            log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"
+        ),
+    )
+    os.remove(single)
+    crc = os.path.join(log, f".{os.path.basename(single)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    assert de._list_checkpoints(spark, dest) == [1]
+    # prune the JSON tail: bootstrap MUST come from the parts
+    assert de.prune_log(spark, dest) == 2
+    assert read_delta(spark, dest).count() == 20
+
+    # incomplete part set = NO checkpoint (and with the JSONs pruned,
+    # a loud missing-commits refusal — never partial state)
+    os.remove(
+        os.path.join(
+            log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"
+        )
+    )
+    assert de._list_checkpoints(spark, dest) == []
+    import pytest as _pytest
+
+    with _pytest.raises(IOError):
+        read_delta(spark, dest)
+
+    # (c) vacuum sweeps every part of a below-cutoff checkpoint
+    dest2 = str(tmp_path / "delta2")
+    export_delta(spark, root, dest2, checkpoint_interval=0)
+    de.write_checkpoint(spark, dest2, 0)
+    s0 = de._checkpoint_path(dest2, 0)
+    t0 = pq.read_table(s0)
+    log2 = os.path.join(dest2, "_delta_log")
+    pq.write_table(
+        t0.slice(0, 1),
+        os.path.join(
+            log2, f"{0:020d}.checkpoint.{1:010d}.{2:010d}.parquet"
+        ),
+    )
+    pq.write_table(
+        t0.slice(1),
+        os.path.join(
+            log2, f"{0:020d}.checkpoint.{2:010d}.{2:010d}.parquet"
+        ),
+    )
+    os.remove(s0)
+    crc0 = os.path.join(log2, f".{os.path.basename(s0)}.crc")
+    if os.path.exists(crc0):
+        os.remove(crc0)
+    de.vacuum_export(spark, dest2, retain_versions=1)
+    leftover = [
+        n for n in os.listdir(log2) if ".checkpoint." in n and
+        f"{0:020d}." in n
+    ]
+    assert leftover == []  # both parts swept
+    assert read_delta(spark, dest2).count() == 20
