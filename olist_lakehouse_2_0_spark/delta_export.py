@@ -77,6 +77,7 @@ from __future__ import annotations
 
 import json
 import os
+import re as _re
 import uuid
 
 from urllib.parse import quote as _url_quote
@@ -405,7 +406,9 @@ def _read_last_checkpoint(spark: SparkSession, dest: str) -> dict | None:
 
 #: Multi-part classic checkpoint name per PROTOCOL.md:
 #: <version %020d>.checkpoint.<part %010d>.<total %010d>.parquet
-_MULTIPART_CP_RE = None  # compiled lazily below
+_MULTIPART_CP_RE = _re.compile(
+    r"(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet\Z"
+)
 
 
 def _checkpoint_files_by_version(spark: SparkSession, dest: str) -> dict:
@@ -418,13 +421,6 @@ def _checkpoint_files_by_version(spark: SparkSession, dest: str) -> dict:
     history that is fully reconstructable. A multi-part set counts
     ONLY when every part is present (a torn upload must never
     bootstrap a partial state); single-file wins when both exist."""
-    import re
-
-    global _MULTIPART_CP_RE
-    if _MULTIPART_CP_RE is None:
-        _MULTIPART_CP_RE = re.compile(
-            r"(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet\Z"
-        )
     _, HPath, fs = _fs(spark, dest)
     log_dir = HPath(os.path.join(dest, _LOG_DIR))
     if not fs.exists(log_dir):
@@ -678,9 +674,11 @@ def _state_from_checkpoint(
     spark: SparkSession, dest: str, cp: dict
 ) -> dict:
     state = _empty_state()
-    names = _checkpoint_files_by_version(spark, dest).get(
-        cp["version"]
-    ) or [os.path.basename(_checkpoint_path(dest, cp["version"]))]
+    names = cp.get("names") or _checkpoint_files_by_version(
+        spark, dest
+    ).get(cp["version"]) or [
+        os.path.basename(_checkpoint_path(dest, cp["version"]))
+    ]
     cp_paths = [
         os.path.join(dest, _LOG_DIR, nm) for nm in names
     ]
@@ -769,10 +767,18 @@ def _replay(spark: SparkSession, dest: str, version: int) -> dict:
     when a needed JSON commit was pruned below the checkpoint."""
     commits = set(_list_commits(spark, dest))
     last_cp = _read_last_checkpoint(spark, dest)
-    usable = [c for c in _list_checkpoints(spark, dest) if c <= version]
+    # ONE log-dir listing serves both the usable-checkpoint decision
+    # and the part-file names the bootstrap reads (review r10: the
+    # state reader re-listing the same dir doubled the round-trips
+    # per read and reopened a TOCTOU window between the listings)
+    cp_files = _checkpoint_files_by_version(spark, dest)
+    usable = [c for c in sorted(cp_files) if c <= version]
     if usable:
         cp_version = usable[-1]
-        state = _state_from_checkpoint(spark, dest, {"version": cp_version})
+        state = _state_from_checkpoint(
+            spark, dest,
+            {"version": cp_version, "names": cp_files[cp_version]},
+        )
         start = cp_version + 1
         if last_cp is not None and last_cp["version"] <= version:
             # Checkpoint FILES carry no commitInfo, so bootstrapping
@@ -2279,7 +2285,8 @@ def vacuum_export(
     latest = _latest_log_version(spark, dest)
     cutoff = max(0, latest - retain_versions + 1)
     commits = set(_list_commits(spark, dest))
-    cps = _list_checkpoints(spark, dest)
+    cp_files = _checkpoint_files_by_version(spark, dest)
+    cps = sorted(cp_files)
 
     def _reconstructable(v: int) -> bool:
         return any(
@@ -2326,7 +2333,7 @@ def vacuum_export(
     for c in cps:
         if c < cutoff:
             historical |= _state_from_checkpoint(
-                spark, dest, {"version": c}
+                spark, dest, {"version": c, "names": cp_files[c]}
             )["active"]
     # checkpoint the cutoff so reads there need no earlier JSONs
     write_checkpoint(spark, dest, cutoff)
@@ -2406,12 +2413,25 @@ def vacuum_export(
         if v < cutoff:
             fs.delete(HPath(_commit_path(dest, v)), False)
             commits_deleted += 1
-    for c, names in _checkpoint_files_by_version(spark, dest).items():
-        if c < cutoff:
-            for nm in names:
-                fs.delete(
-                    HPath(os.path.join(dest, _LOG_DIR, nm)), False
-                )
+    # EVERY checkpoint-named file below the cutoff goes — including
+    # torn multi-part uploads and part sets shadowed by a coexisting
+    # single file, which the usable-checkpoint mapping deliberately
+    # excludes (review r10: the mapping-driven sweep left such files
+    # as permanent _delta_log debris). At or above the cutoff, torn
+    # part sets are KEPT: an incomplete set there may be a concurrent
+    # writer's in-flight upload, and tearing it is data loss.
+    suffix = ".checkpoint.parquet"
+    for st in fs.listStatus(HPath(os.path.join(dest, _LOG_DIR))):
+        nm = st.getPath().getName()
+        if nm.endswith(suffix) and nm[: -len(suffix)].isdigit():
+            v_cp = int(nm[: -len(suffix)])
+        else:
+            m = _MULTIPART_CP_RE.match(nm)
+            if not m:
+                continue
+            v_cp = int(m.group(1))
+        if v_cp < cutoff:
+            fs.delete(st.getPath(), False)
     return {
         "cutoff": cutoff,
         "data_files_deleted": deleted,

@@ -3082,10 +3082,24 @@ def test_multipart_checkpoint_bootstrap_and_incomplete_refusal(
     crc0 = os.path.join(log2, f".{os.path.basename(s0)}.crc")
     if os.path.exists(crc0):
         os.remove(crc0)
+    # plant a TORN part below the cutoff (permanent debris unless the
+    # sweep parses names, not just the usable mapping) and a torn part
+    # AT the cutoff (maybe an in-flight concurrent upload — keep)
+    with open(
+        os.path.join(
+            log2, f"{0:020d}.checkpoint.{1:010d}.{9:010d}.parquet"
+        ),
+        "wb",
+    ) as fh:
+        fh.write(b"torn below cutoff")
+    torn_kept = f"{1:020d}.checkpoint.{1:010d}.{9:010d}.parquet"
+    with open(os.path.join(log2, torn_kept), "wb") as fh:
+        fh.write(b"torn at cutoff, possibly in-flight")
     de.vacuum_export(spark, dest2, retain_versions=1)
     leftover = [
         n for n in os.listdir(log2) if ".checkpoint." in n and
-        f"{0:020d}." in n
+        n.startswith(f"{0:020d}.")
     ]
-    assert leftover == []  # both parts swept
+    assert leftover == []  # both real parts AND the torn one swept
+    assert os.path.exists(os.path.join(log2, torn_kept))  # kept
     assert read_delta(spark, dest2).count() == 20
