@@ -77,7 +77,7 @@ from __future__ import annotations
 
 import json
 import os
-import re as _re
+import re
 import uuid
 
 from urllib.parse import quote as _url_quote
@@ -406,9 +406,32 @@ def _read_last_checkpoint(spark: SparkSession, dest: str) -> dict | None:
 
 #: Multi-part classic checkpoint name per PROTOCOL.md:
 #: <version %020d>.checkpoint.<part %010d>.<total %010d>.parquet
-_MULTIPART_CP_RE = _re.compile(
-    r"(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet\Z"
+#: \d is deliberately [0-9] (re.ASCII): canonical protocol names are
+#: ASCII decimal, and non-ASCII Nd digits pass .isdigit()/\d but are
+#: junk — and int() even REJECTS some of them, so an ASCII grammar is
+#: both the spec and the crash guard (review r10).
+_MULTIPART_CP_RE = re.compile(
+    r"(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet\Z",
+    re.ASCII,
 )
+_SINGLE_CP_RE = re.compile(r"(\d{20})\.checkpoint\.parquet\Z", re.ASCII)
+_COMMIT_RE = re.compile(r"(\d{20})\.json\Z", re.ASCII)
+
+
+def _cp_name_version(nm: str):
+    """Checkpoint file name -> (version, is_multipart_match) or
+    (None, None) — the ONE copy of the checkpoint-name grammar shared
+    by the usable-mapping builder and vacuum's sweep (review r10: two
+    hand-rolled parsers had already diverged, and the isdigit()+int()
+    pair crashed on Unicode digits isdigit() accepts but int()
+    rejects)."""
+    m = _SINGLE_CP_RE.match(nm)
+    if m:
+        return int(m.group(1)), None
+    m = _MULTIPART_CP_RE.match(nm)
+    if m:
+        return int(m.group(1)), m
+    return None, None
 
 
 def _checkpoint_files_by_version(spark: SparkSession, dest: str) -> dict:
@@ -427,17 +450,17 @@ def _checkpoint_files_by_version(spark: SparkSession, dest: str) -> dict:
         return {}
     single: dict[int, str] = {}
     parts: dict[tuple[int, int], dict[int, str]] = {}
-    suffix = ".checkpoint.parquet"
     for st in fs.listStatus(log_dir):
         nm = st.getPath().getName()
-        if nm.endswith(suffix) and nm[: -len(suffix)].isdigit():
-            single[int(nm[: -len(suffix)])] = nm
+        v, m = _cp_name_version(nm)
+        if v is None:
+            continue
+        if m is None:
+            single[v] = nm
         else:
-            m = _MULTIPART_CP_RE.match(nm)
-            if m:
-                v, part, total = (int(g) for g in m.groups())
-                if 1 <= part <= total:
-                    parts.setdefault((v, total), {})[part] = nm
+            part, total = int(m.group(2)), int(m.group(3))
+            if 1 <= part <= total:
+                parts.setdefault((v, total), {})[part] = nm
     out: dict[int, list[str]] = {v: [nm] for v, nm in single.items()}
     for (v, total), got in parts.items():
         if v not in out and len(got) == total:
@@ -761,17 +784,23 @@ def _apply_commit(state: dict, actions: list[dict]) -> None:
                 )
 
 
-def _replay(spark: SparkSession, dest: str, version: int) -> dict:
+def _replay(
+    spark: SparkSession, dest: str, version: int, cp_files=None
+) -> dict:
     """Table state at ``version``: bootstrap from the newest checkpoint
     at-or-below it when one exists, then replay the JSON tail. Raises
-    when a needed JSON commit was pruned below the checkpoint."""
+    when a needed JSON commit was pruned below the checkpoint.
+    ``cp_files`` lets a caller replaying MANY versions (vacuum's
+    reconstructable window) share one checkpoint listing and one
+    consistent snapshot across all of them."""
     commits = set(_list_commits(spark, dest))
     last_cp = _read_last_checkpoint(spark, dest)
     # ONE log-dir listing serves both the usable-checkpoint decision
     # and the part-file names the bootstrap reads (review r10: the
     # state reader re-listing the same dir doubled the round-trips
     # per read and reopened a TOCTOU window between the listings)
-    cp_files = _checkpoint_files_by_version(spark, dest)
+    if cp_files is None:
+        cp_files = _checkpoint_files_by_version(spark, dest)
     usable = [c for c in sorted(cp_files) if c <= version]
     if usable:
         cp_version = usable[-1]
@@ -1274,8 +1303,6 @@ def _as_long(v):
     if _is_long(v):
         return v
     if isinstance(v, str):
-        import re
-
         # canonical decimal only — int(v, 10) would also accept
         # underscores, padding, '+', and unicode digits, coercing
         # junk the contract says displays as null (fifth review pass).
@@ -1418,7 +1445,6 @@ def _session_tzinfo(tz_name: str):
     under a normalized bogus offset). Spark validates the conf eagerly
     on a live session, so that strictness is defense-in-depth for
     configs set elsewhere (spark-defaults.conf)."""
-    import re
     from datetime import timedelta, timezone
     from zoneinfo import ZoneInfo
 
@@ -2307,7 +2333,7 @@ def vacuum_export(
     # contribute nothing — they cannot be read either way)
     referenced: set[str] = set()
     for v in recon:
-        st_v = _replay(spark, dest, v)
+        st_v = _replay(spark, dest, v, cp_files=cp_files)
         # before ANY mutation: a foreign protocol/DV table must never
         # be vacuumed (DV .bin files look untracked to this sweep)
         _refuse_unsupported_write(st_v, f"vacuum_export at {dest}")
@@ -2399,6 +2425,12 @@ def vacuum_export(
         elif rel not in referenced_disk and _stale(st):
             fs.delete(st.getPath(), False)
             deleted += 1
+    # ONE listing of _delta_log feeds all three cleanup filters (the
+    # stale-stage reclaim, the below-cutoff JSON prune, and the
+    # checkpoint sweep) — they run back-to-back with no intervening
+    # writes to those name classes, and on object storage every LIST
+    # is a billed round-trip (review r10).
+    commits_deleted = 0
     for st in fs.listStatus(HPath(os.path.join(dest, _LOG_DIR))):
         nm = st.getPath().getName()
         if (
@@ -2407,30 +2439,23 @@ def vacuum_export(
             # recursive: .cp_tmp_* staging is a DIRECTORY of part files
             fs.delete(st.getPath(), True)
             stage_files_deleted += 1
-    # clean the log below the cutoff: JSON commits and old checkpoints
-    commits_deleted = 0
-    for v in _list_commits(spark, dest):
-        if v < cutoff:
-            fs.delete(HPath(_commit_path(dest, v)), False)
-            commits_deleted += 1
-    # EVERY checkpoint-named file below the cutoff goes — including
-    # torn multi-part uploads and part sets shadowed by a coexisting
-    # single file, which the usable-checkpoint mapping deliberately
-    # excludes (review r10: the mapping-driven sweep left such files
-    # as permanent _delta_log debris). At or above the cutoff, torn
-    # part sets are KEPT: an incomplete set there may be a concurrent
-    # writer's in-flight upload, and tearing it is data loss.
-    suffix = ".checkpoint.parquet"
-    for st in fs.listStatus(HPath(os.path.join(dest, _LOG_DIR))):
-        nm = st.getPath().getName()
-        if nm.endswith(suffix) and nm[: -len(suffix)].isdigit():
-            v_cp = int(nm[: -len(suffix)])
-        else:
-            m = _MULTIPART_CP_RE.match(nm)
-            if not m:
-                continue
-            v_cp = int(m.group(1))
-        if v_cp < cutoff:
+            continue
+        cm = _COMMIT_RE.match(nm)
+        if cm:
+            if int(cm.group(1)) < cutoff:
+                fs.delete(st.getPath(), False)
+                commits_deleted += 1
+            continue
+        # EVERY checkpoint-named file below the cutoff goes —
+        # including torn multi-part uploads and part sets shadowed by
+        # a coexisting single file, which the usable-checkpoint
+        # mapping deliberately excludes (review r10: the
+        # mapping-driven sweep left such files as permanent
+        # _delta_log debris). At or above the cutoff, torn part sets
+        # are KEPT: an incomplete set there may be a concurrent
+        # writer's in-flight upload, and tearing it is data loss.
+        v_cp, _m = _cp_name_version(nm)
+        if v_cp is not None and v_cp < cutoff:
             fs.delete(st.getPath(), False)
     return {
         "cutoff": cutoff,
