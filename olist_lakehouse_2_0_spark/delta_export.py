@@ -208,9 +208,14 @@ def _list_commits(spark: SparkSession, dest: str) -> list[int]:
         return []
     out = []
     for st in fs.listStatus(log_dir):
-        nm = st.getPath().getName()
-        if nm.endswith(".json") and nm[:-5].isdigit():
-            out.append(int(nm[:-5]))
+        # _COMMIT_RE, the one ASCII commit-name grammar (review r10:
+        # isdigit()+int() crashed on Unicode digits isdigit() accepts
+        # but int() rejects, and non-ASCII-digit names entered the
+        # commits set under one grammar while vacuum pruned by
+        # another)
+        m = _COMMIT_RE.match(st.getPath().getName())
+        if m:
+            out.append(int(m.group(1)))
     return sorted(out)
 
 
@@ -784,17 +789,25 @@ def _apply_commit(state: dict, actions: list[dict]) -> None:
                 )
 
 
+_UNSET = object()
+
+
 def _replay(
-    spark: SparkSession, dest: str, version: int, cp_files=None
+    spark: SparkSession, dest: str, version: int, cp_files=None,
+    commits=None, last_cp=_UNSET,
 ) -> dict:
     """Table state at ``version``: bootstrap from the newest checkpoint
     at-or-below it when one exists, then replay the JSON tail. Raises
     when a needed JSON commit was pruned below the checkpoint.
-    ``cp_files`` lets a caller replaying MANY versions (vacuum's
-    reconstructable window) share one checkpoint listing and one
-    consistent snapshot across all of them."""
-    commits = set(_list_commits(spark, dest))
-    last_cp = _read_last_checkpoint(spark, dest)
+    ``cp_files``/``commits``/``last_cp`` let a caller replaying MANY
+    versions (vacuum's reconstructable window) share ONE listing of
+    each kind and one consistent snapshot across all of them —
+    otherwise every call pays its own LIST + pointer read (billed
+    round-trips on object storage)."""
+    if commits is None:
+        commits = set(_list_commits(spark, dest))
+    if last_cp is _UNSET:
+        last_cp = _read_last_checkpoint(spark, dest)
     # ONE log-dir listing serves both the usable-checkpoint decision
     # and the part-file names the bootstrap reads (review r10: the
     # state reader re-listing the same dir doubled the round-trips
@@ -2332,8 +2345,12 @@ def vacuum_export(
     # (versions in the window a prior cleanup already made unreadable
     # contribute nothing — they cannot be read either way)
     referenced: set[str] = set()
+    last_cp_snap = _read_last_checkpoint(spark, dest)
     for v in recon:
-        st_v = _replay(spark, dest, v, cp_files=cp_files)
+        st_v = _replay(
+            spark, dest, v, cp_files=cp_files, commits=commits,
+            last_cp=last_cp_snap,
+        )
         # before ANY mutation: a foreign protocol/DV table must never
         # be vacuumed (DV .bin files look untracked to this sweep)
         _refuse_unsupported_write(st_v, f"vacuum_export at {dest}")
@@ -2446,14 +2463,18 @@ def vacuum_export(
                 fs.delete(st.getPath(), False)
                 commits_deleted += 1
             continue
-        # EVERY checkpoint-named file below the cutoff goes —
-        # including torn multi-part uploads and part sets shadowed by
-        # a coexisting single file, which the usable-checkpoint
-        # mapping deliberately excludes (review r10: the
-        # mapping-driven sweep left such files as permanent
+        # Every CANONICAL checkpoint-named file below the cutoff
+        # goes — including torn multi-part uploads and part sets
+        # shadowed by a coexisting single file, which the
+        # usable-checkpoint mapping deliberately excludes (review
+        # r10: the mapping-driven sweep left such files as permanent
         # _delta_log debris). At or above the cutoff, torn part sets
         # are KEPT: an incomplete set there may be a concurrent
         # writer's in-flight upload, and tearing it is data loss.
+        # NON-canonical checkpoint-shaped names (unpadded stems,
+        # non-ASCII digits) are foreign/unknown files and are never
+        # touched — the same never-delete-what-we-don't-understand
+        # rule as the data-tree sweep's foreign-parquet stance.
         v_cp, _m = _cp_name_version(nm)
         if v_cp is not None and v_cp < cutoff:
             fs.delete(st.getPath(), False)

@@ -3103,3 +3103,36 @@ def test_multipart_checkpoint_bootstrap_and_incomplete_refusal(
     assert leftover == []  # both real parts AND the torn one swept
     assert os.path.exists(os.path.join(log2, torn_kept))  # kept
     assert read_delta(spark, dest2).count() == 20
+
+
+def test_log_listing_ignores_noncanonical_digit_names(spark, tmp_path):
+    """Review r10: Unicode-digit file names ('²...².json') pass
+    .isdigit() but crash int(); commit and checkpoint listings share
+    one ASCII grammar, so such junk is skipped everywhere — and a
+    non-canonical '5.checkpoint.parquet' is foreign/unknown, neither
+    listed nor ever deleted by vacuum."""
+    import olist_lakehouse_2_0_spark.delta_export as de
+
+    _, root = _versioned_table(spark, tmp_path, counts=(10, 20))
+    dest = str(tmp_path / "delta")
+    export_delta(spark, root, dest, checkpoint_interval=0)
+    log = os.path.join(dest, "_delta_log")
+    junk = [
+        "²" * 20 + ".json",  # superscript digits: isdigit()=True
+        "5.checkpoint.parquet",  # unpadded stem
+        "٠" * 20 + ".json",  # Arabic-Indic digits
+    ]
+    for nm in junk:
+        with open(os.path.join(log, nm), "wb") as fh:
+            fh.write(b"junk")
+    assert de._list_commits(spark, dest) == [0, 1]
+    assert de._list_checkpoints(spark, dest) == []
+    assert read_delta(spark, dest).count() == 20
+    de.export_history(spark, dest).collect()  # no crash anywhere
+    res = de.vacuum_export(spark, dest, retain_versions=1)
+    assert res["cutoff"] == 1
+    # unknown names survive the sweep (never-delete-what-we-don't-
+    # understand), and the table still reads
+    for nm in junk:
+        assert os.path.exists(os.path.join(log, nm))
+    assert read_delta(spark, dest).count() == 20
