@@ -243,7 +243,10 @@ class Catalog:
                     ),
                 )
             )
-        return spark.createDataFrame(
+        from olist_lakehouse_2_0_spark.localrel import arrow_local_relation
+
+        return arrow_local_relation(
+            spark,
             sorted(rows, reverse=True),
             "version int, path string, n_files int, bytes long, "
             "modified_at_ms long",

@@ -683,7 +683,9 @@ def deleted_rows_df(spark, pairs: list[tuple[str, bytes]]):
                     }
                 )
 
-    df = spark.createDataFrame(pairs, in_schema)
+    from olist_lakehouse_2_0_spark.localrel import arrow_local_relation
+
+    df = arrow_local_relation(spark, pairs, in_schema)
     if len(pairs) > 1:
         # one task per DV so a hot million-row bitmap doesn't serialize
         # behind its siblings on one core

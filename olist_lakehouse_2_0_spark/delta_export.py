@@ -1567,7 +1567,10 @@ def export_history(spark: SparkSession, dest: str) -> DataFrame:
         )
         for v, info in _commit_infos(spark, dest)
     ]
-    return spark.createDataFrame(
+    from olist_lakehouse_2_0_spark.localrel import arrow_local_relation
+
+    return arrow_local_relation(
+        spark,
         rows,
         "version long, timestamp long, operation string, "
         "source_version long",

@@ -75,8 +75,10 @@ def distributed_row_number(
     for r in parts:
         offsets.append((r["__pid"], acc, r["__mn"]))
         acc += r["__cnt"]
-    off_df = spark.createDataFrame(
-        offsets or [(0, 0, 0)], "__pid int, __off long, __mn long"
+    from olist_lakehouse_2_0_spark.localrel import arrow_local_relation
+
+    off_df = arrow_local_relation(
+        spark, offsets or [(0, 0, 0)], "__pid int, __off long, __mn long"
     )
     if not offsets:
         off_df = off_df.filter(F.lit(False))

@@ -458,9 +458,11 @@ def kmeans_centroids(
     finally:
         feats.unpersist()
     spark = corpus.sparkSession
+    from olist_lakehouse_2_0_spark.localrel import arrow_local_relation
+
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-    return spark.createDataFrame(
-        rows, "centroid_id int, __centroid_vec array<double>"
+    return arrow_local_relation(
+        spark, rows, "centroid_id int, __centroid_vec array<double>"
     )
 
 

@@ -155,8 +155,13 @@ class Pipeline:
             }
             result.events.append(event)
             if event_log_path:
+                from olist_lakehouse_2_0_spark.localrel import (
+                    arrow_local_relation,
+                )
+
                 with EVENT_LOG_LOCK:
-                    spark.createDataFrame(
+                    arrow_local_relation(
+                        spark,
                         [tuple(event.values())],
                         "pipeline string, table string, layer string, "
                         "materialization string, status string, "

@@ -393,7 +393,10 @@ def approx_quantile_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo, hi = (q - eps) * n, (q + eps) * n
         within = (ranks[f"le{i}"] >= lo) and (ranks[f"lt{i}"] < hi)
         rows.append((float(q), float(ex[i]), n, bool(within)))
-    return spark.createDataFrame(
+    from olist_lakehouse_2_0_spark.localrel import arrow_local_relation
+
+    return arrow_local_relation(
+        spark,
         rows,
         "quantile double, exact_value double, n_rows long, "
         "rank_within_bound boolean",

@@ -1635,26 +1635,14 @@ GROUP BY o.o_orderpriority
 """
 
 
-def skew_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-torture join under the hash gate (round 10; VERDICT r9
-    next-step #8 — the AQE skew machinery had bench evidence,
-    ``scripts/bench_skew.py``, but nothing oracled). A synthetic hot
-    key absorbs ~40% of lineitem (every ``l_orderkey % 5 < 2`` row
-    remaps to key 1 — the one-tenant-dominates shape that breaks
-    naive shuffles at 100 TB); the dimension is one row per surviving
-    key, too structural to fake the answer. The join is FORCED onto
-    the shuffle path with a ``merge`` hint — without it Catalyst would
-    broadcast the small dim and dodge the skew entirely; on a real
-    cluster the dim is the too-big-to-broadcast side and AQE's
-    skew-join splitter (``spark.sql.adaptive.skewJoin``, enabled
-    session-wide) is what carves the hot partition into parallel
-    splits (the splitter ENGAGING at torture scale is pinned in
-    tests/test_plans.py with proportionally lowered thresholds; at
-    bench scale the partitions sit under the default 256 MB threshold
-    so the plan is a plain SMJ). The oracled boolean proves
-    ``salted_join`` — the non-AQE mitigation for the same shape —
-    returns the IDENTICAL relation, so both skew answers are
-    result-invisible under one gate."""
+def _skew_rollup_pipelines(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The two skew-torture pipelines ``skew_hot_key_join`` proves
+    equal: the merge-hinted SMJ rollup (the AQE-skew-split path) and
+    the ``salted_join`` rollup (the non-AQE mitigation). Shared with
+    tests/test_plans.py, which pins the SMJ + skew=true engagement on
+    the merged pipeline directly."""
     from olist_lakehouse_2_0_spark.operators.joins import salted_join
 
     fact = load(spark, sf_dir, "lineitem", spread=True).select(
@@ -1685,12 +1673,45 @@ def skew_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     merged = rollup(fact.join(dim.hint("merge"), "key"))
     salted = rollup(salted_join(fact, dim, "key", salt=8))
+    return merged, salted
+
+
+def skew_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-torture join under the hash gate (round 10; VERDICT r9
+    next-step #8 — the AQE skew machinery had bench evidence,
+    ``scripts/bench_skew.py``, but nothing oracled). A synthetic hot
+    key absorbs ~40% of lineitem (every ``l_orderkey % 5 < 2`` row
+    remaps to key 1 — the one-tenant-dominates shape that breaks
+    naive shuffles at 100 TB); the dimension is one row per surviving
+    key, too structural to fake the answer. The join is FORCED onto
+    the shuffle path with a ``merge`` hint — without it Catalyst would
+    broadcast the small dim and dodge the skew entirely; on a real
+    cluster the dim is the too-big-to-broadcast side and AQE's
+    skew-join splitter (``spark.sql.adaptive.skewJoin``, enabled
+    session-wide) is what carves the hot partition into parallel
+    splits (the splitter ENGAGING at torture scale is pinned in
+    tests/test_plans.py with proportionally lowered thresholds; at
+    bench scale the partitions sit under the default 256 MB threshold
+    so the plan is a plain SMJ). The oracled boolean proves
+    ``salted_join`` — the non-AQE mitigation for the same shape —
+    returns the IDENTICAL relation, so both skew answers are
+    result-invisible under one gate."""
     # Both rollups are 10 bounded rows — prove relation equality by
     # collecting and comparing driver-side (one execution each)
     # instead of a two-way exceptAll, which re-executed BOTH join
     # pipelines twice more (the round's profiling put this query's
-    # floor at 6.2 s, ~5 full join+agg executions; this shape needs 3:
-    # the two collects plus the returned relation's materialization).
+    # floor at 6.2 s, ~5 full join+agg executions). The merged rollup
+    # persists first so its equality-proof collect materializes the
+    # 10-row cache and the RETURNED relation reads it instead of
+    # re-running the torture join a third time — 2 executions total,
+    # the minimum for a two-pipeline equality proof (guide §1.2: don't
+    # compute things twice; §5: the cached frame is 10 rows). The
+    # merge-hinted SMJ + AQE skew split is pinned on the shared
+    # pipeline builder (tests/test_plans.py drives
+    # ``_skew_rollup_pipelines`` directly, since the persist hides the
+    # join behind an InMemoryScan in the RETURNED relation's plan).
+    merged, salted = _skew_rollup_pipelines(spark, sf_dir)
+    merged = merged.persist()
     m_rows = sorted(map(tuple, merged.collect()))
     s_rows = sorted(map(tuple, salted.collect()))
     salted_matches = m_rows == s_rows

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from olist_lakehouse_2_0_spark.catalog import load
+from olist_lakehouse_2_0_spark.localrel import arrow_local_relation
 from olist_lakehouse_2_0_spark.operators import text as ops_text
 from olist_lakehouse_2_0_spark.operators.dedup import (
     dedup_components,
@@ -1513,8 +1514,8 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", spread=True).select(
         "doc_id", "text"
     )
-    q = spark.createDataFrame(
-        _RETRIEVAL_QUERY_TERMS, "query_id string, term string"
+    q = arrow_local_relation(
+        spark, _RETRIEVAL_QUERY_TERMS, "query_id string, term string"
     )
     return ops_text.bm25_topk(docs, q, k=10)
 
@@ -1555,10 +1556,11 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", "embedding"
     )
-    terms = spark.createDataFrame(
-        _RETRIEVAL_QUERY_TERMS, "query_id string, term string"
+    terms = arrow_local_relation(
+        spark, _RETRIEVAL_QUERY_TERMS, "query_id string, term string"
     )
-    anchors = spark.createDataFrame(
+    anchors = arrow_local_relation(
+        spark,
         [("q_exec", 7), ("q_stream", 42), ("q_dim", 123)],
         "query_id string, anchor_id long",
     )

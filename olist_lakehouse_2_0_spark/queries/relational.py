@@ -2879,10 +2879,18 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in spark.sql(f"DESCRIBE TABLE EXTENDED `{tbl}`").collect():
         if r.col_name == "Statistics":
             row_count = int(r.data_type.split(",")[1].strip().split(" ")[0])
+    # All three exact NDVs in ONE aggregation job (guide §1.2/§2.3:
+    # one pass, map-side partials via Expand) instead of three separate
+    # scans — the values are identical, only the job count changes.
+    ndv_row = ev.agg(
+        F.countDistinct("user_id").alias("user_id"),
+        F.countDistinct("ts").alias("ts"),
+        F.countDistinct("event_type").alias("event_type"),
+    ).first()
     exact_ndv = {
-        "user_id": ev.select(F.countDistinct("user_id")).first()[0],
-        "ts": ev.select(F.countDistinct("ts")).first()[0],
-        "event_type": ev.select(F.countDistinct("event_type")).first()[0],
+        "user_id": ndv_row["user_id"],
+        "ts": ndv_row["ts"],
+        "event_type": ndv_row["event_type"],
     }
     rows = []
     for c in ["event_type", "ts", "user_id"]:
@@ -2902,7 +2910,10 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             info["max"] if c == "ts" else None,
             bool(ndv_ok),
         ))
-    out = spark.createDataFrame(
+    from olist_lakehouse_2_0_spark.localrel import arrow_local_relation
+
+    out = arrow_local_relation(
+        spark,
         rows,
         "column_name string, row_count long, num_nulls long, "
         "min_long long, max_long long, __min_s string, __max_s string, "

@@ -34,10 +34,11 @@ def main() -> None:
         print("usage: profile_stages.py <query> [query ...]", file=sys.stderr)
         sys.exit(2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import shutil
+
     log_dir = "/tmp/spark-events-profile"
+    shutil.rmtree(log_dir, ignore_errors=True)
     os.makedirs(log_dir, exist_ok=True)
-    for f in os.listdir(log_dir):
-        os.unlink(os.path.join(log_dir, f))
 
     from pyspark.sql.functions import col, pandas_udf
 
@@ -49,6 +50,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": log_dir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
@@ -81,7 +84,12 @@ def main() -> None:
     spark.stop()
 
     # --- replay the event log ---
-    logs = [os.path.join(log_dir, f) for f in os.listdir(log_dir)]
+    logs = [
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(log_dir)
+        for f in files
+        if not f.startswith("appstatus_")
+    ]
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
     for lf in logs:

@@ -497,10 +497,15 @@ def test_skew_hot_key_join_smj_and_aqe_split(spark):
     marked skew=true — the hot ~40% partition was carved into
     parallel splits instead of serializing one task."""
     from olist_lakehouse_2_0_spark.queries.join_grouping import (
-        skew_hot_key_join,
+        _skew_rollup_pipelines,
     )
 
-    plan = _formatted_plan(skew_hot_key_join(spark, SF))
+    # Pin the MERGED pipeline directly: the query function persists its
+    # 10-row rollup for the equality proof, so the RETURNED relation's
+    # plan is an InMemoryScan — the join shape under test lives in the
+    # shared pipeline builder the query executes.
+    merged, _salted = _skew_rollup_pipelines(spark, SF)
+    plan = _formatted_plan(merged)
     assert "SortMergeJoin" in plan
 
     lowered = {
@@ -520,7 +525,7 @@ def test_skew_hot_key_join_smj_and_aqe_split(spark):
             saved[k] = None
         spark.conf.set(k, v)
     try:
-        df = skew_hot_key_join(spark, SF)
+        df, _ = _skew_rollup_pipelines(spark, SF)
         df.collect()
         executed = df._jdf.queryExecution().executedPlan().toString()
         assert "skew=true" in executed
