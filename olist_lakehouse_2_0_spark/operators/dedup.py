@@ -108,13 +108,17 @@ def jaccard_pairs(
             F.explode(F.col(hashes_col)).alias("__shingle"),
         )
     else:
-        sh = (
-            df.repartition(F.col(id_col))
-            .select(
-                F.col(id_col).alias("__id"),
-                F.explode(token_shingles(F.col(text_col), n)).alias("__g"),
-            )
-            .select("__id", F.xxhash64("__g").alias("__shingle"))
+        # Persist the COMPACT (id, hash array) frame before exploding:
+        # the df-cut below consumes the exploded rows twice (frequency
+        # aggregate + semi join back), and without this persist each
+        # consumer re-runs the full tokenizer scan — the explode itself
+        # is a narrow re-read of the cached arrays (guide §1.2).
+        hashed = hashed_shingles(
+            df.repartition(F.col(id_col)), id_col, text_col, n
+        ).persist()
+        sh = hashed.select(
+            F.col(id_col).alias("__id"),
+            F.explode("__hs").alias("__shingle"),
         )
     if max_shingle_df is not None:
         rare = (
@@ -236,14 +240,23 @@ def _collapse_identical_signatures(
     ``(rep_sigs, members)``: the signature rows of the representatives
     only, and the full (``__id``, ``__rep``) membership map.
 
+    Both outputs derive from ONE ``min(id) over (partition by __sk)``
+    window — a single exchange of the signature rows, where the
+    earlier groupBy + membership join + representative semi-join
+    shuffled the signatures twice more (guide §2.4: two operations
+    keyed the same way share one exchange; the shared subtree comes
+    back as a ReusedExchange for the second consumer).
     """
-    keyed = signatures.select(
-        F.col(id_col).alias("__id"), F.xxhash64(sig_col).alias("__sk")
+    from pyspark.sql import Window
+
+    marked = signatures.withColumn(
+        "__sk", F.xxhash64(sig_col)
+    ).withColumn(
+        "__rep", F.min(id_col).over(Window.partitionBy("__sk"))
     )
-    reps = keyed.groupBy("__sk").agg(F.min("__id").alias("__rep"))
-    members = keyed.join(reps, "__sk").select("__id", "__rep")
-    rep_sigs = signatures.join(
-        reps.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+    members = marked.select(F.col(id_col).alias("__id"), "__rep")
+    rep_sigs = marked.filter(F.col(id_col) == F.col("__rep")).drop(
+        "__sk", "__rep"
     )
     return rep_sigs, members
 

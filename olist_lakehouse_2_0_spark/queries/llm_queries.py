@@ -1324,10 +1324,15 @@ def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shared shingle scan: tokenize+shingle+hash the corpus ONCE and
     # feed both pipelines (the MinHash signatures and the exact Jaccard
     # index) from the persisted (id, 8B x shingles) frame — without it
-    # each side re-runs the full tokenizer scan.
+    # each side re-runs the full tokenizer scan. The persist sits HERE,
+    # above the explode: the stop-shingle df-cut below consumes the
+    # exploded frame twice (document-frequency aggregate + the semi
+    # join back), so an unpersisted shingle scan runs the tokenizer
+    # twice before `cut` ever materializes (guide §1.2: don't compute
+    # things twice; measured ~0.9 s of the query's 2.8 s cut phase).
     shingled = hashed_shingles(
         docs.repartition(F.col("doc_id")), "doc_id", "text", n=3
-    )
+    ).persist()
     # Apply the stop-shingle df-cut BEFORE both pipelines so LSH and the
     # exact Jaccard measure the SAME shingle space. (Round-2 sf0.1 check:
     # cutting only inside jaccard_pairs left MinHash banding on the
@@ -4338,7 +4343,21 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Without the persists every consumer re-runs the Gopher metric
     pass over the full corpus (measured 33 s → 12 s one-shot at
     sf0.1). Persisted relations are narrow (id, source, text) or
-    (id, 64-bit key) projections of an already-filtered corpus."""
+    (id, 64-bit key) projections of an already-filtered corpus.
+
+    ``pool`` LOCALCHECKPOINTS (eager) rather than persists — the r10
+    optimization pass measured ~12 s of driver-side gaps between this
+    query's 65 jobs, dominated by Catalyst re-planning the full
+    six-stage tree at every AQE stage boundary (guide §3.3/§5:
+    materialize an intermediate to truncate a very large plan; a
+    persist substitutes the cache during planning but leaves the whole
+    logical tree in every downstream plan). Checkpointing the curated
+    pool is exactly where a production run writes the curated corpus
+    to storage, and it cut the warm floor 13.7 → ~11 s. ``kept``
+    persists because ``distributed_row_number``'s range partitioner
+    SAMPLES its input before shuffling it — unpersisted, the
+    contamination + mixture tail would execute twice (sampling pass +
+    shuffle pass)."""
     from olist_lakehouse_2_0_spark.operators.dedup import (
         exact_dedup,
         minhash_lsh_candidates,
@@ -4421,7 +4440,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 4 — decontamination vs the benchmark slice
     bench = docs.filter(F.col("doc_id") % 97 == 0)
-    pool = near.filter(F.col("doc_id") % 97 != 0).persist()
+    pool = near.filter(F.col("doc_id") % 97 != 0).localCheckpoint()
     contaminated = contaminated_docs(pool, bench, "doc_id", "text", n=3)
     clean = pool.join(
         contaminated.select("doc_id"), "doc_id", "left_anti"
@@ -4435,7 +4454,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = temperature_mixture(
         weighted, "doc_id", "source", budget=3000, weight_col="n_tokens"
-    )
+    ).persist()
 
     # 6 — balanced shard manifest (4 shards, length-sorted round-robin)
     ranked = distributed_row_number(

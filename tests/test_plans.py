@@ -453,12 +453,17 @@ def test_curation_pipeline_plan_is_scale_true(spark):
         # the only nested-loop joins allowed are the one-row
         # scalar-aggregate broadcasts (the temperature-mixture budget
         # total) — Cross BuildRight against an IdentityBroadcastMode
-        # one-row side, the repo-wide accepted pattern
+        # one-row side, the repo-wide accepted pattern. No count cap:
+        # the SAME accepted subtree prints once per cache layer above
+        # it in the formatted plan (kept/with_idx persists), so the
+        # count tracks plan-printing nesting, not runtime joins — the
+        # guarantee is that EVERY nested-loop join is the one-row
+        # budget-total broadcast, never a data-sized side.
         bnlj = [
             l for l in plan.splitlines()
             if "BroadcastNestedLoopJoin" in l and "+-" in l
         ]
-        assert len(bnlj) <= 2, bnlj
+        assert bnlj, "expected the budget-total broadcast in the plan"
         assert all("Cross BuildRight" in l for l in bnlj), bnlj
     finally:
         spark.catalog.clearCache()
