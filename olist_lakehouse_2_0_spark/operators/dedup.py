@@ -565,16 +565,23 @@ def simhash_dedup_pairs(
     chunk bucket is dropped); ``expand_identical=False`` returns
     representative-level pairs only (see
     :func:`minhash_lsh_candidates`)."""
-    # sigs feeds the rep groupBy, the membership join, and (via reps)
-    # both chunk-join sides — persist so the pandas-UDF signature pass
-    # runs once (session-lifetime cache, as elsewhere; bench
-    # clearCaches between query passes).
+    # sigs feeds the collapse window and (via reps) both chunk-join
+    # sides — persist so the pandas-UDF signature pass runs once
+    # (session-lifetime cache, as elsewhere; bench clearCaches between
+    # query passes). The collapse is one min-over-window on the exact
+    # signature — a single exchange yielding both the membership map
+    # and the representative rows, same rewrite as
+    # :func:`_collapse_identical_signatures` (guide §2.4).
+    from pyspark.sql import Window
+
     sigs = simhash_signatures(df, id_col, text_col).persist()
-    reps = sigs.groupBy("__sh").agg(F.min(id_col).alias("__rep"))
-    members = sigs.join(reps, "__sh").select(
-        F.col(id_col).alias("__id"), F.col("__rep")
+    marked = sigs.withColumn(
+        "__rep", F.min(id_col).over(Window.partitionBy("__sh"))
     )
-    sh = reps.select(F.col("__rep").alias("__id"), "__sh")
+    members = marked.select(F.col(id_col).alias("__id"), F.col("__rep"))
+    sh = marked.filter(F.col(id_col) == F.col("__rep")).select(
+        F.col(id_col).alias("__id"), "__sh"
+    )
     chunk_bits = 64 // chunks
     mask = (1 << chunk_bits) - 1
     chunked = sh.select(

@@ -429,16 +429,33 @@ def _coarse_centroids_for(
 
 
 def _with_duplicates(docs: DataFrame) -> DataFrame:
-    """Union the corpus with offset-id copies (whitespace-perturbed) so
-    dedup operators have real work at any scale factor."""
-    copies = docs.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.lit("  "), F.col("text"), F.lit(" ")).alias("text"),
+    """Double the corpus with offset-id copies (whitespace-perturbed)
+    so dedup operators have real work at any scale factor. Emitted as a
+    per-row 2-element explode rather than a self-union: one scan, one
+    map-only stage, and the input's partition count is preserved (the
+    union form re-read the spread scan through a second branch and
+    doubled every downstream stage's task count — guide §1.2/§2.4).
+    Row set is identical to the union, order-independently."""
+    pair = F.explode(
+        F.array(
+            F.struct(F.col("doc_id"), F.col("text")),
+            F.struct(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.lit("  "), F.col("text"), F.lit(" ")).alias(
+                    "text"
+                ),
+            ),
+        )
+    )
+    return docs.select(
+        pair.alias("__d"), "lang", "source", "n_chars"
+    ).select(
+        F.col("__d.doc_id").alias("doc_id"),
+        F.col("__d.text").alias("text"),
         "lang",
         "source",
         "n_chars",
     )
-    return docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(copies)
 
 
 def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
