@@ -124,10 +124,12 @@ def main() -> None:
 
     for name in names:
         t0, t1 = windows[name]
+        # Attribute by TIME WINDOW, not job group: streaming drains and
+        # MLlib fits run jobs under their own thread-local groups.
         qjobs = {
             jid: j
             for jid, j in jobs.items()
-            if j["group"] == name and "end" in j
+            if "end" in j and j["start"] >= t0 - 50 and j["start"] <= t1
         }
         print(f"\n=== {name}: wall {(t1 - t0) / 1000:.3f}s, "
               f"{len(qjobs)} jobs ===")
