@@ -347,14 +347,18 @@ def _banded(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
+                        # hash the band's signature longs DIRECTLY —
+                        # xxhash64 over the typed values; the earlier
+                        # concat_ws form materialized a ~40-char string
+                        # per (row, band) just to feed the same hash
+                        # (bucket identity is preserved: equal rows
+                        # hash equal, distinct rows collide at the
+                        # already-accepted 2^-64)
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * rows_per_band + r]
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
