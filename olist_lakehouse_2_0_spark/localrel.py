@@ -16,14 +16,37 @@ Every driver-computed row list in a query path goes through
 exactly what the pickled path received, so results are unchanged —
 only the transfer encoding differs. On any conversion surprise
 (unsupported type, pandas coercion error) it falls back to the pickled
-path rather than failing the query.
+path rather than failing the query, logging once per process so a
+silent permanent degradation is visible (ADVICE r10 #2).
+
+CONTRACT (ADVICE r10 #2): timestamp/date columns are OUT of contract —
+the pandas→Arrow path applies session-timezone localization semantics
+that can differ from the pickled path, so datetime values are routed
+to the pickled fallback explicitly rather than risking a silent shift.
+Every current caller passes ints/floats/strings/bools only.
 """
 
 from __future__ import annotations
 
+import datetime
+import logging
 from collections.abc import Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+_log = logging.getLogger(__name__)
+_fallback_logged = False
+
+
+def _log_fallback_once(reason: str) -> None:
+    global _fallback_logged
+    if not _fallback_logged:
+        _fallback_logged = True
+        _log.warning(
+            "arrow_local_relation: falling back to the pickled local "
+            "relation (%s); subsequent fallbacks are silent",
+            reason,
+        )
 
 
 def arrow_local_relation(
@@ -57,12 +80,23 @@ def arrow_local_relation(
             else _parse_datatype_string(schema)
         )
         names = [f.name for f in struct.fields]
+        # datetime/date values are out of contract (module docstring):
+        # route them to the pickled path before pandas can apply
+        # session-timezone localization the pickled path would not.
+        if any(
+            isinstance(v, (datetime.date, datetime.datetime))
+            for r in rows
+            for v in r
+        ):
+            _log_fallback_once("datetime/date values are out of contract")
+            return spark.createDataFrame(rows, schema)
         data = {
             name: pd.Series([r[i] for r in rows], dtype=object)
             for i, name in enumerate(names)
         }
         pdf = pd.DataFrame(data, columns=names)
         return spark.createDataFrame(pdf, schema)
-    except Exception:
+    except Exception as exc:
         # Conversion surprise: keep correctness, lose the speedup.
+        _log_fallback_once(f"conversion error: {exc!r}")
         return spark.createDataFrame(rows, schema)

@@ -338,6 +338,14 @@ class CdcSink:
     spec: ChangeSpec
     scd_type: int = 1
     _spark_fmt: str = field(default="parquet", repr=False)
+    # Target schema as written by THIS sink's previous batch: batches
+    # after the first read the target back with the explicit schema
+    # instead of paying a per-batch footer-inference probe (guide §6 —
+    # the schema cannot differ from what the sink itself just wrote,
+    # and the swap write is crash-safe so a set value implies a
+    # committed target). A fresh sink (new process / checkpoint
+    # replay) starts at None and takes the guarded inference path.
+    _target_schema: object = field(default=None, repr=False)
 
     @property
     def deletes_path(self) -> str:
@@ -368,7 +376,7 @@ class CdcSink:
         _swap_dirs(spark, tmp, path)
 
     @staticmethod
-    def _read_if_exists(spark, path: str) -> DataFrame | None:
+    def _read_if_exists(spark, path: str, schema=None) -> DataFrame | None:
         """Read ``path`` as parquet, or None when it doesn't exist yet
         (the first micro-batch against a fresh target). An explicit
         Hadoop-FS existence check, NOT an exception-driven probe: the
@@ -376,9 +384,14 @@ class CdcSink:
         stack per missing path per batch, drowning the caller's logs
         (VERDICT r3 next-step #2 — the bench stderr trace).
 
-        The read itself stays guarded: a crash during the FIRST write
-        (target was None, so no rename-aside protected it) can leave
-        the directory holding only an uncommitted ``_temporary/``
+        ``schema`` (when the caller knows it — the sink caches what it
+        wrote last batch) skips the per-batch footer-inference probe;
+        it is only ever passed for a target this sink committed in
+        this process, where the crash-debris case below cannot apply.
+
+        The inference read stays guarded: a crash during the FIRST
+        write (target was None, so no rename-aside protected it) can
+        leave the directory holding only an uncommitted ``_temporary/``
         subtree. ``fs.exists`` is then True but the read raises
         ``AnalysisException: Unable to infer schema`` — without the
         guard the checkpoint replay of batch 0 would fail identically
@@ -393,6 +406,8 @@ class CdcSink:
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         if not fs.exists(hpath):
             return None
+        if schema is not None:
+            return spark.read.schema(schema).parquet(path)
         try:
             df = spark.read.parquet(path)
             df.schema  # force schema inference now, not at first action
@@ -412,7 +427,7 @@ class CdcSink:
         # tombstone (and resurrecting orphan-deleted keys). No-op — one
         # fs.exists — on every normal path.
         recover_swap(spark, self.deletes_path)
-        target = self._read_if_exists(spark, self.path)
+        target = self._read_if_exists(spark, self.path, self._target_schema)
         batch_deletes = batch_df.filter(self.spec.is_delete()).select(
             *self.spec.keys, self.spec.seq_expr().alias("__seq")
         )
@@ -441,3 +456,4 @@ class CdcSink:
             out.write.mode("overwrite").parquet(self.path)
         else:
             self._swap_write(out, self.path, f"batch{batch_id}")
+        self._target_schema = out.schema

@@ -94,6 +94,24 @@ def jaccard_pairs(
     docs (boilerplate guard — at scale a handful of super-common
     shingles would otherwise create quadratic candidate blowup).
     Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+
+    Two r11 rewrites were measured here and REVERTED, keeping this the
+    r10 shape:
+
+    - postings-before-cut (collect each shingle's member list, THEN
+      drop lists over the cap): hot shingles funnel into one
+      sort-based aggregation task only to be discarded — 2x slower at
+      sf0.1 and unbounded at 100 TB (the ADVICE r10 hot-key lesson).
+      The cut must stay a map-side-combinable COUNT aggregate.
+    - post-cut group-and-combine (groupBy(shingle) + bounded
+      combination explode replacing the self-join): same exchange
+      count as the join but swaps a codegen hash join for an
+      ObjectHashAggregate collect — jaccard_dups measured 1.8 → 3.3 s
+      same-window at sf0.1. Group-and-combine only wins where it
+      REMOVES exchanges (the banding rewrite: 3 → 1) or where the
+      postings already exist for another pipeline
+      (:func:`jaccard_pairs_from_postings`, used by
+      minhash_verified_dups' shared index).
     """
     # Repartition by id first: a few large input files would pin the
     # tokenizer/explode stage to a few cores. Shingles are immediately
@@ -139,6 +157,52 @@ def jaccard_pairs(
         a.join(b, "__shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__size").alias("__size_a"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__size").alias("__size_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__common")
+            / (F.col("__size_a") + F.col("__size_b") - F.col("__common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_pairs_from_postings(
+    postings: DataFrame, threshold: float, sizes: DataFrame | None = None
+) -> DataFrame:
+    """Exact Jaccard pairs from an inverted index: ``postings`` is one
+    row per KEPT shingle with its SORTED member-id array ``__ids`` (the
+    relation :func:`jaccard_pairs` builds post-cut; callers that
+    already materialize the cut shingle space for another pipeline —
+    the verified-companion pattern — pass their postings here directly
+    and skip the rebuild). Common counts come from the bounded C(n,2)
+    combination explode (id_a < id_b free from the sort); per-doc
+    sizes from one explode of the lists, or from ``sizes`` — a
+    (``__id``, ``__size``) frame — when the caller can derive them
+    without an aggregation (e.g. ``F.size`` over already-materialized
+    per-doc arrays). Jaccard = common / (|A| + |B| - common); only
+    pairs >= ``threshold`` return. ``postings`` should be persisted by
+    the caller when it feeds both the sizes aggregate and the pair
+    units."""
+    if sizes is None:
+        sizes = (
+            postings.select(F.explode("__ids").alias("__id"))
+            .groupBy("__id")
+            .agg(F.count(F.lit(1)).alias("__size"))
+        )
+    common = (
+        postings.filter(F.size("__ids") >= 2)
+        .select(F.explode(_member_combinations("__ids")).alias("__p"))
+        .groupBy(
+            F.col("__p.a").alias("id_a"), F.col("__p.b").alias("id_b")
+        )
         .agg(F.count(F.lit(1)).alias("__common"))
     )
     sa = sizes.select(F.col("__id").alias("id_a"), F.col("__size").alias("__size_a"))
@@ -246,6 +310,20 @@ def _collapse_identical_signatures(
     shuffled the signatures twice more (guide §2.4: two operations
     keyed the same way share one exchange; the shared subtree comes
     back as a ReusedExchange for the second consumer).
+
+    Hot-group exposure (ADVICE r10 #1), accepted knowingly: the window
+    buffers each signature group in one task partition that AQE cannot
+    split and that has no map-side combine, so a boilerplate signature
+    shared by a large corpus fraction serializes into one task. That
+    group's PAYLOAD is (id, sig) rows — ~0.5 KB each, so even a
+    10⁷-member group is ~5 GB in ONE spill-capable sort task, slow but
+    bounded — and the window is what REMOVES the same group from every
+    downstream quadratic join. The groupBy alternative restores the
+    map-side combine for the reps side but re-introduces the extra
+    membership-join exchanges for every normal corpus; a corpus whose
+    duplicate groups are known to be mega-sized should pre-aggregate
+    ``min(id)`` per ``__sk`` (two-level aggregation, guide §2.5)
+    before this operator instead.
     """
     from pyspark.sql import Window
 
@@ -335,11 +413,12 @@ def _banded(
     id_col: str,
     bands: int,
     rows_per_band: int,
-    max_bucket_df: int | None,
 ) -> DataFrame:
-    """Explode representative signatures into (band, bucket) rows,
-    optionally dropping buckets whose DISTINCT-signature membership
-    exceeds ``max_bucket_df`` (see :func:`minhash_lsh_candidates`)."""
+    """Explode representative signatures into (band, bucket) rows — a
+    narrow map. The hot-bucket cap is applied downstream where the rows
+    are grouped anyway (:func:`_rep_candidate_pairs` for the one-shot
+    paths; :func:`_drop_hot_buckets` at probe time for the incremental
+    index, whose banding rows are STORED uncapped)."""
     banded = rep_sigs.select(
         F.col(id_col).alias("__id"),
         F.explode(
@@ -366,21 +445,24 @@ def _banded(
             )
         ).alias("__band"),
     ).select("__id", "__band.band", "__band.bucket")
-    if max_bucket_df is not None:
-        banded = _drop_hot_buckets(banded, ["band", "bucket"], max_bucket_df)
     return banded
 
 
 def _drop_hot_buckets(
     df: DataFrame, keys: list[str], cap: int
 ) -> DataFrame:
-    """The shared hot-bucket df-cap: drop every ``keys`` group holding
-    more than ``cap`` member rows (a left-semi against the cool-group
-    keys, so the membership relation never widens). ONE implementation
-    for all three LSH candidate paths — one-shot MinHash banding,
-    SimHash pigeonhole chunks, and the incremental-index cross-shard
-    probe — so a change to the cap semantics (distinct-count, tie
-    behavior at ==cap) cannot silently diverge their recall bounds."""
+    """The join-form hot-bucket df-cap: drop every ``keys`` group
+    holding more than ``cap`` member rows (a left-semi against the
+    cool-group keys, so the membership relation never widens). Used by
+    the incremental-index cross-shard probe, whose candidate join has
+    TWO distinct sides (new shard vs old shards) and therefore cannot
+    fold the cap into a single group-and-combine pass. The one-shot
+    MinHash/SimHash self-join paths apply the IDENTICAL cap semantics
+    (member-row count per bucket, keep at ==cap) as a size filter on
+    the grouped bucket inside :func:`_rep_candidate_pairs` /
+    :func:`simhash_dedup_pairs` — one exchange instead of a count
+    aggregate plus a semi-join (guide §2.4). A change to the cap
+    semantics must be applied in both places."""
     cool = (
         df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -426,24 +508,59 @@ def minhash_lsh_candidates(
       signature-equality key).
     """
     rep_sigs, members = _collapse_identical_signatures(signatures, id_col)
-    banded = _banded(rep_sigs, id_col, bands, rows_per_band, max_bucket_df)
-    rep_pairs = _rep_candidate_pairs(banded)
+    banded = _banded(rep_sigs, id_col, bands, rows_per_band)
+    rep_pairs = _rep_candidate_pairs(banded, max_bucket_df)
     if not expand_identical:
         return rep_pairs
     return _expand_identical_pairs(rep_pairs, members)
 
 
-def _rep_candidate_pairs(banded: DataFrame) -> DataFrame:
-    """Distinct ordered representative pairs from a banded relation:
-    equi-join on (band, bucket), id_a < id_b tie-break, distinct. One
-    implementation for the candidate semantics every LSH family shares
-    (a fix to the tie-break/distinct applies everywhere at once)."""
-    a = banded.select(F.col("__id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("__id").alias("id_b"), "band", "bucket")
+def _member_combinations(ids: Column | str) -> Column:
+    """All index-ordered element pairs of a sorted array as
+    struct<a,b> — C(n,2) structs with a < b, emitted by a JVM
+    higher-order flatten (the same combination explode
+    :func:`_expand_identical_pairs` uses for intra-group pairs)."""
+    ids = F.col(ids) if isinstance(ids, str) else ids
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
+def _rep_candidate_pairs(
+    banded: DataFrame, max_bucket_df: int | None = None
+) -> DataFrame:
+    """Distinct ordered representative pairs from a banded relation,
+    through ONE exchange of the banding rows: group by (band, bucket)
+    into a sorted member array, drop hot buckets as a size filter on
+    the grouped row (same cap semantics as :func:`_drop_hot_buckets`:
+    member-row count, keep at ==cap), and emit each surviving bucket's
+    C(n,2) member combinations with a JVM higher-order explode —
+    id_a < id_b comes free from the sorted array. The earlier shape
+    (hot-bucket count aggregate + left-semi back + self-equi-join)
+    shuffled the banding rows three times to produce the same pair set
+    (guide §2.4). Distribution properties are unchanged: either shape
+    funnels a (band, bucket) group through one task — the cap bounds
+    the group, and uncapped the old self-join emitted the identical
+    C(n,2) rows from the identical single join key (the group array
+    itself is 8 bytes per member, not a payload). One implementation
+    for the candidate semantics every banding-LSH path shares (a fix
+    to the tie-break/cap applies everywhere at once)."""
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("__id")).alias("__ids")
+    )
+    size_ok = F.size("__ids") >= 2
+    if max_bucket_df is not None:
+        size_ok = size_ok & (F.size("__ids") <= max_bucket_df)
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.filter(size_ok)
+        .select(F.explode(_member_combinations("__ids")).alias("__p"))
+        .select(F.col("__p.a").alias("id_a"), F.col("__p.b").alias("id_b"))
         .distinct()
     )
 
@@ -481,8 +598,8 @@ def minhash_dedup_pairs(
     # reads it lazily; callers running many passes clearCache between.)
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, seed).persist()
     rep_sigs, members = _collapse_identical_signatures(sigs, id_col)
-    banded = _banded(rep_sigs, id_col, bands, rows_per_band, max_bucket_df)
-    cand = _rep_candidate_pairs(banded)
+    banded = _banded(rep_sigs, id_col, bands, rows_per_band)
+    cand = _rep_candidate_pairs(banded, max_bucket_df)
     sa = rep_sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("__sig_a"))
     sb = rep_sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("__sig_b"))
     matches = F.size(
@@ -605,20 +722,42 @@ def simhash_dedup_pairs(
             )
         ).alias("__c"),
     ).select("__id", "__sh", "__c.chunk", "__c.value")
-    if max_bucket_df is not None:
-        chunked = _drop_hot_buckets(
-            chunked, ["chunk", "value"], max_bucket_df
-        )
-    a = chunked.select(
-        F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"), "chunk", "value"
+    # Candidate pairs through ONE exchange of the chunk rows: group by
+    # (chunk, value) into a sorted (id, sig) member array, cap hot
+    # buckets as a size filter (same semantics as the one-shot MinHash
+    # path in _rep_candidate_pairs: member-row count, keep at ==cap),
+    # and emit each bucket's C(n,2) combinations — id_a < id_b comes
+    # free from the array sort (structs order by their first field and
+    # ids are unique). The earlier count-aggregate + semi-join +
+    # self-equi-join shape shuffled the chunk rows three times for the
+    # same pair set (guide §2.4); group distribution is unchanged —
+    # either shape funnels one (chunk, value) bucket through one task.
+    grouped = chunked.groupBy("chunk", "value").agg(
+        F.sort_array(
+            F.collect_list(F.struct("__id", "__sh"))
+        ).alias("__ms")
     )
-    b = chunked.select(
-        F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"), "chunk", "value"
+    size_ok = F.size("__ms") >= 2
+    if max_bucket_df is not None:
+        size_ok = size_ok & (F.size("__ms") <= max_bucket_df)
+    combos = F.flatten(
+        F.transform(
+            "__ms",
+            lambda x, i: F.transform(
+                F.slice(F.col("__ms"), i + 2, F.size("__ms")),
+                lambda y: F.struct(
+                    x["__id"].alias("id_a"),
+                    y["__id"].alias("id_b"),
+                    x["__sh"].alias("__sh_a"),
+                    y["__sh"].alias("__sh_b"),
+                ),
+            ),
+        )
     )
     verified = (
-        a.join(b, ["chunk", "value"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sh_a", "__sh_b")
+        grouped.filter(size_ok)
+        .select(F.explode(combos).alias("__p"))
+        .select("__p.id_a", "__p.id_b", "__p.__sh_a", "__p.__sh_b")
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("__sh_a").bitwiseXOR(F.col("__sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
@@ -899,7 +1038,7 @@ def write_minhash_index(
         docs, id_col, text_col, num_hashes=num_hashes, n=n, seed=seed
     )
     rep_sigs, members = _collapse_identical_signatures(sigs, id_col)
-    banded = _banded(rep_sigs, id_col, bands, rows_per_band, None)
+    banded = _banded(rep_sigs, id_col, bands, rows_per_band)
     catalog.write(
         banded.withColumn("shard_id", F.lit(shard_id)),
         "minhash_banding",

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from olist_lakehouse_2_0_spark.catalog import load
 from olist_lakehouse_2_0_spark.operators.cdc import (
@@ -19,6 +20,19 @@ from olist_lakehouse_2_0_spark.operators.cdc import (
     scd1_snapshot,
     scd2_history,
 )
+
+
+def _landing_schema(feed: DataFrame) -> T.StructType:
+    """The staged landing files' read schema, derived from the frame
+    that wrote them instead of a per-query footer-inference probe
+    (guide §6): parquet read-back schemas are the written columns with
+    every field nullable, so normalize nullability explicitly — the
+    probe (`spark.read.parquet(landing).schema`) returned exactly
+    this."""
+    return T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in feed.schema.fields]
+    )
+
 
 EVENT_SPEC = ChangeSpec(
     keys=("user_id",),
@@ -142,7 +156,7 @@ def scd2_users_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed.repartition(3).write.parquet(landing)
 
     stream = (
-        spark.readStream.schema(spark.read.parquet(landing).schema)
+        spark.readStream.schema(_landing_schema(feed))
         .option("maxFilesPerTrigger", 1)
         .parquet(landing)
     )
@@ -182,7 +196,7 @@ def scd1_users_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed.repartition(3).write.parquet(landing)
 
     stream = (
-        spark.readStream.schema(spark.read.parquet(landing).schema)
+        spark.readStream.schema(_landing_schema(feed))
         .option("maxFilesPerTrigger", 1)
         .parquet(landing)
     )
@@ -297,7 +311,7 @@ def cdc_fanout_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed.repartition(2).write.parquet(landing)
 
     stream = (
-        spark.readStream.schema(spark.read.parquet(landing).schema)
+        spark.readStream.schema(_landing_schema(feed))
         .option("maxFilesPerTrigger", 1)
         .parquet(landing)
     )

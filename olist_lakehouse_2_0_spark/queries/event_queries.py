@@ -350,23 +350,40 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from olist_lakehouse_2_0_spark.streaming.joins import stream_interval_join
 
+    # ONE staging write for both feeds: the click and error slices
+    # used to be two filtered writes, each re-scanning the events
+    # parquet (guide §1.2 — don't scan twice); a single
+    # partitionBy(event_type) write scans once and lands each feed in
+    # its own directory, which the two streams then read separately.
+    # The partition column lives in the directory name, so the staged
+    # files carry exactly the columns each stream declares.
     events = load(spark, sf_dir, "events", spread=True).filter(
         F.col("ts").isNotNull()
-    )
-    clicks = events.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    errors = events.filter(F.col("event_type") == "error").select(
-        "user_id",
-        F.col("event_id").alias("error_event_id"),
-        F.col("ts").alias("error_ts"),
+        & F.col("event_type").isin("click", "error")
     )
     root = staging_dir("ss_join")
-    c_path, e_path = os.path.join(root, "clicks"), os.path.join(root, "errors")
-    clicks.write.parquet(c_path)
-    errors.write.parquet(e_path)
-    c_stream = spark.readStream.schema(clicks.schema).parquet(c_path)
-    e_stream = spark.readStream.schema(errors.schema).parquet(e_path)
+    staged = os.path.join(root, "staged")
+    events.select("event_id", "user_id", "ts", "event_type").write.partitionBy(
+        "event_type"
+    ).parquet(staged)
+    c_path = os.path.join(staged, "event_type=click")
+    e_path = os.path.join(staged, "event_type=error")
+    # A partition with zero rows writes NO directory (unlike the old
+    # per-side writes, which always created one) — make both dirs so
+    # the stream readers start cleanly at any scale factor.
+    os.makedirs(c_path, exist_ok=True)
+    os.makedirs(e_path, exist_ok=True)
+    feed_schema = events.select("event_id", "user_id", "ts").schema
+    c_stream = spark.readStream.schema(feed_schema).parquet(c_path)
+    e_stream = (
+        spark.readStream.schema(feed_schema)
+        .parquet(e_path)
+        .select(
+            "user_id",
+            F.col("event_id").alias("error_event_id"),
+            F.col("ts").alias("error_ts"),
+        )
+    )
     joined = stream_interval_join(
         c_stream, e_stream, key="user_id", left_ts="ts",
         right_ts="error_ts", upper_seconds=300,
@@ -421,26 +438,39 @@ def events_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFram
     )
     from olist_lakehouse_2_0_spark.streaming.joins import stream_interval_join
 
+    # ONE staging write for both feeds (same single-scan
+    # partitionBy(event_type) staging as the inner twin above — guide
+    # §1.2; the drain semantics below are untouched).
     events = load(spark, sf_dir, "events", spread=True).filter(
         F.col("ts").isNotNull()
-    )
-    clicks = events.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    errors = events.filter(F.col("event_type") == "error").select(
-        "user_id",
-        F.col("event_id").alias("error_event_id"),
-        F.col("ts").alias("error_ts"),
+        & F.col("event_type").isin("click", "error")
     )
     root = staging_dir("ss_left_join")
-    c_path, e_path = os.path.join(root, "clicks"), os.path.join(root, "errors")
-    clicks.write.parquet(c_path)
-    errors.write.parquet(e_path)
+    staged = os.path.join(root, "staged")
+    events.select("event_id", "user_id", "ts", "event_type").write.partitionBy(
+        "event_type"
+    ).parquet(staged)
+    c_path = os.path.join(staged, "event_type=click")
+    e_path = os.path.join(staged, "event_type=error")
+    # A partition with zero rows writes NO directory (unlike the old
+    # per-side writes, which always created one) — make both dirs so
+    # the stream readers start cleanly at any scale factor.
+    os.makedirs(c_path, exist_ok=True)
+    os.makedirs(e_path, exist_ok=True)
+    feed_schema = events.select("event_id", "user_id", "ts").schema
     out, ckpt = os.path.join(root, "pairs"), os.path.join(root, "ckpt")
 
     def drain() -> None:
-        c_stream = spark.readStream.schema(clicks.schema).parquet(c_path)
-        e_stream = spark.readStream.schema(errors.schema).parquet(e_path)
+        c_stream = spark.readStream.schema(feed_schema).parquet(c_path)
+        e_stream = (
+            spark.readStream.schema(feed_schema)
+            .parquet(e_path)
+            .select(
+                "user_id",
+                F.col("event_id").alias("error_event_id"),
+                F.col("ts").alias("error_ts"),
+            )
+        )
         joined = stream_interval_join(
             c_stream, e_stream, key="user_id", left_ts="ts",
             right_ts="error_ts", upper_seconds=300, how="leftOuter",
@@ -453,18 +483,17 @@ def events_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFram
     # (min across inputs, computed from the previous batch's max event
     # time) passes every real row's eviction horizon and the buffered
     # null-matches flush. The matching sentinel pair joins itself, so
-    # no sentinel state lingers either.
+    # no sentinel state lingers either. (Both staged feeds share the
+    # (event_id, user_id, ts) file schema; the error-side renames are
+    # applied on the stream, so the sentinel writes the same columns.)
     sentinel_ts = F.lit("2100-01-01 00:00:00").cast("timestamp")
-    spark.range(1).select(
+    sentinel = spark.range(1).select(
         F.lit(-1).cast("long").alias("event_id"),
         F.lit(-1).cast("long").alias("user_id"),
         sentinel_ts.alias("ts"),
-    ).write.mode("append").parquet(c_path)
-    spark.range(1).select(
-        F.lit(-1).cast("long").alias("user_id"),
-        F.lit(-1).cast("long").alias("error_event_id"),
-        sentinel_ts.alias("error_ts"),
-    ).write.mode("append").parquet(e_path)
+    )
+    sentinel.write.mode("append").parquet(c_path)
+    sentinel.write.mode("append").parquet(e_path)
     drain()  # sentinel batch: watermark jumps, null-matches emit
 
     schema = (
@@ -1070,17 +1099,18 @@ def csv_audit_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = staging_dir("csv_audit")
     # One directory per bucket so the bucket is recoverable ONLY from
-    # the file path the reader's audit column reports. Four bounded
-    # filter+write jobs over one cached frame — staging setup, not the
-    # measured read path.
-    events.persist()
-    try:
-        for b in range(4):
-            events.filter(F.pmod(F.col("user_id"), F.lit(4)) == b).write.option(
-                "header", True
-            ).csv(os.path.join(root, f"bucket{b}"))
-    finally:
-        events.unpersist()
+    # the file path the reader's audit column reports. ONE partitionBy
+    # write job replaces the earlier four filtered writes off a cached
+    # frame (guide §1.2/§6: each filtered write re-scanned the cache
+    # and paid its own job+commit round; the partitioned write scans
+    # once and commits once). The bucket column lives only in the
+    # directory name (`bucket=<b>/`), never in the CSV bytes, so the
+    # read-back still proves the audit column carries the real path.
+    events.withColumn(
+        "bucket", F.pmod(F.col("user_id"), F.lit(4))
+    ).filter(F.col("bucket").isNotNull()).write.option(
+        "header", True
+    ).partitionBy("bucket").mode("overwrite").csv(root)
 
     schema = T.StructType(
         [
@@ -1089,9 +1119,9 @@ def csv_audit_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("event_type", T.StringType()),
         ]
     )
-    back = read_csv(spark, os.path.join(root, "bucket*"), schema, audit=True)
+    back = read_csv(spark, os.path.join(root, "bucket=*"), schema, audit=True)
     return back.groupBy(
-        F.regexp_extract(F.col("_source_file"), r"bucket(\d+)/", 1)
+        F.regexp_extract(F.col("_source_file"), r"bucket=(\d+)/", 1)
         .cast("int")
         .alias("bucket")
     ).agg(

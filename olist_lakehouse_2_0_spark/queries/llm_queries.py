@@ -27,6 +27,7 @@ from olist_lakehouse_2_0_spark.operators.dedup import (
     exact_dedup,
     hashed_shingles,
     jaccard_pairs,
+    jaccard_pairs_from_postings,
     minhash_dedup_pairs,
     minhash_lsh_candidates,
     minhash_signatures,
@@ -1340,47 +1341,64 @@ def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _with_duplicates(load(spark, sf_dir, "documents", spread=True))
     # Shared shingle scan: tokenize+shingle+hash the corpus ONCE and
     # feed both pipelines (the MinHash signatures and the exact Jaccard
-    # index) from the persisted (id, 8B x shingles) frame — without it
-    # each side re-runs the full tokenizer scan. The persist sits HERE,
-    # above the explode: the stop-shingle df-cut below consumes the
-    # exploded frame twice (document-frequency aggregate + the semi
-    # join back), so an unpersisted shingle scan runs the tokenizer
-    # twice before `cut` ever materializes (guide §1.2: don't compute
-    # things twice; measured ~0.9 s of the query's 2.8 s cut phase).
-    shingled = hashed_shingles(
-        docs.repartition(F.col("doc_id")), "doc_id", "text", n=3
-    ).persist()
-    # Apply the stop-shingle df-cut BEFORE both pipelines so LSH and the
-    # exact Jaccard measure the SAME shingle space. (Round-2 sf0.1 check:
+    # index) from the persisted (id, 8B x shingles) frame — the
+    # stop-shingle df-cut below consumes the exploded frame twice
+    # (frequency aggregate + the semi-join back), so an unpersisted
+    # shingle scan runs the tokenizer twice (guide §1.2; measured
+    # ~0.9 s of the r10 cut phase). The cut itself stays a COUNT
+    # aggregate + semi-join, never a collect: hot shingles are exactly
+    # the rows the cut drops, and collecting their posting lists first
+    # (tried this round) funnels each hot shingle into one sort-based
+    # aggregation task only to discard the list — measured 2x slower
+    # at sf0.1 and unbounded at 100 TB.
+    # The df-cut applies BEFORE both pipelines so LSH and the exact
+    # Jaccard measure the SAME shingle space. (Round-2 sf0.1 check:
     # cutting only inside jaccard_pairs left MinHash banding on the
     # uncut sets — post-cut-similar pairs looked dissimilar to LSH and
     # candidate recall collapsed at 10x corpus size.)
-    exploded = shingled.select(
-        "doc_id", F.explode("__hs").alias("__shingle")
-    )
+    shingled = hashed_shingles(
+        docs.repartition(F.col("doc_id")), "doc_id", "text", n=3
+    ).persist()
+    exploded = shingled.select("doc_id", F.explode("__hs").alias("__shingle"))
     rare = (
         exploded.groupBy("__shingle")
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") <= 8)
         .select("__shingle")
     )
+    # groupBy(doc_id) reuses the repartition(doc_id) partitioning — the
+    # per-doc cut arrays come back without an exchange.
     cut = (
         exploded.join(rare, "__shingle", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_list("__shingle").alias("__hs"))
         .persist()
     )
-    # Both sides of the banding self-join read the signatures; persist
-    # so the pandas-UDF signature pass runs once, not once per side.
+    # The cut arrays feed three consumers off the persist: the pandas-
+    # UDF signature pass (once, not once per banding side), the posting
+    # lists, and the free per-doc sizes.
     sigs = minhash_signatures(
         cut, "doc_id", num_hashes=64, seed=42, hashes_col="__hs"
     ).persist()
     cands = minhash_lsh_candidates(sigs, "doc_id", bands=16, rows_per_band=4)
     # Threshold 0.9: banding miss probability per true pair is
     # (1 - 0.9^4)^16 ~ 4e-8 (vs ~2e-4 at 0.8) — scale-robust recall.
-    exact = jaccard_pairs(
-        cut, "doc_id", threshold=0.9, max_shingle_df=None, hashes_col="__hs"
+    # Exact side: posting lists over the kept shingle space (bounded:
+    # every kept shingle has df <= 8) built from ONE groupBy of the cut
+    # arrays, pair counts from the bounded combination explode — the
+    # r10 shape rebuilt this inverted index with an explode +
+    # self-equi-join (two more exchanges) plus a sizes aggregation that
+    # F.size over the already-materialized cut arrays now replaces
+    # (guide §1.2/§2.4: don't compute things twice, share the exchange).
+    postings = (
+        cut.select("doc_id", F.explode("__hs").alias("__shingle"))
+        .groupBy("__shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("__ids"))
     )
+    sizes = cut.select(
+        F.col("doc_id").alias("__id"), F.size("__hs").alias("__size")
+    )
+    exact = jaccard_pairs_from_postings(postings, threshold=0.9, sizes=sizes)
     return exact.join(cands, ["id_a", "id_b"], "left_semi").select(
         "id_a", "id_b", F.col("jaccard").cast("decimal(10,6)").alias("jaccard")
     )
@@ -4374,7 +4392,18 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     persists because ``distributed_row_number``'s range partitioner
     SAMPLES its input before shuffling it — unpersisted, the
     contamination + mixture tail would execute twice (sampling pass +
-    shuffle pass)."""
+    shuffle pass).
+
+    ``localCheckpoint`` tradeoffs (ADVICE r10 #3), accepted knowingly:
+    it is EAGER, so constructing this query executes stages 1–3 even
+    for a plan-only caller (``distributed_row_number``'s bounded
+    offset collect already forces execution at construction, so
+    nothing new is actually paid); its RDD blocks are released by
+    ContextCleaner GC rather than ``spark.catalog.clearCache()``
+    (bench reps may transiently hold one extra copy of the ~narrow
+    curated pool); and the truncated lineage is NOT fault-tolerant on
+    a real cluster — at 100 TB the cut is a reliable table write /
+    ``checkpoint(reliable)`` at this exact seam (docs/SCALE.md §7)."""
     from olist_lakehouse_2_0_spark.operators.dedup import (
         exact_dedup,
         minhash_lsh_candidates,

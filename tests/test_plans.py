@@ -453,18 +453,27 @@ def test_curation_pipeline_plan_is_scale_true(spark):
         # the only nested-loop joins allowed are the one-row
         # scalar-aggregate broadcasts (the temperature-mixture budget
         # total) — Cross BuildRight against an IdentityBroadcastMode
-        # one-row side, the repo-wide accepted pattern. No count cap:
-        # the SAME accepted subtree prints once per cache layer above
-        # it in the formatted plan (kept/with_idx persists), so the
-        # count tracks plan-printing nesting, not runtime joins — the
-        # guarantee is that EVERY nested-loop join is the one-row
-        # budget-total broadcast, never a data-sized side.
+        # one-row side, the repo-wide accepted pattern. The raw line
+        # count is not assertable (the SAME accepted subtree prints
+        # once per cache layer above it — kept/with_idx persists — so
+        # it tracks plan-printing nesting, not runtime joins), but the
+        # count of DISTINCT join nodes is: normalize away the tree art
+        # and expression ids, then bound it, so an accidental NEW
+        # nested-loop join fails even if it happens to print as Cross
+        # BuildRight (ADVICE r10 #4).
         bnlj = [
             l for l in plan.splitlines()
             if "BroadcastNestedLoopJoin" in l and "+-" in l
         ]
         assert bnlj, "expected the budget-total broadcast in the plan"
         assert all("Cross BuildRight" in l for l in bnlj), bnlj
+        import re
+
+        distinct = {
+            re.sub(r"#\d+", "#x", l[l.index("BroadcastNestedLoopJoin"):])
+            for l in bnlj
+        }
+        assert len(distinct) <= 2, sorted(distinct)
     finally:
         spark.catalog.clearCache()
 
