@@ -1442,6 +1442,30 @@ _DELTA_RT_CUTOFFS = (
 )
 
 
+def _multiset_equal(*pairs: tuple[DataFrame, DataFrame]) -> list[bool]:
+    """Multiset equality for several frame pairs in ONE action: each
+    pair contributes its two ``exceptAll`` legs tagged with the pair
+    index, the tagged legs union, and any surviving tag marks its pair
+    unequal. Replaces two sequential ``count()`` jobs PER PAIR with a
+    single bounded collect (guide §1.2/§5 — on this suite every extra
+    driver-sequenced job costs ~0.1–0.2 s of job + scheduling gap; the
+    delta lifecycle queries ran up to six of these back to back).
+    Frames within a pair must be union-compatible, as ``exceptAll``
+    already requires; ACROSS pairs schemas may differ (the tag
+    projection happens after each ``exceptAll``)."""
+    from functools import reduce
+
+    legs = []
+    for i, (x, y) in enumerate(pairs):
+        legs.append(x.exceptAll(y).select(F.lit(i).alias("__pair")))
+        legs.append(y.exceptAll(x).select(F.lit(i).alias("__pair")))
+    unequal = {
+        r["__pair"]
+        for r in reduce(DataFrame.unionAll, legs).distinct().collect()
+    }
+    return [i not in unequal for i in range(len(pairs))]
+
+
 def delta_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-protocol export lifecycle under the hash gate (round 8;
     VERDICT r7 "What's missing" #1 — the reference stores every table
@@ -1517,25 +1541,22 @@ def delta_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d_current = read_delta(spark, dest)
     d_v2 = read_delta(spark, dest, version=2)
-    ts_travel_ok = (
-        d_ts2.exceptAll(d_v2).count() == 0
-        and d_v2.exceptAll(d_ts2).count() == 0
-    )
     try:
         read_delta(spark, dest, timestamp=ts2)
         ts_pruned_raises = False
     except (IOError, ValueError):
         ts_pruned_raises = True
     # parity vs the catalog's own time travel (Delta commit k exports
-    # catalog version k+1); multiset equality over the tiny aggregates
+    # catalog version k+1); multiset equality over the tiny aggregates.
+    # All three equality checks (ts-travel + both parity pairs) run as
+    # ONE job via _multiset_equal — this query previously sequenced six
+    # bounded count() jobs here (~1 s of job+gap in the stage profile).
     c_current = cat.read(spark, "monthly_gold", layer="gold")
     c_v3 = cat.read_version(spark, "monthly_gold", 3, layer="gold")
-    parity = (
-        d_current.exceptAll(c_current).count() == 0
-        and c_current.exceptAll(d_current).count() == 0
-        and d_v2.exceptAll(c_v3).count() == 0
-        and c_v3.exceptAll(d_v2).count() == 0
+    ts_travel_ok, parity_cur, parity_v2 = _multiset_equal(
+        (d_ts2, d_v2), (d_current, c_current), (d_v2, c_v3)
     )
+    parity = parity_cur and parity_v2
     # version 3 sits ABOVE checkpoint 2 with its JSON commit pruned:
     # the reader must refuse, not fabricate state
     try:
@@ -1661,10 +1682,8 @@ def delta_convert_publish_history(spark: SparkSession, sf_dir: str) -> DataFrame
         h["version"] for h in hist if h["timestamp"] <= hist[0]["timestamp"]
     )
     d_ts_expect = read_delta(spark, table, version=ts_target)
-    travel_ok = (
-        d_ts0.exceptAll(d_ts_expect).count() == 0
-        and d_ts_expect.exceptAll(d_ts0).count() == 0
-    )
+    # one job for both exceptAll legs (see _multiset_equal)
+    (travel_ok,) = _multiset_equal((d_ts0, d_ts_expect))
 
     def tagged(df: DataFrame, tag: str) -> DataFrame:
         return df.select(
