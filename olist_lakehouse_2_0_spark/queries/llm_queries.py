@@ -1376,10 +1376,19 @@ def minhash_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The cut arrays feed three consumers off the persist: the pandas-
     # UDF signature pass (once, not once per banding side), the posting
-    # lists, and the free per-doc sizes.
+    # lists, and the free per-doc sizes. sigs itself is NO LONGER
+    # persisted: the r10 persist amortized the pandas-UDF pass across
+    # the banding self-join's two sides, but the single-exchange
+    # banding has one side, and the collapse window's exchange is the
+    # share point for its consumers (rep_sigs + members) — the UDF
+    # sits BELOW that exchange, whose identical subtree AQE
+    # stage-reuse materializes once at runtime (the formatted plan
+    # prints it once per consumer branch). Removing the cache layer
+    # removed its materialization barrier: isolated same-window A/B
+    # 5.92 (persisted) → 5.25 s at sf0.1.
     sigs = minhash_signatures(
         cut, "doc_id", num_hashes=64, seed=42, hashes_col="__hs"
-    ).persist()
+    )
     cands = minhash_lsh_candidates(sigs, "doc_id", bands=16, rows_per_band=4)
     # Threshold 0.9: banding miss probability per true pair is
     # (1 - 0.9^4)^16 ~ 4e-8 (vs ~2e-4 at 0.8) — scale-robust recall.
